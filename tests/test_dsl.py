@@ -1,0 +1,250 @@
+"""Tests for the YAML -> JAX DSL (expression compiler, template parser, lowering).
+
+Golden values are checked against hand-written vector fields -- the same
+decoupling seam the reference test-suite uses
+(/root/reference/rectipy_tests/test_nodes.py:32-33).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectipy_tpu.dsl import (
+    ExprError,
+    NodeTemplate,
+    evaluate,
+    free_symbols,
+    load_template,
+    lower,
+    parse,
+    split_equation,
+    substitute,
+)
+
+DT = jnp.float64
+
+
+# ---------------------------------------------------------------- expressions
+
+
+def test_parse_and_eval_arithmetic():
+    env = {"v": jnp.array([1.0, 2.0]), "tau": 2.0, "eta": jnp.array([0.5, -0.5])}
+    ast = parse("-v/tau + eta + 3.0*v^2")
+    out = np.asarray(evaluate(ast, env))
+    expect = -np.array([1.0, 2.0]) / 2.0 + np.array([0.5, -0.5]) + 3.0 * np.array([1.0, 4.0])
+    np.testing.assert_allclose(out, expect)
+
+
+def test_power_right_associative_and_precedence():
+    env = {"x": 2.0}
+    assert float(evaluate(parse("x^3^2"), env)) == pytest.approx(2.0 ** 9)
+    assert float(evaluate(parse("-x^2"), env)) == pytest.approx(-4.0)
+    assert float(evaluate(parse("2*x + 1"), env)) == pytest.approx(5.0)
+
+
+def test_functions_and_mean():
+    env = {"v": jnp.array([0.0, 1.0, 2.0])}
+    np.testing.assert_allclose(np.asarray(evaluate(parse("tanh(v)"), env)), np.tanh([0.0, 1.0, 2.0]))
+    assert float(evaluate(parse("mean(v)"), env)) == pytest.approx(1.0)
+    out = np.asarray(evaluate(parse("v - mean(v)"), env))
+    np.testing.assert_allclose(out, [-1.0, 0.0, 1.0])
+
+
+def test_free_symbols():
+    assert free_symbols(parse("(v^2 + eta + I_ext)/tau + k*s_in")) == {
+        "v", "eta", "I_ext", "tau", "k", "s_in",
+    }
+    assert free_symbols(parse("mean(v) + 2.0")) == {"v"}
+
+
+def test_split_equation():
+    lhs, is_ode, _ = split_equation("v' = -v/tau")
+    assert lhs == "v" and is_ode
+    lhs, is_ode, _ = split_equation("r = tanh(v)")
+    assert lhs == "r" and not is_ode
+    with pytest.raises(ExprError):
+        split_equation("v + 1")
+
+
+def test_substitute_word_boundaries():
+    # 'eta' must not clobber 'beta' or 'theta'
+    out = substitute("v' = beta*v + eta + theta", "eta", "eta - x")
+    assert "beta*v" in out and "theta" in out
+    assert "(eta - x)" in out
+    # multi-token literal replacement
+    out = substitute("v' = -v/tau + k*r_in + I_ext", "k*r_in", "k*s_in")
+    assert "(k*s_in)" in out and "r_in" not in out.replace("(k*s_in)", "")
+
+
+def test_tokenizer_rejects_garbage():
+    with pytest.raises(ExprError):
+        parse("v @ w")
+
+
+# ------------------------------------------------------------------ templates
+
+
+def test_load_node_template():
+    tpl = NodeTemplate.from_yaml("rectipy_tpu.models.rate_neurons.leaky_integrator.tanh")
+    assert tpl.name == "tanh"
+    assert [op.name for op in tpl.operators] == ["li_op", "tanh_op"]
+    li = tpl.operators[0]
+    assert li.variables["tau"].default == 10.0
+    assert li.variables["v"].role == "output"
+    assert li.variables["I_ext"].role == "input"
+
+
+def test_reference_path_compat():
+    # reference user scripts address templates via the neuron_model_templates prefix
+    tpl = NodeTemplate.from_yaml("neuron_model_templates.spiking_neurons.qif.qif")
+    assert tpl.operators[0].name == "qif_op"
+    tpl2 = NodeTemplate.from_yaml("model_templates.base_templates.tanh_node")
+    assert [op.name for op in tpl2.operators] == ["li_op", "tanh_op"]
+
+
+def test_operator_inheritance_lif():
+    tpl = NodeTemplate.from_yaml("rectipy_tpu.models.spiking_neurons.lif.lif")
+    op = tpl.operators[0]
+    assert op.name == "lif_op"
+    eqs = " | ".join(op.equations)
+    assert "s_in" in eqs and "spike" in eqs
+    # replaced drive: no bare r_in multiplication left
+    assert "r_in" not in eqs
+    assert op.variables["tau"].default == 10.0  # inherited from li_op
+    assert op.variables["tau_s"].default == 0.5
+
+
+def test_operator_inheritance_sfa():
+    tpl = NodeTemplate.from_yaml("rectipy_tpu.models.spiking_neurons.qif.qif_sfa")
+    op = tpl.operators[0]
+    eqs = " | ".join(op.equations)
+    assert "(eta - x)" in eqs
+    assert any("tau_x" in e for e in op.equations)
+
+
+def test_missing_template_errors():
+    with pytest.raises(FileNotFoundError):
+        NodeTemplate.from_yaml("rectipy_tpu.models.rate_neurons.freaky_integrator.tanh")
+    with pytest.raises(AttributeError):
+        NodeTemplate.from_yaml("rectipy_tpu.models.rate_neurons.leaky_integrator.tan")
+
+
+# ------------------------------------------------------------------- lowering
+
+
+def _tanh_reference(y, W, I_ext, tau, k, eta):
+    """Hand-written li_op+tanh_op vector field: v' = -v/tau + k*(W@tanh(v)) + I_ext + eta."""
+    return -y / tau + k * (W @ np.tanh(y)) + I_ext + eta
+
+
+def test_lower_tanh_matches_handwritten():
+    n = 7
+    rng = np.random.default_rng(0)
+    W = rng.normal(size=(n, n))
+    vf = lower(
+        "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+        weights=W,
+        source_var="tanh_op/r",
+        target_var="li_op/r_in",
+        dtype=DT,
+    )
+    assert vf.n == n
+    assert vf.var_map["li_op/v"] == (0, n)
+    assert vf.var_map["v"] == (0, n)  # unambiguous bare alias
+    y = jnp.asarray(rng.normal(size=(n,)), dtype=DT)
+    args = dict(vf.args)
+    x = rng.normal(size=(n,))
+    args["li_op/I_ext"] = jnp.asarray(x, dtype=DT)
+    dy = np.asarray(vf.func(0.0, y, args))
+    expect = _tanh_reference(np.asarray(y), W, x, 10.0, 1.0, 0.0)
+    np.testing.assert_allclose(dy, expect, rtol=1e-12, atol=1e-12)
+
+
+def test_lower_node_vars_overrides():
+    n = 5
+    rng = np.random.default_rng(1)
+    W = np.zeros((n, n))
+    tau = rng.uniform(10.0, 20.0, size=(n,))
+    vf = lower(
+        "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+        weights=W,
+        source_var="tanh_op/r",
+        target_var="li_op/r_in",
+        node_vars={"all/li_op/tau": tau, "all/li_op/eta": 2.0, "all/li_op/v": np.ones(n)},
+        dtype=DT,
+    )
+    np.testing.assert_allclose(np.asarray(vf.args["li_op/tau"]), tau)
+    assert float(vf.args["li_op/eta"]) == 2.0
+    np.testing.assert_allclose(np.asarray(vf.y0), np.ones(n))
+    y = jnp.zeros(n, dtype=DT)
+    dy = np.asarray(vf.func(0.0, y, vf.args))
+    np.testing.assert_allclose(dy, np.full(n, 2.0), rtol=1e-12)
+
+
+def test_lower_qif_two_state_vars():
+    n = 4
+    rng = np.random.default_rng(2)
+    W = rng.normal(size=(n, n))
+    vf = lower(
+        "rectipy_tpu.models.spiking_neurons.qif.qif",
+        weights=W,
+        source_var="s",
+        target_var="s_in",
+        dtype=DT,
+    )
+    assert vf.var_map["qif_op/v"] == (0, n)
+    assert vf.var_map["qif_op/s"] == (n, 2 * n)
+    np.testing.assert_allclose(np.asarray(vf.y0[:n]), -2.0)
+    v = rng.normal(size=(n,))
+    s = rng.normal(size=(n,))
+    y = jnp.asarray(np.concatenate([v, s]), dtype=DT)
+    args = dict(vf.args)
+    spike = rng.normal(size=(n,))
+    args["qif_op/spike"] = jnp.asarray(spike, dtype=DT)
+    dy = np.asarray(vf.func(0.0, y, args))
+    dv = (v ** 2 - 5.0) / 1.0 + 1.0 * (W @ s)
+    ds = -s / 1.0 + spike
+    np.testing.assert_allclose(dy[:n], dv, rtol=1e-12)
+    np.testing.assert_allclose(dy[n:], ds, rtol=1e-12)
+
+
+def test_lower_ik_mean_reduction():
+    n = 6
+    rng = np.random.default_rng(3)
+    vf = lower(
+        "rectipy_tpu.models.spiking_neurons.ik.iku",
+        n=n,
+        dtype=DT,
+    )
+    v = rng.normal(size=(n,)) - 60.0
+    u = rng.normal(size=(n,))
+    s = rng.normal(size=(n,))
+    y = jnp.asarray(np.concatenate([v, u, s]), dtype=DT)
+    dy = np.asarray(vf.func(0.0, y, vf.args))
+    du = (-2.0 * (np.mean(v) + 60.0) - u) / 33.33
+    np.testing.assert_allclose(dy[n:2 * n], du, rtol=1e-10)
+
+
+def test_lower_errors():
+    n = 3
+    with pytest.raises(ValueError):
+        lower("rectipy_tpu.models.rate_neurons.leaky_integrator.tanh", weights=np.zeros((n, n)))
+    with pytest.raises(KeyError):
+        lower(
+            "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+            weights=np.zeros((n, n)),
+            source_var="x",
+            target_var="li_op/r_in",
+        )
+    with pytest.raises(ValueError):
+        lower("rectipy_tpu.models.rate_neurons.leaky_integrator.tanh", n=None)
+
+
+def test_lower_scalar_params_stay_scalar():
+    vf = lower(
+        "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+        n=4,
+        dtype=DT,
+    )
+    assert vf.args["li_op/tau"].ndim == 0
+    assert vf.args["li_op/I_ext"].shape == (4,)
