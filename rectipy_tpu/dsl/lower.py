@@ -19,7 +19,7 @@ from typing import Callable, Dict, List, Optional, Tuple, Union
 import jax.numpy as jnp
 import numpy as np
 
-from .expr import free_symbols, parse, split_equation
+from .expr import evaluate, free_symbols, parse, split_equation
 from .parser import NodeTemplate, OperatorTemplate, TemplateError, load_template
 
 
@@ -59,6 +59,8 @@ class VectorField:
     input_vars: List[str]  # args keys that are input placeholders
     source_var: Optional[str] = None
     target_var: Optional[str] = None
+    read_var: Optional[Callable] = None  # read_var(qname, y, args) -> (N,) value
+    alg_vars: List[str] = field(default_factory=list)  # algebraic (non-state) variables
 
 
 def _qualify(name: str, ops: List[OperatorTemplate], kind_hint: str = "variable") -> str:
@@ -281,8 +283,8 @@ def lower(
     ode_rhs = [(q, lowered[q].rhs_ast, lowered[q].op) for q in state_order]
     alg_items = {q: (lowered[q].rhs_ast, lowered[q].op) for q in schedule if lowered[q].kind == "algebraic"}
 
-    def func(t, y, a: Dict[str, jnp.ndarray]):
-        del t  # autonomous systems only (matches the reference's Euler call f(0, y, ...))
+    def _build_env(y, a: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Trace-time evaluation of all state slices, inputs and algebraic vars."""
         env: Dict[str, jnp.ndarray] = {}
         for qname, (lo, hi) in state_slices:
             env[qname] = y[lo:hi]
@@ -301,8 +303,6 @@ def lower(
             lv = lowered[qname]
             if lv.kind == "algebraic":
                 rhs_ast, opname = alg_items[qname]
-                from .expr import evaluate
-
                 env[qname] = evaluate(rhs_ast, op_env(opname))
             else:  # input: placeholder + wiring + coupling
                 val = env[qname]
@@ -311,14 +311,34 @@ def lower(
                 for esv, wkey in edge_by_target.get(qname, []):
                     val = val + a[wkey] @ env[esv]
                 env[qname] = val
+        env["__op_env__"] = op_env  # type: ignore[assignment]
+        return env
 
-        from .expr import evaluate
-
+    def func(t, y, a: Dict[str, jnp.ndarray]):
+        del t  # autonomous systems only (matches the reference's Euler call f(0, y, ...))
+        env = _build_env(y, a)
+        op_env = env.pop("__op_env__")
         dy_parts = []
         for qname, rhs_ast, opname in ode_rhs:
             dv = evaluate(rhs_ast, op_env(opname))
             dy_parts.append(jnp.broadcast_to(dv, (n,)))
         return jnp.concatenate(dy_parts) if dy_parts else jnp.zeros_like(y)
+
+    alg_names = [q for q in schedule if lowered[q].kind == "algebraic"]
+
+    def read_var(qname: str, y, a: Dict[str, jnp.ndarray]):
+        """Read the current value of a state, algebraic, or input variable.
+
+        ``vmap_full`` (below) binds late, so bare state-variable aliases work.
+        """
+        if qname in vmap_full:
+            lo, hi = vmap_full[qname]
+            return y[lo:hi]
+        env = _build_env(y, a)
+        env.pop("__op_env__")
+        if qname not in env:
+            raise KeyError(f"Variable {qname!r} not found in lowered population")
+        return jnp.broadcast_to(env[qname], (n,))
 
     # user-facing name maps: qualified plus unambiguous bare names
     param_map: Dict[str, str] = {}
@@ -354,4 +374,6 @@ def lower(
         input_vars=input_vars,
         source_var=_qualify(source_var, ops) if source_var else None,
         target_var=_qualify(target_var, ops) if target_var else None,
+        read_var=read_var,
+        alg_vars=alg_names,
     )

@@ -1,0 +1,321 @@
+"""Edge runtime: linear projections, delay buffers, filters, online RLS.
+
+Functional re-design of the reference edge layer
+(/root/reference/rectipy/edges.py).  Every edge exposes
+``init_state() -> pytree`` and ``make_step() -> (state, params, x) ->
+(state', y)``; parameters live in a ``params`` dict so the Network can lift
+them into one global pytree for jit/grad.  The object ``forward`` wrappers
+keep the reference's eager API working.
+
+Semantics:
+- ``Linear``: ``y = W @ x``; weights auto-transposed when given as
+  ``(n_in, n_out)`` (/root/reference/rectipy/edges.py:17-26).
+- ``LinearMasked``: ``y = (W * M) @ x`` with a fixed binary mask.
+- ``LinearMemory``: per-source integer delays via a ring buffer of shape
+  ``(n_in, max_delay+1)``; each step the buffer shifts toward slot 0, the new
+  input is written at each source's delay offset, and slot 0 (post-write) is
+  projected.  Note: this is the *intended* per-source semantics; the
+  reference's fancy-indexed write (``buffer[:, delays] = x``,
+  /root/reference/rectipy/edges.py:93) broadcasts across rows, clobbering
+  other sources' history -- a latent bug we do not replicate.
+- ``LinearFilter``: linear state-space synaptic filter ``y <- F @ y + x``.
+- ``LinearMemoryFilter``: filtered ring buffer.
+- ``RLS``: extended recursive least squares (FORCE-style; Principe et al.
+  2011), rank-1 P/weight updates (/root/reference/rectipy/edges.py:227-234).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .nodes import resolve_dtype
+
+__all__ = ["Linear", "LinearMasked", "LinearMemory", "LinearFilter", "LinearMemoryFilter", "RLS"]
+
+
+def _as_array(x, dtype):
+    if hasattr(x, "detach"):  # torch tensor compatibility
+        x = x.detach().cpu().numpy()
+    return jnp.asarray(np.asarray(x), dtype=dtype)
+
+
+class Linear:
+    """Static/trainable linear projection ``y = W @ x``."""
+
+    _tensors = ["weights"]
+
+    def __init__(self, n_in: int, n_out: int, weights=None, dtype=jnp.float64,
+                 detach: bool = True, rng: Optional[np.random.Generator] = None, **kwargs):
+        self.dtype = resolve_dtype(dtype)
+        if weights is None:
+            rng = rng or np.random.default_rng()
+            weights = rng.standard_normal((n_out, n_in))
+        weights = _as_array(weights, self.dtype)
+        # reference parity: a (n_in, n_out)-shaped matrix is auto-transposed --
+        # including the square case (/root/reference/rectipy/edges.py:22-23)
+        if weights.shape == (n_in, n_out):
+            weights = weights.T
+        elif weights.shape != (n_out, n_in):
+            raise ValueError(
+                "Shape of the provided weights does not match the input and output dimensions "
+                "of the source and target nodes."
+            )
+        self.n_in = n_in
+        self.n_out = n_out
+        self.params: Dict[str, jnp.ndarray] = {"weights": weights}
+        self.train_keys = []
+        if not detach:
+            train_params = kwargs.pop("train_params", self._tensors)
+            self.train_keys = [k for k in self._tensors if k in train_params and k in self.params]
+
+    # -- reference-parity attribute access -------------------------------------
+    @property
+    def weights(self):
+        return self.params["weights"]
+
+    @weights.setter
+    def weights(self, w):
+        self.params["weights"] = _as_array(w, self.dtype)
+
+    @property
+    def train_params(self) -> list:
+        return [self.params[k] for k in self.train_keys]
+
+    def __call__(self, *args, **kwargs):
+        return self.forward(*args, **kwargs)
+
+    def parameters(self, recurse: bool = True) -> Iterator:
+        for k in self.train_keys:
+            yield self.params[k]
+
+    def detach(self):
+        self.train_keys = []
+
+    def to(self, device: str, **kwargs):
+        return self  # placement is XLA's job; kept for API parity
+
+    # -- functional protocol ----------------------------------------------------
+    def init_state(self):
+        return None
+
+    def make_step(self) -> Callable:
+        def step(state, params, x):
+            return state, params["weights"] @ x
+
+        return step
+
+    def forward(self, x, **kwargs):
+        state, y = self.make_step()(self.init_state(), self.params, jnp.asarray(x, dtype=self.dtype))
+        return y
+
+
+class LinearMasked(Linear):
+    """Sparse trainable connectivity: ``y = (W * mask) @ x`` with a fixed mask."""
+
+    _tensors = ["weights", "mask"]
+
+    def __init__(self, n_in: int, n_out: int, mask, weights=None, dtype=jnp.float64,
+                 detach: bool = True, **kwargs):
+        kwargs.setdefault("train_params", ["weights"])
+        super().__init__(n_in, n_out, weights=weights, dtype=dtype, detach=detach, **kwargs)
+        mask = _as_array(mask, self.dtype)
+        if mask.shape == (n_in, n_out):
+            mask = mask.T
+        elif mask.shape != (n_out, n_in):
+            raise ValueError(
+                "Shape of the provided mask does not match the input and output dimensions "
+                "of the source and target nodes."
+            )
+        self.params["mask"] = mask
+
+    @property
+    def mask(self):
+        return self.params["mask"]
+
+    def make_step(self) -> Callable:
+        def step(state, params, x):
+            return state, (params["weights"] * params["mask"]) @ x
+
+        return step
+
+
+class LinearMemory(Linear):
+    """Delay edge (DDE support): per-source integer delays with a ring buffer."""
+
+    _tensors = ["weights", "buffer", "delays"]
+
+    def __init__(self, n_in: int, n_out: int, delays, weights=None, dtype=jnp.float64,
+                 detach: bool = True, **kwargs):
+        kwargs.setdefault("train_params", ["weights"])
+        super().__init__(n_in, n_out, weights=weights, dtype=dtype, detach=detach, **kwargs)
+        delays = np.asarray(delays)
+        if len(delays) != n_in:
+            raise ValueError("The number of delays must match the number of node inputs.")
+        self.delays = jnp.asarray(delays.astype(np.int64))
+        self.max_delay = int(delays.max())
+        self._buffer = jnp.zeros((n_in, self.max_delay + 1), dtype=self.dtype)
+        # one-hot write mask (n_in, D): row i writes at column delays[i].
+        # Scatter-free so the scan body stays a couple of fused VPU ops.
+        eye = np.zeros((n_in, self.max_delay + 1), dtype=np.float64)
+        eye[np.arange(n_in), delays.astype(np.int64)] = 1.0
+        self._write_mask = jnp.asarray(eye, dtype=self.dtype)
+
+    @property
+    def buffer(self):
+        return self._buffer
+
+    def init_state(self):
+        return self._buffer
+
+    def make_step(self) -> Callable:
+        mask = self._write_mask
+
+        def step(buf, params, x):
+            buf = jnp.roll(buf, -1, axis=1)
+            buf = buf * (1.0 - mask) + mask * x[:, None]
+            return buf, params["weights"] @ buf[:, 0]
+
+        return step
+
+    def forward(self, x, **kwargs):
+        self._buffer, y = self.make_step()(self._buffer, self.params, jnp.asarray(x, dtype=self.dtype))
+        return y
+
+
+class LinearFilter(Linear):
+    """Trainable synaptic filter on the edge: ``y <- F @ y + x`` then ``W @ y``."""
+
+    _tensors = ["weights", "filter", "y"]
+
+    def __init__(self, n_in: int, n_out: int, filter_weights, weights=None, dtype=jnp.float64,
+                 detach: bool = True, **kwargs):
+        kwargs.setdefault("train_params", ["weights", "filter"])
+        super().__init__(n_in, n_out, weights=weights, dtype=dtype, detach=detach, **kwargs)
+        filter_weights = _as_array(filter_weights, self.dtype)
+        if filter_weights.shape != (n_in, n_in):
+            raise ValueError(
+                "Intrinsic weights have to be a square matrix with the number of rows and "
+                "columns matching the number of inputs to the edge."
+            )
+        self.params["filter"] = filter_weights
+        self._y = jnp.zeros(n_in, dtype=self.dtype)
+
+    @property
+    def filter(self):
+        return self.params["filter"]
+
+    @property
+    def y(self):
+        return self._y
+
+    def init_state(self):
+        return self._y
+
+    def make_step(self) -> Callable:
+        def step(y, params, x):
+            y = params["filter"] @ y + x
+            return y, params["weights"] @ y
+
+        return step
+
+    def forward(self, x, **kwargs):
+        self._y, out = self.make_step()(self._y, self.params, jnp.asarray(x, dtype=self.dtype))
+        return out
+
+
+class LinearMemoryFilter(LinearMemory):
+    """Delays and a synaptic filter combined: the rolled buffer is filtered
+    before the new input is written."""
+
+    _tensors = ["weights", "buffer", "delays", "filter"]
+
+    def __init__(self, n_in: int, n_out: int, delays, filter_weights, weights=None,
+                 dtype=jnp.float64, detach: bool = True, **kwargs):
+        kwargs.setdefault("train_params", ["weights", "filter"])
+        super().__init__(n_in, n_out, delays=delays, weights=weights, dtype=dtype,
+                         detach=detach, **kwargs)
+        filter_weights = _as_array(filter_weights, self.dtype)
+        if filter_weights.shape != (n_in, n_in):
+            raise ValueError(
+                "Intrinsic weights have to be a square matrix with the number of rows and "
+                "columns matching the number of inputs to the edge."
+            )
+        self.params["filter"] = filter_weights
+
+    @property
+    def filter(self):
+        return self.params["filter"]
+
+    def make_step(self) -> Callable:
+        mask = self._write_mask
+
+        def step(buf, params, x):
+            buf = params["filter"] @ jnp.roll(buf, -1, axis=1)
+            buf = buf * (1.0 - mask) + mask * x[:, None]
+            return buf, params["weights"] @ buf[:, 0]
+
+        return step
+
+
+class RLS(Linear):
+    """Extended recursive least squares (FORCE-style online readout learning).
+
+    State: inverse-correlation matrix ``P = alpha*I`` and the weights; per
+    update (/root/reference/rectipy/edges.py:227-234):
+
+        z = beta^-1 P x
+        k = (1 + x.z)^-1
+        W += outer(y - k*x.(W + outer(y,z))^T, z)
+        P -= k * outer(z, z)
+        loss = |y - y_hat|^2
+
+    References: Principe et al. (2011), Kernel Adaptive Filtering.
+    """
+
+    _tensors = ["weights", "P"]
+
+    def __init__(self, n_in: int, n_out: int, weights=None, dtype=jnp.float64,
+                 beta: float = 1.0, alpha: float = 1.0, **kwargs):
+        if beta > 1 or beta < 0:
+            raise ValueError("Parameter beta should be a positive scalar between 0 and 1.")
+        if alpha < 0:
+            raise ValueError("Parameter alpha should be a positive scalar.")
+        if weights is None:
+            weights = jnp.zeros((n_out, n_in), dtype=resolve_dtype(dtype))
+        super().__init__(n_in, n_out, weights=weights, dtype=dtype, detach=True)
+        self.beta = float(beta) ** (-1)
+        self.params["P"] = float(alpha) * jnp.eye(n_in, dtype=self.dtype)
+        self.loss = 0.0
+        self.train_keys = []
+
+    @property
+    def P(self):
+        return self.params["P"]
+
+    @staticmethod
+    def update_fn(beta_inv: float):
+        """Pure RLS update: ``(W, P, x, y, y_hat) -> (W', P', loss)``.  Used as
+        a scan carry by Network.fit_rls."""
+
+        def update(W, P, x, y, y_hat):
+            z = beta_inv * (P @ x)
+            k = 1.0 / (1.0 + x @ z)
+            err = y - y_hat
+            W_new = W + jnp.outer(y - k * (x @ (W + jnp.outer(y, z)).T), z)
+            P_new = P - k * jnp.outer(z, z)
+            return W_new, P_new, err @ err
+
+        return update
+
+    def update(self, x, y, y_hat) -> None:
+        x = jnp.asarray(x, dtype=self.dtype)
+        y = jnp.asarray(y, dtype=self.dtype)
+        y_hat = jnp.asarray(y_hat, dtype=self.dtype)
+        W, P, loss = self.update_fn(self.beta)(self.params["weights"], self.params["P"], x, y, y_hat)
+        self.params["weights"] = W
+        self.params["P"] = P
+        self.loss = loss

@@ -1,0 +1,174 @@
+"""Edge-runtime tests, mirroring the reference suite's oracle pattern
+(/root/reference/rectipy_tests/test_edges.py): Linear is checked against a
+plain matmul oracle; RLS hyperparameter effects and convergence are asserted."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectipy_tpu.edges import (
+    RLS,
+    Linear,
+    LinearFilter,
+    LinearMasked,
+    LinearMemory,
+    LinearMemoryFilter,
+)
+
+accuracy = 1e-4
+
+
+def test_linear():
+    n, m = 10, 2
+    rng = np.random.default_rng(0)
+    w1 = rng.normal(size=(n, m))
+    x = jnp.asarray(rng.normal(size=(n,)))
+
+    lin1 = Linear(n, m, rng=rng)
+    lin2 = Linear(m, n, rng=rng)
+    lin3 = Linear(n, m, weights=w1.T + 2.0)
+    lin4 = Linear(n, m, weights=w1, dtype=jnp.float32)
+    lin5 = Linear(n, m, weights=w1, detach=False)
+
+    assert lin2.weights.shape == w1.shape
+    assert lin1.weights.shape[0] == lin2.weights.shape[1]
+    np.testing.assert_allclose(np.asarray(lin5.weights), w1.T, atol=accuracy)
+    assert lin3.weights.dtype == jnp.float64
+    assert lin4.weights.dtype == jnp.float32
+
+    assert len(list(lin5.parameters())) - len(list(lin4.parameters())) == 1
+    assert len(list(lin1.parameters())) == 0
+
+    # forward oracle: y = W @ x
+    np.testing.assert_allclose(
+        np.asarray(lin5.forward(x)), w1.T @ np.asarray(x), atol=accuracy)
+    assert np.abs(np.sum(np.asarray(lin5.forward(x)) - np.asarray(lin3.forward(x)))) > 0.0
+
+    with pytest.raises(ValueError):
+        Linear(n, m, weights=rng.normal(size=(n + 1, m + 1)))
+
+
+def test_linear_square_transpose_parity():
+    """Reference parity: square (n_in, n_out) matrices are auto-transposed
+    (/root/reference/rectipy/edges.py:22-23)."""
+    n = 4
+    w = np.arange(16, dtype=float).reshape(4, 4)
+    lin = Linear(n, n, weights=w)
+    np.testing.assert_allclose(np.asarray(lin.weights), w.T)
+
+
+def test_linear_masked():
+    n, m = 6, 3
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(m, n))
+    mask = (rng.random(size=(m, n)) > 0.5).astype(float)
+    edge = LinearMasked(n, m, mask=mask, weights=w, detach=False)
+    x = jnp.asarray(rng.normal(size=(n,)))
+    np.testing.assert_allclose(np.asarray(edge.forward(x)), (w * mask) @ np.asarray(x), atol=accuracy)
+    assert edge.train_keys == ["weights"]  # mask stays frozen
+
+
+def test_linear_memory_delays():
+    """Per-source integer delays: x[i] arrives delays[i] steps later."""
+    n, m = 3, 3
+    delays = np.array([0, 1, 2])
+    w = np.eye(3)
+    edge = LinearMemory(n, m, delays=delays, weights=w)
+    impulse = jnp.asarray([1.0, 1.0, 1.0])
+    zero = jnp.zeros(3)
+    outs = [np.asarray(edge.forward(impulse))]
+    for _ in range(3):
+        outs.append(np.asarray(edge.forward(zero)))
+    np.testing.assert_allclose(outs[0], [1.0, 0.0, 0.0])  # delay 0: immediate
+    np.testing.assert_allclose(outs[1], [0.0, 1.0, 0.0])  # delay 1
+    np.testing.assert_allclose(outs[2], [0.0, 0.0, 1.0])  # delay 2
+    np.testing.assert_allclose(outs[3], [0.0, 0.0, 0.0])
+
+    with pytest.raises(ValueError):
+        LinearMemory(n, m, delays=np.array([0, 1]))
+
+
+def test_linear_filter():
+    n, m = 4, 2
+    rng = np.random.default_rng(2)
+    F = rng.normal(size=(n, n)) * 0.1
+    w = rng.normal(size=(m, n))
+    edge = LinearFilter(n, m, filter_weights=F, weights=w)
+    x1 = np.asarray(rng.normal(size=(n,)))
+    x2 = np.asarray(rng.normal(size=(n,)))
+    y1 = np.asarray(edge.forward(jnp.asarray(x1)))
+    y2 = np.asarray(edge.forward(jnp.asarray(x2)))
+    # oracle: y_state <- F @ y_state + x ; out = W @ y_state
+    ys = F @ np.zeros(n) + x1
+    np.testing.assert_allclose(y1, w @ ys, atol=accuracy)
+    ys = F @ ys + x2
+    np.testing.assert_allclose(y2, w @ ys, atol=accuracy)
+
+    with pytest.raises(ValueError):
+        LinearFilter(n, m, filter_weights=np.zeros((n + 1, n)))
+
+
+def test_linear_memory_filter():
+    n, m = 3, 3
+    rng = np.random.default_rng(3)
+    delays = np.array([1, 1, 1])
+    F = np.eye(n) * 0.5
+    edge = LinearMemoryFilter(n, m, delays=delays, filter_weights=F, weights=np.eye(n))
+    y1 = np.asarray(edge.forward(jnp.ones(n)))
+    np.testing.assert_allclose(y1, 0.0, atol=accuracy)  # delayed by 1 step
+    y2 = np.asarray(edge.forward(jnp.zeros(n)))
+    # after roll+filter, the written 1.0 reaches slot 0 scaled by... the write
+    # was at slot 1 un-filtered at write time; next step it is rolled to slot 0
+    # and filtered by F once.
+    np.testing.assert_allclose(y2, 0.5, atol=accuracy)
+
+
+def test_rls_layer():
+    n, m = 10, 2
+    rng = np.random.default_rng(5)
+    w1 = rng.normal(size=(n, m))
+    x = jnp.asarray(rng.normal(size=(n,)))
+    y = jnp.asarray(rng.normal(size=(m,)))
+
+    rls1 = RLS(n, m)
+    rls2 = RLS(n, m, weights=w1)
+    rls3 = RLS(n, m, weights=w1, beta=0.5)
+    rls4 = RLS(n, m, weights=w1, alpha=0.1)
+
+    np.testing.assert_allclose(np.asarray(rls2.weights), w1.T, atol=accuracy)
+    assert rls1.P.shape[0] == n
+    assert len(list(rls2.parameters())) == 0
+
+    r1_1 = rls1.forward(x)
+    r1_2 = rls1.forward(x)
+    for rls in [rls2, rls3, rls4]:
+        y_hat = rls.forward(x)
+        rls.update(x, y_hat, y)
+    r2 = np.asarray(rls2.forward(x))
+    r3 = np.asarray(rls3.forward(x))
+    r4 = np.asarray(rls4.forward(x))
+
+    assert r1_1.shape[0] == m
+    np.testing.assert_allclose(np.asarray(r1_1), np.asarray(r1_2), atol=accuracy)
+    assert np.abs(np.sum(r2 - r3)) > 0
+    assert np.abs(np.sum(r3 - r4)) > 0
+
+    with pytest.raises(ValueError):
+        RLS(n, m, alpha=-0.5)
+    with pytest.raises(ValueError):
+        RLS(n, m, beta=1.5)
+
+
+def test_rls_converges_to_linear_readout():
+    """Online RLS should recover a linear teacher y = W x."""
+    n, m = 8, 2
+    rng = np.random.default_rng(6)
+    W_true = rng.normal(size=(m, n))
+    rls = RLS(n, m, beta=1.0, alpha=1.0)
+    for _ in range(300):
+        x = jnp.asarray(rng.normal(size=(n,)))
+        y = jnp.asarray(W_true @ np.asarray(x))
+        y_hat = rls.forward(x)
+        rls.update(x, y, y_hat)
+    np.testing.assert_allclose(np.asarray(rls.weights), W_true, atol=1e-2)
+    assert float(rls.loss) < 1e-3
