@@ -1,0 +1,54 @@
+"""rectipy_tpu: TPU-native recurrent neural network simulation and training.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of RectiPy
+(reference: /root/reference, v0.12.2): ODE-defined rate and spiking neuron
+populations authored as YAML templates, composed into graphs, integrated with
+explicit Euler under ``jax.lax.scan``, and trained via BPTT (surrogate spike
+gradients), recursive least squares, or ridge regression -- all as single
+fused XLA programs, scalable over device meshes via ``jax.sharding``.
+"""
+
+__author__ = "rectipy_tpu developers"
+__status__ = "Development"
+__version__ = "0.1.0"
+
+from .dsl import NodeTemplate, OperatorTemplate, clear_frontend_caches, lower
+from .edges import RLS, Linear, LinearFilter, LinearMasked, LinearMemory, LinearMemoryFilter
+from .network import FeedbackNetwork, Network
+from .nodes import InstantNode, MultiSpikeResetNet, RateNet, SpikeNet, SpikeResetNet
+from .observer import Observer
+from .utility import (
+    circular_connectivity,
+    input_connections,
+    line_connectivity,
+    normalize,
+    random_connectivity,
+    wta_score,
+)
+
+__all__ = [
+    "FeedbackNetwork",
+    "InstantNode",
+    "Linear",
+    "LinearFilter",
+    "LinearMasked",
+    "LinearMemory",
+    "LinearMemoryFilter",
+    "MultiSpikeResetNet",
+    "Network",
+    "NodeTemplate",
+    "Observer",
+    "OperatorTemplate",
+    "RLS",
+    "RateNet",
+    "SpikeNet",
+    "SpikeResetNet",
+    "circular_connectivity",
+    "clear_frontend_caches",
+    "input_connections",
+    "line_connectivity",
+    "lower",
+    "normalize",
+    "random_connectivity",
+    "wta_score",
+]

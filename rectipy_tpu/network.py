@@ -1,0 +1,1078 @@
+"""Network: graph container, fused-step compiler, and training orchestrators.
+
+API-parity with the reference Network/FeedbackNetwork
+(/root/reference/rectipy/network.py) on a fundamentally different execution
+model.  The reference evaluates the graph with per-step Python recursion over
+a networkx DiGraph (network.py:962-981) -- one tiny tensor op per node per dt.
+Here ``compile()`` resolves the graph ONCE, at trace time, into a single pure
+step function ``step(state, params, x) -> (state', out, taps)``; trajectories
+are ``jax.lax.scan`` over that step, training is ``jax.grad`` through the
+scan, and the whole fit/run happens in one XLA program on device:
+
+- ``run``      -> one scan with fused mean-downsampling record buffers
+- ``fit_bptt`` -> scan over update chunks (truncated BPTT via stop_gradient
+                  on the carried state) or over epochs; optax inside the scan
+- ``fit_rls``  -> scan carrying the (W, P) recursive-least-squares state
+- ``fit_ridge``-> one scan + closed-form solve
+
+Known reference bugs intentionally not replicated (SURVEY.md §2.1):
+fan-in summation through ``torch.tensor([...])`` breaking gradients
+(network.py:968) -- we sum functionally; ``_rls_epoch`` loss bookkeeping
+(network.py:1059/1086).
+"""
+
+from __future__ import annotations
+
+from time import perf_counter
+from typing import Callable, Dict, Iterator, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from networkx import DiGraph
+
+from .edges import RLS, Linear, LinearFilter, LinearMasked, LinearMemory, LinearMemoryFilter
+from .nodes import InstantNode, RateNet, SpikeNet, SpikeResetNet, resolve_dtype
+from .observer import Observer
+from .train import get_loss_function, get_optimizer
+from .utility import add_op_name, retrieve_from_dict
+
+__all__ = ["Network", "FeedbackNetwork"]
+
+
+def _ekey(u: str, v: str) -> str:
+    return f"{u}->{v}"
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+class Network:
+    """Main user interface for building, simulating, and training networks of
+    differential-equation nodes, function nodes, and linear edges."""
+
+    def __init__(self, dt: float, device: str = "cpu", dtype=jnp.float32):
+        self.graph = DiGraph()
+        self.device = device  # accepted for API parity; placement is XLA's job
+        self.dtype = resolve_dtype(dtype)
+        self.dt = dt
+        self._var_map: Dict[str, str] = {}
+        self._in_node: Optional[str] = None
+        self._out_node: Optional[str] = None
+        self._train_edge: tuple = ()
+        self._compiled = None  # (order, step_fn cache key data)
+        self._step_cache: Dict[tuple, Callable] = {}
+        self._fb_store: Dict[str, jnp.ndarray] = {}  # prev-step feedback outputs
+
+    # ------------------------------------------------------------- container
+    def __getitem__(self, item):
+        if isinstance(item, tuple):
+            return self.graph[item[0]][item[1]]
+        return self.graph.nodes[item]
+
+    def __iter__(self):
+        for n in self.graph.nodes:
+            yield self[n]
+
+    def __len__(self):
+        return len(self.graph.nodes)
+
+    def __call__(self, *args, **kwargs):
+        return self.forward(*args, **kwargs)
+
+    @property
+    def n_out(self) -> int:
+        try:
+            if self._out_node is None:
+                self.compile()
+            return self[self._out_node]["n_out"]
+        except (KeyError, ValueError):
+            return 0
+
+    @property
+    def n_in(self) -> int:
+        try:
+            if self._in_node is None:
+                self.compile()
+            return self[self._in_node]["n_in"]
+        except (KeyError, ValueError):
+            return 0
+
+    @property
+    def nodes(self):
+        return self.graph.nodes
+
+    @property
+    def state(self) -> dict:
+        """State vectors of each differential-equation node."""
+        states = {}
+        for n in self.nodes:
+            node = self.get_node(n)
+            if hasattr(node, "y"):
+                states[n] = node.y
+        return states
+
+    def get_node(self, node: str) -> Union[InstantNode, RateNet]:
+        return self[node]["node"]
+
+    def get_edge(self, source: str, target: str) -> Linear:
+        return self[source, target]["edge"]
+
+    def get_var(self, node: str, var: str):
+        try:
+            return self.get_node(node)[self._relabel_var(var)]
+        except KeyError:
+            return self[node][var]
+
+    def set_var(self, node: str, var: str, val):
+        try:
+            n = self.get_node(node)
+        except KeyError:
+            raise KeyError(f"Variable {var} was not found on node {node}.")
+        var = self._relabel_var(var)
+        try:
+            n.set_param(var, val)
+        except KeyError:
+            # state variable: functional slice update
+            spec = n._var_map.get(var)
+            if spec is None:
+                raise KeyError(f"Variable {var} was not found on node {node}.")
+            lo, hi = (spec if isinstance(spec, tuple) else (spec, spec + 1))
+            n.y = n.y.at[lo:hi].set(jnp.asarray(val, dtype=n.y.dtype))
+        self._invalidate()
+
+    # -------------------------------------------------------------- building
+    def add_node(self, label: str, node, node_type: str, op: str = None, **node_attrs) -> None:
+        """Insert a pre-built node instance into the graph."""
+        if op:
+            for p in getattr(node, "parameter_names", []):
+                add_op_name(op, p, self._var_map)
+            for v in getattr(node, "variable_names", []):
+                add_op_name(op, v, self._var_map)
+        self.graph.add_node(label, node=node, node_type=node_type, n_out=node.n_out,
+                            n_in=node.n_in, **node_attrs)
+        self._invalidate()
+
+    def add_diffeq_node(self, label: str, node, input_var: str, output_var: str,
+                        weights: np.ndarray = None, source_var: str = None,
+                        target_var: str = None, spike_var: Union[str, list] = None,
+                        reset_var: Union[str, list] = None, reset: bool = True,
+                        op: str = None, train_params: list = None, **kwargs) -> RateNet:
+        """Add a differential-equation population node built from a YAML template.
+
+        Mirrors the reference signature (/root/reference/rectipy/network.py:213),
+        including the `op` shorthand that prefixes bare variable names, the
+        node-class dispatch on `spike_var`/`reset`, and `train_params`.
+        Accepts `spike_def` as an alias for `reset_var` (used by newer
+        reference examples, e.g. documentation/qif_example.py).
+        """
+        if reset_var is None and "spike_def" in kwargs:
+            reset_var = kwargs.pop("spike_def")
+
+        var_dict = {"svar": source_var, "tvar": target_var, "in_ext": input_var,
+                    "out": output_var, "spike": spike_var, "reset": reset_var}
+        if "record_vars" in kwargs:
+            var_dict["record_vars"] = kwargs.pop("record_vars")
+
+        if op is not None:
+            for key, var in var_dict.copy().items():
+                if key == "record_vars":
+                    kwargs["var_mapping"] = {}
+                    for v in var:
+                        v_new = add_op_name(op, v, self._var_map)
+                        kwargs["var_mapping"][v_new] = v_new
+                elif isinstance(var, list):
+                    var_dict[key] = [add_op_name(op, v, self._var_map) for v in var]
+                else:
+                    var_dict[key] = add_op_name(op, var, self._var_map)
+            if train_params:
+                train_params = [add_op_name(op, p, self._var_map) for p in train_params]
+            if "node_vars" in kwargs:
+                for key in list(kwargs["node_vars"]):
+                    if "/" not in key:
+                        kwargs["node_vars"][f"all/{op}/{key}"] = kwargs["node_vars"].pop(key)
+
+        args = (node, var_dict["in_ext"], var_dict["out"])
+        build_kwargs = {"weights": weights, "source_var": var_dict["svar"],
+                        "target_var": var_dict["tvar"], "train_params": train_params,
+                        "dt": self.dt}
+        if spike_var is None:
+            NodeClass = RateNet
+        elif reset_var is None:
+            raise ValueError(
+                "To define a reservoir with a spiking neural network layer, please provide "
+                "the name of the variable that should be reset after a spike occurred "
+                "(`reset_var`)."
+            )
+        else:
+            build_kwargs["spike_var"] = var_dict["spike"]
+            build_kwargs["reset_var"] = var_dict["reset"]
+            NodeClass = SpikeResetNet if reset else SpikeNet
+        kwargs.update(build_kwargs)
+        node_instance = NodeClass.from_pyrates(*args, **kwargs)
+        self.add_node(label, node=node_instance, node_type="diff_eq", op=op)
+        return node_instance
+
+    def add_func_node(self, label: str, n: int, activation_function: str, **kwargs) -> InstantNode:
+        """Add a stateless activation node: tanh/sigmoid/softmax/softmin/
+        log_softmax/identity."""
+        kwargs.pop("node_type", None)
+        node = InstantNode(n, activation_function, **kwargs)
+        self.add_node(label, node=node, node_type="func_instant")
+        return node
+
+    def add_edge(self, source: str, target: str, weights=None, train: Optional[str] = None,
+                 edge_attrs: dict = None, **kwargs) -> Linear:
+        """Add a linear edge.  Class dispatch on kwargs mirrors the reference
+        (/root/reference/rectipy/network.py:372-380): `mask` -> LinearMasked,
+        `delays` (+`filter_weights`) -> LinearMemory(Filter), `filter_weights`
+        -> LinearFilter, else Linear.  ``train`` in {None, 'gd', 'rls'}."""
+        edge_attrs = dict(edge_attrs or {})
+        kwargs.pop("dtype", None)
+        if "mask" in kwargs:
+            LinEdge = LinearMasked
+        elif "delays" in kwargs:
+            LinEdge = LinearMemoryFilter if "filter_weights" in kwargs else LinearMemory
+        elif "filter_weights" in kwargs:
+            LinEdge = LinearFilter
+        else:
+            LinEdge = Linear
+
+        kwargs.update({"n_in": self[source]["n_out"], "n_out": self[target]["n_in"],
+                       "weights": weights, "dtype": self.dtype})
+        trainable = True
+        if train is None:
+            trainable = False
+            edge = LinEdge(**kwargs, detach=True)
+        elif train == "gd":
+            edge = LinEdge(**kwargs, detach=False)
+        elif train == "rls":
+            kwargs.pop("detach", None)
+            edge = RLS(**{k: v for k, v in kwargs.items()
+                          if k in ("n_in", "n_out", "weights", "dtype", "beta", "alpha")})
+            self._train_edge = (source, target)
+        else:
+            raise ValueError(
+                "Invalid option for keyword argument `train`. Please see the docstring of "
+                "`Network.add_edge` for valid options."
+            )
+        self.graph.add_edge(source, target, edge=edge, trainable=trainable,
+                            n_in=edge.n_in, n_out=edge.n_out, **edge_attrs)
+        self._invalidate()
+        return edge
+
+    def pop_node(self, node: str):
+        node_data = self.get_node(node)
+        self.graph.remove_node(node)
+        self._invalidate()
+        return node_data
+
+    def pop_edge(self, source: str, target: str):
+        edge = self.get_edge(source, target)
+        self.graph.remove_edge(source, target)
+        self._invalidate()
+        return edge
+
+    def clear(self):
+        for node in list(self.nodes):
+            self.pop_node(node)
+
+    # ------------------------------------------------------------- compiling
+    def _invalidate(self):
+        self._compiled = None
+        self._in_node = None
+        self._out_node = None
+        self._step_cache.clear()
+
+    def compile(self):
+        """Identify the unique input and output nodes and freeze the
+        evaluation order.  The fused step function itself is built lazily (and
+        cached) per tap-set."""
+        in_nodes = [n for n in self.graph.nodes if self.graph.in_degree(n) == 0]
+        if len(in_nodes) != 1:
+            raise ValueError(
+                f"Unable to identify the input node of the Network. Nodes that have no "
+                f"input edges: {in_nodes}. Make sure that exactly one such node without "
+                f"input edges exists in the network."
+            )
+        self._in_node = in_nodes.pop()
+
+        out_nodes = [n for n in self.graph.nodes if self.graph.out_degree(n) == 0]
+        if len(out_nodes) != 1:
+            raise ValueError(
+                f"Unable to identify the output node of the Network. Nodes that have no "
+                f"outgoing edges: {out_nodes}. Make sure that exactly one such node without "
+                f"outgoing edges exists in the network."
+            )
+        self._out_node = out_nodes.pop()
+
+        # evaluation set: ancestors of the output node (pull-based semantics,
+        # reference network.py:954-960), in topological order
+        import networkx as nx
+
+        ancestors = nx.ancestors(self.graph, self._out_node) | {self._out_node}
+        sub = self.graph.subgraph(ancestors)
+        order = list(nx.topological_sort(sub))
+        if self._in_node not in ancestors:
+            raise ValueError("The input node is not connected to the output node.")
+        self._compiled = {"order": order}
+        self._step_cache.clear()
+        return self
+
+    def _fb_edge_list(self) -> list:
+        return []  # overridden by FeedbackNetwork
+
+    def make_step(self, taps: Tuple[str, ...] = ()) -> Callable:
+        """Build (and cache) the fused pure step function.
+
+        ``step(state, params, x) -> (state', out, taps_dict)`` where ``state``
+        and ``params`` are the pytrees produced by :meth:`init_state` /
+        :meth:`parameters_pytree`.
+        """
+        if self._compiled is None:
+            self.compile()
+        key = tuple(taps)
+        if key in self._step_cache:
+            return self._step_cache[key]
+
+        order = self._compiled["order"]
+        node_steps = {n: self.get_node(n).make_step() for n in order}
+        preds = {n: sorted(self.graph.predecessors(n)) for n in order}
+        edge_steps = {}
+        for n in order:
+            for u in preds[n]:
+                edge_steps[(u, n)] = self.get_edge(u, n).make_step()
+        fb_edges = self._fb_edge_list()  # [(u, v, edge_obj)]
+        fb_steps = {(u, v): e.make_step() for u, v, e in fb_edges}
+        fb_by_target: Dict[str, list] = {}
+        for u, v, e in fb_edges:
+            fb_by_target.setdefault(v, []).append(u)
+        fb_sources = sorted({u for u, _, _ in fb_edges})
+        out_node = self._out_node
+
+        # post-update output readers for feedback sources (reference semantics:
+        # feedback reads the source node's current out-slice, i.e. the
+        # post-update value of the previous step; network.py:1354-1357)
+        fb_readers = {}
+        for u in fb_sources:
+            node = self.get_node(u)
+            if hasattr(node, "_make_out_reader"):
+                fb_readers[u] = node._make_out_reader()
+            else:
+                fb_readers[u] = None  # instant node: use this step's output
+
+        def step(state, params, x):
+            nodes_st = dict(state["nodes"])
+            edges_st = dict(state["edges"])
+            fb_prev = state.get("fb", {})
+            outs = {}
+            for n in order:
+                if preds[n]:
+                    vals = []
+                    for u in preds[n]:
+                        k = _ekey(u, n)
+                        es, val = edge_steps[(u, n)](edges_st[k], params["edges"][k], outs[u])
+                        edges_st[k] = es
+                        vals.append(val)
+                    inp = vals[0]
+                    for v in vals[1:]:
+                        inp = inp + v  # functional fan-in sum (gradient-safe)
+                else:
+                    inp = x
+                for u in fb_by_target.get(n, []):
+                    k = _ekey(u, n)
+                    es, val = fb_steps[(u, n)](edges_st[k], params["edges"][k], fb_prev[u])
+                    edges_st[k] = es
+                    inp = inp + val
+                ns, out = node_steps[n](nodes_st[n], params["nodes"][n], inp)
+                nodes_st[n] = ns
+                outs[n] = out
+            new_fb = {}
+            for u in fb_sources:
+                reader = fb_readers[u]
+                if reader is None:
+                    new_fb[u] = outs[u]
+                else:
+                    new_fb[u] = reader(nodes_st[u], params["nodes"][u])
+            new_state = {"nodes": nodes_st, "edges": edges_st}
+            if fb_sources or "fb" in state:
+                new_state["fb"] = new_fb
+            return new_state, outs[out_node], {t: outs[t] for t in taps}
+
+        self._step_cache[key] = step
+        return step
+
+    def init_state(self) -> dict:
+        """Current network state as a pytree (node states, edge states,
+        previous-step feedback outputs)."""
+        if self._compiled is None:
+            self.compile()
+        order = self._compiled["order"]
+        state = {
+            "nodes": {n: self.get_node(n).init_state() for n in order},
+            "edges": {},
+        }
+        for n in order:
+            for u in self.graph.predecessors(n):
+                state["edges"][_ekey(u, n)] = self.get_edge(u, n).init_state()
+        fb_edges = self._fb_edge_list()
+        if fb_edges:
+            fb = {}
+            for u, v, e in fb_edges:
+                state["edges"][_ekey(u, v)] = e.init_state()
+                src_node = self.graph.nodes[u]["node"]
+                fb_dtype = getattr(src_node, "dtype", self.dtype)
+                fb[u] = self._fb_store.get(
+                    u, jnp.zeros(self.graph.nodes[u]["n_out"], dtype=fb_dtype))
+            state["fb"] = fb
+        return state
+
+    def parameters_pytree(self) -> dict:
+        """All node/edge parameters as one pytree."""
+        if self._compiled is None:
+            self.compile()
+        order = self._compiled["order"]
+        params = {"nodes": {n: dict(self.get_node(n).args) for n in order}, "edges": {}}
+        for n in order:
+            for u in self.graph.predecessors(n):
+                params["edges"][_ekey(u, n)] = dict(self.get_edge(u, n).params)
+        for u, v, e in self._fb_edge_list():
+            params["edges"][_ekey(u, v)] = dict(e.params)
+        return params
+
+    def trainable_paths(self) -> List[tuple]:
+        """Paths (kind, label, key) of trainable leaves in the params pytree."""
+        if self._compiled is None:
+            self.compile()
+        paths = []
+        for n in self._compiled["order"]:
+            node = self.get_node(n)
+            for k in getattr(node, "train_keys", []):
+                paths.append(("nodes", n, k))
+        seen = set()
+        for n in self._compiled["order"]:
+            for u in self.graph.predecessors(n):
+                seen.add((u, n))
+                for k in self.get_edge(u, n).train_keys:
+                    paths.append(("edges", _ekey(u, n), k))
+        for u, v, e in self._fb_edge_list():
+            if (u, v) not in seen:
+                for k in e.train_keys:
+                    paths.append(("edges", _ekey(u, v), k))
+        return paths
+
+    @staticmethod
+    def _partition(params: dict, paths: List[tuple]) -> Tuple[dict, dict]:
+        """Split the params pytree into (trainable, frozen) sub-pytrees."""
+        train = {"nodes": {}, "edges": {}}
+        frozen = {"nodes": {k: dict(v) for k, v in params["nodes"].items()},
+                  "edges": {k: dict(v) for k, v in params["edges"].items()}}
+        for kind, label, key in paths:
+            train[kind].setdefault(label, {})[key] = frozen[kind][label].pop(key)
+        return train, frozen
+
+    @staticmethod
+    def _combine(train: dict, frozen: dict) -> dict:
+        params = {"nodes": {k: dict(v) for k, v in frozen["nodes"].items()},
+                  "edges": {k: dict(v) for k, v in frozen["edges"].items()}}
+        for kind in ("nodes", "edges"):
+            for label, sub in train[kind].items():
+                params[kind].setdefault(label, {}).update(sub)
+        return params
+
+    def _write_back(self, state: dict = None, params: dict = None):
+        """Push scan results back into the mutable node/edge wrappers."""
+        order = self._compiled["order"]
+        if state is not None:
+            if "fb" in state:
+                self._fb_store = dict(state["fb"])
+            for n in order:
+                node = self.get_node(n)
+                ns = state["nodes"].get(n)
+                if ns is not None and hasattr(node, "set_state"):
+                    node.set_state(ns)
+            for k, es in state["edges"].items():
+                if es is None:
+                    continue
+                u, v = k.split("->")
+                edge = self.get_edge(u, v)
+                if isinstance(edge, (LinearMemory, LinearMemoryFilter)):
+                    edge._buffer = es
+                elif isinstance(edge, LinearFilter):
+                    edge._y = es
+        if params is not None:
+            for n, sub in params["nodes"].items():
+                node = self.get_node(n)
+                for key, val in sub.items():
+                    node._args[key] = val
+            for k, sub in params["edges"].items():
+                u, v = k.split("->")
+                edge = self.get_edge(u, v)
+                for key, val in sub.items():
+                    edge.params[key] = val
+
+    # ------------------------------------------------------------ simulation
+    def forward(self, x):
+        """Single eager step through the compiled network (updates the stored
+        state).  For long trajectories prefer :meth:`run` -- one fused scan."""
+        if self._compiled is None:
+            self.compile()
+        key = "__forward__"
+        if key not in self._step_cache:
+            step = self.make_step()
+            self._step_cache[key] = jax.jit(step)
+        state, out, _ = self._step_cache[key](self.init_state(), self.parameters_pytree(),
+                                              jnp.asarray(x, dtype=self.dtype))
+        self._write_back(state=state)
+        return out
+
+    def _resolve_record_vars(self, obs: Observer) -> list:
+        """[(record key, node label, reader fn, reduce flag)] for scan recording."""
+        resolved = []
+        for (node_label, var), reduce in zip(obs.recorded_state_variables, obs.reduce_flags):
+            node = self.get_node(node_label)
+            var_r = self._relabel_var(var)
+            spec = node._var_map.get(var_r)
+            if spec is None:
+                raise KeyError(f"Variable {var} was not found on node {node_label}.")
+            if isinstance(spec, tuple):
+                lo, hi = spec
+
+                def reader(y, a, lo=lo, hi=hi):
+                    return y[lo:hi]
+            elif isinstance(spec, str):
+                vf = node._vf
+
+                def reader(y, a, vf=vf, q=spec):
+                    return vf.read_var(q, y, a)
+            else:
+                def reader(y, a, i=spec):
+                    return y[i]
+            resolved.append(((node_label, var), node_label, reader, reduce))
+        return resolved
+
+    def run(self, inputs, sampling_steps: int = 1, cutoff: int = 0, verbose: bool = True,
+            enable_grad: bool = True, **kwargs) -> Observer:
+        """Integrate the input-driven network equations with one fused scan.
+
+        Recording semantics match the reference exactly
+        (/root/reference/rectipy/network.py:588-599): outputs are buffered
+        from ``step >= cutoff`` and their mean is recorded whenever
+        ``step % sampling_steps == 0``; ``record_vars`` snapshots node state
+        at the record step (post-update).
+        """
+        del enable_grad  # gradients are taken functionally by the trainers
+        inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
+        steps = int(inputs.shape[0])
+        truncate_steps = int(kwargs.pop("truncate_steps", steps))
+
+        self.compile()
+
+        if "obs" in kwargs:
+            obs = kwargs.pop("obs")
+        else:
+            obs = Observer(dt=self.dt, record_loss=kwargs.pop("record_loss", False), **kwargs)
+
+        state0 = self.init_state()
+        params = self.parameters_pytree()
+        stateT, rec_steps, rec_out, rec_vars = self._run_scan(
+            state0, params, inputs, sampling_steps, cutoff, truncate_steps, obs)
+        self._write_back(state=stateT)
+
+        var_values = {key: vals for key, vals in rec_vars.items()}
+        obs.record_batch(rec_steps, outputs=rec_out,
+                         losses=np.zeros(len(rec_steps)) if obs.record_loss else None,
+                         var_values=var_values)
+        if verbose:
+            print(f"Progress: {steps}/{steps} integration steps finished.")
+        return obs
+
+    def _run_scan(self, state0, params, inputs, sampling_steps, cutoff, truncate_steps, obs):
+        """One jitted scan with carried record buffers; returns host arrays."""
+        steps = int(inputs.shape[0])
+        rec_steps_host = np.asarray(
+            [s for s in range(steps) if s >= cutoff and s % sampling_steps == 0], dtype=np.int64)
+        n_rec = len(rec_steps_host)
+        rec_info = self._resolve_record_vars(obs)
+        step = self.make_step()
+        n_out = self.n_out
+        # the network-level dtype (edge math) and node dtypes may differ (the
+        # reference defaults Network to float32 but nodes to float64); record
+        # buffers must match the actual fused-step output type
+        out_aval = jax.eval_shape(lambda s, p, x: step(s, p, x)[1], state0, params, inputs[0])
+        dtype = out_aval.dtype
+        truncating = truncate_steps < steps
+
+        def scan_fn(state0, params, inputs):
+            rec0 = {
+                "out": jnp.zeros((n_rec, n_out), dtype=dtype),
+            }
+            var_shapes = {}
+            for (key, label, reader, reduce) in rec_info:
+                probe = reader(state0["nodes"][label], params["nodes"][label])
+                shape = () if reduce else probe.shape
+                rec0["var::" + "::".join(key)] = jnp.zeros((n_rec,) + shape, dtype=probe.dtype)
+                var_shapes[key] = shape
+
+            def body(carry, xt):
+                state, buf_sum, buf_cnt, recs, rec_i = carry
+                x_t, step_idx = xt
+                state, out, _ = step(state, params, x_t)
+                in_window = step_idx >= cutoff
+                buf_sum = jnp.where(in_window, buf_sum + out, buf_sum)
+                buf_cnt = jnp.where(in_window, buf_cnt + 1, buf_cnt)
+                do_rec = in_window & (step_idx % sampling_steps == 0)
+                mean_out = buf_sum / jnp.maximum(buf_cnt, 1)
+                idx = jnp.minimum(rec_i, n_rec - 1)
+                recs = dict(recs)
+                recs["out"] = recs["out"].at[idx].set(
+                    jnp.where(do_rec, mean_out, recs["out"][idx]))
+                for (key, label, reader, reduce) in rec_info:
+                    val = reader(state["nodes"][label], params["nodes"][label])
+                    if reduce:
+                        val = jnp.mean(val)
+                    rkey = "var::" + "::".join(key)
+                    recs[rkey] = recs[rkey].at[idx].set(
+                        jnp.where(do_rec, val, recs[rkey][idx]))
+                buf_sum = jnp.where(do_rec, jnp.zeros_like(buf_sum), buf_sum)
+                buf_cnt = jnp.where(do_rec, 0, buf_cnt)
+                rec_i = rec_i + do_rec.astype(jnp.int32)
+                if truncating:
+                    trunc = (step_idx % truncate_steps) == (truncate_steps - 1)
+                    state = _tree_where(trunc, jax.lax.stop_gradient(state), state)
+                return (state, buf_sum, buf_cnt, recs, rec_i), None
+
+            init = (state0, jnp.zeros(n_out, dtype=dtype), jnp.asarray(0, dtype=jnp.int32),
+                    rec0, jnp.asarray(0, dtype=jnp.int32))
+            (stateT, _, _, recs, _), _ = jax.lax.scan(
+                body, init, (inputs, jnp.arange(steps)))
+            return stateT, recs
+
+        jitted = jax.jit(scan_fn)
+        stateT, recs = jitted(state0, params, inputs)
+        rec_out = np.asarray(recs["out"]) if n_rec else np.zeros((0, n_out))
+        rec_vars = {}
+        for (key, label, reader, reduce) in rec_info:
+            rec_vars[key] = np.asarray(recs["var::" + "::".join(key)])
+        return stateT, rec_steps_host, rec_out, rec_vars
+
+    # -------------------------------------------------------------- training
+    def parameters(self, recurse: bool = True) -> Iterator:
+        """Yields the trainable parameters of the network model."""
+        for n in self.graph:
+            yield from self.get_node(n).parameters(recurse=recurse)
+        for s, t in self.graph.edges:
+            yield from self.graph[s][t]["edge"].parameters()
+
+    def detach(self, requires_grad: bool = True, detach_params: bool = False) -> None:
+        for node in self.nodes:
+            n = self.get_node(node)
+            if hasattr(n, "y"):
+                n.detach(requires_grad=requires_grad, detach_params=detach_params)
+
+    def reset(self, state: dict = None):
+        """Reset node states (optionally to the given per-node vectors)."""
+        for node in self.nodes:
+            n = self.get_node(node)
+            if hasattr(n, "y"):
+                if state and node in state:
+                    n.reset(y=state[node])
+                else:
+                    n.reset()
+
+    def fit_bptt(self, inputs, targets, optimizer: str = "sgd", optimizer_kwargs: dict = None,
+                 loss: str = "mse", loss_kwargs: dict = None, lr: float = 1e-3,
+                 sampling_steps: int = 1, update_steps: int = 100, verbose: bool = True,
+                 **kwargs) -> Observer:
+        """Backpropagation through time, fully on device.
+
+        Two modes, as in the reference (/root/reference/rectipy/network.py:603):
+
+        - epoch mode (``inputs`` is a list or a 3D array ``(epochs, T, m)``):
+          one optimizer update per epoch on the loss over the (downsampled)
+          epoch trajectory; state resets to the pre-training state each epoch.
+        - step mode (2D array ``(T, m)``): truncated BPTT -- one update every
+          ``update_steps`` steps, state carried with stop_gradient between
+          update chunks; the whole optimization is a single lax.scan.
+        """
+        self.compile()
+        loss_fn = get_loss_function(loss, loss_kwargs=loss_kwargs)
+        opt = get_optimizer(optimizer, lr, optimizer_kwargs=optimizer_kwargs)
+        retrieve_from_dict(["closure", "retain_graph"], kwargs)  # torch-only knobs
+        obs_kwargs = retrieve_from_dict(["record_output", "record_loss", "record_vars"], kwargs)
+        obs = Observer(dt=self.dt, **obs_kwargs)
+
+        paths = self.trainable_paths()
+        if not paths:
+            raise ValueError("No trainable parameters in the network; pass `train_params` "
+                             "to add_diffeq_node or train='gd' to add_edge.")
+        params = self.parameters_pytree()
+        train, frozen = self._partition(params, paths)
+        opt_state = opt.init(train)
+        state0 = self.init_state()
+        step = self.make_step()
+
+        t0 = perf_counter()
+        epoch_mode = isinstance(inputs, list) or (
+            hasattr(inputs, "ndim") and np.asarray(inputs).ndim == 3)
+        if epoch_mode:
+            if len(inputs) != len(targets):
+                raise ValueError(
+                    "Wrong dimensions of input and target output. Please make sure that "
+                    "`inputs` and `targets` agree in the first dimension (epochs)."
+                )
+            train, losses = self._bptt_epochs(step, loss_fn, opt, train, frozen, opt_state,
+                                              state0, inputs, targets, sampling_steps, verbose)
+            obs.save("epoch_loss", losses)
+            obs.save("epochs", np.arange(len(losses)))
+        else:
+            inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
+            targets = jnp.asarray(np.asarray(targets), dtype=self.dtype)
+            if inputs.shape[0] != targets.shape[0]:
+                raise ValueError(
+                    "Wrong dimensions of input and target output. Please make sure that "
+                    "`inputs` and `targets` agree in the first dimension."
+                )
+            train, stateT, rec = self._bptt_steps(step, loss_fn, opt, train, frozen, opt_state,
+                                                  state0, inputs, targets, update_steps,
+                                                  sampling_steps)
+            self._write_back(state=stateT)
+            obs.record_batch(rec["steps"], outputs=rec["out"], losses=rec["loss"])
+        self._write_back(params=self._combine(train, frozen))
+        if verbose:
+            print(f"Finished optimization after {perf_counter() - t0} s.")
+        return obs
+
+    def _bptt_epochs(self, step, loss_fn, opt, train, frozen, opt_state, state0,
+                     inputs, targets, sampling_steps, verbose):
+        combine = self._combine
+
+        def epoch_loss(train, inp, tgt):
+            params = combine(train, frozen)
+
+            def body(state, x_t):
+                state, out, _ = step(state, params, x_t)
+                return state, out
+
+            _, outs = jax.lax.scan(body, state0, inp)
+            if sampling_steps > 1:
+                T = outs.shape[0]
+                n_keep = T // sampling_steps
+                outs = outs[: n_keep * sampling_steps]
+                outs = outs.reshape(n_keep, sampling_steps, -1).mean(axis=1)
+            return loss_fn(outs, tgt)
+
+        @jax.jit
+        def update(train, opt_state, inp, tgt):
+            lval, grads = jax.value_and_grad(epoch_loss)(train, inp, tgt)
+            updates, opt_state = opt.update(grads, opt_state, train)
+            return optax.apply_updates(train, updates), opt_state, lval
+
+        losses = []
+        n_epochs = len(inputs)
+        for epoch in range(n_epochs):
+            inp = jnp.asarray(np.asarray(inputs[epoch]), dtype=self.dtype)
+            tgt = jnp.asarray(np.asarray(targets[epoch]), dtype=self.dtype)
+            train, opt_state, lval = update(train, opt_state, inp, tgt)
+            losses.append(float(lval))
+            if verbose:
+                print(f"Progress: {epoch + 1}/{n_epochs} training epochs finished.")
+                print(f"Epoch loss: {losses[-1]}.")
+                print("")
+        return train, losses
+
+    def _bptt_steps(self, step, loss_fn, opt, train, frozen, opt_state, state0,
+                    inputs, targets, update_steps, sampling_steps):
+        combine = self._combine
+        T = int(inputs.shape[0])
+        u = int(update_steps)
+        n_upd = T // u
+        n_out = self.n_out
+
+        def chunk_loss(train, state, inp_c, tgt_c):
+            params = combine(train, frozen)
+
+            def body(state, x_t):
+                state, out, _ = step(state, params, x_t)
+                return state, out
+
+            state, preds = jax.lax.scan(body, state, inp_c)
+            return loss_fn(preds, tgt_c), (state, preds)
+
+        @jax.jit
+        def train_all(train, opt_state, state):
+            inp_chunks = inputs[: n_upd * u].reshape(n_upd, u, -1)
+            tgt_chunks = targets[: n_upd * u].reshape(n_upd, u, -1)
+
+            def chunk(carry, xt):
+                train, opt_state, state = carry
+                inp_c, tgt_c = xt
+                (lval, (state, preds)), grads = jax.value_and_grad(
+                    chunk_loss, has_aux=True)(train, state, inp_c, tgt_c)
+                updates, opt_state = opt.update(grads, opt_state, train)
+                train = optax.apply_updates(train, updates)
+                state = jax.lax.stop_gradient(state)  # truncated BPTT boundary
+                return (train, opt_state, state), (lval, preds[::sampling_steps])
+
+            (train, opt_state, state), (losses, preds) = jax.lax.scan(
+                chunk, (train, opt_state, state), (inp_chunks, tgt_chunks))
+            return train, opt_state, state, losses, preds
+
+        train, opt_state, stateT, losses, preds = train_all(train, opt_state, state0)
+        # leftover steps (< update_steps) run forward without an update
+        rem = T - n_upd * u
+        if rem > 0:
+            params = combine(train, frozen)
+
+            def body(state, x_t):
+                state, out, _ = step(state, params, x_t)
+                return state, out
+
+            stateT, _ = jax.lax.scan(body, stateT, inputs[n_upd * u:])
+
+        preds = np.asarray(preds).reshape(-1, n_out)
+        losses = np.asarray(losses)
+        rec_steps = np.concatenate(
+            [np.arange(c * u, (c + 1) * u, sampling_steps) for c in range(n_upd)]
+        ) if n_upd else np.zeros(0, dtype=int)
+        rec_losses = np.repeat(losses, int(np.ceil(u / sampling_steps))) if n_upd else losses
+        return train, stateT, {"steps": rec_steps, "out": preds, "loss": rec_losses}
+
+    def fit_ridge(self, inputs, targets, sampling_steps: int = 100, alpha: float = 1e-4,
+                  verbose: bool = True, add_readout_node: bool = True, **kwargs) -> Observer:
+        """Closed-form ridge-regression readout on the network trajectory:
+        ``w_out = (X^T X + alpha*I)^-1 X^T y``
+        (/root/reference/rectipy/network.py:765-767)."""
+        targets = jnp.asarray(np.asarray(targets), dtype=self.dtype)
+        if np.asarray(inputs).shape[0] != targets.shape[0]:
+            raise ValueError(
+                "Wrong dimensions of input and target output. Please make sure that `inputs` "
+                "and `targets` agree in the first dimension."
+            )
+        self.compile()
+
+        t0 = perf_counter()
+        obs = self.run(inputs=inputs, sampling_steps=sampling_steps, verbose=verbose, **kwargs)
+        if verbose:
+            print(f"Finished network state collection after {perf_counter() - t0} s.")
+
+        t0 = perf_counter()
+        X = jnp.asarray(obs.to_numpy("out"), dtype=self.dtype)
+        rec_steps = np.asarray(obs["steps"])
+        y_t = targets[jnp.asarray(rec_steps)] if X.shape[0] != targets.shape[0] else targets
+        gram = X.T @ X + alpha * jnp.eye(X.shape[1], dtype=self.dtype)
+        w_out = jnp.linalg.solve(gram, X.T @ y_t)
+        y = X @ w_out
+        if verbose:
+            print(f"Finished fitting of read-out weights after {perf_counter() - t0} s.")
+
+        if add_readout_node:
+            prev_out = self._out_node
+            self.add_func_node("readout", n=int(w_out.shape[1]), activation_function="identity")
+            self.add_edge(prev_out, target="readout", weights=w_out.T)
+
+        obs.save("y", y)
+        obs.save("w_out", w_out)
+        return obs
+
+    def fit_rls(self, inputs, targets, update_steps: int = 1, sampling_steps: int = 100,
+                verbose: bool = True, **kwargs) -> Observer:
+        """Online recursive-least-squares training of the edge added with
+        ``train='rls'``: one scan carrying (W, P)
+        (/root/reference/rectipy/network.py:786, edges.py:227-234)."""
+        if not self._train_edge:
+            raise ValueError("No RLS-trainable edge in the network; add one with "
+                             "add_edge(..., train='rls').")
+        self.compile()
+        obs_kwargs = retrieve_from_dict(["record_output", "record_loss", "record_vars"], kwargs)
+        obs = Observer(dt=self.dt, **obs_kwargs)
+
+        t0 = perf_counter()
+        if isinstance(inputs, list):
+            if len(inputs) != len(targets):
+                raise ValueError(
+                    "Wrong dimensions of input and target output. Please make sure that "
+                    "`inputs` and `targets` agree in the first dimension (epochs)."
+                )
+            y0 = self.state
+            epoch_losses = []
+            for epoch in range(len(inputs)):
+                _, loss = self._rls_scan(np.asarray(inputs[epoch]), np.asarray(targets[epoch]),
+                                         update_steps, sampling_steps, obs, record=False)
+                epoch_losses.append(float(loss))
+                self.reset(y0)
+                if verbose:
+                    print(f"Progress: {epoch + 1}/{len(inputs)} training epochs finished.")
+                    print(f"Epoch loss: {epoch_losses[-1]}.")
+                    print("")
+            obs.save("epoch_loss", epoch_losses)
+            obs.save("epochs", np.arange(len(inputs)))
+        else:
+            inputs = np.asarray(inputs)
+            targets = np.asarray(targets)
+            if inputs.shape[0] != targets.shape[0]:
+                raise ValueError(
+                    "Wrong dimensions of input and target output. Please make sure that "
+                    "`inputs` and `targets` agree in the first dimension."
+                )
+            self._rls_scan(inputs, targets, update_steps, sampling_steps, obs, record=True)
+        if verbose:
+            print(f"Finished optimization after {perf_counter() - t0} s.")
+        return obs
+
+    def _rls_scan(self, inputs, targets, update_steps, sampling_steps, obs, record=True):
+        src, tgt_node = self._train_edge
+        rls_edge: RLS = self.get_edge(src, tgt_node)
+        ekey = _ekey(src, tgt_node)
+        update = RLS.update_fn(rls_edge.beta)
+        step = self.make_step(taps=(src, tgt_node))
+        params = self.parameters_pytree()
+        state0 = self.init_state()
+        inputs = jnp.asarray(inputs, dtype=self.dtype)
+        targets = jnp.asarray(targets, dtype=self.dtype)
+        steps = int(inputs.shape[0])
+
+        rec_steps_host = np.arange(0, steps, sampling_steps)
+        n_rec = len(rec_steps_host)
+        n_out = self.n_out
+        out_aval = jax.eval_shape(
+            lambda s, p, x: step(s, p, x)[1], state0, params, inputs[0])
+        w_dtype = rls_edge.params["weights"].dtype
+
+        @jax.jit
+        def scan_all(state0, params, W, P, inputs, targets):
+            rec_out0 = jnp.zeros((n_rec, n_out), dtype=out_aval.dtype)
+            rec_loss0 = jnp.zeros((n_rec,), dtype=w_dtype)
+
+            def body(carry, xt):
+                state, W, P, loss, rec_out, rec_loss, rec_i = carry
+                x_t, y_t, step_idx = xt
+                p = dict(params)
+                p["edges"] = dict(params["edges"])
+                p["edges"][ekey] = dict(params["edges"][ekey])
+                p["edges"][ekey]["weights"] = W
+                state, out, taps = step(state, p, x_t)
+                do_upd = (step_idx % update_steps) == 0
+                W_new, P_new, new_loss = update(
+                    W, P, taps[src].astype(w_dtype), y_t.astype(w_dtype),
+                    taps[tgt_node].astype(w_dtype))
+                W = _tree_where(do_upd, W_new, W)
+                P = _tree_where(do_upd, P_new, P)
+                loss = jnp.where(do_upd, new_loss, loss)
+                do_rec = (step_idx % sampling_steps) == 0
+                idx = jnp.minimum(rec_i, max(n_rec - 1, 0))
+                rec_out = rec_out.at[idx].set(jnp.where(do_rec, out, rec_out[idx]))
+                rec_loss = rec_loss.at[idx].set(jnp.where(do_rec, loss, rec_loss[idx]))
+                rec_i = rec_i + do_rec.astype(jnp.int32)
+                return (state, W, P, loss, rec_out, rec_loss, rec_i), None
+
+            init = (state0, W, P, jnp.asarray(0.0, dtype=w_dtype), rec_out0, rec_loss0,
+                    jnp.asarray(0, dtype=jnp.int32))
+            (stateT, W, P, loss, rec_out, rec_loss, _), _ = jax.lax.scan(
+                body, init, (inputs, targets, jnp.arange(steps)))
+            return stateT, W, P, loss, rec_out, rec_loss
+
+        stateT, W, P, loss, rec_out, rec_loss = scan_all(
+            state0, params, rls_edge.params["weights"], rls_edge.params["P"], inputs, targets)
+        rls_edge.params["weights"] = W
+        rls_edge.params["P"] = P
+        rls_edge.loss = float(loss)
+        self._write_back(state=stateT)
+        if record:
+            obs.record_batch(rec_steps_host, outputs=rec_out, losses=rec_loss)
+        return stateT, loss
+
+    def fit_eprop(self, inputs, targets, feedback_weights: np.ndarray = None,
+                  epsilon: float = 0.99, delta: float = 0.9, update_steps: int = 1,
+                  sampling_steps: int = 100, verbose: bool = True, **kwargs) -> Observer:
+        """E-prop (Bellec et al. 2020) -- declared but not implemented in the
+        reference either (/root/reference/rectipy/network.py:858-896)."""
+        raise NotImplementedError("Method is currently not implemented")
+
+    def test(self, inputs, targets, loss: str = "mse", loss_kwargs: dict = None,
+             sampling_steps: int = 100, verbose: bool = True, **kwargs) -> tuple:
+        """Run with frozen parameters and return (Observer, loss on the
+        recorded outputs).  When sampling_steps > 1 the targets are
+        downsampled to the recorded steps."""
+        targets = jnp.asarray(np.asarray(targets), dtype=self.dtype)
+        loss_fn = get_loss_function(loss, loss_kwargs=loss_kwargs)
+        obs = self.run(inputs=inputs, sampling_steps=sampling_steps, verbose=verbose, **kwargs)
+        output = jnp.asarray(obs.to_numpy("out"), dtype=self.dtype)
+        if output.shape[0] != targets.shape[0]:
+            targets = targets[jnp.asarray(np.asarray(obs["steps"]))]
+        loss_val = loss_fn(output, targets)
+        return obs, float(loss_val)
+
+    # -------------------------------------------------------------- internal
+    def _relabel_var(self, var: str) -> str:
+        return self._var_map.get(var, var)
+
+
+class FeedbackNetwork(Network):
+    """Network variant supporting cyclic graphs via feedback edges: an edge
+    added with ``feedback=True`` carries the source node's previous-step
+    output (one-step-delayed recurrence between nodes;
+    /root/reference/rectipy/network.py:1196-1357)."""
+
+    def __init__(self, dt: float, device: str = "cpu", dtype=jnp.float32):
+        super().__init__(dt, device, dtype)
+        self._fb_graph: Optional[DiGraph] = None
+
+    def compile(self):
+        if self._fb_graph is not None:
+            for edge in self._fb_graph.edges:
+                self.graph.add_edge(edge[0], edge[1], **self._fb_graph[edge[0]][edge[1]])
+            self._fb_graph = None
+
+        ffwd_edges, fb_edges = [], []
+        for edge in self.graph.edges:
+            if self.graph[edge[0]][edge[1]].get("feedback"):
+                fb_edges.append(edge)
+            else:
+                ffwd_edges.append(edge)
+
+        fb = DiGraph()
+        for u, v in fb_edges:
+            fb.add_node(u, **self.graph.nodes[u])
+            fb.add_node(v, **self.graph.nodes[v])
+            fb.add_edge(u, v, **self.graph[u][v])
+        g_fwd = DiGraph()
+        for n, attrs in self.graph.nodes(data=True):
+            g_fwd.add_node(n, **attrs)
+        for u, v in ffwd_edges:
+            g_fwd.add_edge(u, v, **self.graph[u][v])
+        self._fb_graph = fb
+        self.graph = g_fwd
+        return super().compile()
+
+    def add_edge(self, source: str, target: str, weights=None, train: Optional[str] = None,
+                 feedback: bool = False, edge_attrs: dict = None, **kwargs) -> Linear:
+        edge_attrs = dict(edge_attrs or {})
+        edge_attrs["feedback"] = feedback
+        return super().add_edge(source, target, weights=weights, train=train,
+                                edge_attrs=edge_attrs, **kwargs)
+
+    def get_edge(self, source: str, target: str) -> Linear:
+        try:
+            return super().get_edge(source, target)
+        except KeyError:
+            return self._fb_graph[source][target]["edge"]
+
+    def get_node(self, node: str):
+        try:
+            return super().get_node(node)
+        except KeyError:
+            return self._fb_graph.nodes[node]["node"]
+
+    def _fb_edge_list(self) -> list:
+        if self._fb_graph is None:
+            return []
+        return [(u, v, self._fb_graph[u][v]["edge"]) for u, v in self._fb_graph.edges]
+
+    def parameters(self, recurse: bool = True) -> Iterator:
+        yield from super().parameters(recurse=recurse)
+        if self._fb_graph is not None:
+            for s, t in self._fb_graph.edges:
+                yield from self._fb_graph[s][t]["edge"].parameters()

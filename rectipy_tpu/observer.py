@@ -1,0 +1,150 @@
+"""Observer: recording sink for outputs, losses, and state variables.
+
+API-parity with the reference Observer (/root/reference/rectipy/observer.py)
+-- ``record``, ``save``, ``__getitem__``, ``to_numpy``, ``to_dataframe``,
+``plot``, ``matshow`` -- but designed for scan-based recording: the Network
+trainers integrate whole trajectories under ``jit`` with preallocated,
+mean-downsampled record buffers (matching the reference's
+buffer-averaging semantics, /root/reference/rectipy/network.py:588-599) and
+bulk-ingest them via :meth:`record_batch`.  Eager per-step :meth:`record`
+remains available.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Tuple, Union
+
+import numpy as np
+
+__all__ = ["Observer"]
+
+
+class Observer:
+    def __init__(self, dt: float, record_output: bool = True, record_loss: bool = True,
+                 record_vars: list = None):
+        """``record_vars`` is a list of ``(node, var, reduce)`` tuples; with
+        ``reduce=True`` the population mean is stored instead of the full
+        vector."""
+        if not record_vars:
+            record_vars = []
+        self._dt = dt
+        self._state_vars = [tuple(v[:2]) for v in record_vars]
+        self._reduce_vars = [bool(v[2]) for v in record_vars]
+        self._recordings = {v: [] for v in self._state_vars}
+        self._record_loss = record_loss
+        self._record_out = record_output
+        if record_loss:
+            self._recordings["loss"] = []
+        if record_output:
+            self._recordings["out"] = []
+        self._recordings["steps"] = []
+        self._additional_storage = {}
+
+    def __getitem__(self, item: Union[str, Tuple[str, str]]):
+        try:
+            return self._recordings[item]
+        except KeyError:
+            return self._additional_storage[item]
+
+    @property
+    def recorded_state_variables(self) -> list:
+        return self._state_vars
+
+    @property
+    def recorded_variables(self) -> list:
+        return list(self._recordings.keys())
+
+    @property
+    def reduce_flags(self) -> list:
+        return self._reduce_vars
+
+    @property
+    def record_output(self) -> bool:
+        return self._record_out
+
+    @property
+    def record_loss(self) -> bool:
+        return self._record_loss
+
+    @property
+    def dt(self) -> float:
+        return self._dt
+
+    def record(self, step: int, output, loss, record_vars: Iterable) -> None:
+        """Eager single-step recording (reference signature,
+        /root/reference/rectipy/observer.py:79-105)."""
+        recs = self._recordings
+        recs["steps"].append(int(step))
+        for key, val, reduce in zip(self._state_vars, record_vars, self._reduce_vars):
+            recs[key].append(np.mean(np.asarray(val)) if reduce else np.asarray(val))
+        if self._record_out:
+            recs["out"].append(np.asarray(output))
+        if self._record_loss:
+            recs["loss"].append(float(loss) if np.ndim(loss) == 0 else np.asarray(loss))
+
+    def record_batch(self, steps, outputs=None, losses=None, var_values: dict = None) -> None:
+        """Bulk ingestion of scan-produced record buffers (device arrays are
+        materialized to numpy once, here -- the single host transfer)."""
+        steps = np.asarray(steps)
+        self._recordings["steps"].extend(int(s) for s in steps)
+        if self._record_out and outputs is not None:
+            self._recordings["out"].extend(np.asarray(outputs))
+        if self._record_loss and losses is not None:
+            self._recordings["loss"].extend(np.asarray(losses))
+        if var_values:
+            for key, vals in var_values.items():
+                if key in self._recordings:
+                    self._recordings[key].extend(np.asarray(vals))
+
+    def save(self, key: str, val: Any):
+        """Store an arbitrary object retrievable via ``obs[key]``."""
+        self._additional_storage[key] = val
+
+    def to_numpy(self, item: Union[str, Tuple[str, str]]) -> np.ndarray:
+        try:
+            val = self._recordings[item]
+        except KeyError:
+            val = self._additional_storage[item]
+        return np.asarray([np.asarray(v) for v in val])
+
+    def to_dataframe(self, item: Union[str, Tuple[str, str]]):
+        from pandas import DataFrame
+
+        try:
+            data = self.to_numpy(item)
+            index = np.asarray(self._recordings["steps"], dtype=float) * self._dt
+            return DataFrame(index=index, data=data)
+        except KeyError:
+            return self[item]
+
+    def plot(self, y, x=None, ax=None, **kwargs):
+        """Line plot of recorded variable ``y`` (against time, or against
+        recorded variable ``x``)."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            subplot_kwargs = {k: kwargs.pop(k) for k in ["figsize"] if k in kwargs}
+            _, ax = plt.subplots(**subplot_kwargs)
+        if x is None:
+            ax.plot(self.to_dataframe(y), **kwargs)
+        else:
+            ax.plot(self.to_numpy(x), self.to_numpy(y), **kwargs)
+        ax.set_xlabel("time" if x is None else
+                      f"Node: {x[0]}, variable: {x[-1]}" if isinstance(x, tuple) else x)
+        ax.set_ylabel(f"Node: {y[0]}, variable: {y[-1]}" if isinstance(y, tuple) else y)
+        return ax
+
+    def matshow(self, v, ax=None, **kwargs):
+        """Heatmap (time x feature) of recorded variable ``v``."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            subplot_kwargs = {k: kwargs.pop(k) for k in ["figsize"] if k in kwargs}
+            _, ax = plt.subplots(**subplot_kwargs)
+        sig = np.asarray(self.to_dataframe(v))
+        shrink = kwargs.pop("shrink", 0.6)
+        im = ax.imshow(sig.T, **kwargs)
+        plt.colorbar(im, ax=ax, shrink=shrink)
+        ax.set_xlabel("time")
+        ax.set_ylabel(f"Node: {v[0]}, variable: {v[1]}" if isinstance(v, tuple) else v)
+        return ax

@@ -1,0 +1,426 @@
+"""Network-level tests, mirroring the reference suite's coverage
+(/root/reference/rectipy_tests/test_network.py): node dispatch, compile error
+cases, run semantics vs a manual forward loop (including mean-downsampling),
+and end-to-end trainer convergence (BPTT / ridge / RLS recover a teacher's
+readout weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectipy_tpu import FeedbackNetwork, Network
+from rectipy_tpu.edges import RLS, Linear
+from rectipy_tpu.nodes import InstantNode, RateNet, SpikeResetNet
+
+accuracy = 1e-3
+
+TANH = "neuron_model_templates.rate_neurons.leaky_integrator.tanh"
+QIF = "neuron_model_templates.spiking_neurons.qif.qif"
+LIF = "neuron_model_templates.spiking_neurons.lif.lif"
+
+
+def rate(t, y, I_ext, weights, tau):
+    return -y / tau + I_ext + weights @ jnp.tanh(y)
+
+
+def test_diffeq_nodes():
+    n = 10
+    rng = np.random.default_rng(0)
+    weights = rng.normal(size=(n, n))
+    in_var, out_var = "li_op/I_ext", "tanh_op/r"
+    s_var, t_var = "tanh_op/r", "li_op/r_in"
+    dt = 1e-2
+
+    rnn = RateNet.from_pyrates(TANH, weights=weights, source_var=s_var, target_var=t_var,
+                               input_var=in_var, output_var=out_var, dt=dt)
+
+    net1, net3, net4, net5, net6 = (Network(dt) for _ in range(5))
+    net1.add_diffeq_node("n1", node=TANH, input_var=in_var, output_var=out_var,
+                         weights=weights, source_var=s_var, target_var=t_var)
+    net3.add_diffeq_node("n1", TANH, weights=weights, input_var="I_ext", output_var=out_var,
+                         source_var=s_var, target_var="r_in", op="li_op")
+    net4.add_diffeq_node("n1", TANH, weights=weights, input_var=in_var, output_var=out_var,
+                         source_var=s_var, target_var=t_var, train_params=["weights"])
+    net5.add_diffeq_node("n1", QIF, weights=weights, input_var="I_ext", output_var="s",
+                         source_var="s", target_var="s_in", op="qif_op", spike_var="spike",
+                         reset_var="v", dtype=jnp.float32, reset=True)
+    net6.add_node("n1", rnn, node_type="diff_eq")
+
+    assert isinstance(net1.get_node("n1"), RateNet)
+    assert isinstance(net6.get_node("n1"), RateNet)
+    assert isinstance(net5.get_node("n1"), SpikeResetNet)
+    assert isinstance(net1["n1"]["node"], RateNet)
+    assert net6.get_node("n1") == rnn
+    assert len(net3._var_map) - len(net1._var_map) > 0
+    assert len(net1.get_node("n1").train_params) == 0
+    assert len(net4.get_node("n1").train_params) == 1
+    assert net3.get_var("n1", var="v").shape[0] == n
+    assert net1.get_node("n1").y.dtype == jnp.float64
+    assert net5.get_node("n1").y.dtype == jnp.float32
+
+    with pytest.raises(FileNotFoundError):
+        RateNet.from_pyrates("neuron_model_templates.rate_neurons.freaky_integrator.tanh",
+                             weights=weights, source_var=s_var, target_var=t_var,
+                             input_var=in_var, output_var=out_var)
+    with pytest.raises(AttributeError):
+        RateNet.from_pyrates("neuron_model_templates.rate_neurons.leaky_integrator.tan",
+                             weights=weights, source_var=s_var, target_var=t_var,
+                             input_var=in_var, output_var=out_var)
+    with pytest.raises(KeyError):
+        RateNet.from_pyrates(TANH, weights=weights, source_var="x", target_var=t_var,
+                             input_var=in_var, output_var=out_var)
+
+
+def test_function_nodes():
+    m = 3
+    net = Network(dt=1e-3)
+    for name in ["softmax", "sigmoid", "tanh", "identity", "softmin", "log_softmax"]:
+        net.add_func_node(name, m, activation_function=name)
+    assert len(net) == 6
+    assert isinstance(net.get_node("softmax"), InstantNode)
+    with pytest.raises(ValueError):
+        net.add_func_node("bad", m, activation_function="not_a_function")
+
+
+def test_compile_errors():
+    n = 4
+    net = Network(dt=1e-2)
+    net.add_func_node("a", n, activation_function="identity")
+    net.add_func_node("b", n, activation_function="identity")
+    # two roots, two sinks -> compile must fail
+    with pytest.raises(ValueError):
+        net.compile()
+    net.add_edge("a", "b")
+    net.compile()
+    assert net._in_node == "a" and net._out_node == "b"
+
+
+def test_edge_dispatch_and_train_flags():
+    n, m = 5, 3
+    rng = np.random.default_rng(1)
+    net = Network(dt=1e-2)
+    net.add_func_node("inp", m, activation_function="identity")
+    net.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)), input_var="li_op/I_ext",
+                        output_var="li_op/v", source_var="tanh_op/r", target_var="li_op/r_in")
+    net.add_func_node("out", m, activation_function="identity")
+    e1 = net.add_edge("inp", "rnn", weights=rng.normal(size=(n, m)))
+    e2 = net.add_edge("rnn", "out", weights=rng.normal(size=(m, n)), train="gd")
+    assert isinstance(e1, Linear) and not e1.train_keys
+    assert e2.train_keys == ["weights"]
+    assert len(list(net.parameters())) == 1
+    with pytest.raises(ValueError):
+        net.add_edge("inp", "rnn", train="bogus")
+
+
+def test_run_matches_manual_forward_loop():
+    """Network.run must equal an eager forward loop, including the
+    mean-downsampling recording semantics (reference test:
+    test_network.py:293-339)."""
+    n = 6
+    rng = np.random.default_rng(2)
+    weights = rng.normal(size=(n, n)) * 0.5
+    dt = 1e-2
+    T = 50
+    inp = rng.normal(size=(T, n))
+
+    net = Network(dt, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", TANH, weights=weights, input_var="li_op/I_ext",
+                        output_var="li_op/v", source_var="tanh_op/r", target_var="li_op/r_in")
+    net.compile()
+
+    # manual eager loop with identical sampling semantics
+    net2 = Network(dt, dtype=jnp.float64)
+    net2.add_diffeq_node("rnn", TANH, weights=weights, input_var="li_op/I_ext",
+                         output_var="li_op/v", source_var="tanh_op/r", target_var="li_op/r_in")
+    net2.compile()
+
+    sampling = 3
+    obs = net.run(inp, sampling_steps=sampling, verbose=False)
+    outs = np.asarray(obs.to_numpy("out"))
+
+    buffer, records = [], []
+    for step in range(T):
+        out = np.asarray(net2.forward(jnp.asarray(inp[step])))
+        buffer.append(out)
+        if step % sampling == 0:
+            records.append(np.mean(np.stack(buffer), axis=0))
+            buffer = []
+    manual = np.stack(records)
+
+    assert outs.shape == manual.shape
+    np.testing.assert_allclose(outs, manual, atol=accuracy, rtol=accuracy)
+    # final states agree
+    np.testing.assert_allclose(np.asarray(net.get_node("rnn").y),
+                               np.asarray(net2.get_node("rnn").y), atol=accuracy)
+
+
+def test_run_cutoff_and_record_vars():
+    n = 4
+    rng = np.random.default_rng(3)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", QIF, weights=rng.normal(size=(n, n)) * 0.1,
+                        input_var="I_ext", output_var="s", source_var="s",
+                        target_var="s_in", op="qif_op", spike_var="spike", reset_var="v")
+    T = 40
+    inp = np.zeros((T, n))
+    obs = net.run(inp, sampling_steps=5, cutoff=10, verbose=False,
+                  record_vars=[("rnn", "v", True)])
+    steps = np.asarray(obs["steps"])
+    assert steps.min() >= 10
+    assert all(s % 5 == 0 for s in steps)
+    v_rec = obs.to_numpy(("rnn", "v"))
+    assert v_rec.shape == (len(steps),)  # reduced to population mean
+
+
+def test_multinode_graph_and_state():
+    n, m = 5, 2
+    rng = np.random.default_rng(4)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_func_node("inp", m, activation_function="identity")
+    net.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)) * 0.3,
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        source_var="tanh_op/r", target_var="li_op/r_in")
+    net.add_func_node("out", n, activation_function="tanh")
+    net.add_edge("inp", "rnn", weights=rng.normal(size=(n, m)))
+    net.add_edge("rnn", "out")
+    assert net.n_in == m and net.n_out == n
+    obs = net.run(rng.normal(size=(20, m)), verbose=False)
+    assert obs.to_numpy("out").shape == (20, n)
+    # state property + reset
+    st = net.state
+    assert "rnn" in st and st["rnn"].shape == (n,)
+    net.reset({"rnn": np.zeros(n)})
+    np.testing.assert_allclose(np.asarray(net.get_node("rnn").y), 0.0)
+    # pop
+    net.pop_edge("rnn", "out")
+    net.pop_node("out")
+    assert len(net) == 2
+
+
+def test_bptt_teacher_student_readout():
+    """BPTT (epoch mode) recovers a teacher readout within the reference's
+    own loose bound (test_network.py:342-420)."""
+    n, m, k = 10, 3, 2
+    rng = np.random.default_rng(5)
+    W = rng.normal(size=(n, n)) * 0.4
+    W_in = rng.normal(size=(n, m))
+    w_out_t = rng.normal(size=(k, n))
+    dt = 1e-2
+    T = 200
+
+    def build(w_out, train):
+        net = Network(dt, dtype=jnp.float64)
+        net.add_func_node("inp", m, activation_function="identity")
+        net.add_diffeq_node("rnn", TANH, weights=W, input_var="li_op/I_ext",
+                            output_var="tanh_op/r", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+        net.add_func_node("out", k, activation_function="identity")
+        net.add_edge("inp", "rnn", weights=W_in)
+        net.add_edge("rnn", "out", weights=w_out, train=train)
+        return net
+
+    inp = rng.normal(size=(T, m))
+    teacher = build(w_out_t, None)
+    target = teacher.run(inp, verbose=False).to_numpy("out")
+
+    student = build(np.zeros((k, n)), "gd")
+    epochs = 100
+    obs = student.fit_bptt([inp] * epochs, [target] * epochs, optimizer="adam", lr=5e-2,
+                           verbose=False)
+    losses = obs["epoch_loss"]
+    assert losses[-1] < losses[0] * 0.1, f"BPTT did not converge: {losses[0]} -> {losses[-1]}"
+    w_fit = np.asarray(student.get_edge("rnn", "out").weights)
+    assert np.mean((w_fit - w_out_t) ** 2) < 0.5  # reference tolerance
+
+
+def test_bptt_step_mode_truncated():
+    n = 6
+    rng = np.random.default_rng(6)
+    W = rng.normal(size=(n, n)) * 0.3
+    dt = 1e-2
+    T = 400
+    net = Network(dt, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", TANH, weights=np.zeros((n, n)), input_var="li_op/I_ext",
+                        output_var="li_op/v", source_var="tanh_op/r", target_var="li_op/r_in",
+                        train_params=["weights"])
+    inp = rng.normal(size=(T, n))
+    teacher = Network(dt, dtype=jnp.float64)
+    teacher.add_diffeq_node("rnn", TANH, weights=W, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+    target = teacher.run(inp, verbose=False).to_numpy("out")
+    pass_losses = []
+    for _ in range(6):
+        net.reset()
+        obs = net.fit_bptt(inp, target, optimizer="adam", lr=2e-2, update_steps=50,
+                           sampling_steps=10, verbose=False)
+        losses = obs.to_numpy("loss")
+        pass_losses.append(float(np.mean(losses)))
+    assert pass_losses[-1] < pass_losses[0] * 0.5, (
+        f"truncated BPTT loss did not decrease across passes: {pass_losses}")
+    assert obs.to_numpy("out").shape[1] == n
+
+
+def test_fit_ridge_readout():
+    n, m, k = 20, 2, 2
+    rng = np.random.default_rng(7)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_func_node("inp", m, activation_function="identity")
+    net.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)) * 0.4,
+                        input_var="li_op/I_ext", output_var="tanh_op/r",
+                        source_var="tanh_op/r", target_var="li_op/r_in")
+    net.add_edge("inp", "rnn", weights=rng.normal(size=(n, m)))
+    T = 300
+    inp = rng.normal(size=(T, m))
+    # target: a fixed readout of the reservoir trajectory
+    w_t = rng.normal(size=(n, k))
+    X = net.run(inp, verbose=False).to_numpy("out")
+    targets = X @ w_t
+    net.reset()
+    obs = net.fit_ridge(inp, targets, sampling_steps=1, alpha=1e-6, verbose=False,
+                        add_readout_node=True)
+    w_out = np.asarray(obs["w_out"])
+    # the reservoir Gram matrix is ill-conditioned, so weight recovery is only
+    # approximate; the prediction itself must be tight
+    np.testing.assert_allclose(w_out, w_t, atol=0.2)
+    assert float(np.mean((np.asarray(obs["y"]) - targets) ** 2)) < 1e-6
+    # readout node added and wired
+    assert "readout" in net.nodes
+    assert net.n_out == k
+
+
+def test_fit_rls_online():
+    n, m, k = 15, 2, 1
+    rng = np.random.default_rng(8)
+    W_res = rng.normal(size=(n, n)) * 0.4
+    W_in = rng.normal(size=(n, m))
+
+    def build(with_readout):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_func_node("inp", m, activation_function="identity")
+        net.add_diffeq_node("rnn", TANH, weights=W_res, input_var="li_op/I_ext",
+                            output_var="tanh_op/r", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+        net.add_edge("inp", "rnn", weights=W_in)
+        if with_readout:
+            net.add_func_node("out", k, activation_function="identity")
+            net.add_edge("rnn", "out", train="rls", beta=1.0, alpha=1.0)
+        return net
+
+    T = 500
+    time = np.linspace(0, T * 1e-2, T)
+    inp = np.stack([np.sin(2 * np.pi * 0.7 * time), np.cos(2 * np.pi * 0.3 * time)], axis=1)
+    # target: a fixed linear readout of the reservoir trajectory (guaranteed
+    # representable), as in the reference's teacher/student optimization test
+    w_t = rng.normal(size=(n, k))
+    X = build(False).run(inp, verbose=False).to_numpy("out")
+    target = X @ w_t
+    net = build(True)
+    obs = net.fit_rls(inp, target, update_steps=1, sampling_steps=10, verbose=False)
+    losses = obs.to_numpy("loss")
+    assert losses[-1] < 1e-2, f"RLS did not converge (final loss {losses[-1]})"
+    rls_edge = net.get_edge("rnn", "out")
+    assert isinstance(rls_edge, RLS)
+    assert float(jnp.sum(jnp.abs(rls_edge.weights))) > 0
+
+
+def test_test_method():
+    n = 8
+    rng = np.random.default_rng(9)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)) * 0.3,
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        source_var="tanh_op/r", target_var="li_op/r_in")
+    T = 60
+    inp = rng.normal(size=(T, n))
+    obs = net.run(inp, verbose=False)
+    target = obs.to_numpy("out")
+    net.reset()
+    obs2, loss = net.test(inp, target, loss="mse", sampling_steps=1, verbose=False)
+    assert loss == pytest.approx(0.0, abs=1e-9)
+    # frozen run twice -> deterministic
+    net.reset()
+    _, loss2 = net.test(inp, target, loss="l1", sampling_steps=1, verbose=False)
+    assert loss2 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_feedback_network():
+    """Two coupled populations with a feedback edge: output differs from the
+    feedforward-only network, feedback value is one step delayed."""
+    n = 5
+    rng = np.random.default_rng(10)
+    W1 = rng.normal(size=(n, n)) * 0.2
+    W2 = rng.normal(size=(n, n)) * 0.2
+    k_ff = rng.normal(size=(n, n)) * 0.5
+    k_fb = rng.normal(size=(n, n)) * 0.5
+    T = 30
+    inp = rng.normal(size=(T, n))
+
+    def build(with_fb):
+        net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+        for label, W in [("p1", W1), ("p2", W2)]:
+            net.add_diffeq_node(label, TANH, weights=W, input_var="li_op/I_ext",
+                                output_var="li_op/v", source_var="tanh_op/r",
+                                target_var="li_op/r_in")
+        net.add_edge("p1", "p2", weights=k_ff)
+        if with_fb:
+            net.add_edge("p2", "p1", weights=k_fb, feedback=True)
+        return net
+
+    net_fb = build(True)
+    net_ff = build(False)
+    out_fb = net_fb.run(inp, verbose=False).to_numpy("out")
+    out_ff = net_ff.run(inp, verbose=False).to_numpy("out")
+    assert out_fb.shape == out_ff.shape
+    # first step identical (fb starts at zero), later steps diverge
+    np.testing.assert_allclose(out_fb[0], out_ff[0], atol=1e-12)
+    assert np.mean(np.abs(out_fb[5:] - out_ff[5:])) > 1e-8
+    # compile is re-entrant
+    net_fb.compile()
+    net_fb.compile()
+    out_fb2 = build(True).run(inp, verbose=False).to_numpy("out")
+    np.testing.assert_allclose(out_fb, out_fb2, atol=1e-12)
+
+
+def test_get_set_var():
+    n = 4
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", QIF, weights=np.zeros((n, n)), input_var="I_ext",
+                        output_var="s", source_var="s", target_var="s_in", op="qif_op",
+                        spike_var="spike", reset_var="v")
+    v = net.get_var("rnn", "v")
+    assert v.shape == (n,)
+    net.set_var("rnn", "eta", -3.0)
+    assert float(net.get_var("rnn", "eta")) == -3.0
+    with pytest.raises(KeyError):
+        net.get_var("rnn", "nonexistent_var")
+
+
+def test_spiking_network_run():
+    """QIF population driven through an input node: the flagship qif_example
+    workload shape (documentation/qif_example.py)."""
+    N = 50
+    rng = np.random.default_rng(11)
+    from rectipy_tpu import random_connectivity
+
+    W = random_connectivity(N, N, 0.2, normalize=True, rng=rng)
+    etas = -5.0 + 1.0 * np.tan((np.pi / 2) * (2.0 * np.arange(1, N + 1) - N - 1) / (N + 1))
+    net = Network(1e-3, dtype=jnp.float64)
+    net.add_diffeq_node("qif", "neuron_model_templates.spiking_neurons.qif.qif_sfa",
+                        weights=W, source_var="s", target_var="s_in", input_var="I_ext",
+                        output_var="s", spike_var="spike", spike_def="v", op="qif_sfa_op",
+                        spike_threshold=1e2, spike_reset=-1e2,
+                        node_vars={"all/qif_sfa_op/eta": etas, "all/qif_sfa_op/alpha": 0.0,
+                                   "all/qif_sfa_op/k": 15.0})
+    net.add_func_node("inp", 1, activation_function="tanh")
+    net.add_edge("inp", "qif")
+    T = 2000
+    inp = np.zeros((T, 1))
+    inp[500:1500, 0] = 3.0
+    obs = net.run(inp, record_output=False, record_vars=[("qif", "s", True)],
+                  sampling_steps=100, verbose=False)
+    s_mean = obs.to_numpy(("qif", "s"))
+    assert s_mean.shape == (T // 100,)
+    assert np.all(np.isfinite(s_mean))
+    assert s_mean.max() > 0.0  # the input drove some spiking
