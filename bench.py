@@ -1,0 +1,139 @@
+"""Headline benchmark: neuron-updates/sec, N=10k QIF spiking reservoir.
+
+Protocol (BASELINE.md): the reference publishes no numbers, so the baseline is
+the reference's own execution model measured here -- a per-step Python loop
+over torch-CPU float64 ops (vector field + surrogate spike + hard reset +
+dense coupling matvec), exactly the reference hot path
+(/root/reference/rectipy/network.py:588-599, nodes.py:382-392).  The rebuild
+side runs the same dynamics as ONE jitted lax.scan on the default JAX device
+(TPU under the driver).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N = int(os.environ.get("BENCH_N", 10_000))
+STEPS = int(os.environ.get("BENCH_STEPS", 2_000))
+BASELINE_STEPS = int(os.environ.get("BENCH_BASELINE_STEPS", 10))
+# bf16 coupling: the N x N matvec is HBM-bound, so halving its bytes ~doubles
+# steps/s (f32 accumulation; measured 1.6x on v5e).  Set BENCH_COUPLING=float32
+# for the full-precision run.
+COUPLING = os.environ.get("BENCH_COUPLING", "bfloat16")
+DT = 1e-4
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_inputs(steps):
+    inp = np.zeros((steps, 1), dtype=np.float32)
+    inp[steps // 4: 3 * steps // 4, 0] = 3.0
+    return inp
+
+
+def bench_rebuild(W, etas):
+    import jax
+
+    from rectipy_tpu import Network
+
+    net = Network(DT)
+    net.add_diffeq_node(
+        "qif", "rectipy_tpu.models.spiking_neurons.qif.qif_sfa",
+        weights=W, source_var="s", target_var="s_in", input_var="I_ext",
+        output_var="s", spike_var="spike", spike_def="v", op="qif_sfa_op",
+        spike_threshold=1e2, spike_reset=-1e2,
+        node_vars={"all/qif_sfa_op/eta": etas, "all/qif_sfa_op/alpha": 0.05,
+                   "all/qif_sfa_op/k": 15.0},
+        coupling_dtype=COUPLING)
+    net.add_func_node("inp", 1, activation_function="tanh")
+    net.add_edge("inp", "qif")
+    net.compile()
+
+    inputs = build_inputs(STEPS)
+    log(f"[rebuild] device={jax.devices()[0]} N={N} steps={STEPS} dtype={net.dtype}")
+
+    # warmup (compile) on a short run, then timed runs
+    t0 = time.perf_counter()
+    net.run(build_inputs(STEPS), record_output=False,
+            record_vars=[("qif", "s", True)], sampling_steps=100, verbose=False)
+    log(f"[rebuild] first run (incl. compile): {time.perf_counter() - t0:.2f}s")
+
+    best = float("inf")
+    s_mean = None
+    for _ in range(3):
+        net.reset()
+        t0 = time.perf_counter()
+        obs = net.run(inputs, record_output=False,
+                      record_vars=[("qif", "s", True)], sampling_steps=100, verbose=False)
+        dt_run = time.perf_counter() - t0
+        best = min(best, dt_run)
+        s_mean = obs.to_numpy(("qif", "s"))
+    assert np.all(np.isfinite(s_mean)), "rebuild produced non-finite dynamics"
+    ups = STEPS * N / best
+    log(f"[rebuild] best {best:.3f}s -> {ups:.3e} neuron-updates/s; "
+        f"mean(s) range [{s_mean.min():.4f}, {s_mean.max():.4f}]")
+    return ups
+
+
+def bench_torch_baseline(W, etas):
+    """Reference execution model: per-step Python loop, torch-CPU float64."""
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    Wt = torch.tensor(W, dtype=torch.float64)
+    eta_t = torch.tensor(etas, dtype=torch.float64)
+    v = torch.full((N,), -2.0, dtype=torch.float64)
+    s = torch.zeros(N, dtype=torch.float64)
+    x_sfa = torch.zeros(N, dtype=torch.float64)
+    thresh, v_reset = 1e2, -1e2
+    k, alpha, tau_x = 15.0, 0.05, 10.0
+    inp = torch.zeros(N, dtype=torch.float64)
+
+    steps = BASELINE_STEPS
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        spikes = torch.heaviside(v - thresh, torch.tensor(1.0, dtype=torch.float64)) / DT
+        reset = spikes.detach()
+        s_in = Wt @ s
+        dv = (v * v + (eta_t - x_sfa) + inp) / 1.0 + k * s_in
+        ds = -s / 1.0 + spikes
+        dx = -x_sfa / tau_x + alpha * spikes
+        v = v + DT * dv
+        s = s + DT * ds
+        x_sfa = x_sfa + DT * dx
+        v = v * (1.0 - reset * DT) + (reset * DT) * v_reset
+    elapsed = time.perf_counter() - t0
+    ups = steps * N / elapsed
+    log(f"[torch-cpu baseline] {steps} steps in {elapsed:.2f}s -> {ups:.3e} neuron-updates/s")
+    return ups
+
+
+def main():
+    rng = np.random.default_rng(0)
+    # 10% density random coupling, row-normalized (qif_example.py workload)
+    W = np.zeros((N, N), dtype=np.float64)
+    n_conns = max(1, int(N * 0.1))
+    cols = np.argsort(rng.random((N, N)), axis=1)[:, :n_conns]
+    W[np.repeat(np.arange(N), n_conns), cols.ravel()] = 1.0 / n_conns
+    etas = -5.0 + 1.0 * np.tan((np.pi / 2) * (2.0 * np.arange(1, N + 1) - N - 1) / (N + 1))
+
+    ours = bench_rebuild(W, etas)
+    base = bench_torch_baseline(W, etas)
+    print(json.dumps({
+        "metric": f"neuron-updates/sec, N={N} QIF+SFA reservoir (dt=1e-4)",
+        "value": round(ours, 1),
+        "unit": "neuron-updates/s",
+        "vs_baseline": round(ours / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Checkpoint / resume for networks and training runs.
+
+The reference has no persistence (SURVEY.md §5: in-memory ``Network.state`` +
+``reset`` only).  Here full (params, state, opt_state, metadata) snapshots are
+saved with Orbax when available, with a numpy ``.npz`` fallback, so long
+training runs survive restarts.
+
+Usage::
+
+    save_network(net, "/path/ckpt")            # params + node/edge state
+    restore_network(net, "/path/ckpt")         # in-place restore
+
+    ckpt = TrainCheckpointer("/path/ckpts")    # rolling training snapshots
+    ckpt.save(step, train=train, opt_state=opt_state, state=state)
+    step, pieces = ckpt.restore_latest()
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["save_network", "restore_network", "save_pytree", "restore_pytree",
+           "TrainCheckpointer"]
+
+
+def _flatten_with_paths(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_pytree(tree, path: str) -> None:
+    """Persist a pytree of arrays.  Orbax when importable, .npz otherwise."""
+    try:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, tree, force=True)
+        ckptr.wait_until_finished()
+        return
+    except (ImportError, Exception):  # orbax version drift -> portable fallback
+        pass
+    np.savez(path if path.endswith(".npz") else path + ".npz", **_flatten_with_paths(tree))
+
+
+def restore_pytree(template, path: str):
+    """Restore a pytree saved by :func:`save_pytree` into ``template``'s
+    structure (leaf shapes/dtypes from the template)."""
+    if os.path.isdir(path):
+        # an Orbax checkpoint exists on disk -- do NOT silently fall back; a
+        # failure here (e.g. shape mismatch with the template) is the user's
+        # actual error and must surface clearly
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        try:
+            return ckptr.restore(os.path.abspath(path), template)
+        except Exception as e:
+            raise ValueError(
+                f"Failed to restore checkpoint {path!r} into the given template "
+                f"(shape/dtype/structure mismatch?): {e}"
+            ) from e
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    if not os.path.exists(npz_path):
+        raise FileNotFoundError(f"No checkpoint found at {path!r} (neither Orbax dir nor {npz_path})")
+    data = np.load(npz_path)
+    flat = _flatten_with_paths(template)
+    restored = {}
+    for key, leaf in flat.items():
+        if key not in data:
+            raise KeyError(f"Checkpoint {npz_path} is missing leaf {key!r}")
+        restored[key] = data[key]
+    leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for path_entries, leaf in leaves_paths:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path_entries)
+        arr = restored[key]
+        new_leaves.append(jnp.asarray(arr, dtype=getattr(leaf, "dtype", None)))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_network(net, path: str) -> None:
+    """Snapshot a Network's parameters and state (nodes, edges, feedback)."""
+    net.compile()
+    payload = {"params": net.parameters_pytree(), "state": net.init_state()}
+    save_pytree(payload, path)
+
+
+def restore_network(net, path: str) -> None:
+    """Restore a snapshot produced by :func:`save_network` into ``net``."""
+    net.compile()
+    template = {"params": net.parameters_pytree(), "state": net.init_state()}
+    payload = restore_pytree(template, path)
+    net._write_back(state=payload["state"], params=payload["params"])
+
+
+class TrainCheckpointer:
+    """Rolling step-indexed checkpoints of (train params, opt state, model
+    state) with a JSON manifest -- resume support for long fits."""
+
+    def __init__(self, directory: str, keep: int = 3):
+        self.directory = directory
+        self.keep = keep
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step:012d}")
+
+    def save(self, step: int, **pieces) -> str:
+        path = self._path(step)
+        save_pytree(pieces, path)
+        manifest = os.path.join(self.directory, "manifest.json")
+        steps = self.all_steps() + [step]
+        steps = sorted(set(steps))
+        # prune old checkpoints beyond `keep`
+        for old in steps[:-self.keep] if self.keep else []:
+            for suffix in ("", ".npz"):
+                p = self._path(old) + suffix
+                if os.path.isfile(p):
+                    os.remove(p)
+                elif os.path.isdir(p):
+                    import shutil
+
+                    shutil.rmtree(p, ignore_errors=True)
+            steps.remove(old)
+        with open(manifest, "w") as f:
+            json.dump({"steps": steps}, f)
+        return path
+
+    def all_steps(self) -> list:
+        manifest = os.path.join(self.directory, "manifest.json")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                return list(json.load(f).get("steps", []))
+        steps = []
+        for name in os.listdir(self.directory):
+            m = re.match(r"step_(\d+)", name)
+            if m:
+                steps.append(int(m.group(1)))
+        return sorted(set(steps))
+
+    def restore_latest(self, template: dict) -> Tuple[Optional[int], Optional[dict]]:
+        steps = self.all_steps()
+        if not steps:
+            return None, None
+        step = steps[-1]
+        return step, restore_pytree(template, self._path(step))

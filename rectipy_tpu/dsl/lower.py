@@ -16,6 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +89,7 @@ def lower(
     node_vars: Optional[dict] = None,
     dtype=jnp.float32,
     edges: Optional[List[Tuple[str, str, np.ndarray]]] = None,
+    coupling_dtype=None,
 ) -> VectorField:
     """Lower a node template replicated over ``n`` neurons into a VectorField.
 
@@ -98,6 +100,11 @@ def lower(
     per-neuron arrays (keys may be ``all/op/var``, ``op/var`` or ``var``).
     ``edges`` optionally adds further (source_var, target_var, weight-matrix)
     couplings beyond the primary one.
+
+    ``coupling_dtype`` (e.g. ``jnp.bfloat16``) stores the coupling matrices in
+    reduced precision: the N x N matvec is the HBM-bandwidth-bound hot op, so
+    halving its bytes nearly doubles steps/s on TPU; accumulation stays
+    float32 via ``preferred_element_type``.
     """
     if isinstance(node, str):
         node = NodeTemplate.from_yaml(node)
@@ -221,9 +228,20 @@ def lower(
                 args[qname] = jnp.broadcast_to(_vectorize(base, lv.default), (n,)).astype(dtype)
             keys.append(qname)
             input_vars.append(qname)
+    w_dtype = coupling_dtype or dtype
     for _, _, W, wkey in all_edges:
-        args[wkey] = jnp.asarray(W, dtype=dtype)
+        args[wkey] = jnp.asarray(W, dtype=w_dtype)
         keys.append(wkey)
+
+    def _coupling_matvec(w, src):
+        if w.dtype in (jnp.bfloat16, jnp.float16):
+            out = jax.lax.dot_general(
+                w, src.astype(w.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return out.astype(src.dtype)
+        return w @ src
 
     # initial state, contiguous per-variable blocks
     y0_parts = []
@@ -309,7 +327,7 @@ def lower(
                 if qname in wiring:
                     val = val + env[wiring[qname]]
                 for esv, wkey in edge_by_target.get(qname, []):
-                    val = val + a[wkey] @ env[esv]
+                    val = val + _coupling_matvec(a[wkey], env[esv])
                 env[qname] = val
         env["__op_env__"] = op_env  # type: ignore[assignment]
         return env

@@ -304,6 +304,9 @@ class RateNet:
         var_mapping = dict(kwargs.pop("var_mapping", {}))
         var_mapping.setdefault("out", output_var)
         extra_edges = kwargs.pop("edges", None)
+        coupling_dtype = kwargs.pop("coupling_dtype", None)
+        if coupling_dtype is not None:
+            coupling_dtype = resolve_dtype(coupling_dtype)
 
         vf = lower(
             node,
@@ -314,6 +317,7 @@ class RateNet:
             node_vars=node_vars,
             dtype=dtype,
             edges=extra_edges,
+            coupling_dtype=coupling_dtype,
         )
 
         # parameter map: lowered names plus user-facing aliases

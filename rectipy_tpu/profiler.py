@@ -1,0 +1,80 @@
+"""Tracing / profiling utilities.
+
+The reference's only instrumentation is ``perf_counter`` bracketing printed to
+stdout (SURVEY.md §5).  Here profiling is a small first-class subsystem:
+
+- :class:`PhaseTimer` -- named wall-clock phases with device synchronization
+  (``block_until_ready``) so timings mean what they say under async dispatch.
+- :func:`trace` -- context manager around ``jax.profiler`` emitting a
+  TensorBoard-loadable trace of the XLA execution.
+- :func:`annotate` -- named region annotation visible in profiler traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+import jax
+
+__all__ = ["PhaseTimer", "trace", "annotate"]
+
+
+class PhaseTimer:
+    """Accumulating named phase timer.
+
+    >>> timer = PhaseTimer()
+    >>> with timer.phase("integrate"):
+    ...     out = run(...)          # device work
+    >>> timer.report()
+    """
+
+    def __init__(self, sync: bool = True):
+        self.sync = sync
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str, result=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if self.sync and result is not None:
+                jax.block_until_ready(result)
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def time(self, name: str, fn, *args, **kwargs):
+        """Time one call, synchronizing on its output."""
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        if self.sync:
+            jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        self.totals[name] = self.totals.get(name, 0.0) + dt
+        self.counts[name] = self.counts.get(name, 0) + 1
+        return out
+
+    def report(self, printer=print) -> Dict[str, float]:
+        for name, total in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            printer(f"[profile] {name}: {total:.4f}s over {self.counts[name]} call(s)")
+        return dict(self.totals)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str, host_profiling: bool = False):
+    """Capture a device trace viewable in TensorBoard/XProf."""
+    jax.profiler.start_trace(log_dir, create_perfetto_link=False,
+                             create_perfetto_trace=host_profiling)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region annotation (shows up in profiler traces)."""
+    return jax.profiler.TraceAnnotation(name)

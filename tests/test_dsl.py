@@ -248,3 +248,21 @@ def test_lower_scalar_params_stay_scalar():
     )
     assert vf.args["li_op/tau"].ndim == 0
     assert vf.args["li_op/I_ext"].shape == (4,)
+
+
+def test_coupling_dtype_bf16():
+    """Reduced-precision coupling storage: bf16 weights, f32 accumulation."""
+    n = 8
+    rng = np.random.default_rng(9)
+    W = rng.normal(size=(n, n)) * 0.1
+    vf32 = lower("rectipy_tpu.models.rate_neurons.leaky_integrator.tanh", weights=W,
+                 source_var="tanh_op/r", target_var="li_op/r_in", dtype=jnp.float32)
+    vfb = lower("rectipy_tpu.models.rate_neurons.leaky_integrator.tanh", weights=W,
+                source_var="tanh_op/r", target_var="li_op/r_in", dtype=jnp.float32,
+                coupling_dtype=jnp.bfloat16)
+    assert vfb.args["weights"].dtype == jnp.bfloat16
+    y = jnp.asarray(rng.normal(size=(n,)), dtype=jnp.float32)
+    d32 = np.asarray(vf32.func(0.0, y, vf32.args), dtype=np.float64)
+    db = np.asarray(vfb.func(0.0, y, vfb.args), dtype=np.float64)
+    assert vfb.func(0.0, y, vfb.args).dtype == jnp.float32  # accumulation stays f32
+    np.testing.assert_allclose(db, d32, rtol=2e-2, atol=2e-2)
