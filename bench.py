@@ -26,6 +26,9 @@ BASELINE_STEPS = int(os.environ.get("BENCH_BASELINE_STEPS", 10))
 # steps/s (f32 accumulation; measured 1.6x on v5e).  Set BENCH_COUPLING=float32
 # for the full-precision run.
 COUPLING = os.environ.get("BENCH_COUPLING", "bfloat16")
+# fused Pallas step (forward fast path) vs the standard XLA scan body
+PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
+TILE = int(os.environ.get("BENCH_TILE", 512))
 DT = 1e-4
 
 
@@ -56,6 +59,14 @@ def bench_rebuild(W, etas):
     net.add_func_node("inp", 1, activation_function="tanh")
     net.add_edge("inp", "qif")
     net.compile()
+    if PALLAS:
+        try:
+            from rectipy_tpu.ops.kernels import attach_fused_qif_step
+
+            attach_fused_qif_step(net.get_node("qif"), tile=TILE)
+            log("[rebuild] using fused Pallas step kernel")
+        except (ValueError, ImportError) as e:
+            log(f"[rebuild] pallas fast path unavailable, using XLA path: {e}")
 
     inputs = build_inputs(STEPS)
     log(f"[rebuild] device={jax.devices()[0]} N={N} steps={STEPS} dtype={net.dtype}")

@@ -144,6 +144,38 @@ class Network:
         self._invalidate()
 
     # -------------------------------------------------------------- building
+    @classmethod
+    def from_yaml(cls, node, weights=None, dt: float = 1e-3, source_var: str = None,
+                  target_var: str = None, input_var: str = None, output_var: str = None,
+                  device: str = "cpu", dtype=jnp.float32, label: str = "rnn",
+                  train_params: list = None, **kwargs) -> "Network":
+        """Legacy one-call constructor (older reference API generation, used in
+        documentation/rl_example.py / rls_example.py): build a Network with a
+        single diffeq node from a YAML template."""
+        net = cls(dt, device=device, dtype=dtype)
+        net.add_diffeq_node(label, node, input_var=input_var, output_var=output_var,
+                            weights=weights, source_var=source_var, target_var=target_var,
+                            train_params=train_params, **kwargs)
+        return net
+
+    def add_input_layer(self, m: int, weights=None, train: Optional[str] = None,
+                        **kwargs) -> Linear:
+        """Legacy helper: add an identity input node of width ``m`` wired to
+        the network's current input-most node."""
+        self.compile()
+        target = self._in_node
+        self.add_func_node("input_layer", m, activation_function="identity")
+        return self.add_edge("input_layer", target, weights=weights, train=train, **kwargs)
+
+    def add_output_layer(self, k: int, weights=None, train: Optional[str] = None,
+                         activation_function: str = "identity", **kwargs) -> Linear:
+        """Legacy helper: add an activation output node of width ``k`` wired
+        from the network's current output-most node."""
+        self.compile()
+        source = self._out_node
+        self.add_func_node("output_layer", k, activation_function=activation_function)
+        return self.add_edge(source, "output_layer", weights=weights, train=train, **kwargs)
+
     def add_node(self, label: str, node, node_type: str, op: str = None, **node_attrs) -> None:
         """Insert a pre-built node instance into the graph."""
         if op:
@@ -250,6 +282,11 @@ class Network:
             edge = LinEdge(**kwargs, detach=False)
         elif train == "rls":
             kwargs.pop("detach", None)
+            # the RLS inverse-correlation recursion is numerically fragile in
+            # float32 over long horizons; default it to float64 (the
+            # reference's own RLS default, edges.py:182) when x64 is enabled
+            if jax.config.jax_enable_x64:
+                kwargs["dtype"] = kwargs.get("rls_dtype", jnp.float64)
             edge = RLS(**{k: v for k, v in kwargs.items()
                           if k in ("n_in", "n_out", "weights", "dtype", "beta", "alpha")})
             self._train_edge = (source, target)

@@ -70,6 +70,24 @@ class Observer:
     def dt(self) -> float:
         return self._dt
 
+    @property
+    def recordings(self):
+        """All recorded columns as one time-indexed DataFrame (reference:
+        /root/reference/rectipy/observer.py:62-70)."""
+        from pandas import DataFrame
+
+        columns = list(self._state_vars)
+        if self._record_out:
+            columns.append("out")
+        if self._record_loss:
+            columns.append("loss")
+        data = {}
+        for c in columns:
+            vals = [np.asarray(v) for v in self._recordings[c]]
+            data[str(c)] = [v if v.ndim == 0 else v for v in vals]
+        index = np.asarray(self._recordings["steps"], dtype=float) * self._dt
+        return DataFrame(index=index, data=data)
+
     def record(self, step: int, output, loss, record_vars: Iterable) -> None:
         """Eager single-step recording (reference signature,
         /root/reference/rectipy/observer.py:79-105)."""

@@ -147,3 +147,67 @@ def pad_coupling(W: np.ndarray, tile: int = 512, weights_dtype=jnp.float32) -> j
     Wt = np.zeros((n_pad, n_pad), dtype=np.float32)
     Wt[:n, :n] = np.asarray(W).T
     return jnp.asarray(Wt, dtype=weights_dtype)
+
+
+def attach_fused_qif_step(node, tile: int = 512, weights_dtype=None,
+                          interpret: bool = False) -> None:
+    """Swap a qif / qif_sfa ``SpikeResetNet``'s step for the fused Pallas
+    kernel (forward fast path; training still uses the differentiable lax
+    path).
+
+    Requirements: homogeneous scalar model parameters except ``eta`` (which
+    may be a per-neuron array), ``output_var='s'``, and framework-managed
+    reset on ``v``.  Raises ``ValueError`` when the node doesn't qualify.
+    """
+    vm = node._var_map
+    n = node._vf.n
+    need = ["v", "s"]
+    has_x = isinstance(vm.get("x"), tuple)
+    for name in need:
+        if not isinstance(vm.get(name), tuple):
+            raise ValueError(f"Fused QIF step requires state variable {name!r}")
+    sl = {name: vm[name] for name in (need + (["x"] if has_x else []))}
+    if (node._start, node._stop) != sl["s"]:
+        raise ValueError("Fused QIF step requires output_var='s'")
+    if (node._reset_lo, node._reset_hi) != sl["v"]:
+        raise ValueError("Fused QIF step requires reset_var='v'")
+
+    def scalar(name, default=None):
+        key = node._param_map.get(name)
+        if key is None:
+            if default is None:
+                raise ValueError(f"Fused QIF step: parameter {name!r} not found")
+            return float(default)
+        val = node._args[key]
+        if hasattr(val, "ndim") and val.ndim > 0:
+            raise ValueError(f"Fused QIF step requires scalar {name!r}; got array")
+        return float(val)
+
+    W = np.asarray(node._args["weights"], dtype=np.float32)
+    if weights_dtype is None:
+        weights_dtype = node._args["weights"].dtype
+    kernel = make_qif_sfa_pallas_step(
+        n, dt=node.dt, tau=scalar("tau"), tau_s=scalar("tau_s"),
+        tau_x=scalar("tau_x", 1.0) if has_x else 1.0,
+        k=scalar("k"), alpha=scalar("alpha", 0.0) if has_x else 0.0,
+        thresh=node._thresh, v_reset=node._reset_val,
+        tile=tile, weights_dtype=weights_dtype, interpret=interpret)
+    node._args["__wt_pad__"] = pad_coupling(W, tile=tile, weights_dtype=weights_dtype)
+    if "__wt_pad__" not in node._keys:
+        node._keys.append("__wt_pad__")
+    eta_key = node._param_map["eta"]
+    v_lo, v_hi = sl["v"]
+    s_lo, s_hi = sl["s"]
+    x_slice = sl.get("x")
+
+    def fused_step(y, args, x):
+        v = y[v_lo:v_hi]
+        s = y[s_lo:s_hi]
+        xs = y[x_slice[0]:x_slice[1]] if has_x else jnp.zeros_like(v)
+        eta = jnp.broadcast_to(args[eta_key], (n,)).astype(v.dtype)
+        v2, s2, x2 = kernel(v, s, xs, args["__wt_pad__"], eta,
+                            jnp.broadcast_to(x, (n,)).astype(v.dtype))
+        parts = [v2, s2] + ([x2] if has_x else [])
+        return jnp.concatenate(parts), s  # pre-update output, as the reference
+
+    node.make_step = lambda: fused_step

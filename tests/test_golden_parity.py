@@ -1,0 +1,179 @@
+"""Golden parity vs the reference's execution semantics (BASELINE.md
+correctness gate: float64 trajectories match to 1e-3; we hold ourselves to
+much tighter).
+
+Since the reference package (and its PyRates dependency) is not installed,
+the oracles here are torch-float64 re-implementations of the reference's
+documented per-step math:
+
+- RateNet: ``y <- y + dt * f(0, y, args)``, output = pre-update slice
+  (/root/reference/rectipy/nodes.py:166-170)
+- SpikeResetNet: surrogate spike on the reset slice, spikes/dt into the spike
+  input, Euler, detached masked reset (/root/reference/rectipy/nodes.py:382-392)
+- LIF vector field: lif_op = li_op with s-drive + synapse ODE
+  (/root/reference/neuron_model_templates/spiking_neurons/lif.yaml)
+- RLS update: rank-1 (W, P) recursion (/root/reference/rectipy/edges.py:227-234)
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from rectipy_tpu import Network
+from rectipy_tpu.edges import RLS
+
+
+def torch_lif_trajectory(W, W_in, inputs, *, dt, tau, tau_s, eta, k, v_thr, v_reset, steps):
+    """Reference-semantics LIF population (SpikeResetNet over lif_op), torch float64.
+
+    State: [v, s].  Per step: spikes = H(v - v_thr); s_in = W @ s;
+    dv = -v/tau + k*s_in + I_ext + eta ; ds = -s/tau_s + spikes/dt ;
+    Euler; v hard-reset where spiked.  Output: pre-update s.
+    """
+    n = W.shape[0]
+    v = torch.zeros(n, dtype=torch.float64)
+    s = torch.zeros(n, dtype=torch.float64)
+    Wt = torch.tensor(W, dtype=torch.float64)
+    W_in_t = torch.tensor(W_in, dtype=torch.float64)
+    outs = []
+    for step in range(steps):
+        x = W_in_t @ torch.tensor(inputs[step], dtype=torch.float64)
+        spikes = torch.heaviside(v - v_thr, torch.tensor(1.0, dtype=torch.float64))
+        outs.append(s.clone())  # pre-update output slice
+        s_in = Wt @ s
+        dv = -v / tau + k * s_in + x + eta
+        ds = -s / tau_s + spikes / dt
+        v_new = v + dt * dv
+        s = s + dt * ds
+        v = v_new * (1.0 - spikes) + spikes * v_reset
+    return torch.stack(outs).numpy()
+
+
+def test_lif_spiking_trajectory_matches_reference_semantics():
+    n, m = 20, 2
+    rng = np.random.default_rng(0)
+    W = rng.normal(size=(n, n)) * 0.05
+    W_in = rng.normal(size=(n, m))
+    dt, tau, tau_s, eta, k = 1e-2, 10.0, 0.5, 10.0, 2.0
+    v_thr, v_reset = 10.0, -10.0
+    steps = 800
+    inputs = rng.normal(size=(steps, m))
+
+    golden = torch_lif_trajectory(W, W_in, inputs, dt=dt, tau=tau, tau_s=tau_s, eta=eta,
+                                  k=k, v_thr=v_thr, v_reset=v_reset, steps=steps)
+
+    net = Network(dt, dtype=jnp.float64)
+    net.add_func_node("inp", m, activation_function="identity")
+    net.add_diffeq_node("lif", "neuron_model_templates.spiking_neurons.lif.lif",
+                        weights=W, source_var="s", target_var="s_in",
+                        input_var="I_ext", output_var="s", op="lif_op",
+                        spike_var="spike", reset_var="v",
+                        spike_threshold=v_thr, spike_reset=v_reset,
+                        node_vars={"eta": eta, "tau": tau, "tau_s": tau_s, "k": k})
+    net.add_edge("inp", "lif", weights=W_in)
+    ours = net.run(inputs, sampling_steps=1, verbose=False).to_numpy("out")
+
+    assert np.any(golden > 0), "oracle produced no spikes -- test not exercising resets"
+    np.testing.assert_allclose(ours, golden, rtol=1e-10, atol=1e-10)
+
+
+def torch_tanh_trajectory(W, inputs, *, dt, tau, k, eta, steps):
+    """Reference-semantics tanh rate network (RateNet over li_op+tanh_op):
+    dv = -v/tau + k*(W @ tanh(v)) + I_ext + eta; output = pre-update v."""
+    n = W.shape[0]
+    v = torch.zeros(n, dtype=torch.float64)
+    Wt = torch.tensor(W, dtype=torch.float64)
+    tau_t = torch.tensor(tau, dtype=torch.float64)
+    outs = []
+    for step in range(steps):
+        x = torch.tensor(inputs[step], dtype=torch.float64)
+        outs.append(v.clone())
+        dv = -v / tau_t + k * (Wt @ torch.tanh(v)) + x + eta
+        v = v + dt * dv
+    return torch.stack(outs).numpy()
+
+
+def test_tanh_rate_trajectory_matches_reference_semantics():
+    n = 30
+    rng = np.random.default_rng(1)
+    W = rng.normal(size=(n, n)) / np.sqrt(n)
+    tau = rng.uniform(10.0, 20.0, size=(n,))
+    dt, k, eta = 1e-2, 2.0, 1.5
+    steps = 1000
+    inputs = rng.normal(size=(steps, n)) * 2.0
+
+    golden = torch_tanh_trajectory(W, inputs, dt=dt, tau=tau, k=k, eta=eta, steps=steps)
+
+    net = Network(dt, dtype=jnp.float64)
+    net.add_diffeq_node("tanh", "neuron_model_templates.rate_neurons.leaky_integrator.tanh",
+                        weights=W, source_var="tanh_op/r", target_var="li_op/r_in",
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        node_vars={"all/li_op/tau": tau, "all/li_op/k": k,
+                                   "all/li_op/eta": eta})
+    ours = net.run(inputs, sampling_steps=1, verbose=False).to_numpy("out")
+    np.testing.assert_allclose(ours, golden, rtol=1e-9, atol=1e-9)
+
+
+def test_rls_update_matches_reference_formula():
+    n, m = 12, 3
+    rng = np.random.default_rng(2)
+    W = torch.zeros((m, n), dtype=torch.float64)
+    P = torch.eye(n, dtype=torch.float64) * 0.8
+    beta_inv = 1.0 / 0.95
+
+    rls = RLS(n, m, beta=0.95, alpha=0.8, dtype=jnp.float64)
+    for _ in range(20):
+        x = rng.normal(size=n)
+        y = rng.normal(size=m)
+        xt = torch.tensor(x)
+        yt = torch.tensor(y)
+        y_hat_t = W @ xt
+        # reference rank-1 recursion (edges.py:227-234)
+        z = beta_inv * (P @ xt)
+        k_gain = 1.0 / (1.0 + xt @ z)
+        W = W + torch.outer(yt - k_gain * (xt @ (W + torch.outer(yt, z)).T), z)
+        P = P - k_gain * torch.outer(z, z)
+
+        y_hat = rls.forward(jnp.asarray(x))
+        rls.update(jnp.asarray(x), jnp.asarray(y), y_hat)
+
+    np.testing.assert_allclose(np.asarray(rls.weights), W.numpy(), rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(rls.P), P.numpy(), rtol=1e-10, atol=1e-10)
+
+
+def test_qif_intrinsic_reset_matches_reference_semantics():
+    """SpikeNet over qif_reset_op: spikes/dt into both spike and reset inputs,
+    -2*reset*v term mirrors v (reference nodes.py:323-330)."""
+    n = 10
+    rng = np.random.default_rng(3)
+    dt, tau, tau_s, eta, k = 1e-3, 1.0, 1.0, 8.0, 0.0
+    thresh = 10.0
+    steps = 3000
+
+    v = torch.full((n,), -2.0, dtype=torch.float64)
+    s = torch.zeros(n, dtype=torch.float64)
+    golden = []
+    for _ in range(steps):
+        spikes = torch.heaviside(v - thresh, torch.tensor(1.0, dtype=torch.float64)) / dt
+        dv = (v * v + eta) / tau - 2.0 * spikes * v
+        ds = -s / tau_s + spikes
+        v = v + dt * dv
+        s = s + dt * ds
+        golden.append(s.clone())  # post-update output (SpikeNet semantics)
+    golden = torch.stack(golden).numpy()
+
+    from rectipy_tpu.nodes import SpikeNet
+
+    node = SpikeNet.from_pyrates(
+        "neuron_model_templates.spiking_neurons.qif.qif_reset",
+        weights=np.zeros((n, n)), source_var="s", target_var="s_in",
+        input_var="I_ext", output_var="s", spike_var="spike", reset_var="reset",
+        spike_threshold=thresh, spike_reset=-thresh, dt=dt, dtype=jnp.float64,
+        node_vars={"all/qif_reset_op/eta": eta, "all/qif_reset_op/k": k})
+    ours = []
+    zero = jnp.zeros(n, dtype=jnp.float64)
+    for _ in range(steps):
+        ours.append(np.asarray(node.forward(zero)))
+    np.testing.assert_allclose(np.stack(ours), golden, rtol=1e-8, atol=1e-8)

@@ -1,0 +1,106 @@
+"""Integration coverage for remaining API surfaces: delay/filter/masked edges
+inside Network runs (edge state carried through the scan and across run
+calls), Observer.recordings, debugging helpers."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectipy_tpu import Network
+from rectipy_tpu.debugging import check_finite_state, find_nonfinite
+from rectipy_tpu.edges import LinearMemory
+
+TANH = "neuron_model_templates.rate_neurons.leaky_integrator.tanh"
+
+
+def _rnn(net, n, W, **kw):
+    net.add_diffeq_node("rnn", TANH, weights=W, input_var="li_op/I_ext",
+                        output_var="li_op/v", source_var="tanh_op/r",
+                        target_var="li_op/r_in", **kw)
+
+
+def test_delay_edge_in_network_run():
+    """A delay edge shifts the input drive by per-source delays; the ring
+    buffer is scan-carried and persists across run() calls."""
+    n = 3
+    dt = 1e-2
+    delays = np.array([0, 2, 4])
+
+    def build(with_delay):
+        net = Network(dt, dtype=jnp.float64)
+        net.add_func_node("inp", n, activation_function="identity")
+        _rnn(net, n, np.zeros((n, n)))
+        if with_delay:
+            net.add_edge("inp", "rnn", weights=np.eye(n), delays=delays)
+        else:
+            net.add_edge("inp", "rnn", weights=np.eye(n))
+        net.compile()
+        return net
+
+    T = 12
+    inp = np.zeros((T, n))
+    inp[0] = 1.0  # impulse on all channels at t=0
+    net_d = build(True)
+    out_d = net_d.run(inp, verbose=False).to_numpy("out")
+    out_p = build(False).run(inp, verbose=False).to_numpy("out")
+    # channel i of the delayed net must match channel i of the plain net
+    # shifted by delays[i]
+    for i, d in enumerate(delays):
+        np.testing.assert_allclose(out_d[d:, i], out_p[: T - d, i], atol=1e-12)
+        np.testing.assert_allclose(out_d[:d, i], 0.0, atol=1e-12)
+
+    # buffer state persists: a second run continues where the first ended
+    edge = net_d.get_edge("inp", "rnn")
+    assert isinstance(edge, LinearMemory)
+    buf_after = np.asarray(edge.buffer)
+    inp2 = np.zeros((3, n))
+    inp2[0] = 2.0
+    net_d.run(inp2, verbose=False)
+    assert not np.allclose(np.asarray(edge.buffer), buf_after)
+
+
+def test_filter_and_masked_edges_in_network():
+    n, m = 4, 4
+    rng = np.random.default_rng(0)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_func_node("inp", m, activation_function="identity")
+    _rnn(net, n, np.zeros((n, n)))
+    F = np.eye(m) * 0.5
+    net.add_edge("inp", "rnn", weights=np.eye(n), filter_weights=F)
+    out = net.run(rng.normal(size=(10, m)), verbose=False).to_numpy("out")
+    assert np.all(np.isfinite(out))
+
+    net2 = Network(1e-2, dtype=jnp.float64)
+    net2.add_func_node("inp", m, activation_function="identity")
+    _rnn(net2, n, np.zeros((n, n)))
+    mask = (rng.random((n, m)) > 0.5).astype(float)
+    net2.add_edge("inp", "rnn", weights=rng.normal(size=(n, m)), mask=mask, train="gd")
+    assert net2.get_edge("inp", "rnn").train_keys == ["weights"]
+    out2 = net2.run(rng.normal(size=(10, m)), verbose=False).to_numpy("out")
+    assert np.all(np.isfinite(out2))
+
+
+def test_observer_recordings_dataframe():
+    n = 4
+    net = Network(1e-2, dtype=jnp.float64)
+    _rnn(net, n, np.zeros((n, n)))
+    obs = net.run(np.ones((20, n)), sampling_steps=5, verbose=False,
+                  record_vars=[("rnn", "v", True)])
+    df = obs.recordings
+    assert len(df) == 4
+    assert df.index[1] == pytest.approx(5 * 1e-2)
+
+
+def test_debugging_helpers():
+    n = 4
+    net = Network(1e-2, dtype=jnp.float64)
+    _rnn(net, n, np.zeros((n, n)))
+    net.compile()
+    assert check_finite_state(net) == {}
+    # poison the state
+    net.get_node("rnn").y = net.get_node("rnn").y.at[0].set(jnp.nan)
+    with pytest.raises(FloatingPointError):
+        check_finite_state(net)
+    bad = check_finite_state(net, raise_on_failure=False)
+    assert any("rnn" in k for k in bad)
+    assert find_nonfinite({"x": jnp.ones(3)}) == {}

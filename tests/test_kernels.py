@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rectipy_tpu.ops.kernels import (
     make_qif_sfa_pallas_step,
@@ -75,3 +76,56 @@ def test_pallas_step_bf16_weights_close():
     rv, rs, rx = qif_sfa_reference_step(v, s, x, jnp.asarray(W), eta, inp, **PARAMS)
     # bf16 coupling: looser tolerance, same dynamics
     np.testing.assert_allclose(np.asarray(v2), np.asarray(rv), rtol=2e-2, atol=2e-2)
+
+
+def test_attach_fused_step_matches_network_path():
+    """A Network whose qif_sfa node uses the fused Pallas step produces the
+    same trajectory as the standard lax path."""
+    import jax.numpy as jnp
+
+    from rectipy_tpu import Network
+    from rectipy_tpu.ops.kernels import attach_fused_qif_step
+
+    n = 64
+    rng = np.random.default_rng(3)
+    W = (rng.random((n, n)) < 0.2).astype(np.float64) * 0.02
+    etas = rng.normal(size=n) + 100.0
+
+    def build():
+        net = Network(1e-3, dtype=jnp.float32)
+        net.add_diffeq_node("qif", "rectipy_tpu.models.spiking_neurons.qif.qif_sfa",
+                            weights=W, source_var="s", target_var="s_in",
+                            input_var="I_ext", output_var="s", op="qif_sfa_op",
+                            spike_var="spike", spike_def="v", dtype=jnp.float32,
+                            spike_threshold=30.0, spike_reset=-30.0,
+                            node_vars={"all/qif_sfa_op/eta": etas})
+        net.compile()
+        return net
+
+    inp = rng.normal(size=(600, n)).astype(np.float32)
+    ref = build().run(inp, verbose=False).to_numpy("out")
+
+    net2 = build()
+    attach_fused_qif_step(net2.get_node("qif"), tile=128, interpret=True)
+    fused = net2.run(inp, verbose=False).to_numpy("out")
+
+    assert np.any(ref > 0), "no spiking activity -- weak test"
+    np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_attach_fused_step_rejects_heterogeneous_tau():
+    import jax.numpy as jnp
+
+    from rectipy_tpu import Network
+    from rectipy_tpu.ops.kernels import attach_fused_qif_step
+
+    n = 16
+    net = Network(1e-3, dtype=jnp.float32)
+    net.add_diffeq_node("qif", "rectipy_tpu.models.spiking_neurons.qif.qif",
+                        weights=np.zeros((n, n)), source_var="s", target_var="s_in",
+                        input_var="I_ext", output_var="s", op="qif_op",
+                        spike_var="spike", spike_def="v",
+                        node_vars={"all/qif_op/tau": np.ones(n)})
+    net.compile()
+    with pytest.raises(ValueError):
+        attach_fused_qif_step(net.get_node("qif"), interpret=True)

@@ -424,3 +424,22 @@ def test_spiking_network_run():
     assert s_mean.shape == (T // 100,)
     assert np.all(np.isfinite(s_mean))
     assert s_mean.max() > 0.0  # the input drove some spiking
+
+
+def test_legacy_api_wrappers():
+    """Older-generation API used by documentation/rl_example.py:
+    Network.from_yaml + add_input_layer + add_output_layer."""
+    n, m, k = 10, 2, 3
+    rng = np.random.default_rng(12)
+    net = Network.from_yaml(TANH, weights=rng.normal(size=(n, n)) * 0.3, dt=1e-2,
+                            source_var="tanh_op/r", target_var="li_op/r_in",
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            float_precision="float64",
+                            node_vars={"all/li_op/v": rng.normal(size=n)})
+    net.add_input_layer(m, weights=rng.normal(size=(n, m)))
+    net.add_output_layer(k, weights=rng.normal(size=(k, n)), train="rls", beta=0.99)
+    net.compile()
+    assert net.n_in == m and net.n_out == k
+    assert net._train_edge == ("rnn", "output_layer")
+    out = net.run(rng.normal(size=(15, m)), verbose=False).to_numpy("out")
+    assert out.shape == (15, k)
