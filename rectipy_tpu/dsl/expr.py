@@ -26,7 +26,7 @@ which is how the reference's mean-field templates behave
 from __future__ import annotations
 
 import re
-from typing import Callable, Dict, Iterable, List, Tuple, Union
+from typing import Callable, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .expr import evaluate, free_symbols, parse, split_equation
-from .parser import NodeTemplate, OperatorTemplate, TemplateError, load_template
+from .parser import NodeTemplate, OperatorTemplate, TemplateError
 
 
 @dataclass

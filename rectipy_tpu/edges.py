@@ -26,7 +26,7 @@ Semantics:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterator, Optional, Union
+from typing import Callable, Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp

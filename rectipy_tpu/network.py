@@ -627,7 +627,102 @@ class Network:
         return obs
 
     def _run_scan(self, state0, params, inputs, sampling_steps, cutoff, truncate_steps, obs):
-        """One jitted scan with carried record buffers; returns host arrays."""
+        """Jitted integration with recording.
+
+        Fast path (no gradient truncation): a nested window scan -- the inner
+        scan advances ``sampling_steps`` Euler steps accumulating the output
+        buffer, the outer scan emits one record per window.  This keeps the
+        scan body free of gathers/scatters (each would be a separate kernel
+        launch per step on TPU); records leave as ordinary scan outputs.
+        Falls back to a generic carried-record-buffer scan when
+        ``truncate_steps`` is active.
+        """
+        steps = int(inputs.shape[0])
+        if truncate_steps >= steps and steps > 1 and sampling_steps >= 1:
+            return self._run_scan_windowed(state0, params, inputs, sampling_steps, cutoff, obs)
+        return self._run_scan_generic(state0, params, inputs, sampling_steps, cutoff,
+                                      truncate_steps, obs)
+
+    def _run_scan_windowed(self, state0, params, inputs, sampling_steps, cutoff, obs):
+        steps = int(inputs.shape[0])
+        s = int(sampling_steps)
+        rec_steps_all = [t for t in range(steps) if t % s == 0]
+        rec_steps_host = np.asarray([t for t in rec_steps_all if t >= cutoff], dtype=np.int64)
+        rec_info = self._resolve_record_vars(obs)
+        step = self.make_step()
+        n_out = self.n_out
+        out_aval = jax.eval_shape(lambda st, p, x: step(st, p, x)[1], state0, params, inputs[0])
+        dtype = out_aval.dtype
+        n_win = (steps - 1) // s  # full windows after step 0
+        tail = (steps - 1) - n_win * s
+
+        def scan_fn(state0, params, inputs):
+            def body(state, xt):
+                x_t, step_idx = xt
+                state, out, _ = step(state, params, x_t)
+                in_window = step_idx >= cutoff
+                return state, (out * in_window, in_window.astype(jnp.int32))
+
+            def read_vars(state):
+                vals = {}
+                for (key, label, reader, reduce) in rec_info:
+                    val = reader(state["nodes"][label], params["nodes"][label])
+                    vals["var::" + "::".join(key)] = jnp.mean(val) if reduce else val
+                return vals
+
+            # step 0: its own record window (reference records at step 0)
+            state, (o0, c0) = body(state0, (inputs[0], jnp.asarray(0)))
+            rec0 = (o0 / jnp.maximum(c0, 1), read_vars(state))
+
+            def window(state, xt):
+                inp_w, idx_w = xt
+
+                def inner(carry, xt2):
+                    state, acc, cnt = carry
+                    state, (o, c) = body(state, xt2)
+                    return (state, acc + o, cnt + c), None
+
+                (state, acc, cnt), _ = jax.lax.scan(
+                    inner, (state, jnp.zeros(n_out, dtype=dtype), jnp.asarray(0, jnp.int32)),
+                    (inp_w, idx_w))
+                return state, (acc / jnp.maximum(cnt, 1), read_vars(state))
+
+            recs = None
+            if n_win:
+                inp_w = inputs[1:1 + n_win * s].reshape(n_win, s, -1)
+                idx_w = (1 + jnp.arange(n_win * s)).reshape(n_win, s)
+                state, recs = jax.lax.scan(window, state, (inp_w, idx_w))
+            if tail:
+                def tail_body(state, x_t):
+                    state, _, _ = step(state, params, x_t)
+                    return state, None
+
+                state, _ = jax.lax.scan(tail_body, state, inputs[1 + n_win * s:])
+            return state, rec0, recs
+
+        stateT, rec0, recs = jax.jit(scan_fn)(state0, params, inputs)
+
+        # assemble host-side records: step 0 + window ends, filtered by cutoff
+        all_outs = [np.asarray(rec0[0])[None]]
+        var_all = {("var::" + "::".join(key)): [np.asarray(rec0[1]["var::" + "::".join(key)])[None]]
+                   for (key, _, _, _) in rec_info}
+        if recs is not None:
+            all_outs.append(np.asarray(recs[0]))
+            for (key, _, _, _) in rec_info:
+                k = "var::" + "::".join(key)
+                var_all[k].append(np.asarray(recs[1][k]))
+        outs = np.concatenate(all_outs) if all_outs else np.zeros((0, n_out))
+        keep = np.asarray([t >= cutoff for t in rec_steps_all])
+        outs = outs[keep]
+        rec_vars = {}
+        for (key, _, _, _) in rec_info:
+            k = "var::" + "::".join(key)
+            rec_vars[key] = np.concatenate(var_all[k])[keep]
+        return stateT, rec_steps_host, outs, rec_vars
+
+    def _run_scan_generic(self, state0, params, inputs, sampling_steps, cutoff,
+                          truncate_steps, obs):
+        """Generic carried-record-buffer scan (supports truncate_steps)."""
         steps = int(inputs.shape[0])
         rec_steps_host = np.asarray(
             [s for s in range(steps) if s >= cutoff and s % sampling_steps == 0], dtype=np.int64)
@@ -733,6 +828,11 @@ class Network:
         - step mode (2D array ``(T, m)``): truncated BPTT -- one update every
           ``update_steps`` steps, state carried with stop_gradient between
           update chunks; the whole optimization is a single lax.scan.
+
+        ``remat_steps=k`` (epoch mode) applies ``jax.checkpoint`` to k-step
+        scan segments: activation memory drops from O(T) to O(T/k + k) at the
+        cost of one recomputed forward pass -- the TPU-native way to fit long
+        trajectories in HBM (no reference analog; SURVEY.md §5).
         """
         self.compile()
         loss_fn = get_loss_function(loss, loss_kwargs=loss_kwargs)
@@ -751,6 +851,7 @@ class Network:
         state0 = self.init_state()
         step = self.make_step()
 
+        remat_steps = int(kwargs.pop("remat_steps", 0))
         t0 = perf_counter()
         epoch_mode = isinstance(inputs, list) or (
             hasattr(inputs, "ndim") and np.asarray(inputs).ndim == 3)
@@ -761,7 +862,8 @@ class Network:
                     "`inputs` and `targets` agree in the first dimension (epochs)."
                 )
             train, losses = self._bptt_epochs(step, loss_fn, opt, train, frozen, opt_state,
-                                              state0, inputs, targets, sampling_steps, verbose)
+                                              state0, inputs, targets, sampling_steps, verbose,
+                                              remat_steps=remat_steps)
             obs.save("epoch_loss", losses)
             obs.save("epochs", np.arange(len(losses)))
         else:
@@ -774,16 +876,17 @@ class Network:
                 )
             train, stateT, rec = self._bptt_steps(step, loss_fn, opt, train, frozen, opt_state,
                                                   state0, inputs, targets, update_steps,
-                                                  sampling_steps)
+                                                  sampling_steps, obs)
             self._write_back(state=stateT)
-            obs.record_batch(rec["steps"], outputs=rec["out"], losses=rec["loss"])
+            obs.record_batch(rec["steps"], outputs=rec["out"], losses=rec["loss"],
+                             var_values=rec.get("vars"))
         self._write_back(params=self._combine(train, frozen))
         if verbose:
             print(f"Finished optimization after {perf_counter() - t0} s.")
         return obs
 
     def _bptt_epochs(self, step, loss_fn, opt, train, frozen, opt_state, state0,
-                     inputs, targets, sampling_steps, verbose):
+                     inputs, targets, sampling_steps, verbose, remat_steps: int = 0):
         combine = self._combine
 
         def epoch_loss(train, inp, tgt):
@@ -793,7 +896,20 @@ class Network:
                 state, out, _ = step(state, params, x_t)
                 return state, out
 
-            _, outs = jax.lax.scan(body, state0, inp)
+            if remat_steps > 1 and inp.shape[0] % remat_steps == 0:
+                # gradient checkpointing: rematerialize each segment's forward
+                # pass in the backward sweep instead of storing every step
+                n_seg = inp.shape[0] // remat_steps
+
+                @jax.checkpoint
+                def segment(state, inp_seg):
+                    return jax.lax.scan(body, state, inp_seg)
+
+                _, outs = jax.lax.scan(segment, state0,
+                                       inp.reshape(n_seg, remat_steps, -1))
+                outs = outs.reshape(inp.shape[0], -1)
+            else:
+                _, outs = jax.lax.scan(body, state0, inp)
             if sampling_steps > 1:
                 T = outs.shape[0]
                 n_keep = T // sampling_steps
@@ -821,22 +937,27 @@ class Network:
         return train, losses
 
     def _bptt_steps(self, step, loss_fn, opt, train, frozen, opt_state, state0,
-                    inputs, targets, update_steps, sampling_steps):
+                    inputs, targets, update_steps, sampling_steps, obs=None):
         combine = self._combine
         T = int(inputs.shape[0])
         u = int(update_steps)
         n_upd = T // u
         n_out = self.n_out
+        rec_info = self._resolve_record_vars(obs) if obs is not None else []
 
         def chunk_loss(train, state, inp_c, tgt_c):
             params = combine(train, frozen)
 
             def body(state, x_t):
                 state, out, _ = step(state, params, x_t)
-                return state, out
+                vals = tuple(
+                    (jnp.mean(reader(state["nodes"][label], params["nodes"][label]))
+                     if reduce else reader(state["nodes"][label], params["nodes"][label]))
+                    for (_, label, reader, reduce) in rec_info)
+                return state, (out, vals)
 
-            state, preds = jax.lax.scan(body, state, inp_c)
-            return loss_fn(preds, tgt_c), (state, preds)
+            state, (preds, vals) = jax.lax.scan(body, state, inp_c)
+            return loss_fn(preds, tgt_c), (state, preds, vals)
 
         @jax.jit
         def train_all(train, opt_state, state):
@@ -846,18 +967,19 @@ class Network:
             def chunk(carry, xt):
                 train, opt_state, state = carry
                 inp_c, tgt_c = xt
-                (lval, (state, preds)), grads = jax.value_and_grad(
+                (lval, (state, preds, vals)), grads = jax.value_and_grad(
                     chunk_loss, has_aux=True)(train, state, inp_c, tgt_c)
                 updates, opt_state = opt.update(grads, opt_state, train)
                 train = optax.apply_updates(train, updates)
                 state = jax.lax.stop_gradient(state)  # truncated BPTT boundary
-                return (train, opt_state, state), (lval, preds[::sampling_steps])
+                sampled_vals = tuple(v[::sampling_steps] for v in vals)
+                return (train, opt_state, state), (lval, preds[::sampling_steps], sampled_vals)
 
-            (train, opt_state, state), (losses, preds) = jax.lax.scan(
+            (train, opt_state, state), (losses, preds, vals) = jax.lax.scan(
                 chunk, (train, opt_state, state), (inp_chunks, tgt_chunks))
-            return train, opt_state, state, losses, preds
+            return train, opt_state, state, losses, preds, vals
 
-        train, opt_state, stateT, losses, preds = train_all(train, opt_state, state0)
+        train, opt_state, stateT, losses, preds, vals = train_all(train, opt_state, state0)
         # leftover steps (< update_steps) run forward without an update
         rem = T - n_upd * u
         if rem > 0:
@@ -875,7 +997,12 @@ class Network:
             [np.arange(c * u, (c + 1) * u, sampling_steps) for c in range(n_upd)]
         ) if n_upd else np.zeros(0, dtype=int)
         rec_losses = np.repeat(losses, int(np.ceil(u / sampling_steps))) if n_upd else losses
-        return train, stateT, {"steps": rec_steps, "out": preds, "loss": rec_losses}
+        var_values = {}
+        for i, (key, _, _, _) in enumerate(rec_info):
+            arr = np.asarray(vals[i])
+            var_values[key] = arr.reshape((-1,) + arr.shape[2:])
+        return train, stateT, {"steps": rec_steps, "out": preds, "loss": rec_losses,
+                               "vars": var_values}
 
     def fit_ridge(self, inputs, targets, sampling_steps: int = 100, alpha: float = 1e-4,
                   verbose: bool = True, add_readout_node: bool = True, **kwargs) -> Observer:

@@ -25,9 +25,6 @@ through the differentiable lax path.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -186,28 +183,73 @@ def attach_fused_qif_step(node, tile: int = 512, weights_dtype=None,
     W = np.asarray(node._args["weights"], dtype=np.float32)
     if weights_dtype is None:
         weights_dtype = node._args["weights"].dtype
+    n_pad = _round_up(n, tile)
+    # build the kernel at the padded size so its wrapper is a pure reshape;
+    # the node's state is kept PADDED across the whole scan (measured: per-step
+    # pad/unpad of the state rows costs ~35% of the step at N=10k)
     kernel = make_qif_sfa_pallas_step(
-        n, dt=node.dt, tau=scalar("tau"), tau_s=scalar("tau_s"),
+        n_pad, dt=node.dt, tau=scalar("tau"), tau_s=scalar("tau_s"),
         tau_x=scalar("tau_x", 1.0) if has_x else 1.0,
         k=scalar("k"), alpha=scalar("alpha", 0.0) if has_x else 0.0,
         thresh=node._thresh, v_reset=node._reset_val,
         tile=tile, weights_dtype=weights_dtype, interpret=interpret)
     node._args["__wt_pad__"] = pad_coupling(W, tile=tile, weights_dtype=weights_dtype)
-    if "__wt_pad__" not in node._keys:
-        node._keys.append("__wt_pad__")
     eta_key = node._param_map["eta"]
-    v_lo, v_hi = sl["v"]
-    s_lo, s_hi = sl["s"]
-    x_slice = sl.get("x")
+    eta_pad = jnp.pad(jnp.broadcast_to(node._args[eta_key], (n,)).astype(node.dtype),
+                      (0, n_pad - n))
+    node._args["__eta_pad__"] = eta_pad
+    for key in ("__wt_pad__", "__eta_pad__"):
+        if key not in node._keys:
+            node._keys.append(key)
+
+    # re-layout the node state: padded contiguous blocks [v | s | (x)]
+    state_vars = sorted(sl.items(), key=lambda kv: kv[1][0])  # by old offset
+    n_vars = len(state_vars)
+
+    def pad_y(y):
+        return jnp.concatenate([
+            jnp.pad(y[lo:hi], (0, n_pad - n)) for _, (lo, hi) in state_vars])
+
+    def unpad_y(yp):
+        return jnp.concatenate([yp[i * n_pad:i * n_pad + n] for i in range(n_vars)])
+
+    old_to_new = {}
+    for i, (_, (lo, hi)) in enumerate(state_vars):
+        old_to_new[(lo, hi)] = (i * n_pad, i * n_pad + n)
+    for key, spec in list(node._var_map.items()):
+        if isinstance(spec, tuple) and spec in old_to_new:
+            node._var_map[key] = old_to_new[spec]
+    node._start, node._stop = node._var_map["out"] if isinstance(
+        node._var_map.get("out"), tuple) else (node._start, node._stop)
+    node._reset_lo, node._reset_hi = node._var_map["reset_var"]
+    node.y = pad_y(node.y)
+
+    offs = {name: old_to_new[old] for (name, old) in state_vars}
+    v_off = offs["v"][0]
+    s_off = offs["s"][0]
+    x_off = offs["x"][0] if has_x else None
+
+    _orig_reset = node.reset
+
+    def reset(y=None, idx=None, _orig=_orig_reset):
+        """Reset accepting unpadded (V*n,) state vectors (pads internally)."""
+        if y is not None and idx is None:
+            y = np.asarray(y)
+            if y.shape == (n_vars * n,):
+                y = np.asarray(pad_y(jnp.asarray(y, dtype=node.dtype)))
+        return _orig(y=y, idx=idx)
+
+    node.reset = reset
 
     def fused_step(y, args, x):
-        v = y[v_lo:v_hi]
-        s = y[s_lo:s_hi]
-        xs = y[x_slice[0]:x_slice[1]] if has_x else jnp.zeros_like(v)
-        eta = jnp.broadcast_to(args[eta_key], (n,)).astype(v.dtype)
-        v2, s2, x2 = kernel(v, s, xs, args["__wt_pad__"], eta,
-                            jnp.broadcast_to(x, (n,)).astype(v.dtype))
+        vp = jax.lax.dynamic_slice(y, (v_off,), (n_pad,))
+        sp = jax.lax.dynamic_slice(y, (s_off,), (n_pad,))
+        xp = jax.lax.dynamic_slice(y, (x_off,), (n_pad,)) if has_x else jnp.zeros_like(vp)
+        out = sp[:n]  # pre-update output, as the reference
+        inp = jnp.pad(jnp.broadcast_to(x, (n,)).astype(vp.dtype), (0, n_pad - n))
+        v2, s2, x2 = kernel(vp, sp, xp, args["__wt_pad__"], args["__eta_pad__"], inp)
         parts = [v2, s2] + ([x2] if has_x else [])
-        return jnp.concatenate(parts), s  # pre-update output, as the reference
+        return jnp.concatenate(parts), out
 
     node.make_step = lambda: fused_step
+    node._fused_unpad = unpad_y  # for tooling that needs the logical state

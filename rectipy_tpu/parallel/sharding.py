@@ -13,7 +13,6 @@ layer -- annotate, jit, let GSPMD lay the collectives on ICI.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -443,3 +443,45 @@ def test_legacy_api_wrappers():
     assert net._train_edge == ("rnn", "output_layer")
     out = net.run(rng.normal(size=(15, m)), verbose=False).to_numpy("out")
     assert out.shape == (15, k)
+
+
+def test_bptt_remat_gradients_match():
+    """jax.checkpoint-segmented BPTT produces the same updates as plain BPTT."""
+    n = 6
+    rng = np.random.default_rng(13)
+    W = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(40, n))
+    tgt = rng.normal(size=(40, n))
+
+    def fit(remat):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        kw = {"remat_steps": 10} if remat else {}
+        obs = net.fit_bptt([inp] * 3, [tgt] * 3, optimizer="sgd", lr=1e-2,
+                           verbose=False, **kw)
+        return np.asarray(net.get_node("rnn")["weights"]), obs["epoch_loss"]
+
+    w_plain, loss_plain = fit(False)
+    w_remat, loss_remat = fit(True)
+    np.testing.assert_allclose(w_remat, w_plain, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(loss_remat, loss_plain, rtol=1e-12)
+
+
+def test_bptt_step_mode_records_vars():
+    n = 5
+    rng = np.random.default_rng(14)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", TANH, weights=np.zeros((n, n)), input_var="li_op/I_ext",
+                        output_var="li_op/v", source_var="tanh_op/r",
+                        target_var="li_op/r_in", train_params=["weights"])
+    T = 100
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n))
+    obs = net.fit_bptt(inp, tgt, optimizer="sgd", lr=1e-3, update_steps=20,
+                       sampling_steps=5, verbose=False,
+                       record_vars=[("rnn", "v", True)])
+    v_rec = obs.to_numpy(("rnn", "v"))
+    assert v_rec.shape == (T // 5,)
+    assert np.all(np.isfinite(v_rec))
