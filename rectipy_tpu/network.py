@@ -326,7 +326,10 @@ class Network:
     def compile(self):
         """Identify the unique input and output nodes and freeze the
         evaluation order.  The fused step function itself is built lazily (and
-        cached) per tap-set."""
+        cached) per tap-set.  Idempotent: re-compiling an unchanged graph keeps
+        the cached jitted programs (graph mutations invalidate them)."""
+        if self._compiled is not None and self._in_node is not None:
+            return self
         in_nodes = [n for n in self.graph.nodes if self.graph.in_degree(n) == 0]
         if len(in_nodes) != 1:
             raise ValueError(
@@ -650,6 +653,12 @@ class Network:
         rec_steps_host = np.asarray([t for t in rec_steps_all if t >= cutoff], dtype=np.int64)
         rec_info = self._resolve_record_vars(obs)
         step = self.make_step()
+        # cache the jitted scan per configuration: re-wrapping a fresh closure
+        # in jax.jit on every run() forces a full host-side retrace per call
+        # (measured ~0.8 s/call at N=10k -- larger than the device time)
+        record_output = obs.record_output
+        cache_key = ("run_windowed", s, cutoff, steps, record_output,
+                     tuple((key, reduce) for (key, _, _, reduce) in rec_info))
         n_out = self.n_out
         out_aval = jax.eval_shape(lambda st, p, x: step(st, p, x)[1], state0, params, inputs[0])
         dtype = out_aval.dtype
@@ -661,7 +670,8 @@ class Network:
                 x_t, step_idx = xt
                 state, out, _ = step(state, params, x_t)
                 in_window = step_idx >= cutoff
-                return state, (out * in_window, in_window.astype(jnp.int32))
+                masked = out * in_window if record_output else jnp.zeros((), dtype=dtype)
+                return state, (masked, in_window.astype(jnp.int32))
 
             def read_vars(state):
                 vals = {}
@@ -672,7 +682,7 @@ class Network:
 
             # step 0: its own record window (reference records at step 0)
             state, (o0, c0) = body(state0, (inputs[0], jnp.asarray(0)))
-            rec0 = (o0 / jnp.maximum(c0, 1), read_vars(state))
+            rec0 = (o0 / jnp.maximum(c0, 1) if record_output else None, read_vars(state))
 
             def window(state, xt):
                 inp_w, idx_w = xt
@@ -682,10 +692,12 @@ class Network:
                     state, (o, c) = body(state, xt2)
                     return (state, acc + o, cnt + c), None
 
+                acc0 = jnp.zeros(n_out if record_output else (), dtype=dtype)
                 (state, acc, cnt), _ = jax.lax.scan(
-                    inner, (state, jnp.zeros(n_out, dtype=dtype), jnp.asarray(0, jnp.int32)),
+                    inner, (state, acc0, jnp.asarray(0, jnp.int32)),
                     (inp_w, idx_w))
-                return state, (acc / jnp.maximum(cnt, 1), read_vars(state))
+                mean = acc / jnp.maximum(cnt, 1) if record_output else None
+                return state, (mean, read_vars(state))
 
             recs = None
             if n_win:
@@ -700,20 +712,28 @@ class Network:
                 state, _ = jax.lax.scan(tail_body, state, inputs[1 + n_win * s:])
             return state, rec0, recs
 
-        stateT, rec0, recs = jax.jit(scan_fn)(state0, params, inputs)
+        if cache_key not in self._step_cache:
+            self._step_cache[cache_key] = jax.jit(scan_fn)
+        stateT, rec0, recs = self._step_cache[cache_key](state0, params, inputs)
 
-        # assemble host-side records: step 0 + window ends, filtered by cutoff
-        all_outs = [np.asarray(rec0[0])[None]]
+        # assemble host-side records: step 0 + window ends, filtered by cutoff.
+        # Nothing is transferred to host unless actually recorded (the out
+        # transfer alone costs ~0.8 s/run over the device tunnel at N=10k).
+        all_outs = [np.asarray(rec0[0])[None]] if record_output else []
         var_all = {("var::" + "::".join(key)): [np.asarray(rec0[1]["var::" + "::".join(key)])[None]]
                    for (key, _, _, _) in rec_info}
         if recs is not None:
-            all_outs.append(np.asarray(recs[0]))
+            if record_output:
+                all_outs.append(np.asarray(recs[0]))
             for (key, _, _, _) in rec_info:
                 k = "var::" + "::".join(key)
                 var_all[k].append(np.asarray(recs[1][k]))
-        outs = np.concatenate(all_outs) if all_outs else np.zeros((0, n_out))
         keep = np.asarray([t >= cutoff for t in rec_steps_all])
-        outs = outs[keep]
+        if record_output:
+            outs = np.concatenate(all_outs) if all_outs else np.zeros((0, n_out))
+            outs = outs[keep]
+        else:
+            outs = None
         rec_vars = {}
         for (key, _, _, _) in rec_info:
             k = "var::" + "::".join(key)
@@ -782,8 +802,11 @@ class Network:
                 body, init, (inputs, jnp.arange(steps)))
             return stateT, recs
 
-        jitted = jax.jit(scan_fn)
-        stateT, recs = jitted(state0, params, inputs)
+        cache_key = ("run_generic", sampling_steps, cutoff, steps, truncate_steps,
+                     tuple((key, reduce) for (key, _, _, reduce) in rec_info))
+        if cache_key not in self._step_cache:
+            self._step_cache[cache_key] = jax.jit(scan_fn)
+        stateT, recs = self._step_cache[cache_key](state0, params, inputs)
         rec_out = np.asarray(recs["out"]) if n_rec else np.zeros((0, n_out))
         rec_vars = {}
         for (key, label, reader, reduce) in rec_info:

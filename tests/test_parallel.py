@@ -109,3 +109,36 @@ def test_graft_entry_contract():
     state, out = jax.jit(fn)(*args)
     assert out.shape == (256,)
     g.dryrun_multichip(8)
+
+
+def test_sharded_run_with_delay_edge():
+    """Delay ring buffers (DDE support) shard over the model axis alongside
+    the population: the (N, D) buffer row-shards, and the sharded trajectory
+    equals the single-device one."""
+    n = 32
+    rng = np.random.default_rng(2)
+    W = rng.normal(size=(n, n)) * 0.2
+    delays = rng.integers(0, 5, size=n)
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_func_node("inp", n, activation_function="identity")
+        net.add_diffeq_node("rnn", TANH, weights=W, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+        net.add_edge("inp", "rnn", weights=np.eye(n), delays=delays)
+        net.compile()
+        return net
+
+    inputs = jnp.asarray(rng.normal(size=(15, n)))
+    ref = build().run(np.asarray(inputs), verbose=False).to_numpy("out")
+
+    net2 = build()
+    mesh = make_mesh(8, data=1)
+    state = shard_network_arrays(net2.init_state(), n, mesh)
+    params = shard_network_arrays(net2.parameters_pytree(), n, mesh)
+    assert state["edges"]["inp->rnn"].sharding.spec == P("model", None)
+    run = sharded_run(net2, mesh)
+    with mesh:
+        _, outs = run(state, params, inputs)
+    np.testing.assert_allclose(np.asarray(outs), ref, rtol=1e-10, atol=1e-10)
