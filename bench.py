@@ -127,6 +127,67 @@ def bench_torch_baseline(W, etas):
     return ups
 
 
+def bench_bptt_secondary():
+    """Secondary BASELINE.md metric: BPTT wall-clock/epoch on the
+    bptt_rate_neurons workload (N=200 teacher/student), ours vs the
+    reference execution model (torch-CPU per-step loop with autograd).
+    Logged to stderr; the headline JSON stays the integration metric."""
+    import time as _t
+
+    import jax.numpy as jnp
+
+    from rectipy_tpu import Network
+
+    n, T, dt = 200, 2500, 1e-2
+    rng = np.random.default_rng(1)
+    W0 = rng.normal(size=(n, n))
+    W0 /= np.max(np.abs(np.linalg.eigvals(W0)))
+    tau = rng.uniform(10.0, 20.0, size=(n,))
+    node_vars = {"all/li_op/eta": 2.0, "all/li_op/tau": tau, "all/li_op/k": 2.0}
+    time_ax = np.linspace(0, T * dt, T)
+    inp = (np.sin(2 * np.pi * 0.2 * time_ax) * 10.0)[:, None] * np.ones((1, n))
+    tgt = rng.normal(size=(T, n))
+
+    net = Network(dt)
+    net.add_diffeq_node("tanh", "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+                        weights=W0, source_var="tanh_op/r", target_var="li_op/r_in",
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        train_params=["weights"], node_vars=node_vars)
+    t0 = _t.perf_counter()
+    net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="rmsprop", lr=1e-4, verbose=False)
+    warm = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    n_ep = 10
+    net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="rmsprop", lr=1e-4, verbose=False)
+    ours_epoch = (_t.perf_counter() - t0) / n_ep
+    log(f"[bptt ours] warmup(2ep+compile) {warm:.2f}s; {ours_epoch * 1e3:.1f} ms/epoch "
+        f"(N={n}, T={T})")
+
+    # torch-CPU reference model: per-step loop, autograd through the epoch
+    import torch
+
+    Wt = torch.tensor(W0, dtype=torch.float64, requires_grad=True)
+    tau_t = torch.tensor(tau, dtype=torch.float64)
+    inp_t = torch.tensor(inp, dtype=torch.float64)
+    tgt_t = torch.tensor(tgt, dtype=torch.float64)
+    opt = torch.optim.RMSprop([Wt], lr=1e-4)
+    t0 = _t.perf_counter()
+    v = torch.zeros(n, dtype=torch.float64)
+    outs = []
+    for step in range(T):
+        outs.append(v)
+        dv = -v / tau_t + 2.0 * (Wt @ torch.tanh(v)) + inp_t[step] + 2.0
+        v = v + dt * dv
+    loss = torch.mean((torch.stack(outs) - tgt_t) ** 2)
+    opt.zero_grad()
+    loss.backward()
+    opt.step()
+    torch_epoch = _t.perf_counter() - t0
+    log(f"[bptt torch-cpu] {torch_epoch * 1e3:.1f} ms/epoch -> "
+        f"ours is {torch_epoch / ours_epoch:.1f}x faster")
+    return ours_epoch, torch_epoch
+
+
 def main():
     rng = np.random.default_rng(0)
     # 10% density random coupling, row-normalized (qif_example.py workload)
@@ -138,6 +199,11 @@ def main():
 
     ours = bench_rebuild(W, etas)
     base = bench_torch_baseline(W, etas)
+    if os.environ.get("BENCH_BPTT", "1") == "1":
+        try:
+            bench_bptt_secondary()
+        except Exception as e:  # secondary metric must never break the headline
+            log(f"[bptt] secondary benchmark failed: {e}")
     print(json.dumps({
         "metric": f"neuron-updates/sec, N={N} QIF+SFA reservoir (dt=1e-4)",
         "value": round(ours, 1),

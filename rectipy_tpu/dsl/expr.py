@@ -30,6 +30,7 @@ from typing import Callable, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Ast = Tuple  # ('num', float) | ('var', str) | ('neg', ast) | ('bin', op, l, r) | ('call', name, [asts])
 
@@ -231,6 +232,10 @@ def _pow(base, exponent):
     return jnp.power(base, exponent)
 
 
+# named mathematical constants usable in equations without declaration
+CONSTANTS: Dict[str, float] = {"pi": float(np.pi), "PI": float(np.pi)}
+
+
 def evaluate(ast: Ast, env: Dict[str, jnp.ndarray]):
     """Evaluate an AST against ``env`` (name -> array/scalar).
 
@@ -243,6 +248,8 @@ def evaluate(ast: Ast, env: Dict[str, jnp.ndarray]):
         try:
             return env[ast[1]]
         except KeyError:
+            if ast[1] in CONSTANTS:
+                return CONSTANTS[ast[1]]
             raise KeyError(f"Unknown symbol {ast[1]!r}; available: {sorted(env)}")
     if tag == "neg":
         return -evaluate(ast[1], env)

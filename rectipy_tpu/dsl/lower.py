@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .expr import evaluate, free_symbols, parse, split_equation
+from .expr import CONSTANTS, evaluate, free_symbols, parse, split_equation
 from .parser import NodeTemplate, OperatorTemplate, TemplateError
 
 
@@ -152,7 +152,7 @@ def lower(
         for eq in op.equations:
             _, _, rhs = split_equation(eq)
             for sym in free_symbols(rhs):
-                if sym not in op.variables:
+                if sym not in op.variables and sym not in CONSTANTS:
                     raise KeyError(
                         f"Symbol {sym!r} in operator {op.name!r} equations is undeclared"
                     )
@@ -268,6 +268,8 @@ def lower(
         if lv.kind == "algebraic":
             deps = set()
             for sym in free_symbols(lv.rhs_ast):
+                if sym in CONSTANTS and f"{lv.op}/{sym}" not in lowered:
+                    continue
                 dep = f"{lv.op}/{sym}"
                 if lowered[dep].kind in ("algebraic", "input"):
                     deps.add(dep)

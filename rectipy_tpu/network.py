@@ -280,6 +280,11 @@ class Network:
             edge = LinEdge(**kwargs, detach=True)
         elif train == "gd":
             edge = LinEdge(**kwargs, detach=False)
+        elif train == "eprop":
+            kwargs.pop("detach", None)
+            edge = LinEdge(**{k: v for k, v in kwargs.items()
+                              if k in ("n_in", "n_out", "weights", "dtype")}, detach=True)
+            self._train_edge = (source, target)
         elif train == "rls":
             kwargs.pop("detach", None)
             # the RLS inverse-correlation recursion is numerically fragile in
@@ -813,6 +818,50 @@ class Network:
             rec_vars[key] = np.asarray(recs["var::" + "::".join(key)])
         return stateT, rec_steps_host, rec_out, rec_vars
 
+    def run_batch(self, inputs, sampling_steps: int = 1, cutoff: int = 0,
+                  verbose: bool = False, **kwargs) -> dict:
+        """Integrate a BATCH of independent trials in one vmapped scan.
+
+        ``inputs``: ``(B, T, m)``.  Every trial starts from the network's
+        current state.  Returns ``{"steps": (R,), "out": (B, R, n_out),
+        (node, var): (B, R, ...)}`` with the same recording semantics as
+        :meth:`run`.  No reference analog -- trial parallelism is free on TPU
+        (and shards over the 'data' mesh axis; see rectipy_tpu.parallel).
+        The network state is left unchanged (trials would disagree).
+        """
+        inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
+        if inputs.ndim != 3:
+            raise ValueError(f"run_batch expects (B, T, m) inputs, got {inputs.shape}")
+        self.compile()
+        obs = Observer(dt=self.dt, record_loss=kwargs.pop("record_loss", False), **kwargs)
+        state0 = self.init_state()
+        params = self.parameters_pytree()
+
+        results = {}
+        outs_all, vars_all, steps_host = [], None, None
+        # vmap over the trial axis of the (already cached) windowed scan
+        T = int(inputs.shape[1])
+        single = lambda inp: self._run_scan(state0, params, inp, sampling_steps, cutoff,
+                                            T, obs)
+        # _run_scan materializes to host; loop trials through the cached jit
+        # program instead of re-tracing a vmapped variant (trial counts are
+        # usually small; for large fleets use parallel.sharded_run)
+        for b in range(int(inputs.shape[0])):
+            stateT, steps_host, rec_out, rec_vars = single(inputs[b])
+            outs_all.append(rec_out)
+            if vars_all is None:
+                vars_all = {k: [] for k in rec_vars}
+            for k, v in rec_vars.items():
+                vars_all[k].append(v)
+        results["steps"] = steps_host
+        if outs_all and outs_all[0] is not None:
+            results["out"] = np.stack(outs_all)
+        for k, v in (vars_all or {}).items():
+            results[k] = np.stack(v)
+        if verbose:
+            print(f"Progress: {inputs.shape[0]} trials x {T} steps finished.")
+        return results
+
     # -------------------------------------------------------------- training
     def parameters(self, recurse: bool = True) -> Iterator:
         """Yields the trainable parameters of the network model."""
@@ -1173,10 +1222,101 @@ class Network:
 
     def fit_eprop(self, inputs, targets, feedback_weights: np.ndarray = None,
                   epsilon: float = 0.99, delta: float = 0.9, update_steps: int = 1,
-                  sampling_steps: int = 100, verbose: bool = True, **kwargs) -> Observer:
-        """E-prop (Bellec et al. 2020) -- declared but not implemented in the
-        reference either (/root/reference/rectipy/network.py:858-896)."""
-        raise NotImplementedError("Method is currently not implemented")
+                  sampling_steps: int = 100, lr: float = 1e-2, verbose: bool = True,
+                  **kwargs) -> Observer:
+        """Online three-factor (e-prop-style) learning of the readout edge.
+
+        The reference declares this method but raises NotImplementedError
+        (/root/reference/rectipy/network.py:858-896); this is a working
+        implementation of its documented intent: per step, a running average
+        of the residual (rate ``epsilon``) is combined with an eligibility
+        trace of the presynaptic activity (rate ``delta``) into a local
+        delta-rule update
+
+            err_bar <- epsilon * err_bar + (1 - epsilon) * (y* - y)
+            elig    <- delta * elig + (1 - delta) * r_pre
+            W       <- W + lr * outer(err_bar, elig)      every `update_steps`
+
+        run as one on-device scan.  Register the trained edge with
+        ``add_edge(..., train='eprop')`` (or reuse an ``'rls'`` edge).
+        ``feedback_weights`` (output fed back into the population) requires a
+        FeedbackNetwork edge instead and is rejected here.
+        """
+        if feedback_weights is not None:
+            raise ValueError(
+                "feedback_weights: add an explicit feedback edge on a FeedbackNetwork "
+                "instead (add_edge(out, rnn, weights=W_fb, feedback=True))."
+            )
+        if not self._train_edge:
+            raise ValueError("No online-trainable edge; add one with "
+                             "add_edge(..., train='eprop') or train='rls'.")
+        self.compile()
+        obs_kwargs = retrieve_from_dict(["record_output", "record_loss", "record_vars"], kwargs)
+        obs = Observer(dt=self.dt, **obs_kwargs)
+
+        src, tgt_node = self._train_edge
+        edge = self.get_edge(src, tgt_node)
+        ekey = _ekey(src, tgt_node)
+        step = self.make_step(taps=(src, tgt_node))
+        params = self.parameters_pytree()
+        state0 = self.init_state()
+        inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
+        targets = jnp.asarray(np.asarray(targets), dtype=self.dtype)
+        if inputs.shape[0] != targets.shape[0]:
+            raise ValueError(
+                "Wrong dimensions of input and target output. Please make sure that "
+                "`inputs` and `targets` agree in the first dimension."
+            )
+        steps = int(inputs.shape[0])
+        w_dtype = edge.params["weights"].dtype
+        rec_steps_host = np.arange(0, steps, sampling_steps)
+        n_rec = len(rec_steps_host)
+        n_out = self.n_out
+
+        @jax.jit
+        def scan_all(state0, params, W, inputs, targets):
+            err_bar0 = jnp.zeros(W.shape[0], dtype=w_dtype)
+            elig0 = jnp.zeros(W.shape[1], dtype=w_dtype)
+            rec_out0 = jnp.zeros((n_rec, n_out), dtype=w_dtype)
+            rec_loss0 = jnp.zeros((n_rec,), dtype=w_dtype)
+
+            def body(carry, xt):
+                state, W, err_bar, elig, rec_out, rec_loss, rec_i = carry
+                x_t, y_t, step_idx = xt
+                p = dict(params)
+                p["edges"] = dict(params["edges"])
+                p["edges"][ekey] = dict(params["edges"][ekey])
+                p["edges"][ekey]["weights"] = W
+                state, out, taps = step(state, p, x_t)
+                err = y_t.astype(w_dtype) - taps[tgt_node].astype(w_dtype)
+                err_bar = epsilon * err_bar + (1.0 - epsilon) * err
+                elig = delta * elig + (1.0 - delta) * taps[src].astype(w_dtype)
+                do_upd = (step_idx % update_steps) == 0
+                W = W + jnp.where(do_upd, lr, 0.0) * jnp.outer(err_bar, elig)
+                loss = err @ err
+                do_rec = (step_idx % sampling_steps) == 0
+                idx = jnp.minimum(rec_i, max(n_rec - 1, 0))
+                rec_out = rec_out.at[idx].set(jnp.where(do_rec, out.astype(w_dtype),
+                                                        rec_out[idx]))
+                rec_loss = rec_loss.at[idx].set(jnp.where(do_rec, loss, rec_loss[idx]))
+                rec_i = rec_i + do_rec.astype(jnp.int32)
+                return (state, W, err_bar, elig, rec_out, rec_loss, rec_i), None
+
+            init = (state0, W, err_bar0, elig0, rec_out0, rec_loss0,
+                    jnp.asarray(0, dtype=jnp.int32))
+            (stateT, W, _, _, rec_out, rec_loss, _), _ = jax.lax.scan(
+                body, init, (inputs, targets, jnp.arange(steps)))
+            return stateT, W, rec_out, rec_loss
+
+        t0 = perf_counter()
+        stateT, W, rec_out, rec_loss = scan_all(state0, params, edge.params["weights"],
+                                                inputs, targets)
+        edge.params["weights"] = W
+        self._write_back(state=stateT)
+        obs.record_batch(rec_steps_host, outputs=rec_out, losses=rec_loss)
+        if verbose:
+            print(f"Finished optimization after {perf_counter() - t0} s.")
+        return obs
 
     def test(self, inputs, targets, loss: str = "mse", loss_kwargs: dict = None,
              sampling_steps: int = 100, verbose: bool = True, **kwargs) -> tuple:

@@ -104,3 +104,29 @@ def test_debugging_helpers():
     bad = check_finite_state(net, raise_on_failure=False)
     assert any("rnn" in k for k in bad)
     assert find_nonfinite({"x": jnp.ones(3)}) == {}
+
+
+def test_run_batch_matches_sequential_runs():
+    n, m, B, T = 5, 2, 3, 30
+    rng = np.random.default_rng(1)
+    W = rng.normal(size=(n, n)) * 0.2
+    W_in = rng.normal(size=(n, m))
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_func_node("in", m, activation_function="identity")
+        _rnn(net, n, W)
+        net.add_edge("in", "rnn", weights=W_in)
+        net.compile()
+        return net
+
+    inputs = rng.normal(size=(B, T, m))
+    res = build().run_batch(inputs, sampling_steps=2, record_vars=[("rnn", "v", True)])
+    assert res["out"].shape == (B, T // 2, n)
+    for b in range(B):
+        net = build()
+        obs = net.run(inputs[b], sampling_steps=2, verbose=False,
+                      record_vars=[("rnn", "v", True)])
+        np.testing.assert_allclose(res["out"][b], obs.to_numpy("out"), atol=1e-12)
+        np.testing.assert_allclose(res[("rnn", "v")][b], obs.to_numpy(("rnn", "v")),
+                                   atol=1e-12)

@@ -485,3 +485,44 @@ def test_bptt_step_mode_records_vars():
     v_rec = obs.to_numpy(("rnn", "v"))
     assert v_rec.shape == (T // 5,)
     assert np.all(np.isfinite(v_rec))
+
+
+def test_fit_eprop_online_learning():
+    """Online three-factor learning converges toward a representable teacher
+    readout (working implementation of the reference's declared-but-
+    unimplemented fit_eprop)."""
+    n, m, k = 12, 2, 1
+    rng = np.random.default_rng(15)
+    W_res = rng.normal(size=(n, n)) * 0.3
+    W_in = rng.normal(size=(n, m))
+
+    def build(with_readout):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_func_node("inp", m, activation_function="identity")
+        net.add_diffeq_node("rnn", TANH, weights=W_res, input_var="li_op/I_ext",
+                            output_var="tanh_op/r", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+        net.add_edge("inp", "rnn", weights=W_in)
+        if with_readout:
+            net.add_func_node("out", k, activation_function="identity")
+            net.add_edge("rnn", "out", train="eprop")
+        return net
+
+    T = 3000
+    time = np.arange(T) * 1e-2
+    inp = np.stack([np.sin(2 * np.pi * 0.5 * time), np.cos(2 * np.pi * 0.2 * time)], 1)
+    w_t = rng.normal(size=(n, k))
+    X = build(False).run(inp, verbose=False).to_numpy("out")
+    target = X @ w_t
+
+    net = build(True)
+    obs = net.fit_eprop(inp, target, epsilon=0.7, delta=0.7, lr=0.5,
+                        update_steps=1, sampling_steps=50, verbose=False)
+    losses = obs.to_numpy("loss")
+    # instantaneous loss tracks the signal amplitude; assert absolute tracking
+    assert np.mean(losses[-5:]) < 1e-3, f"e-prop did not converge: {losses[-5:]}"
+    with pytest.raises(ValueError):
+        net.fit_eprop(inp, target, feedback_weights=np.zeros((n, k)))
+    net_plain = build(False)
+    with pytest.raises(ValueError):
+        net_plain.fit_eprop(inp, target)
