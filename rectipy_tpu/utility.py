@@ -107,16 +107,30 @@ def line_connectivity(
 
 
 def random_connectivity(
-    n: int, m: int, p: float, normalize: bool = True, rng: np.random.Generator = None
+    n: int, m: int, p: float, normalize: bool = True, rng: np.random.Generator = None,
+    backend: str = "auto",
 ) -> np.ndarray:
     """Fixed fan-in random coupling: every row receives exactly ``int(m*p)``
-    connections; ``normalize=True`` scales rows to sum to 1."""
-    rng = rng or np.random.default_rng()
-    C = np.zeros((n, m))
+    connections; ``normalize=True`` scales rows to sum to 1.
+
+    ``backend``: 'numpy' (argsort construction, O(n m log m)), 'native' (C++
+    Floyd sampler, O(n k) -- the 100k-population path), or 'auto' (native for
+    large matrices when no explicit rng is given, numpy otherwise).
+    """
     n_conns = int(m * p)
-    # vectorized fixed-fan-in sampling: argsort of uniform noise gives a
-    # permutation per row (reference loops rows with np.random.permutation)
-    cols = np.argsort(rng.random((n, m)), axis=1)[:, :n_conns]
+    use_native = backend == "native" or (
+        backend == "auto" and rng is None and n * m >= 10_000_000)
+    if use_native:
+        from .native import sample_fixed_fanin
+
+        seed = int(np.random.default_rng().integers(2 ** 62)) if rng is None else 0
+        cols = sample_fixed_fanin(n, m, n_conns, seed=seed)
+    else:
+        rng = rng or np.random.default_rng()
+        # vectorized fixed-fan-in sampling: argsort of uniform noise gives a
+        # permutation per row (reference loops rows with np.random.permutation)
+        cols = np.argsort(rng.random((n, m)), axis=1)[:, :n_conns]
+    C = np.zeros((n, m))
     rows = np.repeat(np.arange(n), n_conns)
     C[rows, cols.ravel()] = 1.0 / n_conns if normalize else 1.0
     return C
