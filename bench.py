@@ -188,6 +188,85 @@ def bench_bptt_secondary():
     return ours_epoch, torch_epoch
 
 
+def bench_spiking_bptt_secondary():
+    """North-star metric (BASELINE.md): QIF BPTT neuron-updates/sec vs
+    torch-CPU.  N=1000 recurrent spiking net, trained recurrent weights
+    through surrogate gradients; one update per epoch."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from rectipy_tpu import Network
+
+    n = int(os.environ.get("BENCH_BPTT_N", 10_000))
+    T, dt = 500, 5e-3
+    torch_T = 50  # torch-CPU epoch is extrapolated from a short run
+    thresh, v_reset = 1e2, -1e2
+    slope = 100.0 / abs(thresh - v_reset)
+    rng = np.random.default_rng(2)
+    W = (rng.random((n, n)) < 0.1) * (1.0 / (0.1 * n))
+    etas = -5.0 + np.tan((np.pi / 2) * (2.0 * np.arange(1, n + 1) - n - 1) / (n + 1))
+    inp = rng.normal(size=(T, n)).astype(np.float64)
+    tgt = rng.normal(size=(T, n)).astype(np.float64)
+
+    net = Network(dt)
+    net.add_diffeq_node("qif", "rectipy_tpu.models.spiking_neurons.qif.qif",
+                        weights=W, source_var="s", target_var="s_in",
+                        input_var="I_ext", output_var="s", op="qif_op",
+                        spike_var="spike", spike_def="v",
+                        spike_threshold=thresh, spike_reset=v_reset,
+                        node_vars={"all/qif_op/eta": etas},
+                        train_params=["weights"])
+    t0 = _t.perf_counter()
+    net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-4, verbose=False)
+    warm = _t.perf_counter() - t0
+    n_ep = 10
+    t0 = _t.perf_counter()
+    net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="adam", lr=1e-4, verbose=False)
+    ours_epoch = (_t.perf_counter() - t0) / n_ep
+    log(f"[qif-bptt ours] warmup {warm:.2f}s; {ours_epoch * 1e3:.1f} ms/epoch "
+        f"(N={n}, T={T}) -> {T * n / ours_epoch:.3e} trained neuron-updates/s")
+
+    class Spike(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, z):
+            ctx.save_for_backward(z)
+            return torch.heaviside(z, torch.tensor(1.0, dtype=torch.float64))
+
+        @staticmethod
+        def backward(ctx, g):
+            (z,) = ctx.saved_tensors
+            return g / (1.0 + slope * torch.abs(z)) ** 2
+
+    Wt = torch.tensor(W, dtype=torch.float64, requires_grad=True)
+    eta_t = torch.tensor(etas)
+    inp_t = torch.tensor(inp)
+    opt = torch.optim.Adam([Wt], lr=1e-4)
+    t0 = _t.perf_counter()
+    v = torch.full((n,), -2.0, dtype=torch.float64)
+    s = torch.zeros(n, dtype=torch.float64)
+    preds = []
+    for step in range(torch_T):
+        spikes = Spike.apply(v - thresh)
+        reset = spikes.detach()
+        preds.append(s)
+        dv = (v * v + eta_t + inp_t[step]) + Wt @ s
+        ds = -s + spikes / dt
+        v_new = v + dt * dv
+        s = s + dt * ds
+        v = v_new * (1.0 - reset) + reset * v_reset
+    loss = torch.mean((torch.stack(preds) - torch.tensor(tgt[:torch_T])) ** 2)
+    opt.zero_grad()
+    loss.backward()
+    opt.step()
+    torch_epoch = (_t.perf_counter() - t0) * (T / torch_T)
+    log(f"[qif-bptt torch-cpu] {torch_epoch * 1e3:.1f} ms/epoch (extrapolated from "
+        f"{torch_T} steps) -> ours is {torch_epoch / ours_epoch:.1f}x faster "
+        f"({T * n / torch_epoch:.3e} trained neuron-updates/s)")
+
+
 def main():
     rng = np.random.default_rng(0)
     # 10% density random coupling, row-normalized (qif_example.py workload)
@@ -202,6 +281,7 @@ def main():
     if os.environ.get("BENCH_BPTT", "1") == "1":
         try:
             bench_bptt_secondary()
+            bench_spiking_bptt_secondary()
         except Exception as e:  # secondary metric must never break the headline
             log(f"[bptt] secondary benchmark failed: {e}")
     print(json.dumps({

@@ -12,7 +12,7 @@ __author__ = "rectipy_tpu developers"
 __status__ = "Development"
 __version__ = "0.1.0"
 
-from .dsl import NodeTemplate, OperatorTemplate, clear_frontend_caches, lower
+from .dsl import CircuitTemplate, NodeTemplate, OperatorTemplate, clear_frontend_caches, lower
 from .edges import RLS, Linear, LinearFilter, LinearMasked, LinearMemory, LinearMemoryFilter
 from .network import FeedbackNetwork, Network
 from .nodes import InstantNode, MultiSpikeResetNet, RateNet, SpikeNet, SpikeResetNet
@@ -27,6 +27,7 @@ from .utility import (
 )
 
 __all__ = [
+    "CircuitTemplate",
     "FeedbackNetwork",
     "InstantNode",
     "Linear",

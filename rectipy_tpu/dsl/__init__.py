@@ -7,6 +7,7 @@ same operator/node template format is parsed here and lowered symbolically
 
 from .expr import ExprError, evaluate, free_symbols, parse, split_equation, substitute
 from .parser import (
+    CircuitTemplate,
     NodeTemplate,
     OperatorTemplate,
     TemplateError,
@@ -17,6 +18,7 @@ from .parser import (
 from .lower import VectorField, lower
 
 __all__ = [
+    "CircuitTemplate",
     "ExprError",
     "NodeTemplate",
     "OperatorTemplate",

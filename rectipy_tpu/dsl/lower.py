@@ -106,6 +106,21 @@ def lower(
     halving its bytes nearly doubles steps/s on TPU; accumulation stays
     float32 via ``preferred_element_type``.
     """
+    from .parser import CircuitTemplate
+
+    if isinstance(node, CircuitTemplate):
+        # prebuilt circuit: extract size, primary coupling, and overrides
+        circuit = node
+        node = circuit.node_template
+        n = n or circuit.n
+        if circuit.edges and weights is None:
+            source_var, target_var, weights = circuit.edges[0]
+            extra = [(sv, tv, w) for sv, tv, w in circuit.edges[1:]]
+            edges = list(edges or []) + extra
+        if circuit.node_vars:
+            merged = dict(circuit.node_vars)
+            merged.update(node_vars or {})
+            node_vars = merged
     if isinstance(node, str):
         node = NodeTemplate.from_yaml(node)
     ops = node.operators

@@ -194,6 +194,53 @@ def load_template(path: str) -> Union[OperatorTemplate, NodeTemplate]:
     return _TemplateFile.load(yaml_file).get(name)
 
 
+@dataclass
+class CircuitTemplate:
+    """API-compat shim for PyRates' CircuitTemplate as the reference uses it
+    (/root/reference/rectipy/nodes.py:241-252): N identical node copies plus
+    edges added from a weight matrix.  The lowering stays symbolic -- the node
+    count and edge matrices are extracted, never unrolled.
+    """
+
+    name: str
+    nodes: Dict[str, NodeTemplate]
+
+    def __post_init__(self):
+        if not self.nodes:
+            raise TemplateError("CircuitTemplate requires at least one node")
+        templates = {id(t) for t in self.nodes.values()}
+        names = {t.name for t in self.nodes.values()}
+        if len(templates) > 1 and len(names) > 1:
+            raise TemplateError(
+                "CircuitTemplate lowering requires all nodes to share one template "
+                "(homogeneous populations); build separate Network nodes for "
+                "heterogeneous circuits."
+            )
+        self.node_template: NodeTemplate = next(iter(self.nodes.values()))
+        self.n: int = len(self.nodes)
+        self.edges: list = []  # (source_var, target_var, weight matrix)
+        self.node_vars: dict = {}
+
+    def add_edges_from_matrix(self, source_var: str, target_var: str,
+                              source_nodes: list = None, weight=None, **kwargs):
+        """Record an all-to-all coupling realized by ``weight`` (rows = targets)."""
+        del source_nodes, kwargs
+        self.edges.append((_strip_node_prefix(source_var),
+                           _strip_node_prefix(target_var), weight))
+
+    def update_var(self, node_vars: dict = None, **kwargs):
+        del kwargs
+        if node_vars:
+            self.node_vars.update(node_vars)
+
+
+def _strip_node_prefix(var: str) -> str:
+    """'n0/op/var' -> 'op/var' (per-node prefixes are meaningless after
+    symbolic vectorization)."""
+    parts = var.split("/")
+    return "/".join(parts[-2:]) if len(parts) >= 2 else var
+
+
 def clear_frontend_caches():
     """Drop all cached template files (API parity with the reference's
     ``pyrates.clear_frontend_caches``, ``/root/reference/rectipy/nodes.py:5``)."""

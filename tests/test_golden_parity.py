@@ -19,6 +19,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from rectipy_tpu import Network
@@ -177,3 +178,91 @@ def test_qif_intrinsic_reset_matches_reference_semantics():
     for _ in range(steps):
         ours.append(np.asarray(node.forward(zero)))
     np.testing.assert_allclose(np.stack(ours), golden, rtol=1e-8, atol=1e-8)
+
+
+def test_bptt_gradients_match_torch_autograd():
+    """d(loss)/d(W_in, W_out) through a surrogate-spiking LIF epoch: torch
+    autograd (the reference's differentiation engine, with the reference's
+    Spike surrogate, nodes.py:468-481) vs jax.grad through our fused scan."""
+    n, m, k_out, T = 8, 2, 3, 120
+    dt, tau, tau_s, eta, kc = 1e-2, 10.0, 0.5, 10.0, 2.0
+    v_thr, v_reset = 10.0, -10.0
+    slope = 100.0 / abs(v_thr - v_reset)
+    rng = np.random.default_rng(4)
+    W_in = rng.normal(size=(n, m))
+    W_out = rng.normal(size=(k_out, n))
+    inputs = rng.normal(size=(T, m))
+    targets = rng.normal(size=(T, k_out))
+
+    # ---- torch side -------------------------------------------------------
+    class Spike(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, z):
+            ctx.save_for_backward(z)
+            return torch.heaviside(z, torch.tensor(1.0, dtype=torch.float64))
+
+        @staticmethod
+        def backward(ctx, g):
+            (z,) = ctx.saved_tensors
+            return g / (1.0 + slope * torch.abs(z)) ** 2
+
+    W_in_t = torch.tensor(W_in, requires_grad=True)
+    W_out_t = torch.tensor(W_out, requires_grad=True)
+    v = torch.zeros(n, dtype=torch.float64)
+    s = torch.zeros(n, dtype=torch.float64)
+    inp_t = torch.tensor(inputs)
+    preds = []
+    for step in range(T):
+        spikes = Spike.apply(v - v_thr)
+        reset = spikes.detach()
+        preds.append(W_out_t @ s)  # readout of the pre-update output
+        dv = -v / tau + eta + W_in_t @ inp_t[step]
+        ds = -s / tau_s + spikes / dt
+        v_new = v + dt * dv
+        s = s + dt * ds
+        v = v_new * (1.0 - reset) + reset * v_reset
+    loss_t = torch.mean((torch.stack(preds) - torch.tensor(targets)) ** 2)
+    loss_t.backward()
+    g_in_torch = W_in_t.grad.numpy()
+    g_out_torch = W_out_t.grad.numpy()
+
+    # ---- jax side ----------------------------------------------------------
+    net = Network(dt, dtype=jnp.float64)
+    net.add_func_node("inp", m, activation_function="identity")
+    net.add_diffeq_node("lif", "neuron_model_templates.spiking_neurons.lif.lif",
+                        weights=np.zeros((n, n)), source_var="s", target_var="s_in",
+                        input_var="I_ext", output_var="s", op="lif_op",
+                        spike_var="spike", reset_var="v",
+                        spike_threshold=v_thr, spike_reset=v_reset,
+                        node_vars={"eta": eta, "tau": tau, "tau_s": tau_s, "k": kc})
+    net.add_func_node("out", k_out, activation_function="identity")
+    net.add_edge("inp", "lif", weights=W_in, train="gd")
+    net.add_edge("lif", "out", weights=W_out, train="gd")
+    net.compile()
+
+    step = net.make_step()
+    params = net.parameters_pytree()
+    train, frozen = net._partition(params, net.trainable_paths())
+    state0 = net.init_state()
+    inp_j = jnp.asarray(inputs)
+    tgt_j = jnp.asarray(targets)
+
+    def loss_fn(train):
+        p = net._combine(train, frozen)
+
+        def body(state, x_t):
+            state, out, _ = step(state, p, x_t)
+            return state, out
+
+        _, outs = jax.lax.scan(body, state0, inp_j)
+        return jnp.mean((outs - tgt_j) ** 2)
+
+    grads = jax.grad(loss_fn)(train)
+    g_in_jax = np.asarray(grads["edges"]["inp->lif"]["weights"])
+    g_out_jax = np.asarray(grads["edges"]["lif->out"]["weights"])
+
+    assert float(loss_fn(train)) == pytest.approx(float(loss_t.detach()), rel=1e-10)
+    np.testing.assert_allclose(g_out_jax, g_out_torch, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(g_in_jax, g_in_torch, rtol=1e-9, atol=1e-12)
+    # the surrogate actually contributed (spiking occurred)
+    assert np.abs(g_in_torch).max() > 0

@@ -526,3 +526,29 @@ def test_fit_eprop_online_learning():
     net_plain = build(False)
     with pytest.raises(ValueError):
         net_plain.fit_eprop(inp, target)
+
+
+def test_add_diffeq_node_accepts_circuit_template():
+    """Reference test pattern (test_network.py:60-70): a prebuilt
+    CircuitTemplate with edges from a matrix behaves like the str+weights path."""
+    from rectipy_tpu import CircuitTemplate, NodeTemplate
+
+    n = 8
+    rng = np.random.default_rng(16)
+    W = rng.normal(size=(n, n)) * 0.3
+    node_temp = NodeTemplate.from_yaml(TANH)
+    nodes = {f"p{i}": node_temp for i in range(n)}
+    circ = CircuitTemplate("tanh_net", nodes=nodes)
+    circ.add_edges_from_matrix(source_var="tanh_op/r", target_var="li_op/r_in",
+                               weight=W, source_nodes=list(nodes.keys()))
+    net1 = Network(1e-2, dtype=jnp.float64)
+    net1.add_diffeq_node("n1", node=circ, input_var="li_op/I_ext",
+                         output_var="li_op/v")
+    net2 = Network(1e-2, dtype=jnp.float64)
+    net2.add_diffeq_node("n1", TANH, weights=W, input_var="li_op/I_ext",
+                         output_var="li_op/v", source_var="tanh_op/r",
+                         target_var="li_op/r_in")
+    inp = rng.normal(size=(20, n))
+    o1 = net1.run(inp, verbose=False).to_numpy("out")
+    o2 = net2.run(inp, verbose=False).to_numpy("out")
+    np.testing.assert_allclose(o1, o2, atol=1e-12)
