@@ -26,8 +26,11 @@ BASELINE_STEPS = int(os.environ.get("BENCH_BASELINE_STEPS", 10))
 # steps/s (f32 accumulation; measured 1.6x on v5e).  Set BENCH_COUPLING=float32
 # for the full-precision run.
 COUPLING = os.environ.get("BENCH_COUPLING", "bfloat16")
-# fused Pallas step (forward fast path) vs the standard XLA scan body
-PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
+# fused Pallas step vs the standard XLA scan body.  With cached compiled
+# programs both are within ~5% of the bandwidth roofline; XLA is slightly
+# faster at steady state (3.20e7 vs 3.00e7 nu/s at N=10k) while the Pallas
+# path compiles 30x faster (2.5s vs 83s).  Default: best steady-state.
+PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
 TILE = int(os.environ.get("BENCH_TILE", 512))
 DT = 1e-4
 

@@ -130,3 +130,25 @@ def test_run_batch_matches_sequential_runs():
         np.testing.assert_allclose(res["out"][b], obs.to_numpy("out"), atol=1e-12)
         np.testing.assert_allclose(res[("rnn", "v")][b], obs.to_numpy(("rnn", "v")),
                                    atol=1e-12)
+
+
+def test_observer_plot_and_matshow():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    n = 4
+    net = Network(1e-2, dtype=jnp.float64)
+    _rnn(net, n, np.zeros((n, n)))
+    obs = net.run(np.ones((20, n)), sampling_steps=2, verbose=False,
+                  record_vars=[("rnn", "v", False)])
+    ax = obs.plot("out")
+    assert ax.get_xlabel() == "time"
+    ax2 = obs.plot(("rnn", "v"))
+    assert "rnn" in ax2.get_ylabel()
+    ax3 = obs.matshow(("rnn", "v"))
+    assert ax3.get_xlabel() == "time"
+    # save/retrieve arbitrary objects
+    obs.save("meta", {"k": 1})
+    assert obs["meta"] == {"k": 1}
+    df = obs.to_dataframe("out")
+    assert len(df) == 10
