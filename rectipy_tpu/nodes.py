@@ -167,6 +167,14 @@ class RateNet:
         self.dtype = resolve_dtype(dtype)
         self._vf = vf
         kwargs.pop("device", None)  # accepted for API parity; placement is XLA's job
+        # integration scheme: 'euler' (reference semantics) or 'heun' (RK2,
+        # O(dt^2); RateNet only -- the spiking wrappers require the Euler
+        # update/reset interleaving the reference defines)
+        self.integrator = str(kwargs.pop("integrator", "euler"))
+        if self.integrator not in ("euler", "heun"):
+            raise ValueError(f"Unknown integrator {self.integrator!r}; use 'euler' or 'heun'")
+        if self.integrator != "euler" and type(self).__name__ != "RateNet":
+            raise ValueError("integrator='heun' is only supported on RateNet nodes")
 
         if isinstance(rnn_args, (tuple, list)):
             # reference-style raw mode: args[0] is the initial state, the rest
@@ -365,6 +373,17 @@ class RateNet:
         """Pure step: ``(y, args, x) -> (y_new, out_pre_update)``."""
         func, dt, inp_key = self.func, self.dt, self._inp_key
         reader = self._make_out_reader()
+
+        if self.integrator == "heun":
+            def step(y, args, x):
+                a = dict(args)
+                a[inp_key] = x
+                out = reader(y, a)
+                k1 = func(0.0, y, a)
+                k2 = func(0.0, y + dt * k1, a)
+                return y + (dt * 0.5) * (k1 + k2), out
+
+            return step
 
         def step(y, args, x):
             a = dict(args)

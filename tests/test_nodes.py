@@ -264,3 +264,46 @@ def test_node_vars_heterogeneous_params_trainable():
     assert float(node["li_op/eta"]) == 3.0
     with pytest.raises(KeyError):
         node.set_param("li_op/nonexistent", 1.0)
+
+
+def test_heun_integrator_second_order():
+    """integrator='heun' (RK2) converges at O(dt^2) vs Euler's O(dt) on the
+    analytic leaky integrator v(t) = eta*tau*(1 - exp(-t/tau))."""
+    from rectipy_tpu.dsl import lower
+
+    tau, eta, T = 5.0, 1.0, 2.0
+    exact = eta * tau * (1.0 - np.exp(-T / tau))
+
+    def err(integrator, dt):
+        node = RateNet.from_pyrates(
+            "neuron_model_templates.rate_neurons.leaky_integrator.tanh",
+            weights=np.zeros((1, 1)), source_var="tanh_op/r", target_var="li_op/r_in",
+            input_var="li_op/I_ext", output_var="li_op/v", dt=dt,
+            node_vars={"all/li_op/tau": tau, "all/li_op/eta": eta},
+            integrator=integrator)
+        step = node.make_step()
+        y = node.y
+
+        def body(y, _):
+            y, _out = step(y, node.args, jnp.zeros(1))
+            return y, None
+
+        y, _ = jax.lax.scan(body, y, None, length=int(T / dt))
+        return abs(float(y[0]) - exact)
+
+    e_eu_1, e_eu_2 = err("euler", 2e-2), err("euler", 1e-2)
+    e_he_1, e_he_2 = err("heun", 2e-2), err("heun", 1e-2)
+    assert 1.7 < e_eu_1 / e_eu_2 < 2.3       # first order
+    assert 3.3 < e_he_1 / e_he_2 < 4.7       # second order
+    assert e_he_2 < e_eu_2 / 50              # and much more accurate
+
+    with pytest.raises(ValueError):
+        RateNet.from_pyrates(
+            "neuron_model_templates.rate_neurons.leaky_integrator.tanh",
+            weights=np.zeros((1, 1)), source_var="tanh_op/r", target_var="li_op/r_in",
+            input_var="li_op/I_ext", output_var="li_op/v", integrator="rk99")
+    with pytest.raises(ValueError):
+        SpikeResetNet.from_pyrates(
+            "neuron_model_templates.spiking_neurons.qif.qif", weights=np.zeros((2, 2)),
+            source_var="s", target_var="s_in", input_var="I_ext", output_var="s",
+            spike_var="spike", reset_var="v", integrator="heun")
