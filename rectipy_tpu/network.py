@@ -141,7 +141,9 @@ class Network:
                 raise KeyError(f"Variable {var} was not found on node {node}.")
             lo, hi = (spec if isinstance(spec, tuple) else (spec, spec + 1))
             n.y = n.y.at[lo:hi].set(jnp.asarray(val, dtype=n.y.dtype))
-        self._invalidate()
+        # no cache invalidation: parameters and state are jit OPERANDS, so new
+        # values (and even new shapes) re-dispatch/retrace automatically; only
+        # graph-structure changes require recompilation
 
     # -------------------------------------------------------------- building
     @classmethod
