@@ -22,10 +22,12 @@ import numpy as np
 N = int(os.environ.get("BENCH_N", 10_000))
 STEPS = int(os.environ.get("BENCH_STEPS", 2_000))
 BASELINE_STEPS = int(os.environ.get("BENCH_BASELINE_STEPS", 10))
-# bf16 coupling: the N x N matvec is HBM-bound, so halving its bytes ~doubles
-# steps/s (f32 accumulation; measured 1.6x on v5e).  Set BENCH_COUPLING=float32
-# for the full-precision run.
-COUPLING = os.environ.get("BENCH_COUPLING", "bfloat16")
+# coupling precision ladder (the N x N matvec is HBM-bound, so bytes ~= time;
+# states and accumulation stay float32 in every mode):
+#   float32: 1.06e7 nu/s | bfloat16: 3.2e7 | int8 (per-row scales + dynamic
+#   activation scale): 8.2e7 = full 820 GB/s HBM peak; trajectory correlation
+#   vs f32 > 0.999 (tests/test_dsl.py::test_coupling_dtype_int8).
+COUPLING = os.environ.get("BENCH_COUPLING", "int8")
 # fused Pallas step vs the standard XLA scan body.  With cached compiled
 # programs both are within ~5% of the bandwidth roofline; XLA is slightly
 # faster at steady state (3.20e7 vs 3.00e7 nu/s at N=10k) while the Pallas
@@ -288,7 +290,8 @@ def main():
         except Exception as e:  # secondary metric must never break the headline
             log(f"[bptt] secondary benchmark failed: {e}")
     print(json.dumps({
-        "metric": f"neuron-updates/sec, N={N} QIF+SFA reservoir (dt=1e-4)",
+        "metric": f"neuron-updates/sec, N={N} QIF+SFA reservoir (dt=1e-4, "
+                  f"{COUPLING} coupling, f32 states/accumulation)",
         "value": round(ours, 1),
         "unit": "neuron-updates/s",
         "vs_baseline": round(ours / base, 2),

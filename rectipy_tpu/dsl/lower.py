@@ -244,11 +244,37 @@ def lower(
             keys.append(qname)
             input_vars.append(qname)
     w_dtype = coupling_dtype or dtype
+    int8_coupling = w_dtype == jnp.int8
+    w_scales: Dict[str, jnp.ndarray] = {}
     for _, _, W, wkey in all_edges:
-        args[wkey] = jnp.asarray(W, dtype=w_dtype)
-        keys.append(wkey)
+        if int8_coupling:
+            # symmetric per-row int8 quantization: W ~ scale[:, None] * W_q.
+            # The matvec runs int8 x int8 on the MXU (native on v5e+), halving
+            # HBM traffic again vs bf16; the dynamic activation scale costs
+            # one O(N) reduction per step.
+            W = np.asarray(W, dtype=np.float64)
+            row_max = np.maximum(np.abs(W).max(axis=1), 1e-30)
+            scale = row_max / 127.0
+            Wq = np.clip(np.round(W / scale[:, None]), -127, 127).astype(np.int8)
+            args[wkey] = jnp.asarray(Wq)
+            args[wkey + "__scale"] = jnp.asarray(scale, dtype=jnp.float32)
+            keys.extend([wkey, wkey + "__scale"])
+            w_scales[wkey] = args[wkey + "__scale"]
+        else:
+            args[wkey] = jnp.asarray(W, dtype=w_dtype)
+            keys.append(wkey)
 
-    def _coupling_matvec(w, src):
+    def _coupling_matvec(w, src, a=None, wkey=None):
+        if w.dtype == jnp.int8:
+            s_max = jnp.maximum(jnp.max(jnp.abs(src)), 1e-30)
+            s_scale = s_max / 127.0
+            src_q = jnp.clip(jnp.round(src / s_scale), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                w, src_q,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (acc.astype(jnp.float32) * a[wkey + "__scale"] * s_scale).astype(src.dtype)
         if w.dtype in (jnp.bfloat16, jnp.float16):
             out = jax.lax.dot_general(
                 w, src.astype(w.dtype),
@@ -344,7 +370,7 @@ def lower(
                 if qname in wiring:
                     val = val + env[wiring[qname]]
                 for esv, wkey in edge_by_target.get(qname, []):
-                    val = val + _coupling_matvec(a[wkey], env[esv])
+                    val = val + _coupling_matvec(a[wkey], env[esv], a, wkey)
                 env[qname] = val
         env["__op_env__"] = op_env  # type: ignore[assignment]
         return env

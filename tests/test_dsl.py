@@ -266,3 +266,35 @@ def test_coupling_dtype_bf16():
     db = np.asarray(vfb.func(0.0, y, vfb.args), dtype=np.float64)
     assert vfb.func(0.0, y, vfb.args).dtype == jnp.float32  # accumulation stays f32
     np.testing.assert_allclose(db, d32, rtol=2e-2, atol=2e-2)
+
+
+def test_coupling_dtype_int8():
+    """int8 quantized coupling: per-row weight scales + dynamic activation
+    scale, int32 accumulation; dynamics approximate f32 to quantization noise."""
+    n = 16
+    rng = np.random.default_rng(10)
+    W = rng.normal(size=(n, n)) * 0.2
+    kw = dict(weights=W, source_var="tanh_op/r", target_var="li_op/r_in",
+              dtype=jnp.float32)
+    vf32 = lower("rectipy_tpu.models.rate_neurons.leaky_integrator.tanh", **kw)
+    vfq = lower("rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+                coupling_dtype=jnp.int8, **kw)
+    assert vfq.args["weights"].dtype == jnp.int8
+    assert "weights__scale" in vfq.args
+    y = jnp.asarray(rng.normal(size=(n,)), dtype=jnp.float32)
+    d32 = np.asarray(vf32.func(0.0, y, vf32.args), dtype=np.float64)
+    dq = np.asarray(vfq.func(0.0, y, vfq.args), dtype=np.float64)
+    # ~1% relative error from 8-bit weights+activations
+    denom = np.abs(d32).max()
+    assert np.abs(dq - d32).max() / denom < 0.05
+    # trajectory stays qualitatively identical over 200 steps
+    dt = 1e-2
+
+    def traj(vf):
+        yy = y
+        for _ in range(200):
+            yy = yy + dt * vf.func(0.0, yy, vf.args)
+        return np.asarray(yy)
+
+    t32, tq = traj(vf32), traj(vfq)
+    assert np.corrcoef(t32, tq)[0, 1] > 0.999
