@@ -64,6 +64,26 @@ class VectorField:
     alg_vars: List[str] = field(default_factory=list)  # algebraic (non-state) variables
 
 
+@jax.custom_jvp
+def _int8_matvec(w_q, x):
+    """int8 x int8 matvec with int32 accumulation; ``x`` must hold integral
+    values in [-127, 127] (STE-rounded upstream)."""
+    acc = jax.lax.dot_general(
+        w_q, x.astype(jnp.int8),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32)
+
+
+@_int8_matvec.defjvp
+def _int8_matvec_jvp(primals, tangents):
+    w_q, x = primals
+    _, dx = tangents
+    # linear in dx (dequantized weights); w_q is a frozen int8 leaf
+    return _int8_matvec(w_q, x), w_q.astype(jnp.float32) @ dx
+
+
 def _qualify(name: str, ops: List[OperatorTemplate], kind_hint: str = "variable") -> str:
     """Resolve a possibly-bare variable name to ``op/var``."""
     if name is None:
@@ -267,14 +287,14 @@ def lower(
     def _coupling_matvec(w, src, a=None, wkey=None):
         if w.dtype == jnp.int8:
             s_max = jnp.maximum(jnp.max(jnp.abs(src)), 1e-30)
-            s_scale = s_max / 127.0
-            src_q = jnp.clip(jnp.round(src / s_scale), -127, 127).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                w, src_q,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            return (acc.astype(jnp.float32) * a[wkey + "__scale"] * s_scale).astype(src.dtype)
+            s_scale = jax.lax.stop_gradient(s_max / 127.0)
+            scaled = src / s_scale
+            # straight-through estimator: forward rounds to int8, backward
+            # passes the gradient through unquantized (round() is zero-grad
+            # a.e., which would silently kill BPTT through the coupling)
+            rounded = scaled + jax.lax.stop_gradient(
+                jnp.clip(jnp.round(scaled), -127, 127) - scaled)
+            return (_int8_matvec(w, rounded) * a[wkey + "__scale"] * s_scale).astype(src.dtype)
         if w.dtype in (jnp.bfloat16, jnp.float16):
             out = jax.lax.dot_general(
                 w, src.astype(w.dtype),

@@ -247,6 +247,14 @@ class RateNet:
                     self.train_keys.append(self._param_map[p])
                 except KeyError:
                     raise KeyError(f"Train parameter {p!r} was not found on the node.")
+            for k in self.train_keys:
+                val = self._args.get(k)
+                if hasattr(val, "dtype") and val.dtype == jnp.int8:
+                    raise ValueError(
+                        f"Parameter {k!r} is stored int8-quantized (coupling_dtype='int8') "
+                        f"and cannot be trained directly; train with float32/bfloat16 "
+                        f"coupling instead."
+                    )
 
         self._jit_step = None
 
