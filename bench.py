@@ -216,6 +216,9 @@ def bench_spiking_bptt_secondary():
     inp = rng.normal(size=(T, n)).astype(np.float64)
     tgt = rng.normal(size=(T, n)).astype(np.float64)
 
+    # mixed-precision training: f32 master weights, bf16 matvec (gradients
+    # flow through the cast; the cast itself is hoisted out of the scan)
+    train_coupling = os.environ.get("BENCH_BPTT_COUPLING", "bfloat16_master")
     net = Network(dt)
     net.add_diffeq_node("qif", "rectipy_tpu.models.spiking_neurons.qif.qif",
                         weights=W, source_var="s", target_var="s_in",
@@ -223,6 +226,7 @@ def bench_spiking_bptt_secondary():
                         spike_var="spike", spike_def="v",
                         spike_threshold=thresh, spike_reset=v_reset,
                         node_vars={"all/qif_op/eta": etas},
+                        coupling_dtype=train_coupling,
                         train_params=["weights"])
     t0 = _t.perf_counter()
     net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-4, verbose=False)

@@ -263,7 +263,12 @@ def lower(
                 args[qname] = jnp.broadcast_to(_vectorize(base, lv.default), (n,)).astype(dtype)
             keys.append(qname)
             input_vars.append(qname)
-    w_dtype = coupling_dtype or dtype
+    # 'bfloat16_master': store/train float32 master weights but run the matvec
+    # in bf16 (the cast is loop-invariant, so XLA hoists it out of the scan);
+    # gradients flow through the cast back to the f32 master -- the standard
+    # mixed-precision training pattern.
+    master_bf16 = str(coupling_dtype) in ("bfloat16_master", "bf16_master")
+    w_dtype = dtype if master_bf16 else (coupling_dtype or dtype)
     int8_coupling = w_dtype == jnp.int8
     w_scales: Dict[str, jnp.ndarray] = {}
     for _, _, W, wkey in all_edges:
@@ -295,9 +300,10 @@ def lower(
             rounded = scaled + jax.lax.stop_gradient(
                 jnp.clip(jnp.round(scaled), -127, 127) - scaled)
             return (_int8_matvec(w, rounded) * a[wkey + "__scale"] * s_scale).astype(src.dtype)
-        if w.dtype in (jnp.bfloat16, jnp.float16):
+        if master_bf16 or w.dtype in (jnp.bfloat16, jnp.float16):
+            cast_dtype = jnp.bfloat16 if master_bf16 else w.dtype
             out = jax.lax.dot_general(
-                w, src.astype(w.dtype),
+                w.astype(cast_dtype), src.astype(cast_dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )

@@ -321,7 +321,8 @@ class RateNet:
         var_mapping.setdefault("out", output_var)
         extra_edges = kwargs.pop("edges", None)
         coupling_dtype = kwargs.pop("coupling_dtype", None)
-        if coupling_dtype is not None:
+        if coupling_dtype is not None and str(coupling_dtype) not in (
+                "bfloat16_master", "bf16_master"):
             coupling_dtype = resolve_dtype(coupling_dtype)
 
         vf = lower(

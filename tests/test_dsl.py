@@ -328,3 +328,32 @@ def test_int8_coupling_gradients_flow_ste():
             "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh", weights=W,
             source_var="tanh_op/r", target_var="li_op/r_in", input_var="li_op/I_ext",
             output_var="li_op/v", coupling_dtype="int8", train_params=["weights"])
+
+
+def test_coupling_bfloat16_master_trains_f32():
+    """bfloat16_master: f32 master weights (trainable), bf16 matvec; gradients
+    reach the f32 master and the forward approximates f32."""
+    import jax
+
+    n = 8
+    rng = np.random.default_rng(12)
+    W = rng.normal(size=(n, n)) * 0.2
+    vf = lower("rectipy_tpu.models.rate_neurons.leaky_integrator.tanh", weights=W,
+               source_var="tanh_op/r", target_var="li_op/r_in", dtype=jnp.float32,
+               coupling_dtype="bfloat16_master")
+    assert vf.args["weights"].dtype == jnp.float32  # master stays f32
+    y = jnp.asarray(rng.normal(size=(n,)), dtype=jnp.float32)
+
+    def loss(w):
+        a = dict(vf.args)
+        a["weights"] = w
+        return jnp.sum(vf.func(0.0, y, a) ** 2)
+
+    g = jax.grad(loss)(vf.args["weights"])
+    assert g.dtype == jnp.float32 and float(jnp.abs(g).max()) > 0
+    # forward close to f32
+    vf32 = lower("rectipy_tpu.models.rate_neurons.leaky_integrator.tanh", weights=W,
+                 source_var="tanh_op/r", target_var="li_op/r_in", dtype=jnp.float32)
+    d1 = np.asarray(vf.func(0.0, y, vf.args), dtype=np.float64)
+    d2 = np.asarray(vf32.func(0.0, y, vf32.args), dtype=np.float64)
+    np.testing.assert_allclose(d1, d2, rtol=3e-2, atol=3e-2)
