@@ -357,3 +357,62 @@ def test_coupling_bfloat16_master_trains_f32():
     d1 = np.asarray(vf.func(0.0, y, vf.args), dtype=np.float64)
     d2 = np.asarray(vf32.func(0.0, y, vf32.args), dtype=np.float64)
     np.testing.assert_allclose(d1, d2, rtol=3e-2, atol=3e-2)
+
+
+def test_parser_edge_cases(tmp_path):
+    """remove:, d/dt syntax, ** power, scientific literals, cross-file operator
+    references inside node templates, explicit file/name template loading."""
+    yaml_body = """
+base_op:
+  base: OperatorTemplate
+  equations:
+    - "v' = -v/tau + I_ext"
+    - "w' = -w/tau"
+  variables:
+    v: output(0.5)
+    w: variable(1.0)
+    I_ext: input(0.0)
+    tau: 2.0
+
+child_op:
+  base: base_op
+  equations:
+    remove:
+      - "w' = -w/tau"
+    add:
+      - "d/dt * u = -u*2.0e-1 + v**2"
+  variables:
+    u: variable(0.0)
+
+cross_op:
+  base: rectipy_tpu.models.rate_neurons.leaky_integrator.tanh_op
+
+custom:
+  base: NodeTemplate
+  operators:
+    - child_op
+    - cross_op
+"""
+    p = tmp_path / "custom.yaml"
+    p.write_text(yaml_body)
+    from rectipy_tpu.dsl.parser import _TemplateFile
+
+    node = _TemplateFile.load(str(p)).get("custom")
+    child = node.operators[0]
+    eqs = " | ".join(child.equations)
+    assert "w'" not in eqs                      # remove: applied
+    assert "u" in child.variables               # add: applied
+    assert node.operators[1].name == "cross_op"  # cross-file base resolved
+
+    vf = lower(node, n=3, dtype=jnp.float64)
+    # state order: v (eq order), then u; w removed so not a state
+    assert set(vf.var_map) >= {"child_op/v", "child_op/u"}
+    assert "child_op/w" not in vf.var_map
+    y = jnp.asarray(np.arange(6, dtype=np.float64))
+    dy = np.asarray(vf.func(0.0, y, vf.args))
+    v, u = np.arange(3.0), np.arange(3.0, 6.0)
+    np.testing.assert_allclose(dy[:3], -v / 2.0)             # dv
+    np.testing.assert_allclose(dy[3:], -u * 0.2 + v ** 2)    # du: d/dt syntax + ** + 2.0e-1
+    # chained op: tanh_op input v wired from child_op's output v
+    r = vf.read_var("cross_op/r", y, vf.args)
+    np.testing.assert_allclose(np.asarray(r), np.tanh(v))
