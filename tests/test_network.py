@@ -552,3 +552,65 @@ def test_add_diffeq_node_accepts_circuit_template():
     o1 = net1.run(inp, verbose=False).to_numpy("out")
     o2 = net2.run(inp, verbose=False).to_numpy("out")
     np.testing.assert_allclose(o1, o2, atol=1e-12)
+
+
+def test_feedback_network_bptt_trains_feedback_edge():
+    """Gradients flow through one-step-delayed feedback edges: BPTT on a
+    FeedbackNetwork with a trainable feedback edge reduces the loss and
+    updates the feedback weights."""
+    n = 6
+    rng = np.random.default_rng(17)
+    W1 = rng.normal(size=(n, n)) * 0.2
+    W2 = rng.normal(size=(n, n)) * 0.2
+    k_fb0 = rng.normal(size=(n, n)) * 0.1
+
+    def build(k_fb, train):
+        net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+        for label, W in [("p1", W1), ("p2", W2)]:
+            net.add_diffeq_node(label, TANH, weights=W, input_var="li_op/I_ext",
+                                output_var="li_op/v", source_var="tanh_op/r",
+                                target_var="li_op/r_in")
+        net.add_edge("p1", "p2", weights=np.eye(n))
+        net.add_edge("p2", "p1", weights=k_fb, feedback=True, train=train)
+        return net
+
+    T = 60
+    inp = rng.normal(size=(T, n))
+    teacher = build(rng.normal(size=(n, n)) * 0.3, None)
+    target = teacher.run(inp, verbose=False).to_numpy("out")
+
+    student = build(k_fb0, "gd")
+    w_before = np.asarray(student.get_edge("p2", "p1").weights)
+    obs = student.fit_bptt([inp] * 40, [target] * 40, optimizer="adam", lr=1e-2,
+                           verbose=False)
+    losses = obs["epoch_loss"]
+    w_after = np.asarray(student.get_edge("p2", "p1").weights)
+    assert losses[-1] < losses[0] * 0.5, f"no training through feedback: {losses[0]} -> {losses[-1]}"
+    assert np.abs(w_after - w_before).max() > 1e-4, "feedback weights untouched"
+
+
+def test_feedback_network_eager_forward_carries_fb():
+    n = 4
+    rng = np.random.default_rng(18)
+    net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+    for label in ("p1", "p2"):
+        net.add_diffeq_node(label, TANH, weights=rng.normal(size=(n, n)) * 0.2,
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in")
+    net.add_edge("p1", "p2", weights=np.eye(n))
+    net.add_edge("p2", "p1", weights=np.eye(n), feedback=True)
+    net.compile()
+    x = rng.normal(size=(5, n))
+    eager = [np.asarray(net.forward(x[t])) for t in range(5)]
+    net2 = FeedbackNetwork(1e-2, dtype=jnp.float64)
+    for label in ("p1", "p2"):
+        net2.add_diffeq_node(label, TANH, weights=np.asarray(net.get_node(label)["weights"]),
+                             input_var="li_op/I_ext", output_var="li_op/v",
+                             source_var="tanh_op/r", target_var="li_op/r_in")
+    # rebuild with the same weights drawn in the same order is not possible
+    # with the shared rng, so compare eager vs scan on the SAME net: reset all
+    # state incl. feedback store
+    net._fb_store = {}
+    net.reset()
+    scanned = net.run(x, verbose=False).to_numpy("out")
+    np.testing.assert_allclose(np.stack(eager), scanned, atol=1e-12)
