@@ -1,0 +1,138 @@
+"""Coverage for remaining branches: observer reuse/eager record, rls epoch
+mode, extra couplings, truncate_steps fallback scan, npz checkpoint fallback,
+profiler helpers."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rectipy_tpu import Network, Observer
+from rectipy_tpu.checkpoint import restore_pytree, save_pytree
+from rectipy_tpu.dsl import lower
+from rectipy_tpu.profiler import PhaseTimer, annotate
+
+TANH = "neuron_model_templates.rate_neurons.leaky_integrator.tanh"
+
+
+def _net(n, W=None, **kw):
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", TANH, weights=W if W is not None else np.zeros((n, n)),
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        source_var="tanh_op/r", target_var="li_op/r_in", **kw)
+    return net
+
+
+def test_run_with_observer_reuse():
+    """run(obs=...) appends to an existing Observer (reference pattern)."""
+    n = 4
+    net = _net(n)
+    obs = Observer(dt=1e-2, record_loss=False)
+    net.run(np.ones((10, n)), sampling_steps=5, verbose=False, obs=obs)
+    assert len(obs["steps"]) == 2
+    net.run(np.ones((10, n)), sampling_steps=5, verbose=False, obs=obs)
+    assert len(obs["steps"]) == 4  # appended, not replaced
+
+
+def test_observer_eager_record():
+    obs = Observer(dt=0.1, record_vars=[("n", "v", True)])
+    obs.record(0, np.ones(3), 0.5, [np.array([1.0, 3.0])])
+    obs.record(1, np.zeros(3), 0.25, [np.array([2.0, 2.0])])
+    assert obs.to_numpy("out").shape == (2, 3)
+    np.testing.assert_allclose(obs.to_numpy(("n", "v")), [2.0, 2.0])
+    np.testing.assert_allclose(obs.to_numpy("loss"), [0.5, 0.25])
+
+
+def test_fit_rls_epoch_mode():
+    n, m = 10, 2
+    rng = np.random.default_rng(0)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_func_node("inp", m, activation_function="identity")
+    net.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)) * 0.3,
+                        input_var="li_op/I_ext", output_var="tanh_op/r",
+                        source_var="tanh_op/r", target_var="li_op/r_in")
+    net.add_func_node("out", 1, activation_function="identity")
+    net.add_edge("inp", "rnn", weights=rng.normal(size=(n, m)))
+    net.add_edge("rnn", "out", train="rls", beta=1.0)
+    T = 150
+    inp = rng.normal(size=(T, m))
+    w_t = rng.normal(size=(n, 1))
+    # epoch mode with two epochs of (inputs, targets)
+    X = None
+    tgt = rng.normal(size=(T, 1)) * 0.1
+    obs = net.fit_rls([inp, inp], [tgt, tgt], update_steps=1, sampling_steps=50,
+                      verbose=False)
+    assert len(obs["epoch_loss"]) == 2
+    assert np.isfinite(obs["epoch_loss"]).all()
+    with pytest.raises(ValueError):
+        net.fit_rls([inp], [tgt, tgt])
+
+
+def test_lower_extra_edges():
+    """Multiple couplings: primary weights plus an `edges` list."""
+    n = 5
+    rng = np.random.default_rng(1)
+    W1 = rng.normal(size=(n, n)) * 0.1
+    W2 = rng.normal(size=(n, n)) * 0.1
+    vf = lower(TANH, weights=W1, source_var="tanh_op/r", target_var="li_op/r_in",
+               edges=[("li_op/v", "li_op/I_ext", W2)], dtype=jnp.float64)
+    y = jnp.asarray(rng.normal(size=(n,)))
+    dy = np.asarray(vf.func(0.0, y, vf.args))
+    v = np.asarray(y)
+    expect = -v / 10.0 + (W1 @ np.tanh(v)) + (W2 @ v)
+    np.testing.assert_allclose(dy, expect, rtol=1e-12)
+
+
+def test_run_truncate_steps_fallback_scan():
+    """truncate_steps routes through the generic carried-buffer scan with
+    identical recording results (gradient truncation is a no-op forward)."""
+    n = 4
+    rng = np.random.default_rng(2)
+    W = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(30, n))
+    a = _net(n, W).run(inp, sampling_steps=3, verbose=False).to_numpy("out")
+    b = _net(n, W).run(inp, sampling_steps=3, verbose=False,
+                       truncate_steps=10).to_numpy("out")
+    np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_checkpoint_npz_fallback(tmp_path, monkeypatch):
+    """save/restore must work when orbax is unavailable (npz fallback)."""
+    import rectipy_tpu.checkpoint as ck
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_orbax(name, *a, **k):
+        if name.startswith("orbax"):
+            raise ImportError("orbax disabled for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_orbax)
+    tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+    path = str(tmp_path / "ck")
+    ck.save_pytree(tree, path)
+    out = ck.restore_pytree(tree, path)
+    np.testing.assert_allclose(np.asarray(out["b"]["c"]), 1.0)
+    with pytest.raises(FileNotFoundError):
+        ck.restore_pytree(tree, str(tmp_path / "missing"))
+
+
+def test_profiler_helpers():
+    timer = PhaseTimer()
+    with timer.phase("build"):
+        x = jnp.ones(10) * 2
+    out = timer.time("sum", lambda: jnp.sum(jnp.ones(100)))
+    assert float(out) == 100.0
+    totals = timer.report(printer=lambda *_: None)
+    assert set(totals) == {"build", "sum"}
+    with annotate("region"):
+        _ = jnp.ones(3) + 1
+
+
+def test_run_batch_without_output_recording():
+    n = 4
+    net = _net(n)
+    res = net.run_batch(np.ones((2, 10, n)), sampling_steps=5, record_output=False,
+                        record_vars=[("rnn", "v", True)])
+    assert "out" not in res
+    assert res[("rnn", "v")].shape == (2, 2)
