@@ -84,7 +84,7 @@ def _int8_matvec_jvp(primals, tangents):
     return _int8_matvec(w_q, x), w_q.astype(jnp.float32) @ dx
 
 
-def _qualify(name: str, ops: List[OperatorTemplate], kind_hint: str = "variable") -> str:
+def _qualify(name: str, ops: List[OperatorTemplate]) -> str:
     """Resolve a possibly-bare variable name to ``op/var``."""
     if name is None:
         raise TemplateError("Variable name is None")

@@ -9,7 +9,8 @@ step function ``step(state, params, x) -> (state', out, taps)``; trajectories
 are ``jax.lax.scan`` over that step, training is ``jax.grad`` through the
 scan, and the whole fit/run happens in one XLA program on device:
 
-- ``run``      -> one scan with fused mean-downsampling record buffers
+- ``run``      -> a nested window scan with exact reference recording
+                  semantics (mean-downsampled buffers, cutoff)
 - ``fit_bptt`` -> scan over update chunks (truncated BPTT via stop_gradient
                   on the carried state) or over epochs; optax inside the scan
 - ``fit_rls``  -> scan carrying the (W, P) recursive-least-squares state
@@ -612,10 +613,17 @@ class Network:
         """
         del enable_grad  # gradients are taken functionally by the trainers
         inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
+        if inputs.ndim != 2:
+            raise ValueError(f"`inputs` must be a (T, m) array; got shape {inputs.shape}")
         steps = int(inputs.shape[0])
         truncate_steps = int(kwargs.pop("truncate_steps", steps))
 
         self.compile()
+        if self.n_in and inputs.shape[1] != self.n_in:
+            raise ValueError(
+                f"`inputs` has {inputs.shape[1]} channels but the network input node "
+                f"{self._in_node!r} expects {self.n_in}."
+            )
 
         if "obs" in kwargs:
             obs = kwargs.pop("obs")

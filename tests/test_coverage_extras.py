@@ -136,3 +136,37 @@ def test_run_batch_without_output_recording():
                         record_vars=[("rnn", "v", True)])
     assert "out" not in res
     assert res[("rnn", "v")].shape == (2, 2)
+
+
+def test_run_input_validation():
+    n = 4
+    net = _net(n)
+    with pytest.raises(ValueError, match="channels"):
+        net.run(np.ones((10, n + 1)), verbose=False)
+    with pytest.raises(ValueError, match="T, m"):
+        net.run(np.ones(10), verbose=False)
+
+
+def test_feedback_network_ridge_and_rls():
+    """Trainer paths compose with FeedbackNetwork."""
+    from rectipy_tpu import FeedbackNetwork
+
+    n = 6
+    rng = np.random.default_rng(3)
+    net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+    net.add_func_node("inp", 2, activation_function="identity")
+    for label in ("p1", "p2"):
+        net.add_diffeq_node(label, TANH, weights=rng.normal(size=(n, n)) * 0.2,
+                            input_var="li_op/I_ext", output_var="tanh_op/r",
+                            source_var="tanh_op/r", target_var="li_op/r_in")
+    net.add_edge("inp", "p1", weights=rng.normal(size=(n, 2)))
+    net.add_edge("p1", "p2", weights=np.eye(n))
+    net.add_edge("p2", "p1", weights=rng.normal(size=(n, n)) * 0.1, feedback=True)
+    T = 100
+    inp = rng.normal(size=(T, 2))
+    tgt = rng.normal(size=(T, 3)) * 0.1
+    obs = net.fit_ridge(inp, tgt, sampling_steps=1, verbose=False, alpha=1e-3)
+    assert np.asarray(obs["w_out"]).shape == (n, 3)
+    assert "readout" in net.nodes
+    obs2, loss = net.test(inp, tgt, sampling_steps=1, verbose=False)
+    assert np.isfinite(loss)
