@@ -1041,6 +1041,20 @@ class Network:
             state, (preds, vals) = jax.lax.scan(body, state, inp_c)
             return loss_fn(preds, tgt_c), (state, preds, vals)
 
+        if n_upd == 0:
+            # fewer steps than one update chunk: forward-only (the reference
+            # also never updates before `update_steps` steps have elapsed)
+            params = combine(train, frozen)
+
+            def body(state, x_t):
+                state, out, _ = step(state, params, x_t)
+                return state, None
+
+            stateT, _ = jax.lax.scan(body, state0, inputs)
+            return train, stateT, {"steps": np.zeros(0, dtype=int),
+                                   "out": np.zeros((0, n_out)),
+                                   "loss": np.zeros(0), "vars": {}}
+
         @jax.jit
         def train_all(train, opt_state, state):
             inp_chunks = inputs[: n_upd * u].reshape(n_upd, u, -1)

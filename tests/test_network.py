@@ -614,3 +614,17 @@ def test_feedback_network_eager_forward_carries_fb():
     net.reset()
     scanned = net.run(x, verbose=False).to_numpy("out")
     np.testing.assert_allclose(np.stack(eager), scanned, atol=1e-12)
+
+
+def test_bptt_step_mode_short_input_no_update_chunks():
+    """T < update_steps: forward-only pass, no optimizer updates, no crash."""
+    n = 4
+    rng = np.random.default_rng(19)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", TANH, weights=np.zeros((n, n)), input_var="li_op/I_ext",
+                        output_var="li_op/v", source_var="tanh_op/r",
+                        target_var="li_op/r_in", train_params=["weights"])
+    w_before = np.asarray(net.get_node("rnn")["weights"])
+    obs = net.fit_bptt(rng.normal(size=(7, n)), rng.normal(size=(7, n)),
+                       optimizer="sgd", lr=1e-2, update_steps=100, verbose=False)
+    np.testing.assert_array_equal(np.asarray(net.get_node("rnn")["weights"]), w_before)

@@ -142,3 +142,58 @@ def test_sharded_run_with_delay_edge():
     with mesh:
         _, outs = run(state, params, inputs)
     np.testing.assert_allclose(np.asarray(outs), ref, rtol=1e-10, atol=1e-10)
+
+
+def test_sharded_compilation_inserts_collectives():
+    """The row-sharded coupling matvec requires gathering the source rates:
+    the compiled multi-device program must contain collective ops."""
+    n = 32
+    rng = np.random.default_rng(4)
+    net = _build(n, rng.normal(size=(n, n)) * 0.2)
+    mesh = make_mesh(8, data=1)
+    state = shard_network_arrays(net.init_state(), n, mesh)
+    params = shard_network_arrays(net.parameters_pytree(), n, mesh)
+    step = net.make_step()
+
+    import jax
+
+    @jax.jit
+    def one(state, params, x):
+        s, out, _ = step(state, params, x)
+        return s, out
+
+    x = jnp.zeros(n)
+    with mesh:
+        lowered = one.lower(state, params, x)
+        hlo = lowered.compile().as_text()
+    assert ("all-gather" in hlo) or ("all-reduce" in hlo) or ("collective" in hlo), (
+        "no collectives in the sharded program -- GSPMD sharding not applied")
+
+
+def test_sharded_train_step_gradient_reduction_spans_data_axis():
+    n = 16
+    rng = np.random.default_rng(5)
+    net = _build(n, rng.normal(size=(n, n)) * 0.1)
+    mesh = make_mesh(8, data=4)
+    params = net.parameters_pytree()
+    train, frozen = net._partition(params, net.trainable_paths())
+    train = shard_network_arrays(train, n, mesh)
+    frozen = shard_network_arrays(frozen, n, mesh)
+    state0 = shard_network_arrays(net.init_state(), n, mesh)
+    opt = get_optimizer("sgd", 1e-2)
+    opt_state = opt.init(train)
+    step = sharded_train_step(net, get_loss_function("mse"), opt, mesh)
+    rngs = np.random.default_rng(6)
+    inputs = jax.device_put(jnp.asarray(rngs.normal(size=(8, 5, n))),
+                            NamedSharding(mesh, P("data", None, None)))
+    targets = jax.device_put(jnp.zeros((8, 5, n)),
+                             NamedSharding(mesh, P("data", None, None)))
+    with mesh:
+        t1, _, l1 = step(train, frozen, opt_state, state0, inputs, targets)
+    # replicated-update invariant: the trained weights are identical on every
+    # device (grad psum across the data axis happened)
+    w = t1["nodes"]["rnn"]["weights"]
+    shards = [np.asarray(si.data) for si in w.addressable_shards]
+    rows_per = n // mesh.shape["model"]
+    assert shards[0].shape[0] == rows_per  # model-sharded
+    assert np.isfinite(float(l1))
