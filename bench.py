@@ -114,21 +114,24 @@ def bench_torch_baseline(W, etas):
     inp = torch.zeros(N, dtype=torch.float64)
 
     steps = BASELINE_STEPS
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        spikes = torch.heaviside(v - thresh, torch.tensor(1.0, dtype=torch.float64)) / DT
-        reset = spikes.detach()
-        s_in = Wt @ s
-        dv = (v * v + (eta_t - x_sfa) + inp) / 1.0 + k * s_in
-        ds = -s / 1.0 + spikes
-        dx = -x_sfa / tau_x + alpha * spikes
-        v = v + DT * dv
-        s = s + DT * ds
-        x_sfa = x_sfa + DT * dx
-        v = v * (1.0 - reset * DT) + (reset * DT) * v_reset
-    elapsed = time.perf_counter() - t0
-    ups = steps * N / elapsed
-    log(f"[torch-cpu baseline] {steps} steps in {elapsed:.2f}s -> {ups:.3e} neuron-updates/s")
+    best = float("inf")
+    for _rep in range(3):  # best-of-3: favors the baseline (conservative ratio)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            spikes = torch.heaviside(v - thresh, torch.tensor(1.0, dtype=torch.float64)) / DT
+            reset = spikes.detach()
+            s_in = Wt @ s
+            dv = (v * v + (eta_t - x_sfa) + inp) / 1.0 + k * s_in
+            ds = -s / 1.0 + spikes
+            dx = -x_sfa / tau_x + alpha * spikes
+            v = v + DT * dv
+            s = s + DT * ds
+            x_sfa = x_sfa + DT * dx
+            v = v * (1.0 - reset * DT) + (reset * DT) * v_reset
+        best = min(best, time.perf_counter() - t0)
+    ups = steps * N / best
+    log(f"[torch-cpu baseline] {steps} steps in {best:.2f}s (best of 3) -> "
+        f"{ups:.3e} neuron-updates/s")
     return ups
 
 

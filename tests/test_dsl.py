@@ -416,3 +416,54 @@ custom:
     # chained op: tanh_op input v wired from child_op's output v
     r = vf.read_var("cross_op/r", y, vf.args)
     np.testing.assert_allclose(np.asarray(r), np.tanh(v))
+
+
+def test_expression_fuzz_against_numpy():
+    """Randomized expression trees: DSL evaluator == direct numpy interpretation."""
+    rng = np.random.default_rng(42)
+    VARS = {"a": rng.uniform(0.2, 1.5, 5), "b": rng.uniform(-1.0, 1.0, 5), "c": 0.7}
+    FUNCS = {"tanh": np.tanh, "sin": np.sin, "cos": np.cos, "abs": np.abs,
+             "sigmoid": lambda x: 1 / (1 + np.exp(-x)), "mean": lambda x: np.mean(x)}
+
+    def gen(depth):
+        r = rng.random()
+        if depth == 0 or r < 0.25:
+            choice = rng.random()
+            if choice < 0.4:
+                return str(np.round(rng.uniform(0.1, 3.0), 3))
+            return rng.choice(list(VARS))
+        if r < 0.45:
+            fname = rng.choice(list(FUNCS))
+            return f"{fname}({gen(depth - 1)})"
+        op = rng.choice(["+", "-", "*", "/", "^"])
+        left, right = gen(depth - 1), gen(depth - 1)
+        if op == "/":
+            right = f"(abs({right}) + 1.5)"  # keep denominators away from 0
+        if op == "^":
+            return f"(abs({left}) + 0.5) ^ {rng.integers(1, 4)}"
+        return f"({left} {op} {right})"
+
+    def np_eval(ast):
+        tag = ast[0]
+        if tag == "num":
+            return ast[1]
+        if tag == "var":
+            return VARS[ast[1]]
+        if tag == "neg":
+            return -np_eval(ast[1])
+        if tag == "bin":
+            op, l, r = ast[1], np_eval(ast[2]), np_eval(ast[3])
+            return {"+": np.add, "-": np.subtract, "*": np.multiply,
+                    "/": np.divide, "^": np.power}[op](l, r)
+        if tag == "call":
+            return FUNCS[ast[1]](*[np_eval(x) for x in ast[2]])
+        raise AssertionError(ast)
+
+    env = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v for k, v in VARS.items()}
+    for _ in range(200):
+        expr = gen(4)
+        ast = parse(expr)
+        ours = np.asarray(evaluate(ast, env), dtype=np.float64)
+        ref = np.asarray(np_eval(ast), dtype=np.float64)
+        np.testing.assert_allclose(ours, np.broadcast_to(ref, ours.shape) if ours.shape else ref,
+                                   rtol=1e-6, atol=1e-6, err_msg=expr)
