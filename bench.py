@@ -50,6 +50,14 @@ def build_inputs(steps):
 def bench_rebuild(W, etas):
     import jax
 
+    # persistent compilation cache: the remote-compile service has 4s-470s
+    # variance for identical programs; cached executables skip it entirely
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/rectipy_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from rectipy_tpu import Network
 
     net = Network(DT)
