@@ -62,6 +62,8 @@ class VectorField:
     target_var: Optional[str] = None
     read_var: Optional[Callable] = None  # read_var(qname, y, args) -> (N,) value
     alg_vars: List[str] = field(default_factory=list)  # algebraic (non-state) variables
+    tile_func: Optional[Callable] = None  # tile-local vector field (see lower())
+    state_order: List[str] = field(default_factory=list)
 
 
 @jax.custom_jvp
@@ -413,6 +415,63 @@ def lower(
 
     alg_names = [q for q in schedule if lowered[q].kind == "algebraic"]
 
+    # ---- tile-local variant (for fused kernels) -----------------------------
+    # Evaluates the same schedule on per-tile blocks: states/params arrive as
+    # tile slices and every coupling contribution is supplied precomputed via
+    # ``ext`` (the matvec needs the full population and happens outside).
+    # Population reductions (mean/sum/min/max over neurons) are global, so
+    # templates using them get tile_func=None.
+    def _uses_reduction(ast) -> bool:
+        tag = ast[0]
+        if tag == "call":
+            if ast[1] in ("mean", "sum", "min", "max"):
+                return True
+            return any(_uses_reduction(x) for x in ast[2])
+        if tag == "neg":
+            return _uses_reduction(ast[1])
+        if tag == "bin":
+            return _uses_reduction(ast[2]) or _uses_reduction(ast[3])
+        return False
+
+    any_reduction = any(
+        lv.rhs_ast is not None and _uses_reduction(lv.rhs_ast) for lv in lowered.values())
+
+    def tile_func(states: Dict[str, jnp.ndarray], a_tile: Dict[str, jnp.ndarray],
+                  ext: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        env: Dict[str, jnp.ndarray] = dict(states)
+        for k in keys:
+            if k in a_tile:
+                env[k] = a_tile[k]
+
+        def op_env(opname):
+            scoped = {}
+            for q, v in env.items():
+                o, _, bare = q.partition("/")
+                if o == opname:
+                    scoped[bare] = v
+            return scoped
+
+        for qname in schedule:
+            lv = lowered[qname]
+            if lv.kind == "algebraic":
+                rhs_ast, opname = alg_items[qname]
+                env[qname] = evaluate(rhs_ast, op_env(opname))
+            else:
+                val = env.get(qname, jnp.asarray(lv.default))
+                if qname in wiring:
+                    val = val + env[wiring[qname]]
+                if qname in ext:
+                    val = val + ext[qname]
+                env[qname] = val
+        shape = next(iter(states.values())).shape
+        out = {}
+        for qname, rhs_ast, opname in ode_rhs:
+            out[qname] = jnp.broadcast_to(evaluate(rhs_ast, op_env(opname)), shape)
+        return out
+
+    if any_reduction:
+        tile_func = None
+
     def read_var(qname: str, y, a: Dict[str, jnp.ndarray]):
         """Read the current value of a state, algebraic, or input variable.
 
@@ -463,4 +522,6 @@ def lower(
         target_var=_qualify(target_var, ops) if target_var else None,
         read_var=read_var,
         alg_vars=alg_names,
+        tile_func=tile_func,
+        state_order=list(state_order),
     )

@@ -1,0 +1,112 @@
+"""Generic fused Pallas step (interpret mode) vs the XLA path on multiple
+model families."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectipy_tpu import Network
+from rectipy_tpu.ops.generic_fused import attach_generic_fused_step
+
+LIF = "neuron_model_templates.spiking_neurons.lif.lif"
+QIF_SFA = "neuron_model_templates.spiking_neurons.qif.qif_sfa"
+THETA = "rectipy_tpu.models.spiking_neurons.theta.theta"
+TANH = "neuron_model_templates.rate_neurons.leaky_integrator.tanh"
+IKU = "neuron_model_templates.spiking_neurons.ik.iku"
+
+
+def _run_both(build, T=300, tile=128, seed=0, atol=2e-4):
+    rng = np.random.default_rng(seed)
+    n = build.__wrapped_n__ if hasattr(build, "__wrapped_n__") else None
+    netA = build()
+    n = netA.n_in
+    inp = rng.normal(size=(T, n)).astype(np.float32)
+    ref = netA.run(inp, verbose=False).to_numpy("out")
+    netB = build()
+    attach_generic_fused_step(netB.get_node(list(netB.nodes)[0]), tile=tile,
+                              interpret=True)
+    fused = netB.run(inp, verbose=False).to_numpy("out")
+    np.testing.assert_allclose(fused, ref, atol=atol, rtol=1e-4)
+    return ref
+
+
+def test_generic_fused_lif():
+    n = 48
+    rng = np.random.default_rng(1)
+    W = np.abs(rng.normal(size=(n, n))) * 0.05
+    tau = rng.uniform(10.0, 15.0, size=n)
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float32)
+        net.add_diffeq_node("lif", LIF, weights=W, source_var="s", target_var="s_in",
+                            input_var="I_ext", output_var="s", op="lif_op",
+                            spike_var="spike", reset_var="v", dtype=jnp.float32,
+                            spike_threshold=10.0, spike_reset=-10.0,
+                            node_vars={"eta": 10.0, "tau": tau, "tau_s": 5.0})
+        net.compile()
+        return net
+
+    ref = _run_both(build, T=400, seed=1)
+    assert ref.max() > 0, "no spikes -- weak test"
+
+
+def test_generic_fused_qif_sfa_matches_specialized():
+    n = 64
+    rng = np.random.default_rng(2)
+    W = (rng.random((n, n)) < 0.2) * 0.02
+    etas = rng.normal(size=n) + 100.0
+
+    def build():
+        net = Network(1e-3, dtype=jnp.float32)
+        net.add_diffeq_node("qif", QIF_SFA, weights=W, source_var="s",
+                            target_var="s_in", input_var="I_ext", output_var="s",
+                            op="qif_sfa_op", spike_var="spike", spike_def="v",
+                            dtype=jnp.float32, spike_threshold=30.0, spike_reset=-30.0,
+                            node_vars={"all/qif_sfa_op/eta": etas})
+        net.compile()
+        return net
+
+    ref = _run_both(build, T=500, seed=2)
+    assert ref.max() > 0
+
+
+def test_generic_fused_theta_neuron():
+    n = 32
+    rng = np.random.default_rng(3)
+    W = np.abs(rng.normal(size=(n, n))) * 0.01
+
+    def build():
+        net = Network(1e-3, dtype=jnp.float32)
+        net.add_diffeq_node("theta", THETA, weights=W, source_var="s",
+                            target_var="s_in", input_var="I_ext", output_var="s",
+                            spike_var="spike", spike_def="theta", dtype=jnp.float32,
+                            spike_threshold=np.pi, spike_reset=-np.pi,
+                            node_vars={"all/theta_op/eta": 1.0})
+        net.compile()
+        return net
+
+    ref = _run_both(build, T=2600, seed=3)
+    assert ref.max() > 0
+
+
+def test_generic_fused_rejections():
+    n = 8
+    rng = np.random.default_rng(4)
+    # mean-field template -> no tile_func
+    net = Network(1e-2, dtype=jnp.float32)
+    net.add_diffeq_node("ik", IKU, weights=np.zeros((n, n)), source_var="s",
+                        target_var="s_in", input_var="I_ext", output_var="s",
+                        op="iku_op", spike_var="spike", reset_var="v",
+                        dtype=jnp.float32)
+    net.compile()
+    with pytest.raises(ValueError, match="reduction"):
+        attach_generic_fused_step(net.get_node("ik"), interpret=True)
+    # algebraic coupling source -> XLA path
+    net2 = Network(1e-2, dtype=jnp.float32)
+    net2.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)),
+                         input_var="li_op/I_ext", output_var="li_op/v",
+                         source_var="tanh_op/r", target_var="li_op/r_in",
+                         dtype=jnp.float32)
+    net2.compile()
+    with pytest.raises(ValueError, match="state"):
+        attach_generic_fused_step(net2.get_node("rnn"), interpret=True)
