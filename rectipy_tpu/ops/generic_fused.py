@@ -18,6 +18,9 @@ tail once per output tile. Scalar parameters are baked at attach time
 (re-attach after ``set_param``); per-neuron parameters stream as row blocks.
 The node state is re-laid-out into padded contiguous blocks (state stays
 padded across the whole scan; see attach_fused_qif_step).
+
+Not compatible with multi-chip sharding (Pallas custom calls do not
+auto-partition under GSPMD) -- use the XLA step for ``parallel.sharded_run``.
 """
 
 from __future__ import annotations
