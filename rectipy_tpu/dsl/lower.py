@@ -64,6 +64,7 @@ class VectorField:
     alg_vars: List[str] = field(default_factory=list)  # algebraic (non-state) variables
     tile_func: Optional[Callable] = None  # tile-local vector field (see lower())
     state_order: List[str] = field(default_factory=list)
+    make_tile_reader: Optional[Callable] = None  # qname -> tile reader or None
 
 
 @jax.custom_jvp
@@ -472,6 +473,65 @@ def lower(
     if any_reduction:
         tile_func = None
 
+    def make_tile_reader(qname: str):
+        """Tile-local reader for a state or algebraic variable that depends
+        (transitively) only on states/params -- returns None when the chain
+        touches an input variable (coupling/external values are global)."""
+        if any_reduction:
+            return None
+        if qname in var_map:
+            return lambda states, a_tile: states[qname]
+        if qname not in lowered or lowered[qname].kind != "algebraic":
+            return None
+
+        # transitive dependency check: coupling/externally-driven input vars
+        # are global; inputs that are only intra-node WIRING pass through
+        def deps_ok(q, seen=()):
+            lv = lowered[q]
+            if lv.kind in ("state", "param"):
+                return True
+            if lv.kind == "input":
+                if q in edge_by_target:
+                    return False  # coupling-driven: needs the global matvec
+                if q in wiring:
+                    return deps_ok(wiring[q], seen + (q,))
+                return True  # pure external placeholder (tile-sliceable)
+            for sym in free_symbols(lv.rhs_ast):
+                if sym in CONSTANTS and f"{lv.op}/{sym}" not in lowered:
+                    continue
+                dep = f"{lv.op}/{sym}"
+                if dep in seen:
+                    continue
+                if not deps_ok(dep, seen + (q,)):
+                    return False
+            return True
+
+        if not deps_ok(qname):
+            return None
+
+        def reader(states: Dict[str, jnp.ndarray], a_tile: Dict[str, jnp.ndarray]):
+            env: Dict[str, jnp.ndarray] = dict(states)
+            for k in keys:
+                if k in a_tile:
+                    env[k] = a_tile[k]
+
+            def op_env(opname):
+                return {q.partition("/")[2]: v for q, v in env.items()
+                        if q.partition("/")[0] == opname}
+
+            for q in schedule:
+                lv = lowered[q]
+                if lv.kind == "algebraic":
+                    rhs_ast, opname = alg_items[q]
+                    env[q] = evaluate(rhs_ast, op_env(opname))
+                elif lv.kind == "input" and q in wiring:
+                    env[q] = env.get(q, jnp.asarray(lv.default)) + env[wiring[q]]
+                if q == qname:
+                    break
+            return env[qname]
+
+        return reader
+
     def read_var(qname: str, y, a: Dict[str, jnp.ndarray]):
         """Read the current value of a state, algebraic, or input variable.
 
@@ -524,4 +584,5 @@ def lower(
         alg_vars=alg_names,
         tile_func=tile_func,
         state_order=list(state_order),
+        make_tile_reader=make_tile_reader,
     )

@@ -54,18 +54,21 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
     cls_name = type(node).__name__
     if cls_name not in ("RateNet", "SpikeResetNet"):
         raise ValueError(f"Generic fused step does not support {cls_name} nodes")
-    wkeys = [k for k in vf.keys if k == "weights" or k.startswith("weights_")]
+    if node._args.get("weights") is not None and node._args["weights"].dtype == jnp.int8:
+        raise ValueError("int8 coupling runs on the XLA path (STE quantization)")
+    wkeys = [k for k in vf.keys
+             if (k == "weights" or k.startswith("weights_")) and not k.endswith("__scale")]
     if wkeys != ["weights"]:
         raise ValueError("Generic fused step supports exactly one coupling matrix")
-    if node._args["weights"].dtype == jnp.int8:
-        raise ValueError("int8 coupling runs on the XLA path (STE quantization)")
     if node.dtype != jnp.float32:
         raise ValueError("Generic fused step requires float32 node state")
     state_order: List[str] = list(vf.state_order)
-    if vf.source_var not in state_order:
+    src_reader = vf.make_tile_reader(vf.source_var) if vf.make_tile_reader else None
+    if src_reader is None:
         raise ValueError(
-            "Generic fused step v1 requires the coupling source to be a state "
-            "variable; algebraic sources (e.g. tanh_op/r) run on the XLA path."
+            "Generic fused step requires the coupling source to be a state "
+            "variable or an algebraic of states only (input-dependent sources "
+            "run on the XLA path)."
         )
     if node._out_alg is not None:
         raise ValueError("Generic fused step v1 requires output_var to be a state variable")
@@ -77,7 +80,6 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
     dt = node.dt
     n_vars = len(state_order)
     tile_func = vf.tile_func
-    src_idx = state_order.index(vf.source_var)
     tgt_qname = vf.target_var
     inp_key = node._inp_key
 
@@ -106,10 +108,16 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         spike_var_idx = -1
 
     def kernel(*refs):
-        src_k_ref, wt_ref, drive_ref = refs[0], refs[1], refs[2]
-        state_refs = refs[3:3 + n_vars]
-        vec_refs = refs[3 + n_vars:3 + n_vars + len(vec_keys)]
-        out_refs = refs[3 + n_vars + len(vec_keys):-1]
+        # layout: [state rows k-indexed]*V, wt, drive, [state rows j-indexed]*V,
+        #         [vec rows k]*P, [vec rows j]*P, outs*V, acc
+        i = 0
+        state_k_refs = refs[i:i + n_vars]; i += n_vars
+        wt_ref = refs[i]; i += 1
+        drive_ref = refs[i]; i += 1
+        state_refs = refs[i:i + n_vars]; i += n_vars
+        vec_k_refs = refs[i:i + len(vec_keys)]; i += len(vec_keys)
+        vec_refs = refs[i:i + len(vec_keys)]; i += len(vec_keys)
+        out_refs = refs[i:-1]
         acc = refs[-1]
         kk = pl.program_id(1)
 
@@ -117,8 +125,13 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         def _():
             acc[:] = jnp.zeros_like(acc)
 
+        states_k = {q: state_k_refs[i2][:] for i2, q in enumerate(state_order)}
+        a_k = dict(scalars)
+        for i2, k2 in enumerate(vec_keys):
+            a_k[k2] = vec_k_refs[i2][:]
+        src_blk = src_reader(states_k, a_k)
         acc[:] += jax.lax.dot_general(
-            src_k_ref[:].astype(wt_ref.dtype), wt_ref[:],
+            src_blk.astype(wt_ref.dtype), wt_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -142,16 +155,20 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
                 out_refs[i][:] = new
 
     j_blk = lambda: pl.BlockSpec((1, tile), lambda j, kk: (0, j), memory_space=pltpu.VMEM)
-    k_blk = pl.BlockSpec((1, tile), lambda j, kk: (0, kk), memory_space=pltpu.VMEM)
     wt_spec = pl.BlockSpec((tile, tile), lambda j, kk: (kk, j), memory_space=pltpu.VMEM)
 
     W = np.asarray(node._args["weights"], dtype=np.float32)
     if weights_dtype is None:
         weights_dtype = node._args["weights"].dtype
+    k_blks = [pl.BlockSpec((1, tile), lambda j, kk: (0, kk), memory_space=pltpu.VMEM)
+              for _ in range(n_vars)]
+    vec_k_blks = [pl.BlockSpec((1, tile), lambda j, kk: (0, kk), memory_space=pltpu.VMEM)
+                  for _ in range(len(vec_keys))]
     step_call = pl.pallas_call(
         kernel,
         grid=(n_j, n_k),
-        in_specs=[k_blk, wt_spec, j_blk()] + [j_blk()] * (n_vars + len(vec_keys)),
+        in_specs=k_blks + [wt_spec, j_blk()] + [j_blk()] * n_vars
+                 + vec_k_blks + [j_blk()] * len(vec_keys),
         out_specs=[j_blk()] * n_vars,
         out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.float32)] * n_vars,
         scratch_shapes=[pltpu.VMEM((1, tile), jnp.float32)],
@@ -184,8 +201,12 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
 
     node._args["__wt_pad__"] = pad_coupling(W, tile=tile, weights_dtype=weights_dtype)
     for k in vec_keys:
+        # pad per-neuron params with 1.0: templates routinely divide by them
+        # (e.g. -v/tau) and a 0-padded divisor makes NaNs in the pad lanes,
+        # which then poison the real lanes through the matvec (NaN * 0 = NaN)
         node._args[f"__row_{k}__"] = jnp.pad(
-            jnp.asarray(node._args[k], jnp.float32), (0, n_pad - n)).reshape(1, n_pad)
+            jnp.asarray(node._args[k], jnp.float32), (0, n_pad - n),
+            constant_values=1.0).reshape(1, n_pad)
     for extra in ["__wt_pad__"] + [f"__row_{k}__" for k in vec_keys]:
         if extra not in node._keys:
             node._keys.append(extra)
@@ -198,7 +219,7 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         drive = jnp.pad(jnp.broadcast_to(x, (n,)).astype(jnp.float32),
                         (0, n_pad - n)).reshape(1, n_pad)
         vec_rows = [args[f"__row_{k}__"] for k in vec_keys]
-        outs = step_call(rows[src_idx], args["__wt_pad__"], drive, *rows, *vec_rows)
+        outs = step_call(*rows, args["__wt_pad__"], drive, *rows, *vec_rows, *vec_rows)
         y_new = jnp.concatenate([o[0] for o in outs])
         return y_new, y[out_lo:out_hi]  # pre-update output, reference semantics
 

@@ -101,12 +101,31 @@ def test_generic_fused_rejections():
     net.compile()
     with pytest.raises(ValueError, match="reduction"):
         attach_generic_fused_step(net.get_node("ik"), interpret=True)
-    # algebraic coupling source -> XLA path
+    # int8 coupling stays on the XLA STE path
     net2 = Network(1e-2, dtype=jnp.float32)
     net2.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)),
                          input_var="li_op/I_ext", output_var="li_op/v",
                          source_var="tanh_op/r", target_var="li_op/r_in",
-                         dtype=jnp.float32)
+                         dtype=jnp.float32, coupling_dtype="int8")
     net2.compile()
-    with pytest.raises(ValueError, match="state"):
+    with pytest.raises(ValueError, match="int8"):
         attach_generic_fused_step(net2.get_node("rnn"), interpret=True)
+
+
+def test_generic_fused_tanh_algebraic_source():
+    """Algebraic coupling source (r = tanh(v)) computed per tile in-kernel."""
+    n = 40
+    rng = np.random.default_rng(5)
+    W = rng.normal(size=(n, n)) * 0.3
+    tau = rng.uniform(5.0, 15.0, size=n)
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float32)
+        net.add_diffeq_node("rnn", TANH, weights=W, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", dtype=jnp.float32,
+                            node_vars={"all/li_op/tau": tau, "all/li_op/eta": 1.0})
+        net.compile()
+        return net
+
+    _run_both(build, T=300, seed=5, atol=5e-4)
