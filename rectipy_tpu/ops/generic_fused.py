@@ -108,16 +108,12 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         spike_var_idx = -1
 
     def kernel(*refs):
-        # layout: [state rows k-indexed]*V, wt, drive, [state rows j-indexed]*V,
-        #         [vec rows k]*P, [vec rows j]*P, outs*V, acc
-        i = 0
-        state_k_refs = refs[i:i + n_vars]; i += n_vars
-        wt_ref = refs[i]; i += 1
-        drive_ref = refs[i]; i += 1
-        state_refs = refs[i:i + n_vars]; i += n_vars
-        vec_k_refs = refs[i:i + len(vec_keys)]; i += len(vec_keys)
-        vec_refs = refs[i:i + len(vec_keys)]; i += len(vec_keys)
-        out_refs = refs[i:-1]
+        # layout: src row (k-indexed), wt, drive, [state rows j-indexed]*V,
+        #         [vec rows j-indexed]*P, outs*V, acc
+        src_k_ref, wt_ref, drive_ref = refs[0], refs[1], refs[2]
+        state_refs = refs[3:3 + n_vars]
+        vec_refs = refs[3 + n_vars:3 + n_vars + len(vec_keys)]
+        out_refs = refs[3 + n_vars + len(vec_keys):-1]
         acc = refs[-1]
         kk = pl.program_id(1)
 
@@ -125,13 +121,8 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         def _():
             acc[:] = jnp.zeros_like(acc)
 
-        states_k = {q: state_k_refs[i2][:] for i2, q in enumerate(state_order)}
-        a_k = dict(scalars)
-        for i2, k2 in enumerate(vec_keys):
-            a_k[k2] = vec_k_refs[i2][:]
-        src_blk = src_reader(states_k, a_k)
         acc[:] += jax.lax.dot_general(
-            src_blk.astype(wt_ref.dtype), wt_ref[:],
+            src_k_ref[:].astype(wt_ref.dtype), wt_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -160,15 +151,11 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
     W = np.asarray(node._args["weights"], dtype=np.float32)
     if weights_dtype is None:
         weights_dtype = node._args["weights"].dtype
-    k_blks = [pl.BlockSpec((1, tile), lambda j, kk: (0, kk), memory_space=pltpu.VMEM)
-              for _ in range(n_vars)]
-    vec_k_blks = [pl.BlockSpec((1, tile), lambda j, kk: (0, kk), memory_space=pltpu.VMEM)
-                  for _ in range(len(vec_keys))]
+    k_blk = pl.BlockSpec((1, tile), lambda j, kk: (0, kk), memory_space=pltpu.VMEM)
     step_call = pl.pallas_call(
         kernel,
         grid=(n_j, n_k),
-        in_specs=k_blks + [wt_spec, j_blk()] + [j_blk()] * n_vars
-                 + vec_k_blks + [j_blk()] * len(vec_keys),
+        in_specs=[k_blk, wt_spec, j_blk()] + [j_blk()] * (n_vars + len(vec_keys)),
         out_specs=[j_blk()] * n_vars,
         out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.float32)] * n_vars,
         scratch_shapes=[pltpu.VMEM((1, tile), jnp.float32)],
@@ -219,7 +206,15 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         drive = jnp.pad(jnp.broadcast_to(x, (n,)).astype(jnp.float32),
                         (0, n_pad - n)).reshape(1, n_pad)
         vec_rows = [args[f"__row_{k}__"] for k in vec_keys]
-        outs = step_call(*rows, args["__wt_pad__"], drive, *rows, *vec_rows, *vec_rows)
+        # the coupling source row is computed ONCE per step here (O(N)
+        # elementwise, negligible vs the O(N^2) matvec); computing it per
+        # k-tile inside the kernel would redo it n_j times per step
+        states_full = {q: rows[i] for i, q in enumerate(state_order)}
+        a_full = dict(scalars)
+        for i, k in enumerate(vec_keys):
+            a_full[k] = args[f"__row_{k}__"]
+        src_row = src_reader(states_full, a_full).astype(jnp.float32)
+        outs = step_call(src_row, args["__wt_pad__"], drive, *rows, *vec_rows)
         y_new = jnp.concatenate([o[0] for o in outs])
         return y_new, y[out_lo:out_hi]  # pre-update output, reference semantics
 
