@@ -456,4 +456,5 @@ def attach_fused_qif_step(node, tile: int = 512, weights_dtype=None,
         return jnp.concatenate(parts), out
 
     node.make_step = lambda: fused_step
+    node._jit_step = None  # invalidate the eager-forward cache (old step, old layout)
     node._fused_unpad = unpad_y  # for tooling that needs the logical state
