@@ -372,6 +372,12 @@ class Network:
     def _fb_edge_list(self) -> list:
         return []  # overridden by FeedbackNetwork
 
+    def _step_versions(self) -> tuple:
+        """Per-node step versions: attaching a fused kernel bumps a node's
+        version, invalidating every cached program composed from it."""
+        order = self._compiled["order"] if self._compiled else sorted(self.graph.nodes)
+        return tuple(getattr(self.get_node(n), "_step_version", 0) for n in order)
+
     def make_step(self, taps: Tuple[str, ...] = ()) -> Callable:
         """Build (and cache) the fused pure step function.
 
@@ -381,11 +387,13 @@ class Network:
         """
         if self._compiled is None:
             self.compile()
-        key = tuple(taps)
+        order = self._compiled["order"]
+        # key includes each node's step version so attaching a fused kernel
+        # after a run invalidates the composed program
+        key = (tuple(taps), self._step_versions())
         if key in self._step_cache:
             return self._step_cache[key]
 
-        order = self._compiled["order"]
         node_steps = {n: self.get_node(n).make_step() for n in order}
         preds = {n: sorted(self.graph.predecessors(n)) for n in order}
         edge_steps = {}
@@ -567,7 +575,7 @@ class Network:
         state).  For long trajectories prefer :meth:`run` -- one fused scan."""
         if self._compiled is None:
             self.compile()
-        key = "__forward__"
+        key = ("__forward__", self._step_versions())
         if key not in self._step_cache:
             step = self.make_step()
             self._step_cache[key] = jax.jit(step)
@@ -673,6 +681,7 @@ class Network:
         # (measured ~0.8 s/call at N=10k -- larger than the device time)
         record_output = obs.record_output
         cache_key = ("run_windowed", s, cutoff, steps, record_output,
+                     self._step_versions(),
                      tuple((key, reduce) for (key, _, _, reduce) in rec_info))
         n_out = self.n_out
         out_aval = jax.eval_shape(lambda st, p, x: step(st, p, x)[1], state0, params, inputs[0])
@@ -818,6 +827,7 @@ class Network:
             return stateT, recs
 
         cache_key = ("run_generic", sampling_steps, cutoff, steps, truncate_steps,
+                     self._step_versions(),
                      tuple((key, reduce) for (key, _, _, reduce) in rec_info))
         if cache_key not in self._step_cache:
             self._step_cache[cache_key] = jax.jit(scan_fn)

@@ -230,3 +230,4 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
     node.reset = reset
     node.make_step = lambda: fused_step
     node._jit_step = None  # invalidate the eager-forward cache (old step, old layout)
+    node._step_version = getattr(node, "_step_version", 0) + 1

@@ -457,4 +457,5 @@ def attach_fused_qif_step(node, tile: int = 512, weights_dtype=None,
 
     node.make_step = lambda: fused_step
     node._jit_step = None  # invalidate the eager-forward cache (old step, old layout)
+    node._step_version = getattr(node, "_step_version", 0) + 1
     node._fused_unpad = unpad_y  # for tooling that needs the logical state
