@@ -20,7 +20,10 @@ import time
 import numpy as np
 
 N = int(os.environ.get("BENCH_N", 10_000))
-STEPS = int(os.environ.get("BENCH_STEPS", 2_000))
+# 20k steps ~ 2s device time per timed run: long enough to amortize dispatch
+# overhead (sustained rate; 1M-step chunked validation hit 1.02e8 nu/s), short
+# enough to stay well under the device-relay execution limit
+STEPS = int(os.environ.get("BENCH_STEPS", 20_000))
 BASELINE_STEPS = int(os.environ.get("BENCH_BASELINE_STEPS", 10))
 # coupling precision ladder (the N x N matvec is HBM-bound, so bytes ~= time;
 # states and accumulation stay float32 in every mode):
