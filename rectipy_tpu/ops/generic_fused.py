@@ -5,12 +5,14 @@ tail is the node's own lowered ``tile_func`` (dsl/lower.py), so any template
 without population reductions gets the fused path -- LIF, QIF(+SFA), theta,
 custom user templates -- with spiking semantics layered per node class.
 
-v1 scope (ValueError otherwise): RateNet (Euler) and SpikeResetNet nodes,
-float32, exactly one coupling matrix whose source and the node output are
-STATE variables. Algebraic sources/outputs, SpikeNet/MultiSpikeResetNet,
-mean-field templates, and int8 coupling run on the XLA path (which matches
-this kernel's steady-state throughput anyway -- the fused path's win is
-~30x faster compilation).
+Scope (ValueError otherwise): RateNet, SpikeResetNet, SpikeNet and
+MultiSpikeResetNet nodes with Euler integration, float32 state, exactly one
+coupling matrix whose source is a state variable or an algebraic of
+states/params only.  Output may be a state variable or such an algebraic
+(pre-/post-update semantics follow the node class).  Mean-field templates
+(population reductions), Heun, and int8 coupling run on the XLA path (which
+matches this kernel's steady-state throughput anyway -- the fused path's win
+is ~30x faster compilation).
 
 Design (same shape as the QIF kernel): grid ``(j, k)`` over output and
 contraction tiles, matvec accumulating in VMEM scratch on the MXU, tile_func
@@ -43,6 +45,12 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if getattr(node, "_fused_attached", False):
+        raise ValueError(
+            "A fused step is already attached to this node; re-attaching would "
+            "re-pad the already padded state. Rebuild the node to change the "
+            "kernel configuration."
+        )
     vf = getattr(node, "_vf", None)
     if vf is None or vf.tile_func is None:
         raise ValueError(
@@ -52,7 +60,7 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
     if getattr(node, "integrator", "euler") != "euler":
         raise ValueError("Generic fused step supports integrator='euler' only")
     cls_name = type(node).__name__
-    if cls_name not in ("RateNet", "SpikeResetNet"):
+    if cls_name not in ("RateNet", "SpikeResetNet", "SpikeNet", "MultiSpikeResetNet"):
         raise ValueError(f"Generic fused step does not support {cls_name} nodes")
     if node._args.get("weights") is not None and node._args["weights"].dtype == jnp.int8:
         raise ValueError("int8 coupling runs on the XLA path (STE quantization)")
@@ -70,8 +78,16 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
             "variable or an algebraic of states only (input-dependent sources "
             "run on the XLA path)."
         )
+    out_reader = None
     if node._out_alg is not None:
-        raise ValueError("Generic fused step v1 requires output_var to be a state variable")
+        out_reader = vf.make_tile_reader(node._out_alg)
+        if out_reader is None:
+            raise ValueError(
+                "Generic fused step requires an algebraic output to depend on "
+                "states/params only (input-dependent outputs run on the XLA path)."
+            )
+    # SpikeNet/MultiSpikeResetNet return the POST-update output (nodes.py)
+    post_out = cls_name in ("SpikeNet", "MultiSpikeResetNet")
 
     n = vf.n
     n_pad = _round_up(n, tile)
@@ -94,18 +110,32 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         else:
             scalars[k] = float(val)
 
-    # spiking configuration (SpikeResetNet)
+    # spiking configuration, unified across the node classes: a static list of
+    # (args key receiving spikes/dt, state index of the threshold-condition
+    # variable, hard-reset?, extra args keys also receiving spikes/dt).
+    # SpikeNet injects into spike_var AND reset_var with NO hard reset (the
+    # equations implement the reset); MultiSpikeResetNet hard-resets a list of
+    # segments; semantics per nodes.py make_step of each class.
+    def _var_idx(lo, hi):
+        return next(i for i, q in enumerate(state_order)
+                    if tuple(int(x) for x in vf.var_map[q]) == (int(lo), int(hi)))
+
+    thresh = reset_val = None
     if cls_name == "SpikeResetNet":
+        thresh, reset_val = float(node._thresh), float(node._reset_val)
+        spike_specs = [(node._spike_key,
+                        _var_idx(node._reset_lo, node._reset_hi), True, ())]
+    elif cls_name == "SpikeNet":
         thresh = float(node._thresh)
-        reset_val = float(node._reset_val)
-        spike_key = node._spike_key
-        spike_var_idx = next(
-            i for i, q in enumerate(state_order)
-            if vf.var_map[q] == (node._reset_lo, node._reset_hi))
+        spike_specs = [(node._spike_key,
+                        _var_idx(node._spike_lo, node._spike_hi), False,
+                        (node._reset_key,))]
+    elif cls_name == "MultiSpikeResetNet":
+        thresh, reset_val = float(node._thresh), float(node._reset_val)
+        spike_specs = [(k, _var_idx(lo, hi), True, ())
+                       for k, (lo, hi) in zip(node._spike_keys, node._segments)]
     else:
-        thresh = reset_val = None
-        spike_key = None
-        spike_var_idx = -1
+        spike_specs = []
 
     def kernel(*refs):
         # layout: src row (k-indexed), wt, drive, [state rows j-indexed]*V,
@@ -134,15 +164,19 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
             for i, k in enumerate(vec_keys):
                 a_tile[k] = vec_refs[i][:]
             ext = {tgt_qname: acc[:], inp_key: drive_ref[:]}
-            if cls_name == "SpikeResetNet":
-                vblk = states[state_order[spike_var_idx]]
-                reset = jnp.where(vblk - thresh >= 0.0, 1.0, 0.0).astype(vblk.dtype)
-                ext[spike_key] = ext.get(spike_key, 0.0) + reset / dt
+            resets = {}
+            for skey, vidx, hard, extra in spike_specs:
+                vblk = states[state_order[vidx]]
+                r = jnp.where(vblk - thresh >= 0.0, 1.0, 0.0).astype(vblk.dtype)
+                if hard:
+                    resets[vidx] = r
+                for k2 in (skey,) + extra:
+                    ext[k2] = ext.get(k2, 0.0) + r / dt
             d = tile_func(states, a_tile, ext)
             for i, q in enumerate(state_order):
                 new = states[q] + dt * d[q]
-                if cls_name == "SpikeResetNet" and i == spike_var_idx:
-                    new = new * (1.0 - reset) + reset * reset_val
+                if i in resets:
+                    new = new * (1.0 - resets[i]) + resets[i] * reset_val
                 out_refs[i][:] = new
 
     j_blk = lambda: pl.BlockSpec((1, tile), lambda j, kk: (0, j), memory_space=pltpu.VMEM)
@@ -185,6 +219,12 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         node._start, node._stop = node._var_map["out"]
     if cls_name == "SpikeResetNet":
         node._reset_lo, node._reset_hi = node._var_map["reset_var"]
+    elif cls_name == "SpikeNet":
+        node._spike_lo, node._spike_hi = old_to_new[
+            (int(node._spike_lo), int(node._spike_hi))]
+    elif cls_name == "MultiSpikeResetNet":
+        node._segments = [old_to_new[(int(lo), int(hi))]
+                          for lo, hi in node._segments]
 
     node._args["__wt_pad__"] = pad_coupling(W, tile=tile, weights_dtype=weights_dtype)
     for k in vec_keys:
@@ -198,7 +238,7 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         if extra not in node._keys:
             node._keys.append(extra)
 
-    out_lo, out_hi = node._start, node._stop
+    out_lo, out_hi = (node._start, node._stop) if node._out_alg is None else (0, 0)
 
     def fused_step(y, args, x):
         rows = [jax.lax.dynamic_slice(y, (i * n_pad,), (n_pad,)).reshape(1, n_pad)
@@ -216,7 +256,18 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         src_row = src_reader(states_full, a_full).astype(jnp.float32)
         outs = step_call(src_row, args["__wt_pad__"], drive, *rows, *vec_rows)
         y_new = jnp.concatenate([o[0] for o in outs])
-        return y_new, y[out_lo:out_hi]  # pre-update output, reference semantics
+        # output semantics per node class: RateNet/SpikeResetNet read the
+        # PRE-update state, SpikeNet/MultiSpikeResetNet the POST-update state
+        if out_reader is not None:
+            states_out = ({q: outs[i] for i, q in enumerate(state_order)}
+                          if post_out else states_full)
+            out = jnp.broadcast_to(out_reader(states_out, a_full),
+                                   (1, n_pad))[0, :n]
+        elif post_out:
+            out = y_new[out_lo:out_hi]
+        else:
+            out = y[out_lo:out_hi]
+        return y_new, out
 
     _orig_reset = node.reset
 
@@ -231,3 +282,4 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
     node.make_step = lambda: fused_step
     node._jit_step = None  # invalidate the eager-forward cache (old step, old layout)
     node._step_version = getattr(node, "_step_version", 0) + 1
+    node._fused_attached = True

@@ -360,6 +360,12 @@ def attach_fused_qif_step(node, tile: int = 512, weights_dtype=None,
     may be a per-neuron array), ``output_var='s'``, and framework-managed
     reset on ``v``.  Raises ``ValueError`` when the node doesn't qualify.
     """
+    if getattr(node, "_fused_attached", False):
+        raise ValueError(
+            "A fused step is already attached to this node; re-attaching would "
+            "re-pad the already padded state. Rebuild the node to change the "
+            "kernel configuration."
+        )
     vm = node._var_map
     n = node._vf.n
     need = ["v", "s"]
@@ -459,3 +465,4 @@ def attach_fused_qif_step(node, tile: int = 512, weights_dtype=None,
     node._jit_step = None  # invalidate the eager-forward cache (old step, old layout)
     node._step_version = getattr(node, "_step_version", 0) + 1
     node._fused_unpad = unpad_y  # for tooling that needs the logical state
+    node._fused_attached = True

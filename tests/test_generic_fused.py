@@ -9,6 +9,8 @@ from rectipy_tpu import Network
 from rectipy_tpu.ops.generic_fused import attach_generic_fused_step
 
 LIF = "neuron_model_templates.spiking_neurons.lif.lif"
+QIF_RESET = "neuron_model_templates.spiking_neurons.qif.qif_reset"
+IK = "neuron_model_templates.spiking_neurons.ik.ik"
 QIF_SFA = "neuron_model_templates.spiking_neurons.qif.qif_sfa"
 THETA = "rectipy_tpu.models.spiking_neurons.theta.theta"
 TANH = "neuron_model_templates.rate_neurons.leaky_integrator.tanh"
@@ -89,6 +91,69 @@ def test_generic_fused_theta_neuron():
     assert ref.max() > 0
 
 
+def test_generic_fused_spikenet_intrinsic_reset():
+    """SpikeNet (reset=False): spikes/dt injected into BOTH spike and reset
+    inputs, no hard reset, POST-update output."""
+    n = 24
+    rng = np.random.default_rng(6)
+    W = np.abs(rng.normal(size=(n, n))) * 0.01
+
+    def build():
+        net = Network(1e-3, dtype=jnp.float32)
+        net.add_diffeq_node("qif", QIF_RESET, weights=W, source_var="s",
+                            target_var="s_in", input_var="I_ext", output_var="s",
+                            op="qif_reset_op", spike_var="spike", reset_var="reset",
+                            reset=False, dtype=jnp.float32, spike_threshold=10.0,
+                            spike_reset=-10.0, node_vars={"eta": 8.0, "k": 0.0})
+        net.compile()
+        return net
+
+    ref = _run_both(build, T=1500, seed=6)
+    assert ref.max() > 0, "no spikes -- weak test"
+
+
+def test_generic_fused_multi_spike_reset():
+    """MultiSpikeResetNet (list spike/reset vars): per-segment hard resets,
+    POST-update output."""
+    n = 16
+    rng = np.random.default_rng(7)
+    W = np.abs(rng.normal(size=(n, n))) * 0.02
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float32)
+        net.add_diffeq_node("ik", IK, weights=W, source_var="s", target_var="s_in",
+                            input_var="I_ext", output_var="s", op="ik_op",
+                            spike_var=["spike"], reset_var=["v"], dtype=jnp.float32,
+                            spike_threshold=40.0, spike_reset=-60.0,
+                            node_vars={"eta": 200.0})
+        net.compile()
+        from rectipy_tpu.nodes import MultiSpikeResetNet
+        assert isinstance(net.get_node("ik"), MultiSpikeResetNet)
+        return net
+
+    ref = _run_both(build, T=2500, seed=7)
+    assert ref.max() > 0, "no spikes -- weak test"
+
+
+def test_generic_fused_algebraic_output():
+    """output_var is an algebraic variable (r = tanh(v)) -> computed from the
+    PRE-update state rows, matching the RateNet reader semantics."""
+    n = 20
+    rng = np.random.default_rng(8)
+    W = rng.normal(size=(n, n)) * 0.4
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float32)
+        net.add_diffeq_node("rnn", TANH, weights=W, input_var="li_op/I_ext",
+                            output_var="tanh_op/r", source_var="tanh_op/r",
+                            target_var="li_op/r_in", dtype=jnp.float32,
+                            node_vars={"all/li_op/eta": 1.0})
+        net.compile()
+        return net
+
+    _run_both(build, T=300, seed=8, atol=5e-5)
+
+
 def test_generic_fused_rejections():
     n = 8
     rng = np.random.default_rng(4)
@@ -110,6 +175,16 @@ def test_generic_fused_rejections():
     net2.compile()
     with pytest.raises(ValueError, match="int8"):
         attach_generic_fused_step(net2.get_node("rnn"), interpret=True)
+    # double attach would re-pad the already padded state -> refused
+    net3 = Network(1e-2, dtype=jnp.float32)
+    net3.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)) * 0.1,
+                         input_var="li_op/I_ext", output_var="li_op/v",
+                         source_var="tanh_op/r", target_var="li_op/r_in",
+                         dtype=jnp.float32)
+    net3.compile()
+    attach_generic_fused_step(net3.get_node("rnn"), tile=8, interpret=True)
+    with pytest.raises(ValueError, match="already attached"):
+        attach_generic_fused_step(net3.get_node("rnn"), tile=8, interpret=True)
 
 
 def test_generic_fused_tanh_algebraic_source():
