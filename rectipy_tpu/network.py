@@ -1273,14 +1273,15 @@ class Network:
 
         run as one on-device scan.  Register the trained edge with
         ``add_edge(..., train='eprop')`` (or reuse an ``'rls'`` edge).
-        ``feedback_weights`` (output fed back into the population) requires a
-        FeedbackNetwork edge instead and is rejected here.
+
+        ``feedback_weights`` (shape ``(n_in, n_out)``) implements the
+        reference-documented output->population feedback: the carried
+        learning signal ``err_bar`` is broadcast back into the network input
+        each step (``x_t + feedback_weights @ err_bar``, feedback-alignment
+        style -- causal, since err_bar lags the current output by one step).
+        For *learned* output feedback use a FeedbackNetwork edge instead
+        (``add_edge(out, rnn, weights=W_fb, feedback=True)``).
         """
-        if feedback_weights is not None:
-            raise ValueError(
-                "feedback_weights: add an explicit feedback edge on a FeedbackNetwork "
-                "instead (add_edge(out, rnn, weights=W_fb, feedback=True))."
-            )
         if not self._train_edge:
             raise ValueError("No online-trainable edge; add one with "
                              "add_edge(..., train='eprop') or train='rls'.")
@@ -1306,6 +1307,15 @@ class Network:
         rec_steps_host = np.arange(0, steps, sampling_steps)
         n_rec = len(rec_steps_host)
         n_out = self.n_out
+        err_dim = int(edge.params["weights"].shape[0])
+        fb = None
+        if feedback_weights is not None:
+            fb = jnp.asarray(np.asarray(feedback_weights), dtype=self.dtype)
+            if fb.shape != (self.n_in, err_dim):
+                raise ValueError(
+                    f"feedback_weights must have shape (n_in, n_out) = "
+                    f"({self.n_in}, {err_dim}); got {tuple(fb.shape)}."
+                )
 
         @jax.jit
         def scan_all(state0, params, W, inputs, targets):
@@ -1321,6 +1331,8 @@ class Network:
                 p["edges"] = dict(params["edges"])
                 p["edges"][ekey] = dict(params["edges"][ekey])
                 p["edges"][ekey]["weights"] = W
+                if fb is not None:
+                    x_t = x_t + (fb @ err_bar.astype(self.dtype))
                 state, out, taps = step(state, p, x_t)
                 err = y_t.astype(w_dtype) - taps[tgt_node].astype(w_dtype)
                 err_bar = epsilon * err_bar + (1.0 - epsilon) * err

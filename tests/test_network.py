@@ -521,8 +521,17 @@ def test_fit_eprop_online_learning():
     losses = obs.to_numpy("loss")
     # instantaneous loss tracks the signal amplitude; assert absolute tracking
     assert np.mean(losses[-5:]) < 1e-3, f"e-prop did not converge: {losses[-5:]}"
-    with pytest.raises(ValueError):
-        net.fit_eprop(inp, target, feedback_weights=np.zeros((n, k)))
+    # output->population feedback (reference-documented, unimplemented there):
+    # err_bar broadcast into the network input; must still converge
+    net_fb = build(True)
+    obs_fb = net_fb.fit_eprop(inp, target, epsilon=0.7, delta=0.7, lr=0.5,
+                              update_steps=1, sampling_steps=50, verbose=False,
+                              feedback_weights=0.1 * np.random.default_rng(16).normal(size=(m, k)))
+    losses_fb = obs_fb.to_numpy("loss")
+    assert np.isfinite(losses_fb).all()
+    assert np.mean(losses_fb[-5:]) < 1e-3, f"e-prop+feedback did not converge: {losses_fb[-5:]}"
+    with pytest.raises(ValueError, match="feedback_weights"):
+        net.fit_eprop(inp, target, feedback_weights=np.zeros((n, k)))  # wrong shape
     net_plain = build(False)
     with pytest.raises(ValueError):
         net_plain.fit_eprop(inp, target)
