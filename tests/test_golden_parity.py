@@ -312,3 +312,52 @@ def test_ik_meanfield_trajectory_matches_reference_semantics():
     ours = net.run(np.zeros((steps, n)), sampling_steps=1,
                    verbose=False).to_numpy("out")
     np.testing.assert_allclose(ours, golden, rtol=1e-8, atol=1e-8)
+
+
+def test_ik_multi_spike_reset_matches_reference_semantics():
+    """MultiSpikeResetNet over ik_op: spikes from the PRE-update v, hard
+    where-reset of each segment AFTER the Euler update, POST-update output
+    (reference nodes.py:404-465 semantics, torch-float64 oracle)."""
+    n = 12
+    rng = np.random.default_rng(11)
+    W = np.abs(rng.normal(size=(n, n))) * 0.05
+    dt, thresh, v_reset, eta = 1e-2, 40.0, -60.0, 200.0
+    C, k, v_r, v_theta = 100.0, 0.7, -60.0, -40.0
+    g, E_r, tau_s, b, tau_u, kappa = 1.0, 0.0, 6.0, -2.0, 33.33, 10.0
+    steps = 4000
+
+    Wt = torch.as_tensor(W, dtype=torch.float64)
+    v = torch.full((n,), -60.0, dtype=torch.float64)
+    u = torch.zeros(n, dtype=torch.float64)
+    s = torch.zeros(n, dtype=torch.float64)
+    golden = []
+    for _ in range(steps):
+        spikes = torch.heaviside(v - thresh, torch.tensor(1.0, dtype=torch.float64)) / dt
+        s_in = Wt @ s
+        dv = (k * (v - v_r) * (v - v_theta) - u + eta + g * s_in * (E_r - v)) / C
+        du = (b * (v - v_r) - u) / tau_u + kappa * spikes
+        ds = -s / tau_s + spikes
+        v = v + dt * dv
+        u = u + dt * du
+        s = s + dt * ds
+        reset_mask = spikes * dt > 0.0
+        v = torch.where(reset_mask, torch.tensor(v_reset, dtype=torch.float64), v)
+        golden.append(s.clone())  # post-update output (MultiSpikeResetNet)
+    golden = torch.stack(golden).numpy()
+    assert golden.max() > 0, "no spikes -- weak oracle"
+
+    from rectipy_tpu import Network
+
+    net = Network(dt, dtype=jnp.float64)
+    net.add_diffeq_node("ik", "neuron_model_templates.spiking_neurons.ik.ik",
+                        weights=W, source_var="s", target_var="s_in",
+                        input_var="I_ext", output_var="s", op="ik_op",
+                        spike_var=["spike"], reset_var=["v"], dtype=jnp.float64,
+                        spike_threshold=thresh, spike_reset=v_reset,
+                        node_vars={"eta": eta})
+    net.compile()
+    from rectipy_tpu.nodes import MultiSpikeResetNet
+    assert isinstance(net.get_node("ik"), MultiSpikeResetNet)
+    ours = net.run(np.zeros((steps, n)), sampling_steps=1,
+                   verbose=False).to_numpy("out")
+    np.testing.assert_allclose(ours, golden, rtol=1e-8, atol=1e-8)
