@@ -197,3 +197,38 @@ def test_sharded_train_step_gradient_reduction_spans_data_axis():
     rows_per = n // mesh.shape["model"]
     assert shards[0].shape[0] == rows_per  # model-sharded
     assert np.isfinite(float(l1))
+
+
+def test_sharded_run_int8_coupling_matches_single_device():
+    """int8 coupling under the mesh: the quantized weight rows AND their
+    per-row scales (N,) shard along the model axis; trajectory must equal the
+    single-device int8 run exactly."""
+    n = 32
+    rng = np.random.default_rng(4)
+    W = rng.normal(size=(n, n)) * 0.2
+    inputs = jnp.asarray(rng.normal(size=(20, n)))
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float32)
+        net.add_diffeq_node("rnn", TANH, weights=W, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", coupling_dtype="int8")
+        net.compile()
+        return net
+
+    ref = build().run(np.asarray(inputs), verbose=False).to_numpy("out")
+
+    net2 = build()
+    mesh = make_mesh(8, data=1)
+    state = shard_network_arrays(net2.init_state(), n, mesh)
+    params = shard_network_arrays(net2.parameters_pytree(), n, mesh)
+    node_params = params["nodes"]["rnn"]
+    wkey = next(k for k in node_params if k.endswith("weights"))
+    assert node_params[wkey].dtype == jnp.int8
+    assert node_params[wkey].sharding.spec == P("model", None)
+    skey = next(k for k in node_params if k.endswith("__scale"))
+    assert node_params[skey].sharding.spec == P("model")
+    run = sharded_run(net2, mesh)
+    with mesh:
+        _, outs = run(state, params, inputs)
+    np.testing.assert_allclose(np.asarray(outs), ref, rtol=1e-6, atol=1e-6)
