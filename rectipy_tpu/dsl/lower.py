@@ -65,6 +65,7 @@ class VectorField:
     tile_func: Optional[Callable] = None  # tile-local vector field (see lower())
     state_order: List[str] = field(default_factory=list)
     make_tile_reader: Optional[Callable] = None  # qname -> tile reader or None
+    couplings: List[Tuple[str, str, str]] = field(default_factory=list)  # (src, tgt, wkey)
 
 
 @jax.custom_jvp
@@ -585,4 +586,5 @@ def lower(
         tile_func=tile_func,
         state_order=list(state_order),
         make_tile_reader=make_tile_reader,
+        couplings=[(esv, etv, wkey) for esv, etv, _, wkey in all_edges],
     )

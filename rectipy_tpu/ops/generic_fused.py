@@ -6,13 +6,14 @@ without population reductions gets the fused path -- LIF, QIF(+SFA), theta,
 custom user templates -- with spiking semantics layered per node class.
 
 Scope (ValueError otherwise): RateNet, SpikeResetNet, SpikeNet and
-MultiSpikeResetNet nodes with Euler integration, float32 state, exactly one
-coupling matrix whose source is a state variable or an algebraic of
-states/params only.  Output may be a state variable or such an algebraic
-(pre-/post-update semantics follow the node class).  Mean-field templates
-(population reductions), Heun, and int8 coupling run on the XLA path (which
-matches this kernel's steady-state throughput anyway -- the fused path's win
-is ~30x faster compilation).
+MultiSpikeResetNet nodes with Euler integration, float32 state, one or more
+coupling matrices (e.g. E/I circuits built via CircuitTemplate with several
+``add_edges_from_matrix`` calls) whose sources are state variables or
+algebraics of states/params only.  Output may be a state variable or such an
+algebraic (pre-/post-update semantics follow the node class).  Mean-field
+templates (population reductions), Heun, and int8 coupling run on the XLA
+path (which matches this kernel's steady-state throughput anyway -- the
+fused path's win is ~30x faster compilation).
 
 Design (same shape as the QIF kernel): grid ``(j, k)`` over output and
 contraction tiles, matvec accumulating in VMEM scratch on the MXU, tile_func
@@ -62,22 +63,29 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
     cls_name = type(node).__name__
     if cls_name not in ("RateNet", "SpikeResetNet", "SpikeNet", "MultiSpikeResetNet"):
         raise ValueError(f"Generic fused step does not support {cls_name} nodes")
-    if node._args.get("weights") is not None and node._args["weights"].dtype == jnp.int8:
-        raise ValueError("int8 coupling runs on the XLA path (STE quantization)")
     wkeys = [k for k in vf.keys
              if (k == "weights" or k.startswith("weights_")) and not k.endswith("__scale")]
-    if wkeys != ["weights"]:
-        raise ValueError("Generic fused step supports exactly one coupling matrix")
+    if not wkeys:
+        raise ValueError("Generic fused step requires at least one coupling matrix")
+    for wk in wkeys:
+        if node._args[wk].dtype == jnp.int8:
+            raise ValueError("int8 coupling runs on the XLA path (STE quantization)")
     if node.dtype != jnp.float32:
         raise ValueError("Generic fused step requires float32 node state")
     state_order: List[str] = list(vf.state_order)
-    src_reader = vf.make_tile_reader(vf.source_var) if vf.make_tile_reader else None
-    if src_reader is None:
-        raise ValueError(
-            "Generic fused step requires the coupling source to be a state "
-            "variable or an algebraic of states only (input-dependent sources "
-            "run on the XLA path)."
-        )
+    couplings = [(src, tgt, wk) for src, tgt, wk in vf.couplings if wk in wkeys]
+    if sorted(wk for _, _, wk in couplings) != sorted(wkeys):
+        raise ValueError("Coupling metadata does not match the node's weight keys")
+    src_readers = []
+    for src, _tgt, _wk in couplings:
+        rd = vf.make_tile_reader(src) if vf.make_tile_reader else None
+        if rd is None:
+            raise ValueError(
+                "Generic fused step requires every coupling source to be a state "
+                "variable or an algebraic of states only (input-dependent sources "
+                "run on the XLA path)."
+            )
+        src_readers.append(rd)
     out_reader = None
     if node._out_alg is not None:
         out_reader = vf.make_tile_reader(node._out_alg)
@@ -96,13 +104,14 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
     dt = node.dt
     n_vars = len(state_order)
     tile_func = vf.tile_func
-    tgt_qname = vf.target_var
+    K = len(couplings)
+    tgt_names = [tgt for _, tgt, _ in couplings]
     inp_key = node._inp_key
 
     # partition args: per-neuron vectors stream as rows; scalars bake in
     vec_keys, scalars = [], {}
     for k in vf.keys:
-        if k in ("weights", inp_key):
+        if k in wkeys or k == inp_key:
             continue
         val = node._args[k]
         if hasattr(val, "ndim") and val.ndim == 1:
@@ -138,24 +147,29 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         spike_specs = []
 
     def kernel(*refs):
-        # layout: src row (k-indexed), wt, drive, [state rows j-indexed]*V,
-        #         [vec rows j-indexed]*P, outs*V, acc
-        src_k_ref, wt_ref, drive_ref = refs[0], refs[1], refs[2]
-        state_refs = refs[3:3 + n_vars]
-        vec_refs = refs[3 + n_vars:3 + n_vars + len(vec_keys)]
-        out_refs = refs[3 + n_vars + len(vec_keys):-1]
-        acc = refs[-1]
+        # layout: [src row (k-indexed)]*K, [wt]*K, drive,
+        #         [state rows j-indexed]*V, [vec rows j-indexed]*P, outs*V, acc*K
+        src_refs = refs[0:K]
+        wt_refs = refs[K:2 * K]
+        drive_ref = refs[2 * K]
+        base = 2 * K + 1
+        state_refs = refs[base:base + n_vars]
+        vec_refs = refs[base + n_vars:base + n_vars + len(vec_keys)]
+        out_refs = refs[base + n_vars + len(vec_keys):-K]
+        accs = refs[-K:]
         kk = pl.program_id(1)
 
         @pl.when(kk == 0)
         def _():
-            acc[:] = jnp.zeros_like(acc)
+            for acc in accs:
+                acc[:] = jnp.zeros_like(acc)
 
-        acc[:] += jax.lax.dot_general(
-            src_k_ref[:].astype(wt_ref.dtype), wt_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        for c in range(K):
+            accs[c][:] += jax.lax.dot_general(
+                src_refs[c][:].astype(wt_refs[c].dtype), wt_refs[c][:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         @pl.when(kk == n_k - 1)
         def _():
@@ -163,7 +177,12 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
             a_tile = dict(scalars)
             for i, k in enumerate(vec_keys):
                 a_tile[k] = vec_refs[i][:]
-            ext = {tgt_qname: acc[:], inp_key: drive_ref[:]}
+            # drive first, then SUM coupling accumulators into their targets
+            # (two couplings may share a target; a coupling may target the
+            # external-input variable itself)
+            ext = {inp_key: drive_ref[:]}
+            for c, tgt in enumerate(tgt_names):
+                ext[tgt] = ext.get(tgt, 0.0) + accs[c][:]
             resets = {}
             for skey, vidx, hard, extra in spike_specs:
                 vblk = states[state_order[vidx]]
@@ -182,20 +201,20 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
     j_blk = lambda: pl.BlockSpec((1, tile), lambda j, kk: (0, j), memory_space=pltpu.VMEM)
     wt_spec = pl.BlockSpec((tile, tile), lambda j, kk: (kk, j), memory_space=pltpu.VMEM)
 
-    W = np.asarray(node._args["weights"], dtype=np.float32)
     if weights_dtype is None:
-        weights_dtype = node._args["weights"].dtype
+        weights_dtype = node._args[wkeys[0]].dtype
     k_blk = pl.BlockSpec((1, tile), lambda j, kk: (0, kk), memory_space=pltpu.VMEM)
     step_call = pl.pallas_call(
         kernel,
         grid=(n_j, n_k),
-        in_specs=[k_blk, wt_spec, j_blk()] + [j_blk()] * (n_vars + len(vec_keys)),
+        in_specs=([k_blk] * K + [wt_spec] * K + [j_blk()]
+                  + [j_blk()] * (n_vars + len(vec_keys))),
         out_specs=[j_blk()] * n_vars,
         out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.float32)] * n_vars,
-        scratch_shapes=[pltpu.VMEM((1, tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, tile), jnp.float32)] * K,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * n_pad,
-            bytes_accessed=n_pad * n_pad * np.dtype(weights_dtype).itemsize,
+            flops=2 * K * n_pad * n_pad,
+            bytes_accessed=K * n_pad * n_pad * np.dtype(weights_dtype).itemsize,
             transcendentals=n_pad,
         ),
         interpret=interpret,
@@ -226,7 +245,10 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         node._segments = [old_to_new[(int(lo), int(hi))]
                           for lo, hi in node._segments]
 
-    node._args["__wt_pad__"] = pad_coupling(W, tile=tile, weights_dtype=weights_dtype)
+    for c, (_, _, wk) in enumerate(couplings):
+        node._args[f"__wt_pad_{c}__"] = pad_coupling(
+            np.asarray(node._args[wk], dtype=np.float32), tile=tile,
+            weights_dtype=weights_dtype)
     for k in vec_keys:
         # pad per-neuron params with 1.0: templates routinely divide by them
         # (e.g. -v/tau) and a 0-padded divisor makes NaNs in the pad lanes,
@@ -234,7 +256,8 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         node._args[f"__row_{k}__"] = jnp.pad(
             jnp.asarray(node._args[k], jnp.float32), (0, n_pad - n),
             constant_values=1.0).reshape(1, n_pad)
-    for extra in ["__wt_pad__"] + [f"__row_{k}__" for k in vec_keys]:
+    for extra in ([f"__wt_pad_{c}__" for c in range(K)]
+                  + [f"__row_{k}__" for k in vec_keys]):
         if extra not in node._keys:
             node._keys.append(extra)
 
@@ -246,15 +269,17 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         drive = jnp.pad(jnp.broadcast_to(x, (n,)).astype(jnp.float32),
                         (0, n_pad - n)).reshape(1, n_pad)
         vec_rows = [args[f"__row_{k}__"] for k in vec_keys]
-        # the coupling source row is computed ONCE per step here (O(N)
+        # each coupling source row is computed ONCE per step here (O(N)
         # elementwise, negligible vs the O(N^2) matvec); computing it per
         # k-tile inside the kernel would redo it n_j times per step
         states_full = {q: rows[i] for i, q in enumerate(state_order)}
         a_full = dict(scalars)
         for i, k in enumerate(vec_keys):
             a_full[k] = args[f"__row_{k}__"]
-        src_row = src_reader(states_full, a_full).astype(jnp.float32)
-        outs = step_call(src_row, args["__wt_pad__"], drive, *rows, *vec_rows)
+        src_rows = [jnp.broadcast_to(rd(states_full, a_full), (1, n_pad))
+                    .astype(jnp.float32) for rd in src_readers]
+        wt_pads = [args[f"__wt_pad_{c}__"] for c in range(K)]
+        outs = step_call(*src_rows, *wt_pads, drive, *rows, *vec_rows)
         y_new = jnp.concatenate([o[0] for o in outs])
         # output semantics per node class: RateNet/SpikeResetNet read the
         # PRE-update state, SpikeNet/MultiSpikeResetNet the POST-update state

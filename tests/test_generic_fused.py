@@ -154,6 +154,31 @@ def test_generic_fused_algebraic_output():
     _run_both(build, T=300, seed=8, atol=5e-5)
 
 
+def test_generic_fused_multi_coupling():
+    """Two coupling matrices on one node (CircuitTemplate with two
+    add_edges_from_matrix calls), the second targeting the external-input
+    variable itself -- both matvecs fused into the kernel."""
+    n = 24
+    rng = np.random.default_rng(9)
+    W1 = rng.normal(size=(n, n)) * 0.2
+    W2 = rng.normal(size=(n, n)) * 0.1
+
+    from rectipy_tpu.dsl.parser import CircuitTemplate, NodeTemplate
+
+    def build():
+        tmpl = NodeTemplate.from_yaml(TANH)
+        circ = CircuitTemplate("c", {f"p{i}": tmpl for i in range(n)})
+        circ.add_edges_from_matrix("tanh_op/r", "li_op/r_in", weight=W1)
+        circ.add_edges_from_matrix("tanh_op/r", "li_op/I_ext", weight=W2)
+        net = Network(1e-2, dtype=jnp.float32)
+        net.add_diffeq_node("rnn", circ, input_var="li_op/I_ext",
+                            output_var="li_op/v", dtype=jnp.float32)
+        net.compile()
+        return net
+
+    _run_both(build, T=300, tile=16, seed=9, atol=5e-4)
+
+
 def test_generic_fused_rejections():
     n = 8
     rng = np.random.default_rng(4)
