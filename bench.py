@@ -24,7 +24,9 @@ N = int(os.environ.get("BENCH_N", 10_000))
 # overhead (sustained rate; 1M-step chunked validation hit 1.02e8 nu/s), short
 # enough to stay well under the device-relay execution limit
 STEPS = int(os.environ.get("BENCH_STEPS", 20_000))
-BASELINE_STEPS = int(os.environ.get("BENCH_BASELINE_STEPS", 10))
+# 30 steps x best-of-3 keeps torch-CPU timing noise under ~10% (10 steps gave
+# run-to-run baseline swings of 1.3e5..1.9e5 nu/s -> vs_baseline 618 vs 953)
+BASELINE_STEPS = int(os.environ.get("BENCH_BASELINE_STEPS", 30))
 # coupling precision ladder (the N x N matvec is HBM-bound, so bytes ~= time;
 # states and accumulation stay float32 in every mode):
 #   float32: 1.06e7 nu/s | bfloat16: 3.2e7 | int8 (per-row scales + dynamic
