@@ -10,9 +10,11 @@ MultiSpikeResetNet nodes with Euler integration, float32 state, one or more
 coupling matrices (e.g. E/I circuits built via CircuitTemplate with several
 ``add_edges_from_matrix`` calls) whose sources are state variables or
 algebraics of states/params only.  Output may be a state variable or such an
-algebraic (pre-/post-update semantics follow the node class).  Mean-field
-templates (population reductions), Heun, and int8 coupling run on the XLA
-path (which matches this kernel's steady-state throughput anyway -- the
+algebraic (pre-/post-update semantics follow the node class).  RateNet also
+supports ``integrator='heun'`` (derivative-mode kernel called twice per
+step, mirroring the XLA Heun path's two vector-field evaluations).
+Mean-field templates (population reductions) and int8 coupling run on the
+XLA path (which matches this kernel's steady-state throughput anyway -- the
 fused path's win is ~30x faster compilation).
 
 Design (same shape as the QIF kernel): grid ``(j, k)`` over output and
@@ -58,11 +60,13 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
             "Generic fused step requires a DSL-built node without population "
             "reductions (mean()/sum() templates run on the XLA path)."
         )
-    if getattr(node, "integrator", "euler") != "euler":
-        raise ValueError("Generic fused step supports integrator='euler' only")
     cls_name = type(node).__name__
     if cls_name not in ("RateNet", "SpikeResetNet", "SpikeNet", "MultiSpikeResetNet"):
         raise ValueError(f"Generic fused step does not support {cls_name} nodes")
+    heun_mode = getattr(node, "integrator", "euler") == "heun"
+    if heun_mode and cls_name != "RateNet":
+        # nodes.py enforces this at construction already; guard the seam too
+        raise ValueError("integrator='heun' is only supported on RateNet nodes")
     wkeys = [k for k in vf.keys
              if (k == "weights" or k.startswith("weights_")) and not k.endswith("__scale")]
     if not wkeys:
@@ -192,11 +196,18 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
                 for k2 in (skey,) + extra:
                     ext[k2] = ext.get(k2, 0.0) + r / dt
             d = tile_func(states, a_tile, ext)
-            for i, q in enumerate(state_order):
-                new = states[q] + dt * d[q]
-                if i in resets:
-                    new = new * (1.0 - resets[i]) + resets[i] * reset_val
-                out_refs[i][:] = new
+            if heun_mode:
+                # derivative mode: the RK2 combination happens in fused_step
+                # (two kernel calls per step, as the XLA Heun path's two
+                # vector-field evaluations)
+                for i, q in enumerate(state_order):
+                    out_refs[i][:] = d[q]
+            else:
+                for i, q in enumerate(state_order):
+                    new = states[q] + dt * d[q]
+                    if i in resets:
+                        new = new * (1.0 - resets[i]) + resets[i] * reset_val
+                    out_refs[i][:] = new
 
     j_blk = lambda: pl.BlockSpec((1, tile), lambda j, kk: (0, j), memory_space=pltpu.VMEM)
     wt_spec = pl.BlockSpec((tile, tile), lambda j, kk: (kk, j), memory_space=pltpu.VMEM)
@@ -263,9 +274,40 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
 
     out_lo, out_hi = (node._start, node._stop) if node._out_alg is None else (0, 0)
 
-    def fused_step(y, args, x):
-        rows = [jax.lax.dynamic_slice(y, (i * n_pad,), (n_pad,)).reshape(1, n_pad)
+    def _split_rows(y):
+        return [jax.lax.dynamic_slice(y, (i * n_pad,), (n_pad,)).reshape(1, n_pad)
                 for i in range(n_vars)]
+
+    def fused_step_heun(y, args, x):
+        rows = _split_rows(y)
+        drive = jnp.pad(jnp.broadcast_to(x, (n,)).astype(jnp.float32),
+                        (0, n_pad - n)).reshape(1, n_pad)
+        vec_rows = [args[f"__row_{k}__"] for k in vec_keys]
+        wt_pads = [args[f"__wt_pad_{c}__"] for c in range(K)]
+        a_full = dict(scalars)
+        for i, k in enumerate(vec_keys):
+            a_full[k] = args[f"__row_{k}__"]
+
+        def deriv(rows_):
+            states_ = {q: rows_[i] for i, q in enumerate(state_order)}
+            src_rows = [jnp.broadcast_to(rd(states_, a_full), (1, n_pad))
+                        .astype(jnp.float32) for rd in src_readers]
+            return step_call(*src_rows, *wt_pads, drive, *rows_, *vec_rows)
+
+        k1 = deriv(rows)
+        mid = [rows[i] + dt * k1[i] for i in range(n_vars)]
+        k2 = deriv(mid)
+        y_new = jnp.concatenate(
+            [(rows[i] + (dt * 0.5) * (k1[i] + k2[i]))[0] for i in range(n_vars)])
+        if out_reader is not None:  # RateNet output is PRE-update
+            states_pre = {q: rows[i] for i, q in enumerate(state_order)}
+            out = jnp.broadcast_to(out_reader(states_pre, a_full), (1, n_pad))[0, :n]
+        else:
+            out = y[out_lo:out_hi]
+        return y_new, out
+
+    def fused_step(y, args, x):
+        rows = _split_rows(y)
         drive = jnp.pad(jnp.broadcast_to(x, (n,)).astype(jnp.float32),
                         (0, n_pad - n)).reshape(1, n_pad)
         vec_rows = [args[f"__row_{k}__"] for k in vec_keys]
@@ -304,7 +346,7 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         return _orig(y=y, idx=idx)
 
     node.reset = reset
-    node.make_step = lambda: fused_step
+    node.make_step = (lambda: fused_step_heun) if heun_mode else (lambda: fused_step)
     node._jit_step = None  # invalidate the eager-forward cache (old step, old layout)
     node._step_version = getattr(node, "_step_version", 0) + 1
     node._fused_attached = True

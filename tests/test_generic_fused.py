@@ -154,6 +154,38 @@ def test_generic_fused_algebraic_output():
     _run_both(build, T=300, seed=8, atol=5e-5)
 
 
+def test_generic_fused_heun():
+    """integrator='heun' (RateNet): derivative-mode kernel called twice per
+    step matches the XLA Heun path."""
+    n = 24
+    rng = np.random.default_rng(12)
+    W = rng.normal(size=(n, n)) * 0.3
+    tau = rng.uniform(5.0, 15.0, size=n)
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float32)
+        net.add_diffeq_node("rnn", TANH, weights=W, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", dtype=jnp.float32,
+                            integrator="heun",
+                            node_vars={"all/li_op/tau": tau, "all/li_op/eta": 1.0})
+        net.compile()
+        return net
+
+    _run_both(build, T=300, seed=12, atol=5e-5)
+    # heun and euler must actually differ (otherwise the test is vacuous)
+    net_e = Network(1e-2, dtype=jnp.float32)
+    net_e.add_diffeq_node("rnn", TANH, weights=W, input_var="li_op/I_ext",
+                          output_var="li_op/v", source_var="tanh_op/r",
+                          target_var="li_op/r_in", dtype=jnp.float32,
+                          node_vars={"all/li_op/tau": tau, "all/li_op/eta": 1.0})
+    net_e.compile()
+    inp = np.random.default_rng(12).normal(size=(300, n)).astype(np.float32)
+    out_e = net_e.run(inp, verbose=False).to_numpy("out")
+    out_h = build().run(inp, verbose=False).to_numpy("out")
+    assert np.abs(out_e - out_h).max() > 1e-4
+
+
 def test_generic_fused_multi_coupling():
     """Two coupling matrices on one node (CircuitTemplate with two
     add_edges_from_matrix calls), the second targeting the external-input
