@@ -39,38 +39,56 @@ def _flatten_with_paths(tree) -> Dict[str, np.ndarray]:
 
 
 def save_pytree(tree, path: str) -> None:
-    """Persist a pytree of arrays.  Orbax when importable, .npz otherwise."""
+    """Persist a pytree of arrays.  Orbax when importable, .npz otherwise.
+
+    Only import/version drift triggers the silent fallback; a genuinely
+    failing Orbax save surfaces after cleaning up its partial directory (so a
+    later restore can never prefer a corrupt Orbax dir over a good .npz)."""
     try:
         import orbax.checkpoint as ocp
+    except ImportError:
+        ocp = None
+    if ocp is not None:
+        abspath = os.path.abspath(path)
+        try:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(abspath, tree, force=True)
+            ckptr.wait_until_finished()
+            return
+        except (AttributeError, TypeError):  # orbax API drift -> portable fallback
+            if os.path.isdir(abspath):
+                import shutil
 
-        path = os.path.abspath(path)
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, tree, force=True)
-        ckptr.wait_until_finished()
-        return
-    except (ImportError, Exception):  # orbax version drift -> portable fallback
-        pass
+                shutil.rmtree(abspath, ignore_errors=True)
+        except Exception:
+            if os.path.isdir(abspath):
+                import shutil
+
+                shutil.rmtree(abspath, ignore_errors=True)
+            raise
     np.savez(path if path.endswith(".npz") else path + ".npz", **_flatten_with_paths(tree))
 
 
 def restore_pytree(template, path: str):
     """Restore a pytree saved by :func:`save_pytree` into ``template``'s
     structure (leaf shapes/dtypes from the template)."""
+    npz_sibling = path if path.endswith(".npz") else path + ".npz"
     if os.path.isdir(path):
-        # an Orbax checkpoint exists on disk -- do NOT silently fall back; a
-        # failure here (e.g. shape mismatch with the template) is the user's
-        # actual error and must surface clearly
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
         try:
             return ckptr.restore(os.path.abspath(path), template)
         except Exception as e:
-            raise ValueError(
-                f"Failed to restore checkpoint {path!r} into the given template "
-                f"(shape/dtype/structure mismatch?): {e}"
-            ) from e
-    npz_path = path if path.endswith(".npz") else path + ".npz"
+            # a good .npz written alongside (fallback save) wins over a
+            # corrupt/partial Orbax dir; otherwise surface the user's actual
+            # error (e.g. shape mismatch with the template) clearly
+            if not os.path.exists(npz_sibling):
+                raise ValueError(
+                    f"Failed to restore checkpoint {path!r} into the given template "
+                    f"(shape/dtype/structure mismatch?): {e}"
+                ) from e
+    npz_path = npz_sibling
     if not os.path.exists(npz_path):
         raise FileNotFoundError(f"No checkpoint found at {path!r} (neither Orbax dir nor {npz_path})")
     data = np.load(npz_path)

@@ -137,7 +137,7 @@ class Network:
             n.set_param(var, val)
         except KeyError:
             # state variable: functional slice update
-            spec = n._var_map.get(var)
+            spec = getattr(n, "_var_map", {}).get(var)
             if spec is None:
                 raise KeyError(f"Variable {var} was not found on node {node}.")
             lo, hi = (spec if isinstance(spec, tuple) else (spec, spec + 1))
@@ -285,6 +285,9 @@ class Network:
             edge = LinEdge(**kwargs, detach=False)
         elif train == "eprop":
             kwargs.pop("detach", None)
+            # not gradient-trainable: the eprop delta-rule updates the weights
+            # outside autograd, like the RLS edge
+            trainable = False
             edge = LinEdge(**{k: v for k, v in kwargs.items()
                               if k in ("n_in", "n_out", "weights", "dtype")}, detach=True)
             self._train_edge = (source, target)
@@ -478,10 +481,18 @@ class Network:
             fb = {}
             for u, v, e in fb_edges:
                 state["edges"][_ekey(u, v)] = e.init_state()
-                src_node = self.graph.nodes[u]["node"]
-                fb_dtype = getattr(src_node, "dtype", self.dtype)
-                fb[u] = self._fb_store.get(
-                    u, jnp.zeros(self.graph.nodes[u]["n_out"], dtype=fb_dtype))
+                src_node = self.get_node(u)
+                if u in self._fb_store:
+                    fb[u] = self._fb_store[u]
+                elif hasattr(src_node, "_make_out_reader"):
+                    # reference semantics: feedback reads the source node's
+                    # CURRENT out-slice (network.py:1354-1357 via
+                    # nodes.py:92-99), so the first step of a run sees the
+                    # output value of the initial state, not zeros
+                    fb[u] = src_node._make_out_reader()(src_node.y, src_node._args)
+                else:
+                    fb_dtype = getattr(src_node, "dtype", self.dtype)
+                    fb[u] = jnp.zeros(self[u]["n_out"], dtype=fb_dtype)
             state["fb"] = fb
         return state
 
@@ -898,6 +909,10 @@ class Network:
 
     def reset(self, state: dict = None):
         """Reset node states (optionally to the given per-node vectors)."""
+        # drop carried feedback outputs: the next run's first-step feedback is
+        # re-derived from the (freshly reset) source-node states, matching the
+        # reference where feedback always reads the live out-slice
+        self._fb_store = {}
         for node in self.nodes:
             n = self.get_node(node)
             if hasattr(n, "y"):
@@ -1051,19 +1066,37 @@ class Network:
             state, (preds, vals) = jax.lax.scan(body, state, inp_c)
             return loss_fn(preds, tgt_c), (state, preds, vals)
 
-        if n_upd == 0:
-            # fewer steps than one update chunk: forward-only (the reference
-            # also never updates before `update_steps` steps have elapsed)
-            params = combine(train, frozen)
-
+        def _fwd_body(params):
             def body(state, x_t):
                 state, out, _ = step(state, params, x_t)
-                return state, None
+                vals = tuple(
+                    (jnp.mean(reader(state["nodes"][label], params["nodes"][label]))
+                     if reduce else reader(state["nodes"][label], params["nodes"][label]))
+                    for (_, label, reader, reduce) in rec_info)
+                return state, (out, vals)
 
-            stateT, _ = jax.lax.scan(body, state0, inputs)
-            return train, stateT, {"steps": np.zeros(0, dtype=int),
-                                   "out": np.zeros((0, n_out)),
-                                   "loss": np.zeros(0), "vars": {}}
+            return body
+
+        if n_upd == 0:
+            # fewer steps than one update chunk: forward-only (the reference
+            # also never updates before `update_steps` steps have elapsed),
+            # but outputs are still recorded on the global sampling grid with
+            # zero loss (reference network.py:1042-1047: error stays 0.0)
+            params = combine(train, frozen)
+            stateT, (outs, vals) = jax.lax.scan(_fwd_body(params), state0, inputs)
+            keep = np.arange(0, T, sampling_steps)
+            var_values = {key: np.asarray(vals[i])[keep]
+                          for i, (key, _, _, _) in enumerate(rec_info)}
+            return train, stateT, {"steps": keep, "out": np.asarray(outs)[keep],
+                                   "loss": np.zeros(len(keep)), "vars": var_values}
+
+        # recording follows the reference's GLOBAL grid `step % sampling_steps
+        # == 0` (network.py:1044-1047).  When sampling_steps divides
+        # update_steps the per-chunk local grid coincides with the global one
+        # and records can be subsampled inside the scan (less HBM + transfer);
+        # otherwise the scan emits every step and the grid is applied on host.
+        s = int(sampling_steps)
+        emit_sub = (u % s == 0)
 
         @jax.jit
         def train_all(train, opt_state, state):
@@ -1078,35 +1111,51 @@ class Network:
                 updates, opt_state = opt.update(grads, opt_state, train)
                 train = optax.apply_updates(train, updates)
                 state = jax.lax.stop_gradient(state)  # truncated BPTT boundary
-                sampled_vals = tuple(v[::sampling_steps] for v in vals)
-                return (train, opt_state, state), (lval, preds[::sampling_steps], sampled_vals)
+                if emit_sub:
+                    preds = preds[::s]
+                    vals = tuple(v[::s] for v in vals)
+                return (train, opt_state, state), (lval, preds, vals)
 
             (train, opt_state, state), (losses, preds, vals) = jax.lax.scan(
                 chunk, (train, opt_state, state), (inp_chunks, tgt_chunks))
             return train, opt_state, state, losses, preds, vals
 
         train, opt_state, stateT, losses, preds, vals = train_all(train, opt_state, state0)
-        # leftover steps (< update_steps) run forward without an update
-        rem = T - n_upd * u
+        body_T = n_upd * u
+        if emit_sub:
+            rec_steps = np.arange(0, body_T, s)
+            preds = np.asarray(preds).reshape(-1, n_out)
+            vals_flat = [np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:]) for v in vals]
+        else:
+            keep = np.arange(0, body_T, s)
+            preds = np.asarray(preds).reshape(body_T, n_out)[keep]
+            vals_flat = [np.asarray(v).reshape((body_T,) + np.asarray(v).shape[2:])[keep]
+                         for v in vals]
+            rec_steps = keep
+
+        # leftover steps (< update_steps) run forward without an update but
+        # are still recorded on the global grid (the reference records every
+        # `step % sampling_steps == 0` over the FULL horizon)
+        rem = T - body_T
         if rem > 0:
             params = combine(train, frozen)
+            stateT, (rem_out, rem_vals) = jax.lax.scan(_fwd_body(params), stateT,
+                                                       inputs[body_T:])
+            rem_keep = np.asarray([t for t in range(body_T, T) if t % s == 0], dtype=int)
+            if len(rem_keep):
+                preds = np.concatenate([preds, np.asarray(rem_out)[rem_keep - body_T]])
+                vals_flat = [np.concatenate([vf_, np.asarray(rv)[rem_keep - body_T]])
+                             for vf_, rv in zip(vals_flat, rem_vals)]
+                rec_steps = np.concatenate([rec_steps, rem_keep])
 
-            def body(state, x_t):
-                state, out, _ = step(state, params, x_t)
-                return state, out
-
-            stateT, _ = jax.lax.scan(body, stateT, inputs[n_upd * u:])
-
-        preds = np.asarray(preds).reshape(-1, n_out)
+        # recorded loss at step t is the error value current at that step:
+        # losses update at chunk boundaries (step % u == u-1), so t carries the
+        # loss of the last COMPLETED chunk (0.0 before the first update) --
+        # reference network.py:1035-1047 ordering (update, then record)
         losses = np.asarray(losses)
-        rec_steps = np.concatenate(
-            [np.arange(c * u, (c + 1) * u, sampling_steps) for c in range(n_upd)]
-        ) if n_upd else np.zeros(0, dtype=int)
-        rec_losses = np.repeat(losses, int(np.ceil(u / sampling_steps))) if n_upd else losses
-        var_values = {}
-        for i, (key, _, _, _) in enumerate(rec_info):
-            arr = np.asarray(vals[i])
-            var_values[key] = arr.reshape((-1,) + arr.shape[2:])
+        upd_done = np.minimum((rec_steps + 1) // u, n_upd)
+        rec_losses = np.where(upd_done >= 1, losses[upd_done - 1], 0.0)
+        var_values = {key: vals_flat[i] for i, (key, _, _, _) in enumerate(rec_info)}
         return train, stateT, {"steps": rec_steps, "out": preds, "loss": rec_losses,
                                "vars": var_values}
 

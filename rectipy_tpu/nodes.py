@@ -103,7 +103,13 @@ class InstantNode:
         self.func_name = func
 
     def __getitem__(self, item):
-        pass
+        # function nodes have no parameters or state variables; raising lets
+        # Network.get_var fall through to its documented graph-attribute
+        # fallback and Network.set_var raise its documented KeyError
+        raise KeyError(f"InstantNode has no variable or parameter {item!r}.")
+
+    def set_param(self, param, val):
+        raise KeyError(f"InstantNode has no parameter {param!r}.")
 
     def __call__(self, x):
         return self.forward(x)

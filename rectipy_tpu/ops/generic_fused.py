@@ -261,18 +261,29 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
             np.asarray(node._args[wk], dtype=np.float32), tile=tile,
             weights_dtype=weights_dtype)
     for k in vec_keys:
-        # pad per-neuron params with 1.0: templates routinely divide by them
-        # (e.g. -v/tau) and a 0-padded divisor makes NaNs in the pad lanes,
-        # which then poison the real lanes through the matvec (NaN * 0 = NaN)
+        # pad per-neuron PARAMS with 1.0: templates routinely divide by them
+        # (e.g. -v/tau) and a 0-padded divisor makes NaNs in the pad lanes.
+        # Input placeholders (spike/reset/external slots) pad with 0.0 -- the
+        # tile_func ADDS injections to the stored value, so a 1.0 pad would
+        # drive the pad lanes with spurious input.
+        pad_val = 0.0 if k in vf.input_vars else 1.0
         node._args[f"__row_{k}__"] = jnp.pad(
             jnp.asarray(node._args[k], jnp.float32), (0, n_pad - n),
-            constant_values=1.0).reshape(1, n_pad)
+            constant_values=pad_val).reshape(1, n_pad)
     for extra in ([f"__wt_pad_{c}__" for c in range(K)]
                   + [f"__row_{k}__" for k in vec_keys]):
         if extra not in node._keys:
             node._keys.append(extra)
 
     out_lo, out_hi = (node._start, node._stop) if node._out_alg is None else (0, 0)
+    # pad lanes of coupling source rows are forced to 0: pad-lane dynamics are
+    # not meaningful (padded params), and an inf/NaN there would poison REAL
+    # output lanes through the matvec (0-weight x inf = NaN)
+    _lane_ok = (jnp.arange(n_pad) < n).reshape(1, n_pad)
+
+    def _read_src(rd, states_, a_full):
+        row = jnp.broadcast_to(rd(states_, a_full), (1, n_pad)).astype(jnp.float32)
+        return jnp.where(_lane_ok, row, 0.0)
 
     def _split_rows(y):
         return [jax.lax.dynamic_slice(y, (i * n_pad,), (n_pad,)).reshape(1, n_pad)
@@ -290,8 +301,7 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
 
         def deriv(rows_):
             states_ = {q: rows_[i] for i, q in enumerate(state_order)}
-            src_rows = [jnp.broadcast_to(rd(states_, a_full), (1, n_pad))
-                        .astype(jnp.float32) for rd in src_readers]
+            src_rows = [_read_src(rd, states_, a_full) for rd in src_readers]
             return step_call(*src_rows, *wt_pads, drive, *rows_, *vec_rows)
 
         k1 = deriv(rows)
@@ -318,8 +328,7 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         a_full = dict(scalars)
         for i, k in enumerate(vec_keys):
             a_full[k] = args[f"__row_{k}__"]
-        src_rows = [jnp.broadcast_to(rd(states_full, a_full), (1, n_pad))
-                    .astype(jnp.float32) for rd in src_readers]
+        src_rows = [_read_src(rd, states_full, a_full) for rd in src_readers]
         wt_pads = [args[f"__wt_pad_{c}__"] for c in range(K)]
         outs = step_call(*src_rows, *wt_pads, drive, *rows, *vec_rows)
         y_new = jnp.concatenate([o[0] for o in outs])

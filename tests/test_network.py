@@ -617,9 +617,8 @@ def test_feedback_network_eager_forward_carries_fb():
                              input_var="li_op/I_ext", output_var="li_op/v",
                              source_var="tanh_op/r", target_var="li_op/r_in")
     # rebuild with the same weights drawn in the same order is not possible
-    # with the shared rng, so compare eager vs scan on the SAME net: reset all
-    # state incl. feedback store
-    net._fb_store = {}
+    # with the shared rng, so compare eager vs scan on the SAME net: reset()
+    # restores zero state AND clears the carried feedback store
     net.reset()
     scanned = net.run(x, verbose=False).to_numpy("out")
     np.testing.assert_allclose(np.stack(eager), scanned, atol=1e-12)
@@ -637,3 +636,85 @@ def test_bptt_step_mode_short_input_no_update_chunks():
     obs = net.fit_bptt(rng.normal(size=(7, n)), rng.normal(size=(7, n)),
                        optimizer="sgd", lr=1e-2, update_steps=100, verbose=False)
     np.testing.assert_array_equal(np.asarray(net.get_node("rnn")["weights"]), w_before)
+
+
+def test_feedback_initial_state_and_reset_semantics():
+    """Feedback edges read the source node's CURRENT out-slice at run start
+    (reference network.py:1354-1357 via nodes.py:92-99): with a nonzero
+    initial output variable the FIRST step already sees that value, and
+    reset() clears the carried feedback store."""
+    n = 3
+    net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+    v0 = -2.0
+    for label in ("p1", "p2"):
+        net.add_diffeq_node(label, TANH, weights=np.zeros((n, n)),
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in",
+                            node_vars={"all/li_op/v": v0})
+    net.add_edge("p1", "p2", weights=np.eye(n))
+    net.add_edge("p2", "p1", weights=np.eye(n), feedback=True)
+    net.compile()
+    state = net.init_state()
+    np.testing.assert_allclose(np.asarray(state["fb"]["p2"]), v0 * np.ones(n))
+
+    # run once; the carried feedback store now holds the final p2 output
+    net.run(np.zeros((5, n)), verbose=False)
+    assert net._fb_store, "feedback store should carry across runs"
+    carried = np.asarray(net._fb_store["p2"])
+    state2 = net.init_state()
+    np.testing.assert_allclose(np.asarray(state2["fb"]["p2"]), carried)
+
+    # reset() clears the store; feedback re-derives from the reset state (0)
+    net.reset()
+    assert not net._fb_store
+    state3 = net.init_state()
+    np.testing.assert_allclose(np.asarray(state3["fb"]["p2"]), np.zeros(n))
+
+
+def test_instant_node_getitem_raises_and_getvar_fallback():
+    """InstantNode[...] raises KeyError so Network.get_var falls back to graph
+    attributes and Network.set_var raises its documented KeyError."""
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_func_node("f", 4, activation_function="tanh")
+    node = net.get_node("f")
+    with pytest.raises(KeyError):
+        node["anything"]
+    net.graph.nodes["f"]["custom_attr"] = 42
+    assert net.get_var("f", "custom_attr") == 42
+    with pytest.raises(KeyError):
+        net.set_var("f", "nonexistent", 1.0)
+
+
+def test_bptt_step_mode_global_sampling_grid():
+    """Recording follows the reference's global `step % sampling_steps == 0`
+    grid for ANY update_steps/sampling_steps combination, including the
+    trailing remainder chunk, with the loss of the last COMPLETED update."""
+    n = 4
+    rng = np.random.default_rng(23)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)) * 0.1,
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        source_var="tanh_op/r", target_var="li_op/r_in",
+                        train_params=["weights"])
+    T, u, s = 53, 10, 7  # u % s != 0, remainder of 3 steps
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n))
+    w0 = np.asarray(net.get_node("rnn")["weights"]).copy()
+    obs = net.fit_bptt(inp, tgt, optimizer="sgd", lr=0.0, update_steps=u,
+                       sampling_steps=s, verbose=False, record_output=True,
+                       record_loss=True)
+    steps = np.asarray(obs["steps"])
+    np.testing.assert_array_equal(steps, np.arange(0, T, s))
+    losses = obs.to_numpy("loss")
+    # steps 0 and 7 precede the first update (at step u-1=9) -> loss 0
+    assert losses[0] == 0.0 and losses[1] == 0.0
+    # step 14 falls after update 1 completed -> nonzero loss
+    assert losses[2] != 0.0
+    # lr=0: recorded outputs must equal a plain run's PER-STEP outputs at the
+    # grid steps (no mean-downsampling in the reference's _bptt recording)
+    net2 = Network(1e-2, dtype=jnp.float64)
+    net2.add_diffeq_node("rnn", TANH, weights=w0, input_var="li_op/I_ext",
+                         output_var="li_op/v", source_var="tanh_op/r",
+                         target_var="li_op/r_in")
+    ref_out = net2.run(inp, sampling_steps=1, verbose=False).to_numpy("out")
+    np.testing.assert_allclose(obs.to_numpy("out"), ref_out[steps], atol=1e-10)
