@@ -12,7 +12,10 @@ and ``attach_generic_fused_step`` fuses them into a single Pallas kernel
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:  # prefer the installed package (pip install -e .)
+    import rectipy_tpu  # noqa: F401
+except ImportError:  # fallback: run from a source checkout
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax.numpy as jnp

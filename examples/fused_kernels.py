@@ -17,7 +17,10 @@ differentiable XLA path).
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:  # prefer the installed package (pip install -e .)
+    import rectipy_tpu  # noqa: F401
+except ImportError:  # fallback: run from a source checkout
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax.numpy as jnp

@@ -12,7 +12,10 @@ buffers shard with their rows).  For validation without hardware:
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:  # prefer the installed package (pip install -e .)
+    import rectipy_tpu  # noqa: F401
+except ImportError:  # fallback: run from a source checkout
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -680,22 +680,17 @@ class Network:
         return self._run_scan_generic(state0, params, inputs, sampling_steps, cutoff,
                                       truncate_steps, obs)
 
-    def _run_scan_windowed(self, state0, params, inputs, sampling_steps, cutoff, obs):
-        steps = int(inputs.shape[0])
+    def _make_windowed_scan(self, state0, params, in_aval, sampling_steps, cutoff,
+                            steps, obs):
+        """Build the pure windowed-record scan function and its record
+        metadata.  Shared by :meth:`run` (single trial) and
+        :meth:`run_batch` (vmapped over the trial axis)."""
         s = int(sampling_steps)
-        rec_steps_all = [t for t in range(steps) if t % s == 0]
-        rec_steps_host = np.asarray([t for t in rec_steps_all if t >= cutoff], dtype=np.int64)
         rec_info = self._resolve_record_vars(obs)
         step = self.make_step()
-        # cache the jitted scan per configuration: re-wrapping a fresh closure
-        # in jax.jit on every run() forces a full host-side retrace per call
-        # (measured ~0.8 s/call at N=10k -- larger than the device time)
         record_output = obs.record_output
-        cache_key = ("run_windowed", s, cutoff, steps, record_output,
-                     self._step_versions(),
-                     tuple((key, reduce) for (key, _, _, reduce) in rec_info))
         n_out = self.n_out
-        out_aval = jax.eval_shape(lambda st, p, x: step(st, p, x)[1], state0, params, inputs[0])
+        out_aval = jax.eval_shape(lambda st, p, x: step(st, p, x)[1], state0, params, in_aval)
         dtype = out_aval.dtype
         n_win = (steps - 1) // s  # full windows after step 0
         tail = (steps - 1) - n_win * s
@@ -747,32 +742,51 @@ class Network:
                 state, _ = jax.lax.scan(tail_body, state, inputs[1 + n_win * s:])
             return state, rec0, recs
 
-        if cache_key not in self._step_cache:
-            self._step_cache[cache_key] = jax.jit(scan_fn)
-        stateT, rec0, recs = self._step_cache[cache_key](state0, params, inputs)
+        return scan_fn, rec_info, record_output
 
-        # assemble host-side records: step 0 + window ends, filtered by cutoff.
-        # Nothing is transferred to host unless actually recorded (the out
-        # transfer alone costs ~0.8 s/run over the device tunnel at N=10k).
-        all_outs = [np.asarray(rec0[0])[None]] if record_output else []
-        var_all = {("var::" + "::".join(key)): [np.asarray(rec0[1]["var::" + "::".join(key)])[None]]
-                   for (key, _, _, _) in rec_info}
-        if recs is not None:
-            if record_output:
-                all_outs.append(np.asarray(recs[0]))
-            for (key, _, _, _) in rec_info:
-                k = "var::" + "::".join(key)
-                var_all[k].append(np.asarray(recs[1][k]))
+    @staticmethod
+    def _assemble_windowed_records(rec0, recs, rec_info, record_output, rec_steps_all,
+                                   cutoff, n_out, axis: int = 0):
+        """Host-side record assembly: step 0 + window ends, filtered by
+        cutoff, along record axis ``axis`` (0 single-trial, 1 batched)."""
         keep = np.asarray([t >= cutoff for t in rec_steps_all])
         if record_output:
-            outs = np.concatenate(all_outs) if all_outs else np.zeros((0, n_out))
-            outs = outs[keep]
+            parts = [np.expand_dims(np.asarray(rec0[0]), axis)]
+            if recs is not None:
+                parts.append(np.asarray(recs[0]))
+            outs = np.compress(keep, np.concatenate(parts, axis=axis), axis=axis)
         else:
             outs = None
         rec_vars = {}
         for (key, _, _, _) in rec_info:
             k = "var::" + "::".join(key)
-            rec_vars[key] = np.concatenate(var_all[k])[keep]
+            parts = [np.expand_dims(np.asarray(rec0[1][k]), axis)]
+            if recs is not None:
+                parts.append(np.asarray(recs[1][k]))
+            rec_vars[key] = np.compress(keep, np.concatenate(parts, axis=axis), axis=axis)
+        return outs, rec_vars
+
+    def _run_scan_windowed(self, state0, params, inputs, sampling_steps, cutoff, obs):
+        steps = int(inputs.shape[0])
+        s = int(sampling_steps)
+        rec_steps_all = [t for t in range(steps) if t % s == 0]
+        rec_steps_host = np.asarray([t for t in rec_steps_all if t >= cutoff], dtype=np.int64)
+        scan_fn, rec_info, record_output = self._make_windowed_scan(
+            state0, params, inputs[0], s, cutoff, steps, obs)
+        # cache the jitted scan per configuration: re-wrapping a fresh closure
+        # in jax.jit on every run() forces a full host-side retrace per call
+        # (measured ~0.8 s/call at N=10k -- larger than the device time)
+        cache_key = ("run_windowed", s, cutoff, steps, record_output,
+                     self._step_versions(),
+                     tuple((key, reduce) for (key, _, _, reduce) in rec_info))
+        if cache_key not in self._step_cache:
+            self._step_cache[cache_key] = jax.jit(scan_fn)
+        stateT, rec0, recs = self._step_cache[cache_key](state0, params, inputs)
+
+        # Nothing is transferred to host unless actually recorded (the out
+        # transfer alone costs ~0.8 s/run over the device tunnel at N=10k).
+        outs, rec_vars = self._assemble_windowed_records(
+            rec0, recs, rec_info, record_output, rec_steps_all, cutoff, self.n_out)
         return stateT, rec_steps_host, outs, rec_vars
 
     def _run_scan_generic(self, state0, params, inputs, sampling_steps, cutoff,
@@ -859,6 +873,10 @@ class Network:
         :meth:`run`.  No reference analog -- trial parallelism is free on TPU
         (and shards over the 'data' mesh axis; see rectipy_tpu.parallel).
         The network state is left unchanged (trials would disagree).
+
+        All B trials run in ONE vmapped scan (a single XLA program; batched
+        matvecs become matmuls on the MXU).  Falls back to a per-trial loop
+        only for T == 1, where the windowed scan doesn't apply.
         """
         inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
         if inputs.ndim != 3:
@@ -867,30 +885,49 @@ class Network:
         obs = Observer(dt=self.dt, record_loss=kwargs.pop("record_loss", False), **kwargs)
         state0 = self.init_state()
         params = self.parameters_pytree()
+        B, T = int(inputs.shape[0]), int(inputs.shape[1])
 
         results = {}
-        outs_all, vars_all, steps_host = [], None, None
-        # vmap over the trial axis of the (already cached) windowed scan
-        T = int(inputs.shape[1])
-        single = lambda inp: self._run_scan(state0, params, inp, sampling_steps, cutoff,
-                                            T, obs)
-        # _run_scan materializes to host; loop trials through the cached jit
-        # program instead of re-tracing a vmapped variant (trial counts are
-        # usually small; for large fleets use parallel.sharded_run)
-        for b in range(int(inputs.shape[0])):
-            stateT, steps_host, rec_out, rec_vars = single(inputs[b])
-            outs_all.append(rec_out)
-            if vars_all is None:
-                vars_all = {k: [] for k in rec_vars}
-            for k, v in rec_vars.items():
-                vars_all[k].append(v)
-        results["steps"] = steps_host
-        if outs_all and outs_all[0] is not None:
-            results["out"] = np.stack(outs_all)
-        for k, v in (vars_all or {}).items():
-            results[k] = np.stack(v)
+        if T <= 1:  # degenerate horizon: loop trials through the generic path
+            outs_all, vars_all, steps_host = [], None, None
+            for b in range(B):
+                _, steps_host, rec_out, rec_vars = self._run_scan(
+                    state0, params, inputs[b], sampling_steps, cutoff, T, obs)
+                outs_all.append(rec_out)
+                if vars_all is None:
+                    vars_all = {k: [] for k in rec_vars}
+                for k, v in rec_vars.items():
+                    vars_all[k].append(v)
+            results["steps"] = steps_host
+            if outs_all and outs_all[0] is not None:
+                results["out"] = np.stack(outs_all)
+            for k, v in (vars_all or {}).items():
+                results[k] = np.stack(v)
+            if verbose:
+                print(f"Progress: {B} trials x {T} steps finished.")
+            return results
+
+        s = int(sampling_steps)
+        rec_steps_all = [t for t in range(T) if t % s == 0]
+        scan_fn, rec_info, record_output = self._make_windowed_scan(
+            state0, params, inputs[0, 0], s, cutoff, T, obs)
+        cache_key = ("run_batch", B, s, cutoff, T, record_output,
+                     self._step_versions(),
+                     tuple((key, reduce) for (key, _, _, reduce) in rec_info))
+        if cache_key not in self._step_cache:
+            self._step_cache[cache_key] = jax.jit(
+                jax.vmap(scan_fn, in_axes=(None, None, 0)))
+        _, rec0, recs = self._step_cache[cache_key](state0, params, inputs)
+        outs, rec_vars = self._assemble_windowed_records(
+            rec0, recs, rec_info, record_output, rec_steps_all, cutoff,
+            self.n_out, axis=1)
+        results["steps"] = np.asarray([t for t in rec_steps_all if t >= cutoff],
+                                      dtype=np.int64)
+        if outs is not None:
+            results["out"] = outs
+        results.update(rec_vars)
         if verbose:
-            print(f"Progress: {inputs.shape[0]} trials x {T} steps finished.")
+            print(f"Progress: {B} trials x {T} steps finished.")
         return results
 
     # -------------------------------------------------------------- training

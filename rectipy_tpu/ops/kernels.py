@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["make_qif_sfa_pallas_step", "make_qif_sfa_window_kernel",
-           "qif_sfa_reference_step", "pad_coupling", "attach_fused_qif_step"]
+__all__ = ["make_qif_sfa_pallas_step", "qif_sfa_reference_step",
+           "pad_coupling", "attach_fused_qif_step"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -136,209 +136,6 @@ def make_qif_sfa_pallas_step(n: int, *, dt: float, tau: float = 1.0, tau_s: floa
         return v2[0, :n], s2[0, :n], x2[0, :n]
 
     return step
-
-
-def make_qif_sfa_window_kernel(n: int, window: int, *, dt: float, tau: float = 1.0,
-                               tau_s: float = 1.0, tau_x: float = 10.0, k: float = 15.0,
-                               alpha: float = 0.05, thresh: float = 1e2,
-                               v_reset: float = -1e2, tile: int = 512,
-                               weights_dtype=jnp.float32, interpret: bool = False):
-    """Multi-step fused kernel: ``window`` Euler steps of the QIF+SFA
-    population in ONE pallas_call.
-
-    ``run(v, s, x, wt_pad, eta_pad, drive) -> (v', s', x', s_sum)`` where all
-    state rows are padded ``(n_pad,)``, ``drive`` is the per-step external
-    drive ``(window, n_pad)``, and ``s_sum`` accumulates the *pre-update*
-    synaptic output over the window (the reference's record-buffer content,
-    /root/reference/rectipy/network.py:591-597).
-
-    Design: grid ``(window, n_j, n_k)`` -- time outer, output tiles middle,
-    contraction inner; the state lives in VMEM scratch across the whole grid
-    (the TPU grid executes sequentially on-core), with the synaptic vector
-    double-buffered by time parity so every output tile's matvec reads the
-    previous step's values.  W streams from HBM once per step -- the
-    speed-of-light bound -- and there are zero per-step XLA kernel launches
-    around it.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n_pad = _round_up(n, tile)
-    n_j = n_pad // tile
-    n_k = n_pad // tile
-    inv_dt = 1.0 / dt
-    inv_tau = 1.0 / tau
-    inv_tau_s = 1.0 / tau_s
-    inv_tau_x = 1.0 / tau_x
-
-    def kernel(v0_ref, s0_ref, x0_ref, eta_ref, wt_ref, drive_ref,
-               v_out_ref, s_out_ref, x_out_ref, ssum_ref,
-               vbuf, sbuf, xbuf, acc):
-        t = pl.program_id(0)
-        j = pl.program_id(1)
-        kk = pl.program_id(2)
-
-        @pl.when((t == 0) & (j == 0) & (kk == 0))
-        def _():
-            vbuf[:] = v0_ref[:]
-            sbuf[0:1, :] = s0_ref[:]
-            xbuf[:] = x0_ref[:]
-            ssum_ref[:] = jnp.zeros_like(ssum_ref)
-
-        cur = jax.lax.rem(t, jnp.asarray(2, t.dtype))
-
-        @pl.when(kk == 0)
-        def _():
-            acc[:] = jnp.zeros_like(acc)
-
-        s_kblk = sbuf[pl.ds(cur, 1), pl.ds(kk * tile, tile)]
-        acc[:] += jax.lax.dot_general(
-            s_kblk.astype(wt_ref.dtype), wt_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-        @pl.when(kk == n_k - 1)
-        def _():
-            jd = pl.ds(j * tile, tile)
-            v = vbuf[:, jd]
-            x = xbuf[:, jd]
-            s_blk = sbuf[pl.ds(cur, 1), jd]
-            # record accumulation: pre-update synaptic output
-            ssum_ref[:, jd] += s_blk
-            s_in = acc[:].astype(v.dtype)
-            reset = jnp.where(v - thresh >= 0.0, 1.0, 0.0).astype(v.dtype)
-            spikes = reset * inv_dt
-            dv = (v * v + (eta_ref[:, jd] - x) + drive_ref[0]) * inv_tau + k * s_in
-            ds = -s_blk * inv_tau_s + spikes
-            dx = -x * inv_tau_x + alpha * spikes
-            v_new = (v + dt * dv) * (1.0 - reset) + reset * v_reset
-            s_new = s_blk + dt * ds
-            x_new = x + dt * dx
-            vbuf[:, jd] = v_new
-            sbuf[pl.ds(1 - cur, 1), jd] = s_new
-            xbuf[:, jd] = x_new
-
-            @pl.when(t == window - 1)
-            def _():
-                v_out_ref[:, jd] = v_new
-                s_out_ref[:, jd] = s_new
-                x_out_ref[:, jd] = x_new
-
-    row = lambda: pl.BlockSpec((1, n_pad), lambda t, j, kk: (0, 0), memory_space=pltpu.VMEM)
-    # drive is (window, 1, n_pad): the (1, 1, tile) block satisfies the TPU
-    # tiling rule (sublane dim equals the array dim)
-    drive_spec = pl.BlockSpec((1, 1, tile), lambda t, j, kk: (t, 0, j), memory_space=pltpu.VMEM)
-    wt_spec = pl.BlockSpec((tile, tile), lambda t, j, kk: (kk, j), memory_space=pltpu.VMEM)
-
-    window_call = pl.pallas_call(
-        kernel,
-        grid=(window, n_j, n_k),
-        in_specs=[row(), row(), row(), row(), wt_spec, drive_spec],
-        out_specs=[row(), row(), row(), row()],
-        out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.float32)] * 4,
-        scratch_shapes=[
-            pltpu.VMEM((1, n_pad), jnp.float32),  # v
-            pltpu.VMEM((2, n_pad), jnp.float32),  # s double buffer
-            pltpu.VMEM((1, n_pad), jnp.float32),  # x
-            pltpu.VMEM((1, tile), jnp.float32),   # matvec accumulator
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * window * n_pad * n_pad,
-            bytes_accessed=window * n_pad * n_pad * np.dtype(weights_dtype).itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )
-
-    def run(v, s, x, wt_pad, eta_pad, drive):
-        v2, s2, x2, ssum = window_call(
-            v.reshape(1, n_pad), s.reshape(1, n_pad), x.reshape(1, n_pad),
-            eta_pad.reshape(1, n_pad), wt_pad, drive.reshape(window, 1, n_pad))
-        return v2[0], s2[0], x2[0], ssum[0]
-
-    return run
-
-
-def fused_qif_trajectory(node, drive, sampling_steps: int, tile: int = 512,
-                         weights_dtype=None, interpret: bool = False):
-    """Speed-of-light trajectory of a qif/qif_sfa population: scan of
-    multi-step window kernels, one pallas_call per ``sampling_steps`` Euler
-    steps, recording the window-mean of the (pre-update) synaptic output.
-
-    ``drive``: ``(T, n)`` external drive already projected onto the
-    population (the ``I_ext`` input per step); ``T`` must be a multiple of
-    ``sampling_steps``.  Returns ``(mean_s (T//sampling, n), final_state)``
-    and writes the final state back into the node.
-
-    This is the production serving path for the flagship benchmark workload;
-    ``Network.run`` gives the same dynamics on the general path.
-    """
-    vm = node._var_map
-    n = node._vf.n
-    has_x = isinstance(vm.get("x"), tuple)
-
-    def scalar(name, default=None):
-        key = node._param_map.get(name)
-        if key is None:
-            return float(default)
-        val = node._args[key]
-        if hasattr(val, "ndim") and val.ndim > 0:
-            raise ValueError(f"fused_qif_trajectory requires scalar {name!r}")
-        return float(val)
-
-    W = np.asarray(node._args["weights"], dtype=np.float32)
-    if weights_dtype is None:
-        weights_dtype = node._args["weights"].dtype
-    n_pad = _round_up(n, tile)
-    T = int(drive.shape[0])
-    s_steps = int(sampling_steps)
-    if T % s_steps != 0:
-        raise ValueError(f"T={T} must be a multiple of sampling_steps={s_steps}")
-    n_win = T // s_steps
-
-    run_win = make_qif_sfa_window_kernel(
-        n, s_steps, dt=node.dt, tau=scalar("tau", 1.0), tau_s=scalar("tau_s", 1.0),
-        tau_x=scalar("tau_x", 1.0) if has_x else 1.0,
-        k=scalar("k", 1.0), alpha=scalar("alpha", 0.0) if has_x else 0.0,
-        thresh=node._thresh, v_reset=node._reset_val,
-        tile=tile, weights_dtype=weights_dtype, interpret=interpret)
-    wt = pad_coupling(W, tile=tile, weights_dtype=weights_dtype)
-    eta_key = node._param_map["eta"]
-    eta_pad = jnp.pad(jnp.broadcast_to(node._args[eta_key], (n,)).astype(jnp.float32),
-                      (0, n_pad - n))
-
-    # current (possibly already padded by attach_fused_qif_step) state
-    def grab(name):
-        lo, hi = vm[name]
-        return jnp.pad(node.y[lo:hi].astype(jnp.float32), (0, n_pad - n))
-
-    v0, s0 = grab("v"), grab("s")
-    x0 = grab("x") if has_x else jnp.zeros_like(v0)
-
-    drive_pad = jnp.zeros((n_win, s_steps, n_pad), dtype=jnp.float32)
-    drive_pad = drive_pad.at[:, :, :n].set(
-        jnp.asarray(drive, dtype=jnp.float32).reshape(n_win, s_steps, n))
-
-    @jax.jit
-    def scan_windows(v, s, x, wt, eta_pad, drive_pad):
-        def body(carry, d_win):
-            v, s, x = carry
-            v, s, x, ssum = run_win(v, s, x, wt, eta_pad, d_win)
-            return (v, s, x), ssum[:n] / s_steps
-
-        (v, s, x), means = jax.lax.scan(body, (v, s, x), drive_pad)
-        return v, s, x, means
-
-    v, s, x, means = scan_windows(v0, s0, x0, wt, eta_pad, drive_pad)
-
-    # write the final state back into the node's layout
-    y = node.y
-    for name, val in (("v", v), ("s", s)) + ((("x", x),) if has_x else ()):
-        lo, hi = vm[name]
-        y = y.at[lo:hi].set(val[: hi - lo].astype(y.dtype))
-    node.y = y
-    return np.asarray(means), (v[:n], s[:n], x[:n])
 
 
 def pad_coupling(W: np.ndarray, tile: int = 512, weights_dtype=jnp.float32) -> jnp.ndarray:

@@ -361,3 +361,56 @@ def test_ik_multi_spike_reset_matches_reference_semantics():
     ours = net.run(np.zeros((steps, n)), sampling_steps=1,
                    verbose=False).to_numpy("out")
     np.testing.assert_allclose(ours, golden, rtol=1e-8, atol=1e-8)
+
+
+def test_ik_biexp_trajectory_matches_reference_semantics():
+    """ik_biexp_op: biexponential synapses (rise x -> decay s) with
+    mean-field recovery -- SpikeResetNet semantics, torch-float64 oracle
+    (reference template: neuron_model_templates/spiking_neurons/ik.yaml:41-66)."""
+    n = 12
+    rng = np.random.default_rng(7)
+    W = np.abs(rng.normal(size=(n, n))) * 0.02
+    dt = 1e-2
+    steps = 4000
+    thresh, v_reset = 40.0, -60.0
+    etas = 150.0 + 20.0 * rng.random(n)
+
+    # torch float64 oracle of the documented per-step math
+    v = torch.full((n,), -60.0, dtype=torch.float64)
+    u = torch.zeros(n, dtype=torch.float64)
+    s = torch.zeros(n, dtype=torch.float64)
+    x = torch.zeros(n, dtype=torch.float64)
+    Wt = torch.tensor(W)
+    eta_t = torch.tensor(etas)
+    C, k, v_r, v_theta, g, E_r = 100.0, 0.7, -60.0, -40.0, 1.0, 0.0
+    b, tau_u, kappa = -2.0, 33.33, 10.0
+    tau_r, tau_d = 2.0, 6.0
+    golden = []
+    for _ in range(steps):
+        spikes = torch.heaviside(v - thresh, torch.tensor(1.0, dtype=torch.float64))
+        golden.append(s.clone())  # pre-update output (SpikeResetNet)
+        s_in = Wt @ s
+        dv = (k * (v - v_r) * (v - v_theta) - u + eta_t + g * s_in * (E_r - v)) / C
+        du = (b * (torch.mean(v) - v_r) - u) / tau_u + kappa * torch.mean(spikes / dt)
+        ds = -s / tau_d + x
+        dx = -x / tau_r + spikes / dt
+        v_new = v + dt * dv
+        u = u + dt * du
+        s = s + dt * ds
+        x = x + dt * dx
+        v = v_new * (1.0 - spikes) + spikes * v_reset
+    golden = torch.stack(golden).numpy()
+    assert golden.max() > 0, "oracle produced no spikes"
+
+    net = Network(dt, dtype=jnp.float64)
+    net.add_diffeq_node("ik", "neuron_model_templates.spiking_neurons.ik.ik_biexp",
+                        weights=W, source_var="s", target_var="s_in",
+                        input_var="I_ext", output_var="s", op="ik_biexp_op",
+                        spike_var="spike", reset_var="v",
+                        spike_threshold=thresh, spike_reset=v_reset,
+                        node_vars={"eta": etas})
+    ours = net.run(np.zeros((steps, n)), sampling_steps=1,
+                   verbose=False).to_numpy("out")
+    np.testing.assert_allclose(ours, golden, rtol=1e-8, atol=1e-8)
+    # the rise state actually participated (x deviates from a single-exp synapse)
+    assert np.abs(np.asarray(net.get_node("ik")["x"])).max() > 0

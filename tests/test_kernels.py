@@ -129,43 +129,3 @@ def test_attach_fused_step_rejects_heterogeneous_tau():
     net.compile()
     with pytest.raises(ValueError):
         attach_fused_qif_step(net.get_node("qif"), interpret=True)
-
-
-def test_window_kernel_matches_stepwise_oracle():
-    """One window_call of K steps == K consecutive single-step oracles, and
-    s_sum accumulates the pre-update outputs (the record-buffer content)."""
-    from rectipy_tpu.ops.kernels import make_qif_sfa_window_kernel
-
-    n, tile, win = 200, 128, 7
-    rng = np.random.default_rng(5)
-    W = (rng.random((n, n)) < 0.2).astype(np.float32) * 0.02
-    P2 = dict(PARAMS)
-    run = make_qif_sfa_window_kernel(n, win, tile=tile, interpret=True, **P2)
-    wt = pad_coupling(W, tile=tile)
-    n_pad = wt.shape[0]
-
-    def rowpad(a):
-        return jnp.pad(jnp.asarray(a, jnp.float32), (0, n_pad - n))
-
-    v = rng.normal(size=n) * 8.0
-    s = rng.random(n)
-    x = rng.random(n)
-    eta = rng.normal(size=n)
-    drive_steps = rng.normal(size=(win, n)).astype(np.float32)
-    drive = np.zeros((win, n_pad), dtype=np.float32)
-    drive[:, :n] = drive_steps
-
-    v2, s2, x2, ssum = run(rowpad(v), rowpad(s), rowpad(x), wt, rowpad(eta),
-                           jnp.asarray(drive))
-
-    rv, rs, rx = jnp.asarray(v, jnp.float32), jnp.asarray(s, jnp.float32), jnp.asarray(x, jnp.float32)
-    ref_sum = np.zeros(n)
-    for t in range(win):
-        ref_sum += np.asarray(rs)
-        rv, rs, rx = qif_sfa_reference_step(rv, rs, rx, jnp.asarray(W, jnp.float32),
-                                            jnp.asarray(eta, jnp.float32),
-                                            jnp.asarray(drive_steps[t]), **P2)
-    np.testing.assert_allclose(np.asarray(v2)[:n], np.asarray(rv), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(s2)[:n], np.asarray(rs), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(x2)[:n], np.asarray(rx), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(ssum)[:n], ref_sum, rtol=1e-4, atol=1e-4)
