@@ -252,7 +252,8 @@ def bench_spiking_bptt_secondary():
     net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="adam", lr=1e-4, verbose=False)
     ours_epoch = (_t.perf_counter() - t0) / n_ep
     log(f"[qif-bptt ours] warmup {warm:.2f}s; {ours_epoch * 1e3:.1f} ms/epoch "
-        f"(N={n}, T={T}) -> {T * n / ours_epoch:.3e} trained neuron-updates/s")
+        f"(N={n}, T={T}) -> {T * n / ours_epoch:.3e} trained neuron-updates/s "
+        f"(deferred-gradient custom-VJP path; round-1 plain autodiff was 2364 ms)")
 
     class Spike(torch.autograd.Function):
         @staticmethod
@@ -290,6 +291,7 @@ def bench_spiking_bptt_secondary():
     log(f"[qif-bptt torch-cpu] {torch_epoch * 1e3:.1f} ms/epoch (extrapolated from "
         f"{torch_T} steps) -> ours is {torch_epoch / ours_epoch:.1f}x faster "
         f"({T * n / torch_epoch:.3e} trained neuron-updates/s)")
+    return T * n / ours_epoch, torch_epoch / ours_epoch
 
 
 def main():
@@ -303,19 +305,22 @@ def main():
 
     ours = bench_rebuild(W, etas)
     base = bench_torch_baseline(W, etas)
-    if os.environ.get("BENCH_BPTT", "1") == "1":
-        try:
-            bench_bptt_secondary()
-            bench_spiking_bptt_secondary()
-        except Exception as e:  # secondary metric must never break the headline
-            log(f"[bptt] secondary benchmark failed: {e}")
-    print(json.dumps({
+    result = {
         "metric": f"neuron-updates/sec, N={N} QIF+SFA reservoir (dt=1e-4, "
                   f"{COUPLING} coupling, f32 states/accumulation)",
         "value": round(ours, 1),
         "unit": "neuron-updates/s",
         "vs_baseline": round(ours / base, 2),
-    }))
+    }
+    if os.environ.get("BENCH_BPTT", "1") == "1":
+        try:
+            bench_bptt_secondary()
+            trained_ups, trained_vs = bench_spiking_bptt_secondary()
+            result["bptt_trained_nu_per_s"] = round(trained_ups, 1)
+            result["bptt_vs_torch_cpu"] = round(trained_vs, 2)
+        except Exception as e:  # secondary metric must never break the headline
+            log(f"[bptt] secondary benchmark failed: {e}")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

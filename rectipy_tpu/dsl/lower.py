@@ -66,6 +66,7 @@ class VectorField:
     state_order: List[str] = field(default_factory=list)
     make_tile_reader: Optional[Callable] = None  # qname -> tile reader or None
     couplings: List[Tuple[str, str, str]] = field(default_factory=list)  # (src, tgt, wkey)
+    coupling_cast: Optional[str] = None  # 'bf16' for bfloat16_master lowering
 
 
 @jax.custom_jvp
@@ -152,7 +153,8 @@ def lower(
         raise TemplateError(f"Node template {node.name!r} has no operators")
 
     if weights is not None:
-        weights = np.asarray(weights)
+        if not hasattr(weights, "blocks"):  # BlockSparseCoupling passes through
+            weights = np.asarray(weights)
         if weights.ndim != 2 or weights.shape[0] != weights.shape[1]:
             raise ValueError(f"Recurrent weights must be square, got {weights.shape}")
         if n is None:
@@ -212,7 +214,9 @@ def lower(
             raise KeyError(f"Target variable {tv!r} is not an input variable of the node template")
         all_edges.append((sv, tv, weights, "weights"))
     for i, (esv, etv, ew) in enumerate(edges or []):
-        all_edges.append((_qualify(esv, ops), _qualify(etv, ops), np.asarray(ew), f"weights_{i}"))
+        if not hasattr(ew, "blocks"):
+            ew = np.asarray(ew)
+        all_edges.append((_qualify(esv, ops), _qualify(etv, ops), ew, f"weights_{i}"))
 
     # intra-node operator wiring: an input var of op B is driven by the output
     # var of the same bare name on another op (PyRates operator-chaining).
@@ -276,6 +280,16 @@ def lower(
     int8_coupling = w_dtype == jnp.int8
     w_scales: Dict[str, jnp.ndarray] = {}
     for _, _, W, wkey in all_edges:
+        if hasattr(W, "blocks"):
+            # block-sparse coupling (ops/sparse.py): blocks stream at w_dtype,
+            # the block-column index table rides along as an int32 arg
+            if int8_coupling:
+                raise ValueError("int8 block-sparse coupling is not supported; "
+                                 "use float32 or bfloat16(_master)")
+            args[wkey] = jnp.asarray(W.blocks, dtype=w_dtype)
+            args[wkey + "__cols"] = jnp.asarray(W.cols, dtype=jnp.int32)
+            keys.extend([wkey, wkey + "__cols"])
+            continue
         if int8_coupling:
             # symmetric per-row int8 quantization: W ~ scale[:, None] * W_q.
             # The matvec runs int8 x int8 on the MXU (native on v5e+), halving
@@ -294,6 +308,11 @@ def lower(
             keys.append(wkey)
 
     def _coupling_matvec(w, src, a=None, wkey=None):
+        if w.ndim == 4:  # block-sparse (ops/sparse.py)
+            from ..ops.sparse import block_sparse_matvec
+
+            cast = jnp.bfloat16 if master_bf16 else None
+            return block_sparse_matvec(w, a[wkey + "__cols"], src, cast_dtype=cast)
         if w.dtype == jnp.int8:
             s_max = jnp.maximum(jnp.max(jnp.abs(src)), 1e-30)
             s_scale = jax.lax.stop_gradient(s_max / 127.0)
@@ -587,4 +606,5 @@ def lower(
         state_order=list(state_order),
         make_tile_reader=make_tile_reader,
         couplings=[(esv, etv, wkey) for esv, etv, _, wkey in all_edges],
+        coupling_cast="bf16" if master_bf16 else None,
     )

@@ -977,6 +977,14 @@ class Network:
         scan segments: activation memory drops from O(T) to O(T/k + k) at the
         cost of one recomputed forward pass -- the TPU-native way to fit long
         trajectories in HBM (no reference analog; SURVEY.md §5).
+
+        ``fused_bptt`` (epoch mode, default ``'auto'``): use the deferred-
+        gradient custom-VJP trajectory (ops/bptt.py) when the network is a
+        single DSL-built population -- the coupling-weight gradient becomes
+        ONE post-scan matmul instead of an (N, N) accumulation per step,
+        which is the difference between ~2% and ~full HBM-roofline training
+        throughput at N=10k.  ``True`` forces it (raising if unsupported),
+        ``False`` disables.  Gradients match plain autodiff to 1e-9 (f64).
         """
         self.compile()
         loss_fn = get_loss_function(loss, loss_kwargs=loss_kwargs)
@@ -1007,7 +1015,8 @@ class Network:
                 )
             train, losses = self._bptt_epochs(step, loss_fn, opt, train, frozen, opt_state,
                                               state0, inputs, targets, sampling_steps, verbose,
-                                              remat_steps=remat_steps)
+                                              remat_steps=remat_steps,
+                                              fused_bptt=kwargs.pop("fused_bptt", "auto"))
             obs.save("epoch_loss", losses)
             obs.save("epochs", np.arange(len(losses)))
         else:
@@ -1030,36 +1039,66 @@ class Network:
         return obs
 
     def _bptt_epochs(self, step, loss_fn, opt, train, frozen, opt_state, state0,
-                     inputs, targets, sampling_steps, verbose, remat_steps: int = 0):
+                     inputs, targets, sampling_steps, verbose, remat_steps: int = 0,
+                     fused_bptt="auto"):
         combine = self._combine
 
-        def epoch_loss(train, inp, tgt):
-            params = combine(train, frozen)
+        # deferred-gradient fast path: single-population networks train
+        # through the custom-VJP trajectory (see ops/bptt.py docstring)
+        traj = None
+        order = self._compiled["order"]
+        if fused_bptt in ("auto", True) and len(order) == 1:
+            label = order[0]
+            try:
+                from .ops.bptt import make_coupled_traj
 
-            def body(state, x_t):
-                state, out, _ = step(state, params, x_t)
-                return state, out
+                traj, traj_wkeys = make_coupled_traj(self.get_node(label))
+            except (ValueError, AttributeError, KeyError):
+                if fused_bptt is True:
+                    raise
+                traj = None
 
-            if remat_steps > 1 and inp.shape[0] % remat_steps == 0:
-                # gradient checkpointing: rematerialize each segment's forward
-                # pass in the backward sweep instead of storing every step
-                n_seg = inp.shape[0] // remat_steps
-
-                @jax.checkpoint
-                def segment(state, inp_seg):
-                    return jax.lax.scan(body, state, inp_seg)
-
-                _, outs = jax.lax.scan(segment, state0,
-                                       inp.reshape(n_seg, remat_steps, -1))
-                outs = outs.reshape(inp.shape[0], -1)
-            else:
-                _, outs = jax.lax.scan(body, state0, inp)
+        def _downsample(outs):
             if sampling_steps > 1:
                 T = outs.shape[0]
                 n_keep = T // sampling_steps
                 outs = outs[: n_keep * sampling_steps]
                 outs = outs.reshape(n_keep, sampling_steps, -1).mean(axis=1)
-            return loss_fn(outs, tgt)
+            return outs
+
+        if traj is not None:
+            y0 = state0["nodes"][label]
+
+            def epoch_loss(train, inp, tgt):
+                nargs = combine(train, frozen)["nodes"][label]
+                W = {k: nargs[k] for k in traj_wkeys}
+                rest = {k: v for k, v in nargs.items() if k not in traj_wkeys}
+                _, outs = traj(W, rest, y0, inp)
+                return loss_fn(_downsample(outs), tgt)
+        else:
+            def epoch_loss(train, inp, tgt):
+                params = combine(train, frozen)
+
+                def body(state, x_t):
+                    state, out, _ = step(state, params, x_t)
+                    return state, out
+
+                if remat_steps > 1 and inp.shape[0] % remat_steps == 0:
+                    # gradient checkpointing: rematerialize each segment's
+                    # forward pass in the backward sweep instead of storing
+                    # every step
+                    n_seg = inp.shape[0] // remat_steps
+
+                    @jax.checkpoint
+                    def segment(state, inp_seg):
+                        return jax.lax.scan(body, state, inp_seg)
+
+                    _, outs = jax.lax.scan(segment, state0,
+                                           inp.reshape(n_seg, remat_steps, -1))
+                    outs = outs.reshape(inp.shape[0], -1)
+                else:
+                    _, outs = jax.lax.scan(body, state0, inp)
+                return loss_fn(_downsample(outs), tgt)
 
         @jax.jit
         def update(train, opt_state, inp, tgt):
@@ -1069,9 +1108,22 @@ class Network:
 
         losses = []
         n_epochs = len(inputs)
+        # de-duplicate epoch arrays by identity: repeated-epoch training
+        # ([inp]*K, the common workload shape) must transfer host->device
+        # ONCE, not per epoch -- on a tunneled device the 2x20 MB per-epoch
+        # transfer at N=10k costs ~1.7 s/epoch, 5x the actual compute
+        dev_cache: Dict[int, jnp.ndarray] = {}
+
+        def stage(x):
+            key = id(x)
+            if key not in dev_cache:
+                dev_cache[key] = jax.device_put(
+                    jnp.asarray(np.asarray(x), dtype=self.dtype))
+            return dev_cache[key]
+
         for epoch in range(n_epochs):
-            inp = jnp.asarray(np.asarray(inputs[epoch]), dtype=self.dtype)
-            tgt = jnp.asarray(np.asarray(targets[epoch]), dtype=self.dtype)
+            inp = stage(inputs[epoch])
+            tgt = stage(targets[epoch])
             train, opt_state, lval = update(train, opt_state, inp, tgt)
             losses.append(float(lval))
             if verbose:

@@ -68,12 +68,16 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
         # nodes.py enforces this at construction already; guard the seam too
         raise ValueError("integrator='heun' is only supported on RateNet nodes")
     wkeys = [k for k in vf.keys
-             if (k == "weights" or k.startswith("weights_")) and not k.endswith("__scale")]
+             if (k == "weights" or k.startswith("weights_"))
+             and not k.endswith("__scale") and not k.endswith("__cols")]
     if not wkeys:
         raise ValueError("Generic fused step requires at least one coupling matrix")
     for wk in wkeys:
         if node._args[wk].dtype == jnp.int8:
             raise ValueError("int8 coupling runs on the XLA path (STE quantization)")
+        if node._args[wk].ndim != 2:
+            raise ValueError("block-sparse coupling runs on the XLA path "
+                             "(already gather-free and bandwidth-light)")
     if node.dtype != jnp.float32:
         raise ValueError("Generic fused step requires float32 node state")
     state_order: List[str] = list(vf.state_order)

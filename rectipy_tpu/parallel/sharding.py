@@ -41,9 +41,17 @@ def make_mesh(n_devices: Optional[int] = None, data: int = 1,
 
 def _leaf_spec(leaf, n: int, model_axis: str) -> P:
     """Population-sharding rule: (N,N) -> row-sharded; (N,) -> sharded;
-    everything else replicated."""
+    block-sparse couplings shard on the block-row axis; everything else
+    replicated."""
     shape = getattr(leaf, "shape", ())
-    if len(shape) == 2 and shape[0] == n and shape[0] % 1 == 0:
+    if len(shape) == 4 and shape[0] * shape[2] == n and shape[2] == shape[3]:
+        # block-sparse coupling blocks (n_br, cb, bs, bs): row-shard
+        return P(model_axis, None, None, None)
+    if len(shape) == 2 and jnp.issubdtype(getattr(leaf, "dtype", jnp.float32),
+                                          jnp.integer) and shape[0] and n % shape[0] == 0:
+        # block-sparse column-index table (n_br, cb): shard WITH its blocks
+        return P(model_axis, None)
+    if len(shape) == 2 and shape[0] == n:
         return P(model_axis, None)
     if len(shape) == 1 and shape[0] == n:
         return P(model_axis)

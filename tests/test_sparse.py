@@ -1,0 +1,130 @@
+"""Block-sparse coupling (ops/sparse.py): generator invariants, matvec vs
+dense oracle, Network trajectory parity vs the densified matrix, and
+multi-device sharding equality -- the correctness basis for the N=100k
+stretch config (BASELINE.json configs[4]) where the dense matrix cannot
+exist (40 GB f32 vs 16 GB v5e HBM)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectipy_tpu import Network
+from rectipy_tpu.ops.sparse import (BlockSparseCoupling, block_random_connectivity,
+                                    block_sparse_matvec)
+
+QIF = "rectipy_tpu.models.spiking_neurons.qif.qif_sfa"
+
+
+def test_generator_invariants():
+    n, fan_in, bs = 256, 24, 32
+    A = block_random_connectivity(n, n, fan_in, block_size=bs, seed=3)
+    W = A.to_dense()
+    assert W.shape == (n, n)
+    nnz = (W != 0).sum(axis=1)
+    np.testing.assert_array_equal(nnz, fan_in)           # exact fan-in per row
+    np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-6)  # row-normalized
+    # every block-row restricted to its chosen source blocks
+    for r in range(n // bs):
+        used = {int(c) for c in np.nonzero(W[r * bs:(r + 1) * bs].any(axis=0))[0] // bs}
+        assert used <= set(int(c) for c in A.cols[r])
+
+
+def test_matvec_matches_dense():
+    n, fan_in, bs = 192, 17, 32
+    rng = np.random.default_rng(0)
+    A = block_random_connectivity(n, n, fan_in, block_size=bs, seed=1)
+    s = rng.normal(size=n).astype(np.float32)
+    ours = np.asarray(block_sparse_matvec(jnp.asarray(A.blocks), jnp.asarray(A.cols),
+                                          jnp.asarray(s)))
+    ref = A.to_dense() @ s
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def _build_qif(weights, n, dtype=jnp.float64, coupling_dtype=None):
+    etas = -5.0 + np.tan((np.pi / 2) * (2.0 * np.arange(1, n + 1) - n - 1) / (n + 1))
+    net = Network(1e-3, dtype=dtype)
+    net.add_diffeq_node("qif", QIF, weights=weights, source_var="s", target_var="s_in",
+                        input_var="I_ext", output_var="s", op="qif_sfa_op",
+                        spike_var="spike", spike_def="v",
+                        spike_threshold=1e2, spike_reset=-1e2,
+                        node_vars={"all/qif_sfa_op/eta": etas,
+                                   "all/qif_sfa_op/alpha": 0.05,
+                                   "all/qif_sfa_op/k": 15.0},
+                        coupling_dtype=coupling_dtype)
+    return net
+
+
+def test_network_trajectory_matches_densified():
+    """A Network built with BlockSparseCoupling weights integrates the exact
+    same dynamics as one built with the densified matrix (float64)."""
+    n, fan_in, bs = 128, 12, 32
+    A = block_random_connectivity(n, n, fan_in, block_size=bs, seed=2)
+    T = 400
+    inp = np.zeros((T, n))
+    inp[T // 4:, :] = 3.0
+    o_sparse = _build_qif(A, n).run(inp, sampling_steps=10,
+                                    verbose=False).to_numpy("out")
+    o_dense = _build_qif(A.to_dense().astype(np.float64), n).run(
+        inp, sampling_steps=10, verbose=False).to_numpy("out")
+    assert o_sparse.max() > 0, "no activity -> test is vacuous"
+    np.testing.assert_allclose(o_sparse, o_dense, rtol=1e-9, atol=1e-12)
+
+
+def test_sparse_sharded_run_matches_single_device():
+    """Row-sharded block-sparse coupling over the 8-device CPU mesh produces
+    the single-device trajectory (GSPMD gathers the source blocks)."""
+    from rectipy_tpu.parallel import make_mesh, shard_network_arrays, sharded_run
+
+    n, fan_in, bs = 256, 12, 32  # n_br = 8 -> one block-row per device
+    A = block_random_connectivity(n, n, fan_in, block_size=bs, seed=4)
+    T = 60
+    inp = jnp.asarray(np.full((T, n), 2.0))
+
+    net = _build_qif(A, n, dtype=jnp.float32)
+    net.compile()
+    state0 = net.init_state()
+    params = net.parameters_pytree()
+    run = sharded_run(net, make_mesh(len(jax.devices()), data=1))
+
+    _, outs_single = run(state0, params, inp)
+
+    mesh = make_mesh(len(jax.devices()), data=1)
+    state_sh = shard_network_arrays(state0, n, mesh)
+    params_sh = shard_network_arrays(params, n, mesh)
+    blocks = params_sh["nodes"]["qif"]["weights"]
+    assert blocks.sharding.spec[0] == "model", f"blocks not row-sharded: {blocks.sharding}"
+    _, outs_sh = run(state_sh, params_sh, inp)
+    np.testing.assert_allclose(np.asarray(outs_sh), np.asarray(outs_single),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sparse_refuses_int8_and_fused_kernel():
+    n, bs = 128, 32
+    A = block_random_connectivity(n, n, 8, block_size=bs, seed=5)
+    with pytest.raises(ValueError):
+        _build_qif(A, n, coupling_dtype="int8")
+    net = _build_qif(A, n, dtype=jnp.float32)
+    net.compile()
+    from rectipy_tpu.ops.generic_fused import attach_generic_fused_step
+
+    with pytest.raises(ValueError):
+        attach_generic_fused_step(net.get_node("qif"), interpret=True)
+
+
+def test_sparse_bf16_master_casts_matvec():
+    """coupling_dtype='bfloat16_master' keeps f32 blocks but the trajectory
+    reflects bf16 matvec rounding (differs from f32, tracks it closely)."""
+    n, bs = 128, 32
+    A = block_random_connectivity(n, n, 12, block_size=bs, seed=6)
+    T = 800
+    inp = np.full((T, n), 5.0, dtype=np.float32)
+    o32 = _build_qif(A, n, dtype=jnp.float32).run(
+        inp, sampling_steps=10, verbose=False).to_numpy("out")
+    net16 = _build_qif(A, n, dtype=jnp.float32, coupling_dtype="bfloat16_master")
+    # master copy stays at full precision (node default; bf16 is cast per use)
+    assert net16.get_node("qif")["weights"].dtype != jnp.bfloat16
+    o16 = net16.run(inp, sampling_steps=10, verbose=False).to_numpy("out")
+    assert o32.max() > 0
+    corr = np.corrcoef(o32.ravel(), o16.ravel())[0, 1]
+    assert corr > 0.999, f"bf16 sparse trajectory diverged: corr={corr}"
