@@ -1,16 +1,22 @@
-"""Stretch config (BASELINE.md configs[4]): a large QIF population with
-heterogeneous delay coupling, population-sharded over the device mesh.
+"""Stretch config (BASELINE.md configs[4]): a 100k-neuron QIF population with
+heterogeneous delayed self-feedback (DDE ring buffer), block-sparse coupling.
 
-On a real pod, run with N=100_000 over the ICI mesh (the coupling matrix
-row-shards; GSPMD all-gathers the synaptic vector per step and the delay ring
-buffers shard with their rows).  For validation without hardware:
+This runs at its NOMINAL size on a single 16 GB v5e chip: the fan-in-1000
+coupling is block-sparse (ops/sparse.py) -- 0.4 GB bf16 streamed per step
+instead of the 20 GB dense matrix that cannot exist on chip -- and the
+per-neuron delay feedback is a diagonal LinearMemory edge (O(N) state, no
+(N, N) identity).  On a pod the same program row-shards the blocks over the
+ICI mesh (see tests/test_sparse.py::test_sparse_sharded_run...).
 
+Usage:
+    QIF_N=100000 QIF_T=2000 python examples/qif_100k_sharded.py   # real TPU
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-    QIF_N=1024 QIF_T=200 python examples/qif_100k_sharded.py
+    QIF_N=2048 QIF_T=200 python examples/qif_100k_sharded.py      # CPU mesh
 """
 
 import os
 import sys
+import time
 
 try:  # prefer the installed package (pip install -e .)
     import rectipy_tpu  # noqa: F401
@@ -19,30 +25,38 @@ except ImportError:  # fallback: run from a source checkout
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
-from rectipy_tpu import Network
-from rectipy_tpu.native import sample_fixed_fanin
-from rectipy_tpu.parallel import make_mesh, shard_network_arrays, sharded_run
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rectipy_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
-N = int(os.environ.get("QIF_N", 100_000))
-T = int(os.environ.get("QIF_T", 10_000))
+from rectipy_tpu import FeedbackNetwork
+from rectipy_tpu.ops.sparse import block_random_connectivity
+
+BS = int(os.environ.get("QIF_BS", 512))
+N_req = int(os.environ.get("QIF_N", 100_000))
+N = ((N_req + BS - 1) // BS) * BS  # round up to the block grid
+T = int(os.environ.get("QIF_T", 2_000))
 FAN_IN = max(4, min(1000, N // 8))
 dt = 1e-4
 
-# fixed-fan-in coupling sampled by the native C++ generator (O(N*k): the
-# numpy argsort construction needs ~30 min + 80 GB at N=100k)
-cols = sample_fixed_fanin(N, N, FAN_IN, seed=0)
-W = np.zeros((N, N), dtype=np.float32)
-W[np.repeat(np.arange(N), FAN_IN), cols.ravel()] = 1.0 / FAN_IN
+print(f"N={N} (requested {N_req}), fan-in={FAN_IN}, block={BS}, T={T}", flush=True)
+t0 = time.perf_counter()
+A = block_random_connectivity(N, N, FAN_IN, block_size=BS, seed=0)
+print(f"sampled block-sparse coupling in {time.perf_counter() - t0:.1f}s: "
+      f"blocks {A.blocks.shape} = "
+      f"{A.blocks.size * 2 / 1e9:.2f} GB bf16 on device", flush=True)
 
+rng = np.random.default_rng(1)
 etas = -5.0 + np.tan((np.pi / 2) * (2.0 * np.arange(1, N + 1) - N - 1) / (N + 1))
-delays = np.random.default_rng(1).integers(0, 8, size=N)
+delays = rng.integers(0, 8, size=N)  # heterogeneous integer delays (in steps)
 
-net = Network(dt)
-net.add_func_node("inp", N, activation_function="identity")
+net = FeedbackNetwork(dt)
+net.add_func_node("inp", 1, activation_function="identity")
 net.add_diffeq_node(
-    "qif", "rectipy_tpu.models.spiking_neurons.qif.qif_sfa", weights=W,
+    "qif", "rectipy_tpu.models.spiking_neurons.qif.qif_sfa", weights=A,
     source_var="s", target_var="s_in", input_var="I_ext", output_var="s",
     spike_var="spike", spike_def="v", op="qif_sfa_op",
     spike_threshold=1e2, spike_reset=-1e2,
@@ -50,30 +64,32 @@ net.add_diffeq_node(
                "all/qif_sfa_op/k": 15.0},
     coupling_dtype="bfloat16",
 )
-# delay-coupled external drive (DDE ring buffer, sharded with its rows)
-net.add_edge("inp", "qif", weights=np.eye(N, dtype=np.float32), delays=delays)
+# common scalar drive projected onto the population (keeps host->device
+# input traffic at (T, 1) instead of (T, N))
+net.add_edge("inp", "qif", weights=rng.normal(size=(N, 1)).astype(np.float32))
+# delayed self-feedback: per-neuron integer delays through a DDE ring buffer,
+# diagonal gains (the TPU-native form of the reference's LinearMemory DDE,
+# /root/reference/rectipy/edges.py:85-94)
+net.add_edge("qif", "qif", weights=np.full(N, 0.3, dtype=np.float32),
+             delays=delays, feedback=True)
 net.compile()
 
-mesh = make_mesh(len(jax.devices()), data=1)
-print("mesh:", dict(mesh.shape), "N:", N, "fan-in:", FAN_IN)
+inputs = np.zeros((T, 1), dtype=np.float32)
+inputs[T // 4:, 0] = 3.0
 
-state = shard_network_arrays(net.init_state(), N, mesh)
-params = shard_network_arrays(net.parameters_pytree(), N, mesh)
-run = sharded_run(net, mesh)
+print(f"device={jax.devices()[0]}", flush=True)
+t0 = time.perf_counter()
+obs = net.run(inputs[: min(T, 200)], record_output=False, sampling_steps=100,
+              record_vars=[("qif", "s", True)], verbose=False)
+print(f"first run (incl. compile): {time.perf_counter() - t0:.1f}s", flush=True)
 
-inputs = jnp.zeros((T, N), dtype=jnp.float32)
-inputs = inputs.at[T // 4: 3 * T // 4].set(3.0)
-
-import time
-
-with mesh:
-    _, outs = run(state, params, inputs[:1])  # compile
-    jax.block_until_ready(outs)
-    t0 = time.time()
-    stateT, outs = run(state, params, inputs)
-    jax.block_until_ready(outs)
-    el = time.time() - t0
-
-print(f"{T} steps x N={N} over {len(jax.devices())} device(s): {el:.2f}s "
-      f"-> {T * N / el:.3e} neuron-updates/s")
-print("mean(s) final:", float(jnp.mean(outs[-1])))
+net.reset()
+t0 = time.perf_counter()
+obs = net.run(inputs, record_output=False, sampling_steps=100,
+              record_vars=[("qif", "s", True)], verbose=False)
+wall = time.perf_counter() - t0
+s_mean = obs.to_numpy(("qif", "s"))
+assert np.all(np.isfinite(s_mean)), "non-finite dynamics"
+print(f"{T} steps x {N} neurons in {wall:.2f}s -> "
+      f"{T * N / wall:.3e} neuron-updates/s; mean(s) in "
+      f"[{s_mean.min():.5f}, {s_mean.max():.5f}]", flush=True)

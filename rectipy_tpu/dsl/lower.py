@@ -311,7 +311,7 @@ def lower(
         if w.ndim == 4:  # block-sparse (ops/sparse.py)
             from ..ops.sparse import block_sparse_matvec
 
-            cast = jnp.bfloat16 if master_bf16 else None
+            cast = jnp.bfloat16 if (master_bf16 or w.dtype == jnp.bfloat16) else None
             return block_sparse_matvec(w, a[wkey + "__cols"], src, cast_dtype=cast)
         if w.dtype == jnp.int8:
             s_max = jnp.maximum(jnp.max(jnp.abs(src)), 1e-30)

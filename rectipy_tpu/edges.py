@@ -43,6 +43,14 @@ def _as_array(x, dtype):
     return jnp.asarray(np.asarray(x), dtype=dtype)
 
 
+def _apply_w(w, v):
+    """Edge projection: 2-D weights -> matvec; 1-D weights -> diagonal
+    (elementwise) gains.  The diagonal form exists for population-scale edges
+    (e.g. per-neuron delay feedback at N=100k) where an (N, N) identity-like
+    matrix would cost 40 GB for what is an O(N) operation."""
+    return w * v if w.ndim == 1 else w @ v
+
+
 class Linear:
     """Static/trainable linear projection ``y = W @ x``."""
 
@@ -55,9 +63,16 @@ class Linear:
             rng = rng or np.random.default_rng()
             weights = rng.standard_normal((n_out, n_in))
         weights = _as_array(weights, self.dtype)
+        if weights.ndim == 1:
+            # diagonal edge: per-source gains (requires square edge)
+            if n_in != n_out or weights.shape[0] != n_in:
+                raise ValueError(
+                    "1-D (diagonal) edge weights require n_in == n_out == len(weights); "
+                    f"got {weights.shape[0]} gains for a ({n_out}, {n_in}) edge."
+                )
         # reference parity: a (n_in, n_out)-shaped matrix is auto-transposed --
         # including the square case (/root/reference/rectipy/edges.py:22-23)
-        if weights.shape == (n_in, n_out):
+        elif weights.shape == (n_in, n_out):
             weights = weights.T
         elif weights.shape != (n_out, n_in):
             raise ValueError(
@@ -104,7 +119,7 @@ class Linear:
 
     def make_step(self) -> Callable:
         def step(state, params, x):
-            return state, params["weights"] @ x
+            return state, _apply_w(params["weights"], x)
 
         return step
 
@@ -177,7 +192,7 @@ class LinearMemory(Linear):
         def step(buf, params, x):
             buf = jnp.roll(buf, -1, axis=1)
             buf = buf * (1.0 - mask) + mask * x[:, None]
-            return buf, params["weights"] @ buf[:, 0]
+            return buf, _apply_w(params["weights"], buf[:, 0])
 
         return step
 
@@ -256,7 +271,7 @@ class LinearMemoryFilter(LinearMemory):
         def step(buf, params, x):
             buf = params["filter"] @ jnp.roll(buf, -1, axis=1)
             buf = buf * (1.0 - mask) + mask * x[:, None]
-            return buf, params["weights"] @ buf[:, 0]
+            return buf, _apply_w(params["weights"], buf[:, 0])
 
         return step
 

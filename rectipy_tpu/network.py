@@ -549,6 +549,40 @@ class Network:
                 params[kind].setdefault(label, {}).update(sub)
         return params
 
+    def _node_n(self, label: str) -> int:
+        node = self.get_node(label)
+        vf = getattr(node, "_vf", None)
+        return getattr(vf, "n", None) or self[label]["n_out"]
+
+    def _mesh_place(self, tree: dict, mesh, model_axis: str = "model") -> dict:
+        """Population-shard a state/params pytree over a ``jax.sharding.Mesh``
+        (per-node population sizes; edge leaves shard with their target's
+        width, feedback buffers with their source's).  Used by ``run`` /
+        ``fit_bptt`` when ``mesh=`` is passed -- the one-call multichip API."""
+        from .parallel import shard_network_arrays
+
+        placed = dict(tree)
+        placed["nodes"] = {
+            label: shard_network_arrays(sub, self._node_n(label), mesh, model_axis)
+            for label, sub in tree.get("nodes", {}).items()}
+        if "edges" in tree:
+            placed["edges"] = {}
+            for k, sub in tree["edges"].items():
+                u, v = k.split("->")
+                placed["edges"][k] = shard_network_arrays(
+                    sub, self[v]["n_in"], mesh, model_axis)
+        if "fb" in tree:
+            placed["fb"] = {
+                u: shard_network_arrays(val, self[u]["n_out"], mesh, model_axis)
+                for u, val in tree["fb"].items()}
+        return placed
+
+    @staticmethod
+    def _mesh_replicate(x, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(x, NamedSharding(mesh, PartitionSpec()))
+
     def _write_back(self, state: dict = None, params: dict = None):
         """Push scan results back into the mutable node/edge wrappers."""
         order = self._compiled["order"]
@@ -629,8 +663,15 @@ class Network:
         from ``step >= cutoff`` and their mean is recorded whenever
         ``step % sampling_steps == 0``; ``record_vars`` snapshots node state
         at the record step (post-update).
+
+        ``mesh=``: a ``jax.sharding.Mesh`` population-shards the run over the
+        mesh's ``'model'`` axis (row-sharded couplings, sharded state and
+        per-neuron parameters; XLA inserts the gather/psum collectives).
+        Recording semantics are IDENTICAL to the single-device path -- same
+        windowed scan, same Observer records.
         """
         del enable_grad  # gradients are taken functionally by the trainers
+        mesh = kwargs.pop("mesh", None)
         inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
         if inputs.ndim != 2:
             raise ValueError(f"`inputs` must be a (T, m) array; got shape {inputs.shape}")
@@ -651,6 +692,10 @@ class Network:
 
         state0 = self.init_state()
         params = self.parameters_pytree()
+        if mesh is not None:
+            state0 = self._mesh_place(state0, mesh)
+            params = self._mesh_place(params, mesh)
+            inputs = self._mesh_replicate(inputs, mesh)
         stateT, rec_steps, rec_out, rec_vars = self._run_scan(
             state0, params, inputs, sampling_steps, cutoff, truncate_steps, obs)
         self._write_back(state=stateT)
@@ -997,10 +1042,16 @@ class Network:
         if not paths:
             raise ValueError("No trainable parameters in the network; pass `train_params` "
                              "to add_diffeq_node or train='gd' to add_edge.")
+        mesh = kwargs.pop("mesh", None)
         params = self.parameters_pytree()
+        state0 = self.init_state()
+        if mesh is not None:
+            # one-call multichip training: population-shard params/state; the
+            # whole value_and_grad + optax step then runs under GSPMD
+            params = self._mesh_place(params, mesh)
+            state0 = self._mesh_place(state0, mesh)
         train, frozen = self._partition(params, paths)
         opt_state = opt.init(train)
-        state0 = self.init_state()
         step = self.make_step()
 
         remat_steps = int(kwargs.pop("remat_steps", 0))
@@ -1016,7 +1067,8 @@ class Network:
             train, losses = self._bptt_epochs(step, loss_fn, opt, train, frozen, opt_state,
                                               state0, inputs, targets, sampling_steps, verbose,
                                               remat_steps=remat_steps,
-                                              fused_bptt=kwargs.pop("fused_bptt", "auto"))
+                                              fused_bptt=kwargs.pop("fused_bptt", "auto"),
+                                              mesh=mesh)
             obs.save("epoch_loss", losses)
             obs.save("epochs", np.arange(len(losses)))
         else:
@@ -1027,6 +1079,9 @@ class Network:
                     "Wrong dimensions of input and target output. Please make sure that "
                     "`inputs` and `targets` agree in the first dimension."
                 )
+            if mesh is not None:
+                inputs = self._mesh_replicate(inputs, mesh)
+                targets = self._mesh_replicate(targets, mesh)
             train, stateT, rec = self._bptt_steps(step, loss_fn, opt, train, frozen, opt_state,
                                                   state0, inputs, targets, update_steps,
                                                   sampling_steps, obs)
@@ -1040,7 +1095,7 @@ class Network:
 
     def _bptt_epochs(self, step, loss_fn, opt, train, frozen, opt_state, state0,
                      inputs, targets, sampling_steps, verbose, remat_steps: int = 0,
-                     fused_bptt="auto"):
+                     fused_bptt="auto", mesh=None):
         combine = self._combine
 
         # deferred-gradient fast path: single-population networks train
@@ -1117,8 +1172,9 @@ class Network:
         def stage(x):
             key = id(x)
             if key not in dev_cache:
-                dev_cache[key] = jax.device_put(
-                    jnp.asarray(np.asarray(x), dtype=self.dtype))
+                arr = jnp.asarray(np.asarray(x), dtype=self.dtype)
+                dev_cache[key] = (self._mesh_replicate(arr, mesh) if mesh is not None
+                                  else jax.device_put(arr))
             return dev_cache[key]
 
         for epoch in range(n_epochs):

@@ -232,3 +232,81 @@ def test_sharded_run_int8_coupling_matches_single_device():
     with mesh:
         _, outs = run(state, params, inputs)
     np.testing.assert_allclose(np.asarray(outs), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_public_run_mesh_matches_single_device_including_observer():
+    """The one-call multichip API: Network.run(..., mesh=) must produce the
+    SAME Observer records (outputs, steps, record_vars) as the single-device
+    run.  float64 so the only admissible deviation is collective reduction
+    order (GSPMD psums the contraction of the row-sharded matvec), pinned at
+    1e-12 (VERDICT r1 item 3)."""
+    n = 32
+    rng = np.random.default_rng(7)
+    W = rng.normal(size=(n, n)) * 0.2
+    inp = rng.normal(size=(40, n))
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+        net.compile()
+        return net
+
+    obs1 = build().run(inp, sampling_steps=3, cutoff=6, verbose=False,
+                       record_vars=[("rnn", "v", True)])
+    mesh = make_mesh(8, data=1)
+    obs2 = build().run(inp, sampling_steps=3, cutoff=6, verbose=False,
+                       record_vars=[("rnn", "v", True)], mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(obs1["steps"]), np.asarray(obs2["steps"]))
+    np.testing.assert_allclose(obs2.to_numpy("out"), obs1.to_numpy("out"),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(obs2.to_numpy(("rnn", "v")),
+                               obs1.to_numpy(("rnn", "v")), rtol=1e-12, atol=1e-14)
+
+
+def test_public_fit_bptt_mesh_matches_single_device():
+    """Network.fit_bptt(..., mesh=) (epoch mode, deferred-gradient path)
+    trains to the same losses as single-device."""
+    n = 16
+    rng = np.random.default_rng(8)
+    W0 = rng.normal(size=(n, n)) * 0.2
+    inp = rng.normal(size=(50, n))
+    tgt = rng.normal(size=(50, n))
+
+    def fit(mesh):
+        net = Network(1e-2, dtype=jnp.float32)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        obs = net.fit_bptt([inp] * 5, [tgt] * 5, optimizer="adam", lr=1e-2,
+                           verbose=False, mesh=mesh)
+        return np.asarray(obs["epoch_loss"])
+
+    l_single = fit(None)
+    l_mesh = fit(make_mesh(8, data=1))
+    np.testing.assert_allclose(l_mesh, l_single, rtol=1e-5)
+    assert l_single[-1] < l_single[0]
+
+
+def test_public_run_mesh_sparse_coupling():
+    """Block-sparse coupling through the public mesh API."""
+    from rectipy_tpu.ops.sparse import block_random_connectivity
+
+    n, bs = 256, 32
+    A = block_random_connectivity(n, n, 12, block_size=bs, seed=9)
+    inp = np.full((30, n), 2.0)
+
+    def build():
+        net = Network(1e-3, dtype=jnp.float32)
+        net.add_diffeq_node("qif", "rectipy_tpu.models.spiking_neurons.qif.qif_sfa",
+                            weights=A, source_var="s", target_var="s_in",
+                            input_var="I_ext", output_var="s", op="qif_sfa_op",
+                            spike_var="spike", spike_def="v",
+                            spike_threshold=1e2, spike_reset=-1e2)
+        net.compile()
+        return net
+
+    o1 = build().run(inp, verbose=False).to_numpy("out")
+    o2 = build().run(inp, verbose=False, mesh=make_mesh(8, data=1)).to_numpy("out")
+    np.testing.assert_allclose(o2, o1, rtol=1e-6, atol=1e-7)
