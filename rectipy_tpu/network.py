@@ -1450,8 +1450,8 @@ class Network:
 
     def fit_eprop(self, inputs, targets, feedback_weights: np.ndarray = None,
                   epsilon: float = 0.99, delta: float = 0.9, update_steps: int = 1,
-                  sampling_steps: int = 100, lr: float = 1e-2, verbose: bool = True,
-                  **kwargs) -> Observer:
+                  sampling_steps: int = 100, lr: float = 1e-2, decay: float = 0.0,
+                  verbose: bool = True, **kwargs) -> Observer:
         """Online three-factor (e-prop-style) learning of the readout edge.
 
         The reference declares this method but raises NotImplementedError
@@ -1532,7 +1532,12 @@ class Network:
                 err_bar = epsilon * err_bar + (1.0 - epsilon) * err
                 elig = delta * elig + (1.0 - delta) * taps[src].astype(w_dtype)
                 do_upd = (step_idx % update_steps) == 0
-                W = W + jnp.where(do_upd, lr, 0.0) * jnp.outer(err_bar, elig)
+                gate = jnp.where(do_upd, lr, 0.0)
+                # `decay` L2-regularizes the online rule: without it the delta
+                # rule grows weight mass along near-collinear reservoir
+                # directions that only cancel while updates keep correcting --
+                # the frozen readout then diverges at test time
+                W = W * (1.0 - gate * decay) + gate * jnp.outer(err_bar, elig)
                 loss = err @ err
                 do_rec = (step_idx % sampling_steps) == 0
                 idx = jnp.minimum(rec_i, max(n_rec - 1, 0))

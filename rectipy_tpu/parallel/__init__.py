@@ -7,6 +7,7 @@ row-sharded over the 'model' axis, trajectory batches are sharded over the
 rates for the coupling matvec, psum of gradients across data shards).
 """
 
+from .diagnostics import collective_stats, sharded_step_collectives
 from .sharding import (
     make_mesh,
     shard_network_arrays,
@@ -14,4 +15,5 @@ from .sharding import (
     sharded_train_step,
 )
 
-__all__ = ["make_mesh", "shard_network_arrays", "sharded_run", "sharded_train_step"]
+__all__ = ["make_mesh", "shard_network_arrays", "sharded_run", "sharded_train_step",
+           "collective_stats", "sharded_step_collectives"]

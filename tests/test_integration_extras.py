@@ -152,3 +152,29 @@ def test_observer_plot_and_matshow():
     assert obs["meta"] == {"k": 1}
     df = obs.to_dataframe("out")
     assert len(df) == 10
+
+
+def test_example_bptt_spiking_recurrent_smoke(monkeypatch):
+    """Reference workload port (bptt_spiking_neurons_recurrent.py) at smoke
+    scale: teacher/student LIF BPTT reduces the loss."""
+    import pathlib
+    import runpy
+
+    monkeypatch.setenv("LIF_N", "6")
+    monkeypatch.setenv("LIF_STEPS", "800")
+    monkeypatch.setenv("LIF_EPOCHS", "200")
+    path = pathlib.Path(__file__).resolve().parent.parent / "examples" / "bptt_spiking_recurrent.py"
+    runpy.run_path(str(path), run_name="__main__")  # asserts internally
+
+
+def test_example_rl_online_learning_smoke(monkeypatch):
+    """Reference workload port (rl_example.py) at smoke scale: online
+    learning converges and the frozen readout beats the mean predictor."""
+    import pathlib
+    import runpy
+
+    monkeypatch.setenv("RL_N", "100")
+    monkeypatch.setenv("RL_STEPS", "60000")
+    monkeypatch.setenv("RL_TEST_STEPS", "10000")
+    path = pathlib.Path(__file__).resolve().parent.parent / "examples" / "rl_online_learning.py"
+    runpy.run_path(str(path), run_name="__main__")  # asserts internally

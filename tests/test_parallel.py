@@ -310,3 +310,39 @@ def test_public_run_mesh_sparse_coupling():
     o1 = build().run(inp, verbose=False).to_numpy("out")
     o2 = build().run(inp, verbose=False, mesh=make_mesh(8, data=1)).to_numpy("out")
     np.testing.assert_allclose(o2, o1, rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_scan_collective_budget():
+    """The sharded scan body must contain exactly ONE all-gather per step
+    (the (N,) source-rate vector for the row-sharded coupling matvec) and no
+    other collectives -- independent of mesh size, for dense AND block-sparse
+    coupling.  Anything more means GSPMD chose a pathological layout and
+    per-step ICI traffic regressed."""
+    from rectipy_tpu.ops.sparse import block_random_connectivity
+    from rectipy_tpu.parallel import sharded_step_collectives
+
+    n = 64
+    rng = np.random.default_rng(11)
+
+    def build(weights):
+        net = Network(1e-2, dtype=jnp.float32)
+        net.add_diffeq_node("rnn", TANH, weights=weights, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+        net.compile()
+        return net
+
+    couplings = {
+        "dense": rng.normal(size=(n, n)) * 0.1,
+        "block-sparse": block_random_connectivity(n, n, 8, block_size=8, seed=1),
+    }
+    for name, W in couplings.items():
+        for n_model in (2, 8):
+            stats = sharded_step_collectives(build(W), make_mesh(n_model, data=1))
+            assert stats["all-gather"]["count"] == 1, (name, n_model, stats)
+            # one (N,) rate vector per step (f64 node state under the x64
+            # test config; f32/bf16 in production)
+            assert stats["all-gather"]["bytes"] in (n * 4, n * 8), (name, n_model, stats)
+            for op in ("all-reduce", "all-to-all", "collective-permute",
+                       "reduce-scatter"):
+                assert stats[op]["count"] == 0, (name, n_model, op, stats)
