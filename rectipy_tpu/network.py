@@ -1093,25 +1093,84 @@ class Network:
             print(f"Finished optimization after {perf_counter() - t0} s.")
         return obs
 
+    def _chain_decompose(self):
+        """Decompose a chain network ``[instants...] -> diffeq -> [instants...]``
+        (stateless Linear/LinearMasked edges only) into
+        ``(label, apply_prefix, apply_suffix)``; None when the topology
+        doesn't qualify.
+
+        The pre/post stages are time-invariant and stateless, so for training
+        they move OUTSIDE the scan entirely: the input projection becomes one
+        (T, m) x (m, n) matmul before the trajectory and the readout one
+        (T, n) x (n, k) after it -- their weight gradients then come from
+        those single matmuls instead of per-step scan accumulation, and the
+        population itself trains through the deferred-gradient trajectory.
+        """
+        order = self._compiled["order"]
+        diffeq = [n for n in order if self[n].get("node_type") == "diff_eq"]
+        if len(diffeq) != 1 or self._fb_edge_list():
+            return None
+        label = diffeq[0]
+        for i, nname in enumerate(order):
+            preds = sorted(self.graph.predecessors(nname))
+            if preds != ([] if i == 0 else [order[i - 1]]):
+                return None  # not a simple chain
+            if nname != label and not isinstance(self.get_node(nname), InstantNode):
+                return None
+        # ops in chain order: each instant node's step, then its outgoing edge
+        pre_ops, post_ops = [], []
+        side_ops = pre_ops
+        for i, nname in enumerate(order):
+            if nname == label:
+                side_ops = post_ops
+            else:
+                side_ops.append(("node", None, self.get_node(nname).make_step()))
+            if i + 1 < len(order):
+                edge = self.get_edge(nname, order[i + 1])
+                if edge.init_state() is not None:
+                    return None  # stateful edge (delay/filter): no fast path
+                side_ops.append(("edge", _ekey(nname, order[i + 1]), edge.make_step()))
+
+        def apply(ops, params, H):
+            for kind, key, fn in ops:
+                p = params["edges"][key] if kind == "edge" else {}
+                H = jax.vmap(lambda h, p=p, fn=fn: fn(None, p, h)[1])(H)
+            return H
+
+        def apply_prefix(params, xs):
+            return apply(pre_ops, params, xs)
+
+        def apply_suffix(params, outs):
+            return apply(post_ops, params, outs)
+
+        return label, apply_prefix, apply_suffix
+
     def _bptt_epochs(self, step, loss_fn, opt, train, frozen, opt_state, state0,
                      inputs, targets, sampling_steps, verbose, remat_steps: int = 0,
                      fused_bptt="auto", mesh=None):
         combine = self._combine
 
-        # deferred-gradient fast path: single-population networks train
-        # through the custom-VJP trajectory (see ops/bptt.py docstring)
+        # deferred-gradient fast path: single-population (or instant-chain)
+        # networks train through the custom-VJP trajectory (ops/bptt.py)
         traj = None
         order = self._compiled["order"]
-        if fused_bptt in ("auto", True) and len(order) == 1:
-            label = order[0]
-            try:
-                from .ops.bptt import make_coupled_traj
+        if fused_bptt in ("auto", True):
+            chain = (order[0], None, None) if len(order) == 1 else self._chain_decompose()
+            if chain is None and fused_bptt is True:
+                raise ValueError(
+                    "fused_bptt=True requires a chain network "
+                    "[instants...] -> diffeq population -> [instants...] with "
+                    "stateless edges.")
+            if chain is not None:
+                label, apply_prefix, apply_suffix = chain
+                try:
+                    from .ops.bptt import make_coupled_traj
 
-                traj, traj_wkeys = make_coupled_traj(self.get_node(label))
-            except (ValueError, AttributeError, KeyError):
-                if fused_bptt is True:
-                    raise
-                traj = None
+                    traj, traj_wkeys = make_coupled_traj(self.get_node(label))
+                except (ValueError, AttributeError, KeyError):
+                    if fused_bptt is True:
+                        raise
+                    traj = None
 
         def _downsample(outs):
             if sampling_steps > 1:
@@ -1125,10 +1184,14 @@ class Network:
             y0 = state0["nodes"][label]
 
             def epoch_loss(train, inp, tgt):
-                nargs = combine(train, frozen)["nodes"][label]
+                params = combine(train, frozen)
+                nargs = params["nodes"][label]
                 W = {k: nargs[k] for k in traj_wkeys}
                 rest = {k: v for k, v in nargs.items() if k not in traj_wkeys}
-                _, outs = traj(W, rest, y0, inp)
+                xs = apply_prefix(params, inp) if apply_prefix is not None else inp
+                _, outs = traj(W, rest, y0, xs)
+                if apply_suffix is not None:
+                    outs = apply_suffix(params, outs)
                 return loss_fn(_downsample(outs), tgt)
         else:
             def epoch_loss(train, inp, tgt):

@@ -161,3 +161,68 @@ def test_fused_bptt_unsupported_raises_and_auto_falls_back():
         build().fit_bptt([inp], [tgt], verbose=False, fused_bptt=True)
     obs = build().fit_bptt([inp] * 2, [tgt] * 2, verbose=False, fused_bptt="auto")
     assert len(obs["epoch_loss"]) == 2
+
+
+def test_fit_bptt_fused_chain_topology_matches_plain():
+    """Chain networks (input layer -> population -> readout, the main
+    training workload shape) also use the deferred-gradient path: the
+    stateless pre/post stages move outside the scan as single matmuls.
+    Losses and ALL trained weights (node + readout edge) must match the
+    plain autodiff path."""
+    n, n_in, n_out, T = 8, 2, 3, 150
+    rng = np.random.default_rng(6)
+    W0 = np.abs(rng.normal(size=(n, n))) * 0.4
+    W_in = rng.normal(size=(n, n_in))
+    W_out0 = rng.normal(size=(n_out, n))
+    inp = rng.normal(size=(T, n_in)) * 3.0
+    tgt = rng.normal(size=(T, n_out))
+    etas = 2.0 + rng.random(n)
+
+    def fit(fused):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("qif", QIF, weights=W0, input_var="I_ext",
+                            output_var="s", source_var="s", target_var="s_in",
+                            op="qif_op", spike_var="spike", spike_def="v",
+                            spike_threshold=100.0, spike_reset=-100.0,
+                            node_vars={"all/qif_op/eta": etas},
+                            train_params=["weights"])
+        net.add_func_node("inp", n_in, activation_function="identity")
+        net.add_edge("inp", "qif", weights=W_in)
+        net.add_func_node("out", n_out, activation_function="tanh")
+        net.add_edge("qif", "out", weights=W_out0, train="gd")
+        obs = net.fit_bptt([inp] * 10, [tgt] * 10, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        return (np.asarray(obs["epoch_loss"]),
+                np.asarray(net.get_node("qif")["weights"]),
+                np.asarray(net.get_edge("qif", "out").weights))
+
+    l_fast, wn_fast, we_fast = fit(True)
+    l_std, wn_std, we_std = fit(False)
+    np.testing.assert_allclose(l_fast, l_std, rtol=1e-8)
+    np.testing.assert_allclose(wn_fast, wn_std, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(we_fast, we_std, rtol=1e-6, atol=1e-10)
+    assert np.abs(we_fast - W_out0).max() > 1e-4, "readout edge did not train"
+
+
+def test_fused_bptt_chain_with_stateful_edge_falls_back():
+    """Delay edges in the chain are stateful -> no fast path; 'auto' still
+    trains via plain autodiff and fused_bptt=True raises."""
+    n = 6
+    rng = np.random.default_rng(9)
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)) * 0.2,
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in",
+                            train_params=["weights"])
+        net.add_func_node("inp", n, activation_function="identity")
+        net.add_edge("inp", "rnn", weights=np.eye(n), delays=np.arange(n) % 3)
+        return net
+
+    inp = rng.normal(size=(40, n))
+    tgt = rng.normal(size=(40, n))
+    with pytest.raises(ValueError):
+        build().fit_bptt([inp], [tgt], verbose=False, fused_bptt=True)
+    obs = build().fit_bptt([inp] * 2, [tgt] * 2, verbose=False, fused_bptt="auto")
+    assert len(obs["epoch_loss"]) == 2
