@@ -46,8 +46,8 @@ print(f"N={N} (requested {N_req}), fan-in={FAN_IN}, block={BS}, T={T}", flush=Tr
 t0 = time.perf_counter()
 A = block_random_connectivity(N, N, FAN_IN, block_size=BS, seed=0)
 print(f"sampled block-sparse coupling in {time.perf_counter() - t0:.1f}s: "
-      f"blocks {A.blocks.shape} = "
-      f"{A.blocks.size * 2 / 1e9:.2f} GB bf16 on device", flush=True)
+      f"blocks {A.blocks.shape} "
+      f"({os.environ.get('QIF_COUPLING', 'bfloat16')} on device)", flush=True)
 
 rng = np.random.default_rng(1)
 etas = -5.0 + np.tan((np.pi / 2) * (2.0 * np.arange(1, N + 1) - N - 1) / (N + 1))
@@ -62,7 +62,7 @@ net.add_diffeq_node(
     spike_threshold=1e2, spike_reset=-1e2,
     node_vars={"all/qif_sfa_op/eta": etas, "all/qif_sfa_op/alpha": 0.05,
                "all/qif_sfa_op/k": 15.0},
-    coupling_dtype="bfloat16",
+    coupling_dtype=os.environ.get("QIF_COUPLING", "bfloat16"),
 )
 # common scalar drive projected onto the population (keeps host->device
 # input traffic at (T, 1) instead of (T, N))

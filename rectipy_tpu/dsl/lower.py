@@ -284,9 +284,19 @@ def lower(
             # block-sparse coupling (ops/sparse.py): blocks stream at w_dtype,
             # the block-column index table rides along as an int32 arg
             if int8_coupling:
-                raise ValueError("int8 block-sparse coupling is not supported; "
-                                 "use float32 or bfloat16(_master)")
-            args[wkey] = jnp.asarray(W.blocks, dtype=w_dtype)
+                # symmetric per-output-row int8, like the dense path: each
+                # global output row i = r*bs + i_local gets its own scale
+                blocks = np.asarray(W.blocks, dtype=np.float64)
+                row_max = np.maximum(np.abs(blocks).max(axis=(1, 3)), 1e-30)
+                scale = row_max / 127.0  # (n_br, bs)
+                Wq = np.clip(np.round(blocks / scale[:, None, :, None]),
+                             -127, 127).astype(np.int8)
+                args[wkey] = jnp.asarray(Wq)
+                args[wkey + "__scale"] = jnp.asarray(scale, dtype=jnp.float32)
+                keys.append(wkey + "__scale")
+                w_scales[wkey] = args[wkey + "__scale"]
+            else:
+                args[wkey] = jnp.asarray(W.blocks, dtype=w_dtype)
             args[wkey + "__cols"] = jnp.asarray(W.cols, dtype=jnp.int32)
             keys.extend([wkey, wkey + "__cols"])
             continue
@@ -311,6 +321,20 @@ def lower(
         if w.ndim == 4:  # block-sparse (ops/sparse.py)
             from ..ops.sparse import block_sparse_matvec
 
+            if w.dtype == jnp.int8:
+                # int8 x int8 block contraction with int32 accumulation and
+                # the same dynamic-activation-scale STE as the dense path
+                n_br, cb, bs, _ = w.shape
+                s_max = jnp.maximum(jnp.max(jnp.abs(src)), 1e-30)
+                s_scale = jax.lax.stop_gradient(s_max / 127.0)
+                scaled = src / s_scale
+                rounded = scaled + jax.lax.stop_gradient(
+                    jnp.clip(jnp.round(scaled), -127, 127) - scaled)
+                s_blk = rounded.reshape(-1, bs)[a[wkey + "__cols"]].astype(jnp.int8)
+                acc = jnp.einsum("rcij,rcj->ri", w, s_blk,
+                                 preferred_element_type=jnp.int32)
+                out = acc.astype(jnp.float32) * a[wkey + "__scale"] * s_scale
+                return out.reshape(n_br * bs).astype(src.dtype)
             cast = jnp.bfloat16 if (master_bf16 or w.dtype == jnp.bfloat16) else None
             return block_sparse_matvec(w, a[wkey + "__cols"], src, cast_dtype=cast)
         if w.dtype == jnp.int8:

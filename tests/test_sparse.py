@@ -99,17 +99,41 @@ def test_sparse_sharded_run_matches_single_device():
                                rtol=1e-6, atol=1e-6)
 
 
-def test_sparse_refuses_int8_and_fused_kernel():
+def test_sparse_refuses_fused_kernel():
     n, bs = 128, 32
     A = block_random_connectivity(n, n, 8, block_size=bs, seed=5)
-    with pytest.raises(ValueError):
-        _build_qif(A, n, coupling_dtype="int8")
     net = _build_qif(A, n, dtype=jnp.float32)
     net.compile()
     from rectipy_tpu.ops.generic_fused import attach_generic_fused_step
 
     with pytest.raises(ValueError):
         attach_generic_fused_step(net.get_node("qif"), interpret=True)
+
+
+def test_sparse_int8_matches_f32_dynamics():
+    """int8 block-sparse coupling (per-output-row scales, dynamic activation
+    scale, int32 accumulation): spiking dynamics track the f32 sparse run."""
+    n, bs = 128, 32
+    A = block_random_connectivity(n, n, 12, block_size=bs, seed=8)
+    T = 800
+    inp = np.full((T, n), 5.0, dtype=np.float32)
+    o32 = _build_qif(A, n, dtype=jnp.float32).run(
+        inp, sampling_steps=10, verbose=False).to_numpy("out")
+    net8 = _build_qif(A, n, dtype=jnp.float32, coupling_dtype="int8")
+    node = net8.get_node("qif")
+    assert node["weights"].dtype == jnp.int8 and node["weights"].ndim == 4
+    o8 = net8.run(inp, sampling_steps=10, verbose=False).to_numpy("out")
+    assert o32.max() > 0
+    corr = np.corrcoef(o32.ravel(), o8.ravel())[0, 1]
+    assert corr > 0.999, f"int8 sparse trajectory diverged: corr={corr}"
+    # training through int8-quantized coupling stays refused (STE is
+    # inference-only), exactly as on the dense int8 path
+    net_t = Network(1e-3, dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        net_t.add_diffeq_node("qif", QIF, weights=A, source_var="s",
+                              target_var="s_in", input_var="I_ext", output_var="s",
+                              op="qif_sfa_op", spike_var="spike", spike_def="v",
+                              coupling_dtype="int8", train_params=["weights"])
 
 
 def test_sparse_bf16_master_casts_matvec():
