@@ -1244,11 +1244,16 @@ class Network:
             inp = stage(inputs[epoch])
             tgt = stage(targets[epoch])
             train, opt_state, lval = update(train, opt_state, inp, tgt)
-            losses.append(float(lval))
+            # keep losses on device: a per-epoch float() blocks the dispatch
+            # pipeline on a device round-trip (~170 ms/epoch over a tunneled
+            # chip -- 35% of the epoch at N=10k); fetch once after the loop
+            losses.append(lval)
             if verbose:
                 print(f"Progress: {epoch + 1}/{n_epochs} training epochs finished.")
-                print(f"Epoch loss: {losses[-1]}.")
+                print(f"Epoch loss: {float(lval)}.")
                 print("")
+        if losses:
+            losses = [float(x) for x in np.asarray(jnp.stack(losses))]
         return train, losses
 
     def _bptt_steps(self, step, loss_fn, opt, train, frozen, opt_state, state0,
@@ -1413,6 +1418,7 @@ class Network:
             raise ValueError("No RLS-trainable edge in the network; add one with "
                              "add_edge(..., train='rls').")
         self.compile()
+        mesh = kwargs.pop("mesh", None)
         obs_kwargs = retrieve_from_dict(["record_output", "record_loss", "record_vars"], kwargs)
         obs = Observer(dt=self.dt, **obs_kwargs)
 
@@ -1427,7 +1433,8 @@ class Network:
             epoch_losses = []
             for epoch in range(len(inputs)):
                 _, loss = self._rls_scan(np.asarray(inputs[epoch]), np.asarray(targets[epoch]),
-                                         update_steps, sampling_steps, obs, record=False)
+                                         update_steps, sampling_steps, obs, record=False,
+                                         mesh=mesh)
                 epoch_losses.append(float(loss))
                 self.reset(y0)
                 if verbose:
@@ -1444,12 +1451,14 @@ class Network:
                     "Wrong dimensions of input and target output. Please make sure that "
                     "`inputs` and `targets` agree in the first dimension."
                 )
-            self._rls_scan(inputs, targets, update_steps, sampling_steps, obs, record=True)
+            self._rls_scan(inputs, targets, update_steps, sampling_steps, obs, record=True,
+                           mesh=mesh)
         if verbose:
             print(f"Finished optimization after {perf_counter() - t0} s.")
         return obs
 
-    def _rls_scan(self, inputs, targets, update_steps, sampling_steps, obs, record=True):
+    def _rls_scan(self, inputs, targets, update_steps, sampling_steps, obs, record=True,
+                  mesh=None):
         src, tgt_node = self._train_edge
         rls_edge: RLS = self.get_edge(src, tgt_node)
         ekey = _ekey(src, tgt_node)
@@ -1459,6 +1468,11 @@ class Network:
         state0 = self.init_state()
         inputs = jnp.asarray(inputs, dtype=self.dtype)
         targets = jnp.asarray(targets, dtype=self.dtype)
+        if mesh is not None:
+            state0 = self._mesh_place(state0, mesh)
+            params = self._mesh_place(params, mesh)
+            inputs = self._mesh_replicate(inputs, mesh)
+            targets = self._mesh_replicate(targets, mesh)
         steps = int(inputs.shape[0])
 
         rec_steps_host = np.arange(0, steps, sampling_steps)
@@ -1546,6 +1560,7 @@ class Network:
         obs_kwargs = retrieve_from_dict(["record_output", "record_loss", "record_vars"], kwargs)
         obs = Observer(dt=self.dt, **obs_kwargs)
 
+        mesh = kwargs.pop("mesh", None)
         src, tgt_node = self._train_edge
         edge = self.get_edge(src, tgt_node)
         ekey = _ekey(src, tgt_node)
@@ -1554,6 +1569,11 @@ class Network:
         state0 = self.init_state()
         inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
         targets = jnp.asarray(np.asarray(targets), dtype=self.dtype)
+        if mesh is not None:
+            state0 = self._mesh_place(state0, mesh)
+            params = self._mesh_place(params, mesh)
+            inputs = self._mesh_replicate(inputs, mesh)
+            targets = self._mesh_replicate(targets, mesh)
         if inputs.shape[0] != targets.shape[0]:
             raise ValueError(
                 "Wrong dimensions of input and target output. Please make sure that "

@@ -346,3 +346,39 @@ def test_sharded_scan_collective_budget():
             for op in ("all-reduce", "all-to-all", "collective-permute",
                        "reduce-scatter"):
                 assert stats[op]["count"] == 0, (name, n_model, op, stats)
+
+
+def test_public_fit_rls_and_eprop_mesh_match_single_device():
+    """fit_rls / fit_eprop with mesh= train to the same weights as
+    single-device (f64; deviations bounded by collective reduction order)."""
+    n, m, T = 16, 2, 120
+    rng = np.random.default_rng(12)
+    W0 = rng.normal(size=(n, n)) * 0.2
+    W0 /= np.max(np.abs(np.linalg.eigvals(W0)))
+    W_in = rng.normal(size=(n, m))
+    inp = rng.normal(size=(T, m))
+    tgt = rng.normal(size=(T, 1)) * 0.1
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_func_node("inp", m, activation_function="identity")
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+        net.add_edge("inp", "rnn", weights=W_in)
+        net.add_func_node("out", 1, activation_function="identity")
+        net.add_edge("rnn", "out", train="rls")
+        net.compile()
+        return net
+
+    mesh = make_mesh(8, data=1)
+    for method, kwargs in [("fit_rls", dict(update_steps=2, sampling_steps=10)),
+                           ("fit_eprop", dict(update_steps=1, sampling_steps=10,
+                                              lr=1e-3, decay=0.5))]:
+        net1, net2 = build(), build()
+        getattr(net1, method)(inp, tgt, verbose=False, **kwargs)
+        getattr(net2, method)(inp, tgt, verbose=False, mesh=mesh, **kwargs)
+        w1 = np.asarray(net1.get_edge("rnn", "out").weights)
+        w2 = np.asarray(net2.get_edge("rnn", "out").weights)
+        assert np.abs(w1).max() > 0, f"{method} did not train"
+        np.testing.assert_allclose(w2, w1, rtol=1e-9, atol=1e-12)
