@@ -10,13 +10,14 @@ fused XLA programs, scalable over device meshes via ``jax.sharding``.
 
 __author__ = "rectipy_tpu developers"
 __status__ = "Development"
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .dsl import CircuitTemplate, NodeTemplate, OperatorTemplate, clear_frontend_caches, lower
 from .edges import RLS, Linear, LinearFilter, LinearMasked, LinearMemory, LinearMemoryFilter
 from .network import FeedbackNetwork, Network
 from .nodes import InstantNode, MultiSpikeResetNet, RateNet, SpikeNet, SpikeResetNet
 from .observer import Observer
+from .ops.sparse import BlockSparseCoupling, block_random_connectivity
 from .utility import (
     circular_connectivity,
     input_connections,
@@ -42,6 +43,8 @@ __all__ = [
     "OperatorTemplate",
     "RLS",
     "RateNet",
+    "BlockSparseCoupling",
+    "block_random_connectivity",
     "SpikeNet",
     "SpikeResetNet",
     "circular_connectivity",

@@ -98,6 +98,51 @@ def _make_matvec(cast: str | None):
     return mv, mv_t, grad_w
 
 
+def _make_sparse_matvec(cast: str | None, cols):
+    """Block-sparse analogs of the three coupling contractions.  ``cols`` is
+    the static (n_br, cb) block-column table (structure never changes, so it
+    folds into the program as a constant)."""
+    cd = jnp.bfloat16 if cast == "bf16" else None
+
+    def maybe(x, w):
+        if cd is not None or w.dtype == jnp.bfloat16:
+            return x.astype(jnp.bfloat16)
+        return x
+
+    def mv(w, src):
+        from .sparse import block_sparse_matvec
+
+        cast_dtype = jnp.bfloat16 if (cd is not None or w.dtype == jnp.bfloat16) else None
+        return block_sparse_matvec(w, cols, src, cast_dtype=cast_dtype)
+
+    def mv_t(w, delta):
+        """A^T @ delta for a SQUARE block-sparse A (recurrent coupling):
+        per-block transposed products scatter-added into the source blocks
+        (contiguous bs-rows -- an efficient segment scatter)."""
+        n_br, cb, bs, _ = w.shape
+        d_blk = delta.reshape(n_br, bs)
+        contrib = jnp.einsum("rcij,ri->rcj", maybe(w, w), maybe(d_blk, w),
+                             preferred_element_type=jnp.float32)
+        out = jnp.zeros((n_br, bs), dtype=jnp.float32).at[cols].add(contrib)
+        return out.reshape(-1).astype(delta.dtype)
+
+    def grad_w(deltas, srcs):
+        """dA[r, c] = sum_t delta_t[row-block r] (.) src_t[block cols[r, c]]:
+        one batched contraction over the saved trajectories."""
+        T = deltas.shape[0]
+        n_br, cb = cols.shape
+        bs = deltas.shape[1] // n_br
+        d_blk = deltas.reshape(T, n_br, bs)
+        s_blk = srcs.reshape(T, -1, bs)[:, cols]  # (T, n_br, cb, bs)
+        if cd is not None:
+            d_blk = d_blk.astype(jnp.bfloat16)
+            s_blk = s_blk.astype(jnp.bfloat16)
+        return jnp.einsum("tri,trcj->rcij", d_blk, s_blk,
+                          preferred_element_type=jnp.float32)
+
+    return mv, mv_t, grad_w
+
+
 def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
     """Build ``traj(weights: dict, args: dict, y0, xs) -> (yT, outs)`` with a
     custom VJP deferring every coupling-weight gradient to one post-scan
@@ -129,9 +174,6 @@ def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
         if node._args[wk].dtype == jnp.int8:
             raise ValueError("int8 coupling is inference-only (STE quantization); "
                              "train with float32 or bfloat16_master coupling")
-        if node._args[wk].ndim != 2:
-            raise ValueError("block-sparse coupling trains via plain autodiff "
-                             "(its weight-gradient accumulation is already small)")
     src_readers = []
     for src, _tgt, _wk in vf.couplings:
         rd = vf.make_tile_reader(src) if vf.make_tile_reader else None
@@ -156,7 +198,18 @@ def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
     tile_func = vf.tile_func
     inp_key = node._inp_key
     post_out = cls_name in ("SpikeNet", "MultiSpikeResetNet")
-    mv, mv_t, grad_w = _make_matvec(vf.coupling_cast)
+    # per-coupling contraction triples: dense matmuls or block-sparse
+    # gather/scatter contractions (the column tables are static structure)
+    mvs, mv_ts, grad_ws = [], [], []
+    for wk in wkeys:
+        if node._args[wk].ndim == 4:
+            ops3 = _make_sparse_matvec(vf.coupling_cast,
+                                       jnp.asarray(node._args[wk + "__cols"]))
+        else:
+            ops3 = _make_matvec(vf.coupling_cast)
+        mvs.append(ops3[0])
+        mv_ts.append(ops3[1])
+        grad_ws.append(ops3[2])
 
     # spiking configuration per node class (see nodes.py make_step of each)
     spike_fn = getattr(node, "spike", None)
@@ -228,11 +281,20 @@ def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
 
     K = len(wkeys)
 
+    def _split_args(args):
+        """(differentiable, auxiliary) partition: integer leaves (e.g. the
+        block-sparse column tables) get float0 cotangents, never gradients."""
+        diff, aux = {}, {}
+        for k, v in args.items():
+            (diff if jnp.issubdtype(jnp.result_type(v), jnp.inexact) else aux)[k] = v
+        return diff, aux
+
     @jax.custom_vjp
     def traj(weights, args, y0, xs):
         def body(y, x):
             srcs = src_fn(y, args)
-            s_ins = tuple(mv(weights[wk], s) for wk, s in zip(wkeys, srcs))
+            s_ins = tuple(mvs[i](weights[wk], s)
+                          for i, (wk, s) in enumerate(zip(wkeys, srcs)))
             y_new, out = step_x(y, s_ins, x, args)
             return y_new, out
 
@@ -242,7 +304,8 @@ def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
     def traj_fwd(weights, args, y0, xs):
         def body(y, x):
             srcs = src_fn(y, args)
-            s_ins = tuple(mv(weights[wk], s) for wk, s in zip(wkeys, srcs))
+            s_ins = tuple(mvs[i](weights[wk], s)
+                          for i, (wk, s) in enumerate(zip(wkeys, srcs)))
             y_new, out = step_x(y, s_ins, x, args)
             # residuals: the pre-step state and the matvec results -- O(N)
             # per step, so the backward pass never re-touches W to rebuild
@@ -255,18 +318,26 @@ def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
     def traj_bwd(res, cots):
         weights, args, xs, ys, srcs_t, s_ins_t = res
         cot_yT, cot_outs = cots
-        d_args0 = jax.tree.map(jnp.zeros_like, args)
+        diff_args, aux_args = _split_args(args)
+        d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
+
+        def step_x_d(y, s_ins, x, dargs):
+            return step_x(y, s_ins, x, {**aux_args, **dargs})
+
+        def src_fn_d(y, dargs):
+            return src_fn(y, {**aux_args, **dargs})
 
         def body(carry, per_t):
             lam, d_args = carry
             y_t, s_in_t, x_t, cot_out_t = per_t
             # stage A: VJP of the coupling-free step
-            _, vjp_step = jax.vjp(step_x, y_t, s_in_t, x_t, args)
+            _, vjp_step = jax.vjp(step_x_d, y_t, s_in_t, x_t, diff_args)
             dy1, d_s_in, d_x, d_args_step = vjp_step((lam, cot_out_t))
             # stage B: cotangent through the matvec inputs and source readers
             deltas = d_s_in  # per-coupling matvec-output cotangents, emitted
-            gsrc = tuple(mv_t(weights[wk], d) for wk, d in zip(wkeys, deltas))
-            _, vjp_src = jax.vjp(src_fn, y_t, args)
+            gsrc = tuple(mv_ts[i](weights[wk], d)
+                         for i, (wk, d) in enumerate(zip(wkeys, deltas)))
+            _, vjp_src = jax.vjp(src_fn_d, y_t, diff_args)
             dy2, d_args_src = vjp_src(gsrc)
             lam_prev = dy1 + dy2
             d_args = jax.tree.map(jnp.add, d_args,
@@ -276,9 +347,14 @@ def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
         (lam0, d_args), (deltas_t, d_xs) = jax.lax.scan(
             body, (cot_yT, d_args0), (ys, s_ins_t, xs, cot_outs), reverse=True)
         # the deferred contraction: dW_i = Delta_i^T @ Src_i, one matmul each
-        d_weights = {wk: grad_w(deltas_t[i], srcs_t[i]).astype(weights[wk].dtype)
+        d_weights = {wk: grad_ws[i](deltas_t[i], srcs_t[i]).astype(weights[wk].dtype)
                      for i, wk in enumerate(wkeys)}
-        return d_weights, d_args, lam0, d_xs
+        import numpy as onp
+
+        d_args_full = dict(d_args)
+        for k, v in aux_args.items():  # float0 cotangents for integer leaves
+            d_args_full[k] = onp.zeros(jnp.shape(v), dtype=jax.dtypes.float0)
+        return d_weights, d_args_full, lam0, d_xs
 
     traj.defvjp(traj_fwd, traj_bwd)
     return traj, wkeys

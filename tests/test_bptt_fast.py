@@ -226,3 +226,41 @@ def test_fused_bptt_chain_with_stateful_edge_falls_back():
         build().fit_bptt([inp], [tgt], verbose=False, fused_bptt=True)
     obs = build().fit_bptt([inp] * 2, [tgt] * 2, verbose=False, fused_bptt="auto")
     assert len(obs["epoch_loss"]) == 2
+
+
+def test_fit_bptt_fused_block_sparse_matches_plain():
+    """Block-sparse couplings train through the deferred path too: the dW
+    contraction is per-block, the backward matvec a block scatter.  Losses
+    and trained blocks match plain autodiff."""
+    from rectipy_tpu.ops.sparse import block_random_connectivity
+
+    n, bs, T = 64, 16, 300
+    rng = np.random.default_rng(10)
+    A = block_random_connectivity(n, n, 8, block_size=bs, seed=3)
+    etas = 2.0 + rng.random(n)
+    inp = rng.normal(size=(T, n)) * 2.0
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def fit(fused):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("qif", QIF, weights=A, input_var="I_ext",
+                            output_var="s", source_var="s", target_var="s_in",
+                            op="qif_op", spike_var="spike", spike_def="v",
+                            spike_threshold=100.0, spike_reset=-100.0,
+                            node_vars={"all/qif_op/eta": etas},
+                            train_params=["weights"])
+        obs = net.fit_bptt([inp] * 8, [tgt] * 8, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        return (np.asarray(obs["epoch_loss"]),
+                np.asarray(net.get_node("qif")["weights"]))
+
+    l_fast, w_fast = fit(True)
+    l_std, w_std = fit(False)
+    assert w_fast.ndim == 4, "blocks lost their shape through training"
+    np.testing.assert_allclose(l_fast, l_std, rtol=1e-8)
+    # tolerance on the WEIGHT SCALE: adam's 1/sqrt(v) normalization amplifies
+    # f64 reduction-reordering noise where gradients are tiny, so near-zero
+    # entries fail any relative bound
+    np.testing.assert_allclose(w_fast, w_std, rtol=0.0,
+                               atol=1e-5 * np.abs(w_std).max())
+    assert np.abs(w_fast - np.asarray(A.blocks)).max() > 1e-5, "blocks did not train"
