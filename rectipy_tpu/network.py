@@ -1224,6 +1224,29 @@ class Network:
             updates, opt_state = opt.update(grads, opt_state, train)
             return optax.apply_updates(train, updates), opt_state, lval
 
+        # k-epoch on-device scan over the SAME staged (inp, tgt) pair: the
+        # entire run of epochs is one dispatch, removing the per-epoch host
+        # round-trip (~60 ms/epoch over a tunneled chip).  Update sequence is
+        # identical to the per-epoch loop (regression-tested).
+        scan_cache: Dict[int, Callable] = {}
+
+        def update_many(train, opt_state, inp, tgt, k):
+            if k not in scan_cache:
+                @jax.jit
+                def fn(train, opt_state, inp, tgt):
+                    def body(carry, _):
+                        tr, os_ = carry
+                        lval, grads = jax.value_and_grad(epoch_loss)(tr, inp, tgt)
+                        updates, os_ = opt.update(grads, os_, tr)
+                        return (optax.apply_updates(tr, updates), os_), lval
+
+                    (train, opt_state), lvals = jax.lax.scan(
+                        body, (train, opt_state), None, length=k)
+                    return train, opt_state, lvals
+
+                scan_cache[k] = fn
+            return scan_cache[k](train, opt_state, inp, tgt)
+
         losses = []
         n_epochs = len(inputs)
         # de-duplicate epoch arrays by identity: repeated-epoch training
@@ -1239,6 +1262,28 @@ class Network:
                 dev_cache[key] = (self._mesh_replicate(arr, mesh) if mesh is not None
                                   else jax.device_put(arr))
             return dev_cache[key]
+
+        if not verbose:
+            # group consecutive epochs sharing the same staged arrays and run
+            # each maximal run as one on-device scan
+            runs: List[list] = []
+            for epoch in range(n_epochs):
+                inp, tgt = stage(inputs[epoch]), stage(targets[epoch])
+                if runs and runs[-1][0] is inp and runs[-1][1] is tgt:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([inp, tgt, 1])
+            loss_parts = []
+            for inp, tgt, k in runs:
+                if k == 1:
+                    train, opt_state, lval = update(train, opt_state, inp, tgt)
+                    loss_parts.append(lval[None] if jnp.ndim(lval) == 0 else lval)
+                else:
+                    train, opt_state, lvals = update_many(train, opt_state, inp, tgt, k)
+                    loss_parts.append(lvals)
+            if loss_parts:
+                losses = [float(x) for x in np.asarray(jnp.concatenate(loss_parts))]
+            return train, losses
 
         for epoch in range(n_epochs):
             inp = stage(inputs[epoch])

@@ -37,7 +37,9 @@ tests/test_bptt_fast.py (1e-9 in float64, trajectory-identical forward).
 
 Scope (ValueError otherwise, callers fall back to plain autodiff): DSL-built
 RateNet / SpikeResetNet / SpikeNet / MultiSpikeResetNet with Euler
-integration, at least one coupling matrix in float32 / bfloat16(_master)
+integration (plus Heun on RateNet: both stage matvec cotangents are emitted
+and dW gains a second post-scan matmul per coupling),
+at least one coupling matrix in float32 / bfloat16(_master)
 (int8 coupling is inference-only), no population reductions, and coupling
 sources / algebraic outputs that depend on states+params only.
 
@@ -164,8 +166,10 @@ def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
     cls_name = type(node).__name__
     if cls_name not in ("RateNet", "SpikeResetNet", "SpikeNet", "MultiSpikeResetNet"):
         raise ValueError(f"Deferred-gradient BPTT does not support {cls_name} nodes")
-    if getattr(node, "integrator", "euler") != "euler":
-        raise ValueError("Deferred-gradient BPTT supports Euler integration only")
+    integrator = getattr(node, "integrator", "euler")
+    if integrator not in ("euler", "heun"):
+        raise ValueError(f"Deferred-gradient BPTT does not support integrator={integrator!r}")
+    heun = integrator == "heun"  # nodes.py restricts heun to RateNet (no spikes)
 
     wkeys = [wk for _, _, wk in vf.couplings]
     if not wkeys:
@@ -288,6 +292,136 @@ def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
         for k, v in args.items():
             (diff if jnp.issubdtype(jnp.result_type(v), jnp.inexact) else aux)[k] = v
         return diff, aux
+
+    if heun:
+        # Heun (RK2) needs TWO coupling matvecs per step -- at y and at the
+        # full-Euler midpoint y_mid = y + dt*k1.  The deferred factorization
+        # extends stage-wise: the backward scan emits BOTH per-stage matvec
+        # cotangents, and dW = Delta1^T @ Src1 + Delta2^T @ Src2 (two post-
+        # scan matmuls per coupling).  The midpoint is recomputed where
+        # needed (elementwise, XLA CSEs the duplicates inside one scan body).
+        def _ext_of(s_ins):
+            ext: Dict[str, jnp.ndarray] = {}
+            for tgt, s_in in zip(tgt_names, s_ins):
+                ext[tgt] = ext.get(tgt, 0.0) + s_in
+            return ext
+
+        def _deriv(states, s_ins, x, args):
+            a2 = dict(args)
+            a2[inp_key] = x
+            return a2, tile_func(states, a2, _ext_of(s_ins))
+
+        def _mid(y, s1, x, args):
+            states = split_states(y)
+            a2, d1 = _deriv(states, s1, x, args)
+            mid = {q: states[q] + dt * d1[q] for q in state_order}
+            return states, a2, d1, mid
+
+        def src2_fn(y, s1, x, args):
+            """Coupling sources at the midpoint: a function of (y, stage-1
+            matvec results) so the VJP routes its cotangent back into both."""
+            _, _, _, mid = _mid(y, s1, x, args)
+            return tuple(jnp.broadcast_to(rd(mid, args), (n,)).astype(y.dtype)
+                         for rd in src_readers)
+
+        def step_x2(y, s1, s2, x, args):
+            """One Heun step with both stage matvec results supplied
+            externally; mirrors RateNet.make_step(integrator='heun')."""
+            states, a2, d1, mid = _mid(y, s1, x, args)
+            _, d2 = _deriv(mid, s2, x, args)
+            new_states = {q: states[q] + (dt * 0.5) * (d1[q] + d2[q])
+                          for q in state_order}
+            y_new = jnp.concatenate([new_states[q] for q in state_order])
+            if out_reader_alg is not None:
+                out = jnp.broadcast_to(out_reader_alg(states, a2), (n,))
+            else:
+                out = y[out_lo:out_hi]
+            return y_new, out
+
+        def _mv_all(weights, srcs):
+            return tuple(mvs[i](weights[wk], s)
+                         for i, (wk, s) in enumerate(zip(wkeys, srcs)))
+
+        def _mv_t_all(weights, deltas):
+            return tuple(mv_ts[i](weights[wk], d)
+                         for i, (wk, d) in enumerate(zip(wkeys, deltas)))
+
+        @jax.custom_vjp
+        def traj(weights, args, y0, xs):
+            def body(y, x):
+                s1 = _mv_all(weights, src_fn(y, args))
+                s2 = _mv_all(weights, src2_fn(y, s1, x, args))
+                return step_x2(y, s1, s2, x, args)
+
+            yT, outs = jax.lax.scan(body, y0, xs)
+            return yT, outs
+
+        def traj_fwd(weights, args, y0, xs):
+            def body(y, x):
+                srcs1 = src_fn(y, args)
+                s1 = _mv_all(weights, srcs1)
+                srcs2 = src2_fn(y, s1, x, args)
+                s2 = _mv_all(weights, srcs2)
+                y_new, out = step_x2(y, s1, s2, x, args)
+                return y_new, (out, y, srcs1, srcs2, s1, s2)
+
+            yT, (outs, ys, srcs1_t, srcs2_t, s1_t, s2_t) = jax.lax.scan(body, y0, xs)
+            return (yT, outs), (weights, args, xs, ys, srcs1_t, srcs2_t, s1_t, s2_t)
+
+        def traj_bwd(res, cots):
+            weights, args, xs, ys, srcs1_t, srcs2_t, s1_t, s2_t = res
+            cot_yT, cot_outs = cots
+            diff_args, aux_args = _split_args(args)
+            d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
+
+            def step_x2_d(y, s1, s2, x, dargs):
+                return step_x2(y, s1, s2, x, {**aux_args, **dargs})
+
+            def src2_fn_d(y, s1, x, dargs):
+                return src2_fn(y, s1, x, {**aux_args, **dargs})
+
+            def src_fn_d(y, dargs):
+                return src_fn(y, {**aux_args, **dargs})
+
+            def body(carry, per_t):
+                lam, d_args = carry
+                y_t, s1_, s2_, x_t, cot_out_t = per_t
+                # stage C (reverse of forward stage order): VJP of the
+                # coupling-free Heun update -- yields the stage-2 delta
+                _, vjp_step = jax.vjp(step_x2_d, y_t, s1_, s2_, x_t, diff_args)
+                dyA, ds1A, delta2, dxA, dargsA = vjp_step((lam, cot_out_t))
+                # stage B: route the stage-2 source cotangent back through
+                # the midpoint (depends on y AND the stage-1 matvec results)
+                gsrc2 = _mv_t_all(weights, delta2)
+                _, vjp_src2 = jax.vjp(src2_fn_d, y_t, s1_, x_t, diff_args)
+                dyB, ds1B, dxB, dargsB = vjp_src2(gsrc2)
+                delta1 = tuple(a + b for a, b in zip(ds1A, ds1B))
+                # stage A: stage-1 sources read the pre-step state directly
+                gsrc1 = _mv_t_all(weights, delta1)
+                _, vjp_src1 = jax.vjp(src_fn_d, y_t, diff_args)
+                dyC, dargsC = vjp_src1(gsrc1)
+                lam_prev = dyA + dyB + dyC
+                d_x = dxA + dxB
+                for dpart in (dargsA, dargsB, dargsC):
+                    d_args = jax.tree.map(jnp.add, d_args, dpart)
+                return (lam_prev, d_args), (delta1, delta2, d_x)
+
+            (lam0, d_args), (deltas1_t, deltas2_t, d_xs) = jax.lax.scan(
+                body, (cot_yT, d_args0), (ys, s1_t, s2_t, xs, cot_outs), reverse=True)
+            d_weights = {}
+            for i, wk in enumerate(wkeys):
+                dw = (grad_ws[i](deltas1_t[i], srcs1_t[i])
+                      + grad_ws[i](deltas2_t[i], srcs2_t[i]))
+                d_weights[wk] = dw.astype(weights[wk].dtype)
+            import numpy as onp
+
+            d_args_full = dict(d_args)
+            for k, v in aux_args.items():
+                d_args_full[k] = onp.zeros(jnp.shape(v), dtype=jax.dtypes.float0)
+            return d_weights, d_args_full, lam0, d_xs
+
+        traj.defvjp(traj_fwd, traj_bwd)
+        return traj, wkeys
 
     @jax.custom_vjp
     def traj(weights, args, y0, xs):

@@ -264,3 +264,119 @@ def test_fit_bptt_fused_block_sparse_matches_plain():
     np.testing.assert_allclose(w_fast, w_std, rtol=0.0,
                                atol=1e-5 * np.abs(w_std).max())
     assert np.abs(w_fast - np.asarray(A.blocks)).max() > 1e-5, "blocks did not train"
+
+
+def test_epoch_scan_matches_per_epoch_loop():
+    """verbose=False groups consecutive identical-epoch arrays into ONE
+    on-device lax.scan over epochs (zero per-epoch dispatch); the update
+    sequence must equal the verbose per-epoch Python loop exactly --
+    including mixed schedules where distinct arrays interleave (runs of
+    length 1 fall back to the single-update path)."""
+    n, T = 8, 80
+    rng = np.random.default_rng(11)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    inp_a = rng.normal(size=(T, n))
+    inp_b = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n))
+    # [a, a, a, b, a, a]: a 3-run, two singletons, a 2-run
+    schedule = [inp_a, inp_a, inp_a, inp_b, inp_a, inp_a]
+
+    def fit(verbose):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        obs = net.fit_bptt(schedule, [tgt] * len(schedule), optimizer="adam",
+                           lr=1e-2, verbose=verbose)
+        return np.asarray(obs["epoch_loss"]), np.asarray(net.get_node("rnn")["weights"])
+
+    l_scan, w_scan = fit(False)
+    l_loop, w_loop = fit(True)
+    assert len(l_scan) == len(schedule)
+    np.testing.assert_allclose(l_scan, l_loop, rtol=1e-12)
+    np.testing.assert_allclose(w_scan, w_loop, rtol=1e-12)
+
+
+def test_traj_heun_forward_and_grad_parity():
+    """Heun (RK2) RateNet trains through the deferred path: forward is
+    bit-identical to the composed step, gradients match plain autodiff
+    (f64) -- both stage deltas must route into dW correctly."""
+    n, T = 10, 200
+    rng = np.random.default_rng(12)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)) * 0.3,
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        source_var="tanh_op/r", target_var="li_op/r_in",
+                        train_params=["weights"], integrator="heun")
+    net.compile()
+    node = net.get_node("rnn")
+    traj, wkeys = make_coupled_traj(node)
+
+    step = net.make_step()
+    params = net.parameters_pytree()
+    nargs = params["nodes"]["rnn"]
+    y0 = net.init_state()["nodes"]["rnn"]
+    xs = jnp.asarray(rng.normal(size=(T, n)))
+    tgt = jnp.asarray(rng.normal(size=(T, n)))
+    Wd = {k: nargs[k] for k in wkeys}
+    rest = {k: v for k, v in nargs.items() if k not in wkeys}
+
+    def run_std(Wm, y0_, xs_):
+        p = {"nodes": {"rnn": {**nargs, **Wm}}, "edges": {}}
+        st0 = {"nodes": {"rnn": y0_}, "edges": {}}
+
+        def body(st, x):
+            st, out, _ = step(st, p, x)
+            return st, out
+
+        stT, outs = jax.lax.scan(body, st0, xs_)
+        return stT["nodes"]["rnn"], outs
+
+    yT_std, outs_std = run_std(Wd, y0, xs)
+    yT_f, outs_f = traj(Wd, rest, y0, xs)
+    np.testing.assert_allclose(np.asarray(outs_f), np.asarray(outs_std), rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(yT_f), np.asarray(yT_std), rtol=1e-14)
+
+    def loss_std(Wm, y0_, xs_):
+        _, outs = run_std(Wm, y0_, xs_)
+        return jnp.mean((outs - tgt) ** 2)
+
+    def loss_fast(Wm, y0_, xs_):
+        _, outs = traj(Wm, rest, y0_, xs_)
+        return jnp.mean((outs - tgt) ** 2)
+
+    g_std = jax.grad(loss_std, argnums=(0, 1, 2))(Wd, y0, xs)
+    g_fast = jax.grad(loss_fast, argnums=(0, 1, 2))(Wd, y0, xs)
+    for wk in wkeys:
+        a, b = np.asarray(g_std[0][wk]), np.asarray(g_fast[0][wk])
+        assert np.abs(a).max() > 0
+        np.testing.assert_allclose(b, a, atol=1e-6 * np.abs(a).max())
+    for i in (1, 2):
+        a, b = np.asarray(g_std[i]), np.asarray(g_fast[i])
+        np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12 * max(np.abs(a).max(), 1.0))
+
+
+def test_fit_bptt_fused_heun_matches_plain():
+    """fit_bptt auto-selects the deferred path for Heun RateNets; losses and
+    trained weights match the plain path."""
+    n, T = 8, 100
+    rng = np.random.default_rng(13)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n))
+
+    def fit(fused):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"],
+                            integrator="heun")
+        obs = net.fit_bptt([inp] * 10, [tgt] * 10, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        return np.asarray(obs["epoch_loss"]), np.asarray(net.get_node("rnn")["weights"])
+
+    l_fast, w_fast = fit(True)
+    l_std, w_std = fit(False)
+    np.testing.assert_allclose(l_fast, l_std, rtol=1e-8)
+    np.testing.assert_allclose(w_fast, w_std, rtol=1e-6, atol=1e-10)
+    assert l_fast[-1] < l_fast[0]
