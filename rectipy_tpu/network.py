@@ -39,6 +39,10 @@ from .observer import Observer
 from .train import get_loss_function, get_optimizer
 from .utility import add_op_name, retrieve_from_dict
 
+# epochs per on-device scan chunk in fit_bptt(verbose=False); fixed so that
+# at most two training programs compile regardless of the epoch count
+_EPOCH_SCAN_CHUNK = 8
+
 __all__ = ["Network", "FeedbackNetwork"]
 
 
@@ -1023,13 +1027,17 @@ class Network:
         cost of one recomputed forward pass -- the TPU-native way to fit long
         trajectories in HBM (no reference analog; SURVEY.md §5).
 
-        ``fused_bptt`` (epoch mode, default ``'auto'``): use the deferred-
-        gradient custom-VJP trajectory (ops/bptt.py) when the network is a
-        single DSL-built population -- the coupling-weight gradient becomes
-        ONE post-scan matmul instead of an (N, N) accumulation per step,
-        which is the difference between ~2% and ~full HBM-roofline training
-        throughput at N=10k.  ``True`` forces it (raising if unsupported),
-        ``False`` disables.  Gradients match plain autodiff to 1e-9 (f64).
+        ``fused_bptt`` (epoch mode, default ``'auto'``): use a deferred-
+        gradient custom-VJP trajectory -- every coupling/edge weight
+        gradient becomes ONE post-scan matmul instead of an (N, N)
+        accumulation per step, which is the difference between ~2% and
+        ~full HBM-roofline training throughput at N=10k.  Chain networks
+        ``[instants] -> population -> [instants]`` use the single-population
+        trajectory (ops/bptt.py; pre/post stages hoist out of the scan);
+        general multi-population DAGs with stateless Linear/LinearMasked
+        edges use the stage-graph trajectory (ops/graph_bptt.py).  ``True``
+        forces a fast path (raising if unsupported), ``False`` disables.
+        Gradients match plain autodiff to 1e-9 (f64).
         """
         self.compile()
         loss_fn = get_loss_function(loss, loss_kwargs=loss_kwargs)
@@ -1150,17 +1158,16 @@ class Network:
                      fused_bptt="auto", mesh=None):
         combine = self._combine
 
-        # deferred-gradient fast path: single-population (or instant-chain)
-        # networks train through the custom-VJP trajectory (ops/bptt.py)
+        # deferred-gradient fast paths: chain networks train through the
+        # single-population custom-VJP trajectory (ops/bptt.py, preferred --
+        # pre/post stages hoist OUT of the scan entirely); general DAGs of
+        # populations fall through to the multi-stage graph trajectory
+        # (ops/graph_bptt.py); everything else uses plain autodiff
         traj = None
+        gtraj = None
         order = self._compiled["order"]
         if fused_bptt in ("auto", True):
             chain = (order[0], None, None) if len(order) == 1 else self._chain_decompose()
-            if chain is None and fused_bptt is True:
-                raise ValueError(
-                    "fused_bptt=True requires a chain network "
-                    "[instants...] -> diffeq population -> [instants...] with "
-                    "stateless edges.")
             if chain is not None:
                 label, apply_prefix, apply_suffix = chain
                 try:
@@ -1168,9 +1175,16 @@ class Network:
 
                     traj, traj_wkeys = make_coupled_traj(self.get_node(label))
                 except (ValueError, AttributeError, KeyError):
+                    traj = None
+            if traj is None:
+                try:
+                    from .ops.graph_bptt import make_graph_traj
+
+                    gtraj, gspec = make_graph_traj(self)
+                except (ValueError, AttributeError, KeyError):
                     if fused_bptt is True:
                         raise
-                    traj = None
+                    gtraj = None
 
         def _downsample(outs):
             if sampling_steps > 1:
@@ -1192,6 +1206,21 @@ class Network:
                 _, outs = traj(W, rest, y0, xs)
                 if apply_suffix is not None:
                     outs = apply_suffix(params, outs)
+                return loss_fn(_downsample(outs), tgt)
+        elif gtraj is not None:
+            Y0 = {lbl: state0["nodes"][lbl] for lbl in gspec.pop_labels}
+            wpaths = gspec.weight_paths
+            excl = {(kind, label, key) for _, kind, label, key in wpaths}
+
+            def epoch_loss(train, inp, tgt):
+                params = combine(train, frozen)
+                weights = {fk: params[kind][label][key]
+                           for fk, kind, label, key in wpaths}
+                args = {sec: {lbl: {k: v for k, v in sub.items()
+                                    if (sec, lbl, k) not in excl}
+                              for lbl, sub in params[sec].items()}
+                        for sec in ("nodes", "edges")}
+                _, outs = gtraj(weights, args, Y0, inp)
                 return loss_fn(_downsample(outs), tgt)
         else:
             def epoch_loss(train, inp, tgt):
@@ -1224,28 +1253,25 @@ class Network:
             updates, opt_state = opt.update(grads, opt_state, train)
             return optax.apply_updates(train, updates), opt_state, lval
 
-        # k-epoch on-device scan over the SAME staged (inp, tgt) pair: the
-        # entire run of epochs is one dispatch, removing the per-epoch host
-        # round-trip (~60 ms/epoch over a tunneled chip).  Update sequence is
-        # identical to the per-epoch loop (regression-tested).
-        scan_cache: Dict[int, Callable] = {}
+        # multi-epoch on-device scan over the SAME staged (inp, tgt) pair:
+        # a whole chunk of epochs is one dispatch, removing the per-epoch
+        # host round-trip (~60 ms/epoch over a tunneled chip).  The chunk
+        # size is FIXED so at most two programs ever compile (the chunk scan
+        # and the single update), whatever the epoch count.  Update sequence
+        # is identical to the per-epoch loop (regression-tested).
+        C = _EPOCH_SCAN_CHUNK
 
-        def update_many(train, opt_state, inp, tgt, k):
-            if k not in scan_cache:
-                @jax.jit
-                def fn(train, opt_state, inp, tgt):
-                    def body(carry, _):
-                        tr, os_ = carry
-                        lval, grads = jax.value_and_grad(epoch_loss)(tr, inp, tgt)
-                        updates, os_ = opt.update(grads, os_, tr)
-                        return (optax.apply_updates(tr, updates), os_), lval
+        @jax.jit
+        def update_chunk(train, opt_state, inp, tgt):
+            def body(carry, _):
+                tr, os_ = carry
+                lval, grads = jax.value_and_grad(epoch_loss)(tr, inp, tgt)
+                updates, os_ = opt.update(grads, os_, tr)
+                return (optax.apply_updates(tr, updates), os_), lval
 
-                    (train, opt_state), lvals = jax.lax.scan(
-                        body, (train, opt_state), None, length=k)
-                    return train, opt_state, lvals
-
-                scan_cache[k] = fn
-            return scan_cache[k](train, opt_state, inp, tgt)
+            (train, opt_state), lvals = jax.lax.scan(
+                body, (train, opt_state), None, length=C)
+            return train, opt_state, lvals
 
         losses = []
         n_epochs = len(inputs)
@@ -1275,12 +1301,13 @@ class Network:
                     runs.append([inp, tgt, 1])
             loss_parts = []
             for inp, tgt, k in runs:
-                if k == 1:
+                while k >= C:
+                    train, opt_state, lvals = update_chunk(train, opt_state, inp, tgt)
+                    loss_parts.append(lvals)
+                    k -= C
+                for _ in range(k):
                     train, opt_state, lval = update(train, opt_state, inp, tgt)
                     loss_parts.append(lval[None] if jnp.ndim(lval) == 0 else lval)
-                else:
-                    train, opt_state, lvals = update_many(train, opt_state, inp, tgt, k)
-                    loss_parts.append(lvals)
             if loss_parts:
                 losses = [float(x) for x in np.asarray(jnp.concatenate(loss_parts))]
             return train, losses

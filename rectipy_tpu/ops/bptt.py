@@ -154,6 +154,37 @@ def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
     copy); ``args`` holds every other vector-field argument; ``xs`` is the
     ``(T, n_in)`` external-drive series fed to the node's input variable.
     """
+    p = _node_pieces(node)
+    (heun, wkeys, src_fn, step_x, mvs, mv_ts, grad_ws, n, dt, state_order,
+     split_states, tile_func, tgt_names, inp_key, out_reader_alg, out_lo,
+     out_hi, src_readers) = (
+        p.heun, p.wkeys, p.src_fn, p.step_x, p.mvs, p.mv_ts, p.grad_ws, p.n,
+        p.dt, p.state_order, p.split_states, p.tile_func, p.tgt_names,
+        p.inp_key, p.out_reader_alg, p.out_lo, p.out_hi, p.src_readers)
+
+    K = len(wkeys)
+    if heun:
+        return _make_heun_traj(p)
+    return _make_euler_traj(p)
+
+
+def _split_args(args):
+    """(differentiable, auxiliary) partition: integer leaves (e.g. the
+    block-sparse column tables) get float0 cotangents, never gradients."""
+    diff, aux = {}, {}
+    for k, v in args.items():
+        (diff if jnp.issubdtype(jnp.result_type(v), jnp.inexact) else aux)[k] = v
+    return diff, aux
+
+
+def _node_pieces(node):
+    """Validate a node for deferred-gradient BPTT and build the reusable
+    per-population machinery: coupling source readers, the coupling-free
+    step function, and the per-coupling contraction triples.  Shared by the
+    single-population trajectory below and the multi-population graph
+    trajectory (ops/graph_bptt.py)."""
+    from types import SimpleNamespace
+
     vf = getattr(node, "_vf", None)
     if vf is None or vf.tile_func is None:
         raise ValueError(
@@ -283,17 +314,30 @@ def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
             out = (y_new if post_out else y)[out_lo:out_hi]
         return y_new, out
 
-    K = len(wkeys)
+    def out_pre(y, a2):
+        """The node's output as read from the PRE-step state (valid only for
+        pre-update-output classes, i.e. post_out=False)."""
+        if out_reader_alg is not None:
+            return jnp.broadcast_to(out_reader_alg(split_states(y), a2), (n,))
+        return y[out_lo:out_hi]
 
-    def _split_args(args):
-        """(differentiable, auxiliary) partition: integer leaves (e.g. the
-        block-sparse column tables) get float0 cotangents, never gradients."""
-        diff, aux = {}, {}
-        for k, v in args.items():
-            (diff if jnp.issubdtype(jnp.result_type(v), jnp.inexact) else aux)[k] = v
-        return diff, aux
+    return SimpleNamespace(
+        heun=heun, wkeys=wkeys, src_fn=src_fn, step_x=step_x, mvs=mvs,
+        mv_ts=mv_ts, grad_ws=grad_ws, n=n, dt=dt, state_order=state_order,
+        split_states=split_states, tile_func=tile_func, tgt_names=tgt_names,
+        inp_key=inp_key, out_reader_alg=out_reader_alg, out_lo=out_lo,
+        out_hi=out_hi, src_readers=src_readers, post_out=post_out,
+        out_pre=out_pre, cls_name=cls_name)
 
-    if heun:
+
+def _make_heun_traj(p):
+    (wkeys, src_fn, mvs, mv_ts, grad_ws, n, dt, state_order, split_states,
+     tile_func, tgt_names, inp_key, out_reader_alg, out_lo, out_hi,
+     src_readers) = (
+        p.wkeys, p.src_fn, p.mvs, p.mv_ts, p.grad_ws, p.n, p.dt,
+        p.state_order, p.split_states, p.tile_func, p.tgt_names, p.inp_key,
+        p.out_reader_alg, p.out_lo, p.out_hi, p.src_readers)
+    if True:
         # Heun (RK2) needs TWO coupling matvecs per step -- at y and at the
         # full-Euler midpoint y_mid = y + dt*k1.  The deferred factorization
         # extends stage-wise: the backward scan emits BOTH per-stage matvec
@@ -422,6 +466,12 @@ def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
 
         traj.defvjp(traj_fwd, traj_bwd)
         return traj, wkeys
+
+
+def _make_euler_traj(p):
+    wkeys, src_fn, step_x, mvs, mv_ts, grad_ws = (
+        p.wkeys, p.src_fn, p.step_x, p.mvs, p.mv_ts, p.grad_ws)
+    K = len(wkeys)
 
     @jax.custom_vjp
     def traj(weights, args, y0, xs):

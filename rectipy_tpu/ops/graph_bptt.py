@@ -1,0 +1,380 @@
+"""Deferred-gradient BPTT for multi-population graphs.
+
+Generalizes ops/bptt.py's single-population trajectory to any DAG of
+DSL-built populations and instant (function) nodes connected by stateless
+``Linear`` / ``LinearMasked`` edges.  Every "big" linear contraction inside
+the scan -- each population's recurrent coupling matvec AND each inter-node
+edge projection -- is lifted to a *stage*: the forward scan saves only the
+per-step stage inputs and outputs (O(N) per step), the backward scan emits
+the per-stage matvec cotangents, and every weight gradient becomes ONE
+post-scan ``Delta^T @ Src`` matmul on the MXU.  Plain autodiff would instead
+carry an ``(n_out, n_in)`` cotangent accumulator through the backward scan
+for every trained coupling and edge -- at N=10k that is the difference
+between ~2% and ~full HBM-roofline training throughput (see ops/bptt.py).
+
+Stage semantics: stages are ordered along the network's topological node
+order.  Stage ``j``'s input (its *source* vector) is an elementwise function
+``producer_j(Y, svals[:j], x, args)`` of the pre-step node states, the
+results of earlier stages, and the external drive -- e.g. the source of an
+edge leaving a post-update-output spiking population is that population's
+stepped output, which depends on the population's own coupling stages.  The
+backward pass peels stages in reverse: the VJP of the coupling-free
+composite yields each stage's partial cotangent, every finalized
+``delta_j`` is pushed through ``W_j^T`` and the producer VJP into earlier
+stages' cotangents and the state cotangent.  This is the K-stage
+generalization of the 2-stage Heun backward in ops/bptt.py.
+
+Scope (ValueError otherwise; fit_bptt falls back to plain autodiff):
+DSL-built Euler populations (same per-node constraints as ops/bptt.py),
+InstantNode function nodes, stateless Linear/LinearMasked edges with frozen
+masks, no feedback edges.  Gradient parity with plain autodiff is pinned by
+tests/test_graph_bptt.py (f64).
+
+Reference training semantics: /root/reference/rectipy/network.py:603-707.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+from typing import Callable, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .bptt import _make_matvec, _make_sparse_matvec, _node_pieces
+
+__all__ = ["make_graph_traj"]
+
+
+def _split_nested(d):
+    """Partition a nested dict pytree into (inexact, integer) leaf trees;
+    both sides keep the full dict skeleton so they merge losslessly."""
+    diff, aux = {}, {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            dv, av = _split_nested(v)
+            diff[k], aux[k] = dv, av
+        elif jnp.issubdtype(jnp.result_type(v), jnp.inexact):
+            diff[k] = v
+        else:
+            aux[k] = v
+    return diff, aux
+
+
+def _merge_nested(diff, aux):
+    out = {}
+    for k, v in diff.items():
+        out[k] = _merge_nested(v, aux.get(k, {})) if isinstance(v, dict) else v
+    for k, v in aux.items():
+        if isinstance(v, dict):
+            if k not in out:
+                out[k] = _merge_nested({}, v)
+        elif k not in out:
+            out[k] = v
+    return out
+
+
+def _merge_float0(d_diff, aux):
+    """Rebuild the full args cotangent: real gradients for inexact leaves,
+    float0 zeros for integer leaves (custom_vjp contract)."""
+    import numpy as onp
+
+    out = {}
+    for k, v in d_diff.items():
+        out[k] = _merge_float0(v, aux.get(k, {})) if isinstance(v, dict) else v
+    for k, v in aux.items():
+        if isinstance(v, dict):
+            if k not in out:
+                out[k] = _merge_float0({}, v)
+        elif k not in out:
+            out[k] = onp.zeros(jnp.shape(v), dtype=jax.dtypes.float0)
+    return out
+
+
+def _edge_ops(w):
+    """Contraction triple for a stateless linear edge: (n_out, n_in) matvec
+    or 1-D diagonal gains (per-source elementwise)."""
+    if w.ndim == 1:
+        def mv(w, s):
+            return w * s
+
+        def mv_t(w, d):
+            return w * d
+
+        def grad_w(deltas, srcs):
+            return jnp.einsum("ti,ti->i", deltas, srcs)
+
+        return mv, mv_t, grad_w
+    return _make_matvec(None)
+
+
+def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
+    """Build ``traj(weights, args, Y0, xs) -> (YT, outs)`` for the whole
+    compiled network, with a custom VJP deferring every coupling- and
+    edge-weight gradient to one post-scan matmul.
+
+    - ``weights``: flat dict keyed by ``"n:<label>:<wkey>"`` (population
+      couplings) and ``"e:<ekey>"`` (edge weights).
+    - ``args``: ``{"nodes": {label: {...}}, "edges": {ekey: {...}}}`` --
+      every other parameter (frozen masks ride in ``edges``).
+    - ``Y0``: dict of per-population state vectors; ``xs``: ``(T, n_in)``.
+
+    Returns ``(traj, spec)``; ``spec.weight_paths`` lists
+    ``(flatkey, kind, label, key)`` for each deferred weight so callers can
+    assemble the ``weights`` dict from the network params pytree.
+    """
+    from ..edges import Linear, LinearMasked
+    from ..network import _ekey
+    from ..nodes import InstantNode
+
+    if net._compiled is None:
+        net.compile()
+    if net._fb_edge_list():
+        raise ValueError("Deferred-gradient graph BPTT does not support "
+                         "feedback edges (plain autodiff handles them).")
+    order = list(net._compiled["order"])
+    preds = {n: sorted(net.graph.predecessors(n)) for n in order}
+    out_node = net._out_node
+
+    progs: Dict[str, SimpleNamespace] = {}
+    inst_steps: Dict[str, Callable] = {}
+    for lbl in order:
+        node = net.get_node(lbl)
+        if isinstance(node, InstantNode):
+            inst_steps[lbl] = node.make_step()
+        else:
+            p = _node_pieces(node)
+            if p.heun:
+                raise ValueError("Deferred-gradient graph BPTT supports Euler "
+                                 "populations only (Heun multi-population "
+                                 "graphs use plain autodiff).")
+            progs[lbl] = p
+    if not progs:
+        raise ValueError("Deferred-gradient graph BPTT requires at least one "
+                         "DSL-built population.")
+
+    # validate edges: stateless linear projections with frozen masks
+    for n in order:
+        for u in preds[n]:
+            e = net.get_edge(u, n)
+            if type(e) not in (Linear, LinearMasked):
+                raise ValueError(
+                    f"Deferred-gradient graph BPTT requires stateless Linear/"
+                    f"LinearMasked edges; edge {u}->{n} is {type(e).__name__}.")
+            if type(e) is LinearMasked and "mask" in e.train_keys:
+                raise ValueError("Trainable edge masks use plain autodiff.")
+
+    # ---------------------------------------------------------------- stages
+    # built along the topological order; producer_j sees (Y, svals[:j], x,
+    # args) where svals are earlier stage results
+    stages: List[SimpleNamespace] = []
+    stage_idx: Dict[tuple, int] = {}
+    inp_expr: Dict[str, Callable] = {}
+    out_expr: Dict[str, Callable] = {}
+    weight_paths: List[tuple] = []
+
+    def _edge_stage(u, nname):
+        ek = _ekey(u, nname)
+        e = net.get_edge(u, nname)
+        w = e.params["weights"]
+        mv, mv_t, grad_w = _edge_ops(w)
+        masked = type(e) is LinearMasked
+
+        if masked:
+            def eff(wv, args, ek=ek):
+                return wv * args["edges"][ek]["mask"]
+
+            def deff(dE, wv, args, ek=ek):
+                return dE * args["edges"][ek]["mask"]
+        else:
+            def eff(wv, args):
+                return wv
+
+            def deff(dE, wv, args):
+                return dE
+
+        producer = out_expr[u]  # the source node's output this step
+        return SimpleNamespace(flatkey=f"e:{ek}", mv=mv, mv_t=mv_t,
+                               grad_w=grad_w, eff=eff, deff=deff,
+                               producer=producer), ("edges", ek, "weights")
+
+    def _coupling_stage(lbl, i):
+        p = progs[lbl]
+        wk = p.wkeys[i]
+        node = net.get_node(lbl)
+        if node._args[wk].ndim == 4:
+            mv, mv_t, grad_w = _make_sparse_matvec(
+                node._vf.coupling_cast, jnp.asarray(node._args[wk + "__cols"]))
+        else:
+            mv, mv_t, grad_w = _make_matvec(node._vf.coupling_cast)
+        rd = p.src_readers[i]
+        n_, split = p.n, p.split_states
+
+        def producer(Y, svals, x, args, lbl=lbl, rd=rd, n_=n_, split=split):
+            y = Y[lbl]
+            return jnp.broadcast_to(rd(split(y), args["nodes"][lbl]),
+                                    (n_,)).astype(y.dtype)
+
+        def eff(wv, args):
+            return wv
+
+        def deff(dE, wv, args):
+            return dE
+
+        return SimpleNamespace(flatkey=f"n:{lbl}:{wk}", mv=mv, mv_t=mv_t,
+                               grad_w=grad_w, eff=eff, deff=deff,
+                               producer=producer), ("nodes", lbl, wk)
+
+    for nname in order:
+        # 1. stages for this node's input edges (producers = source outputs)
+        for u in preds[nname]:
+            st, path = _edge_stage(u, nname)
+            stage_idx[("e", u, nname)] = len(stages)
+            stages.append(st)
+            weight_paths.append((st.flatkey,) + path)
+
+        # 2. this node's input expression
+        if preds[nname]:
+            idxs = tuple(stage_idx[("e", u, nname)] for u in preds[nname])
+
+            def inp_fn(Y, svals, x, args, idxs=idxs):
+                v = svals[idxs[0]]
+                for j in idxs[1:]:
+                    v = v + svals[j]
+                return v
+        else:
+            def inp_fn(Y, svals, x, args):
+                return x
+        inp_expr[nname] = inp_fn
+
+        # 3. coupling stages (producers read this node's pre-step state only)
+        if nname in progs:
+            for i in range(len(progs[nname].wkeys)):
+                st, path = _coupling_stage(nname, i)
+                stage_idx[("c", nname, i)] = len(stages)
+                stages.append(st)
+                weight_paths.append((st.flatkey,) + path)
+
+        # 4. this node's output expression
+        if nname in inst_steps:
+            def out_fn(Y, svals, x, args, nname=nname):
+                _, out = inst_steps[nname](None, args["nodes"].get(nname, {}),
+                                           inp_expr[nname](Y, svals, x, args))
+                return out
+        elif progs[nname].post_out:
+            cidx = tuple(stage_idx[("c", nname, i)]
+                         for i in range(len(progs[nname].wkeys)))
+
+            def out_fn(Y, svals, x, args, nname=nname, cidx=cidx):
+                s_ins = tuple(svals[j] for j in cidx)
+                _, out = progs[nname].step_x(
+                    Y[nname], s_ins, inp_expr[nname](Y, svals, x, args),
+                    args["nodes"][nname])
+                return out
+        else:
+            def out_fn(Y, svals, x, args, nname=nname):
+                return progs[nname].out_pre(Y[nname], args["nodes"][nname])
+        out_expr[nname] = out_fn
+
+    S = len(stages)
+    pop_cidx = {lbl: tuple(stage_idx[("c", lbl, i)]
+                           for i in range(len(progs[lbl].wkeys)))
+                for lbl in progs}
+
+    def final(Y, svals, x, args):
+        """Coupling-free composite step: advance every population one Euler
+        step with the stage results supplied externally, and read the
+        network output."""
+        Y_new = {}
+        for lbl in order:
+            if lbl in progs:
+                s_ins = tuple(svals[j] for j in pop_cidx[lbl])
+                y_new, _ = progs[lbl].step_x(
+                    Y[lbl], s_ins, inp_expr[lbl](Y, svals, x, args),
+                    args["nodes"][lbl])
+                Y_new[lbl] = y_new
+        out = out_expr[out_node](Y, svals, x, args)
+        return Y_new, out
+
+    def _svals_of(weights, args, Y, x):
+        svals = []
+        for st in stages:
+            src = st.producer(Y, tuple(svals), x, args)
+            svals.append(st.mv(st.eff(weights[st.flatkey], args), src))
+        return tuple(svals)
+
+    @jax.custom_vjp
+    def traj(weights, args, Y0, xs):
+        def body(Y, x):
+            return final(Y, _svals_of(weights, args, Y, x), x, args)
+
+        YT, outs = jax.lax.scan(body, Y0, xs)
+        return YT, outs
+
+    def traj_fwd(weights, args, Y0, xs):
+        def body(Y, x):
+            srcs, svals = [], []
+            for st in stages:
+                src = st.producer(Y, tuple(svals), x, args)
+                srcs.append(src)
+                svals.append(st.mv(st.eff(weights[st.flatkey], args), src))
+            Y_new, out = final(Y, tuple(svals), x, args)
+            return Y_new, (out, Y, tuple(srcs), tuple(svals))
+
+        YT, (outs, Ys, srcs_t, svals_t) = jax.lax.scan(body, Y0, xs)
+        return (YT, outs), (weights, args, xs, Ys, srcs_t, svals_t)
+
+    def traj_bwd(res, cots):
+        weights, args, xs, Ys, srcs_t, svals_t = res
+        cot_YT, cot_outs = cots
+        diff_args, aux_args = _split_nested(args)
+        d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
+
+        def final_d(Y, svals, x, dargs):
+            return final(Y, svals, x, _merge_nested(dargs, aux_args))
+
+        producers_d = []
+        for st in stages:
+            def prod_d(Y, sv_prefix, x, dargs, st=st):
+                return st.producer(Y, sv_prefix, x,
+                                   _merge_nested(dargs, aux_args))
+
+            producers_d.append(prod_d)
+
+        def body(carry, per_t):
+            lam, d_args = carry
+            Y_t, svals_, x_t, cot_out_t = per_t
+            _, vjp_fin = jax.vjp(final_d, Y_t, svals_, x_t, diff_args)
+            dY, dsv, d_x, dargsF = vjp_fin((lam, cot_out_t))
+            acc = list(dsv)
+            d_args = jax.tree.map(jnp.add, d_args, dargsF)
+            for j in reversed(range(S)):
+                delta_j = acc[j]
+                e_j = stages[j].eff(weights[stages[j].flatkey],
+                                    _merge_nested(diff_args, aux_args))
+                g_j = stages[j].mv_t(e_j, delta_j)
+                _, vjp_p = jax.vjp(producers_d[j], Y_t, svals_[:j], x_t,
+                                   diff_args)
+                dY_j, dsv_j, dx_j, dargs_j = vjp_p(g_j)
+                dY = jax.tree.map(jnp.add, dY, dY_j)
+                for i in range(j):
+                    acc[i] = acc[i] + dsv_j[i]
+                d_x = d_x + dx_j
+                d_args = jax.tree.map(jnp.add, d_args, dargs_j)
+            return (dY, d_args), (tuple(acc), d_x)
+
+        (lam0, d_args), (deltas_t, d_xs) = jax.lax.scan(
+            body, (cot_YT, d_args0), (Ys, svals_t, xs, cot_outs),
+            reverse=True)
+        full_args = _merge_nested(diff_args, aux_args)
+        d_weights = {}
+        for j, st in enumerate(stages):
+            dE = st.grad_w(deltas_t[j], srcs_t[j])
+            w = weights[st.flatkey]
+            d_weights[st.flatkey] = st.deff(dE, w, full_args).astype(w.dtype)
+        return d_weights, _merge_float0(d_args, aux_args), lam0, d_xs
+
+    traj.defvjp(traj_fwd, traj_bwd)
+    spec = SimpleNamespace(weight_paths=weight_paths,
+                           pop_labels=sorted(progs.keys()))
+    return traj, spec

@@ -278,8 +278,9 @@ def test_epoch_scan_matches_per_epoch_loop():
     inp_a = rng.normal(size=(T, n))
     inp_b = rng.normal(size=(T, n))
     tgt = rng.normal(size=(T, n))
-    # [a, a, a, b, a, a]: a 3-run, two singletons, a 2-run
-    schedule = [inp_a, inp_a, inp_a, inp_b, inp_a, inp_a]
+    # a 10-run (crosses the 8-epoch scan-chunk boundary: one chunk + 2
+    # singles), a singleton, a 2-run
+    schedule = [inp_a] * 10 + [inp_b] + [inp_a] * 2
 
     def fit(verbose):
         net = Network(1e-2, dtype=jnp.float64)

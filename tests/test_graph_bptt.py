@@ -1,0 +1,165 @@
+"""Multi-population deferred-gradient BPTT (ops/graph_bptt.py): the graph
+trajectory's forward must match the composed network step exactly, and
+gradients -- for population couplings, inter-population edge weights, masked
+edges, and non-coupling node parameters -- must match plain autodiff at f64.
+This pins the K-stage generalization of the single-population custom VJP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectipy_tpu import Network
+from rectipy_tpu.ops.graph_bptt import make_graph_traj
+
+TANH = "neuron_model_templates.rate_neurons.leaky_integrator.tanh"
+QIF = "neuron_model_templates.spiking_neurons.qif.qif"
+
+
+def _two_pop_net(rng, n1=8, n2=6, n_in=3, n_out=2, masked=False,
+                 train_eta=False):
+    """inp -> qif(pop1, post-update spiking output) -> rate(pop2) -> out,
+    with trained couplings on both populations and trained edges."""
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_func_node("inp", n_in, activation_function="identity")
+    tp = ["weights", "eta"] if train_eta else ["weights"]
+    net.add_diffeq_node("pop1", QIF, weights=np.abs(rng.normal(size=(n1, n1))) * 0.4,
+                        input_var="I_ext", output_var="s", source_var="s",
+                        target_var="s_in", op="qif_op", spike_var="spike",
+                        spike_def="v", spike_threshold=100.0, spike_reset=-100.0,
+                        node_vars={"all/qif_op/eta": 6.0 + rng.random(n1)},
+                        train_params=tp)
+    net.add_diffeq_node("pop2", TANH, weights=rng.normal(size=(n2, n2)) * 0.3,
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        source_var="tanh_op/r", target_var="li_op/r_in",
+                        train_params=["weights"])
+    net.add_func_node("out", n_out, activation_function="tanh")
+    net.add_edge("inp", "pop1", weights=rng.normal(size=(n1, n_in)))
+    if masked:
+        mask = (rng.random((n2, n1)) < 0.5).astype(float)
+        net.add_edge("pop1", "pop2", weights=rng.normal(size=(n2, n1)) * 0.5,
+                     train="gd", edge_attr={"mask": mask})
+    else:
+        net.add_edge("pop1", "pop2", weights=rng.normal(size=(n2, n1)) * 0.5,
+                     train="gd")
+    net.add_edge("pop2", "out", weights=rng.normal(size=(n_out, n2)), train="gd")
+    net.compile()
+    return net
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_graph_traj_forward_and_grad_parity(masked):
+    rng = np.random.default_rng(21)
+    net = _two_pop_net(rng, masked=masked)
+    gtraj, spec = make_graph_traj(net)
+    assert sorted(spec.pop_labels) == ["pop1", "pop2"]
+    # 2 couplings + 3 edges = 5 deferred weights
+    assert len(spec.weight_paths) == 5
+
+    step = net.make_step()
+    params = net.parameters_pytree()
+    state0 = net.init_state()
+    T, n_in = 200, 3
+    xs = jnp.asarray(rng.normal(size=(T, n_in)) * 3.0)
+    tgt = jnp.asarray(rng.normal(size=(T, 2)))
+
+    wpaths = spec.weight_paths
+    excl = {(kind, label, key) for _, kind, label, key in wpaths}
+    weights0 = {fk: params[kind][label][key] for fk, kind, label, key in wpaths}
+    args = {sec: {lbl: {k: v for k, v in sub.items()
+                        if (sec, lbl, k) not in excl}
+                  for lbl, sub in params[sec].items()}
+            for sec in ("nodes", "edges")}
+    Y0 = {lbl: state0["nodes"][lbl] for lbl in spec.pop_labels}
+
+    def run_std(weights, xs_):
+        p = {sec: {lbl: dict(sub) for lbl, sub in params[sec].items()}
+             for sec in ("nodes", "edges")}
+        for fk, kind, label, key in wpaths:
+            p[kind][label][key] = weights[fk]
+
+        def body(st, x):
+            st, out, _ = step(st, p, x)
+            return st, out
+
+        stT, outs = jax.lax.scan(body, state0, xs_)
+        return stT, outs
+
+    _, outs_std = run_std(weights0, xs)
+    YT, outs_f = gtraj(weights0, args, Y0, xs)
+    np.testing.assert_array_equal(np.asarray(outs_f), np.asarray(outs_std))
+    assert np.asarray(net.run(np.asarray(xs[:5]), verbose=False,
+                              sampling_steps=1)["out"]).shape == (5, 2)
+
+    def loss_std(weights, xs_):
+        _, outs = run_std(weights, xs_)
+        return jnp.mean((outs - tgt) ** 2)
+
+    def loss_fast(weights, xs_):
+        _, outs = gtraj(weights, args, Y0, xs_)
+        return jnp.mean((outs - tgt) ** 2)
+
+    g_std = jax.grad(loss_std, argnums=(0, 1))(weights0, xs)
+    g_fast = jax.grad(loss_fast, argnums=(0, 1))(weights0, xs)
+    for fk in weights0:
+        a, b = np.asarray(g_std[0][fk]), np.asarray(g_fast[0][fk])
+        assert np.abs(a).max() > 0, f"zero gradient for {fk} -> vacuous"
+        np.testing.assert_allclose(b, a, atol=1e-6 * max(np.abs(a).max(), 1e-30),
+                                   err_msg=fk)
+    np.testing.assert_allclose(np.asarray(g_fast[1]), np.asarray(g_std[1]),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_fit_bptt_graph_matches_plain():
+    """fit_bptt auto-selects the graph trajectory for multi-population
+    networks; losses and ALL trained weights (couplings, edges, and a
+    non-deferred node parameter) match plain autodiff."""
+    rng = np.random.default_rng(22)
+    T = 250
+    inp = rng.normal(size=(T, 3)) * 3.0
+    tgt = rng.normal(size=(T, 2)) * 0.1
+
+    def fit(fused):
+        rng_l = np.random.default_rng(22)
+        net = _two_pop_net(rng_l, train_eta=True)
+        obs = net.fit_bptt([inp] * 8, [tgt] * 8, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        return (np.asarray(obs["epoch_loss"]),
+                np.asarray(net.get_node("pop1")["weights"]),
+                np.asarray(net.get_node("pop2")["weights"]),
+                np.asarray(net.get_edge("pop1", "pop2").weights),
+                np.asarray(net.get_node("pop1")["eta"]))
+
+    res_fast = fit(True)
+    res_std = fit(False)
+    np.testing.assert_allclose(res_fast[0], res_std[0], rtol=1e-8)
+    for a, b, name in zip(res_fast[1:], res_std[1:],
+                          ["pop1 W", "pop2 W", "edge W", "eta"]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-9, err_msg=name)
+    assert res_fast[0][-1] < res_fast[0][0], "training did not reduce the loss"
+
+
+def test_graph_bptt_unsupported_falls_back():
+    """Stateful (delay) edges between populations: fused_bptt=True raises,
+    'auto' silently falls back to plain autodiff and still trains."""
+    rng = np.random.default_rng(23)
+    n = 6
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("pop1", TANH, weights=rng.normal(size=(n, n)) * 0.2,
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in",
+                            train_params=["weights"])
+        net.add_diffeq_node("pop2", TANH, weights=rng.normal(size=(n, n)) * 0.2,
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in")
+        net.add_edge("pop1", "pop2", weights=np.eye(n), delays=np.arange(n) % 3)
+        return net
+
+    inp = rng.normal(size=(40, n))
+    tgt = rng.normal(size=(40, n))
+    with pytest.raises(ValueError):
+        build().fit_bptt([inp], [tgt], verbose=False, fused_bptt=True)
+    obs = build().fit_bptt([inp] * 2, [tgt] * 2, verbose=False, fused_bptt="auto")
+    assert len(obs["epoch_loss"]) == 2
