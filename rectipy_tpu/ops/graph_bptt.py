@@ -24,11 +24,17 @@ composite yields each stage's partial cotangent, every finalized
 stages' cotangents and the state cotangent.  This is the K-stage
 generalization of the 2-stage Heun backward in ops/bptt.py.
 
+Feedback edges (FeedbackNetwork) are supported: the previous-step source
+output is part of the scan carry ``{"Y": states, "fb": prev outputs}``, each
+feedback edge is a stage whose producer reads the carried value, and the
+post-step carry update re-reads every source's post-update output -- so
+trained feedback weights also get the one-matmul gradient.
+
 Scope (ValueError otherwise; fit_bptt falls back to plain autodiff):
 DSL-built Euler populations (same per-node constraints as ops/bptt.py),
-InstantNode function nodes, stateless Linear/LinearMasked edges with frozen
-masks, no feedback edges.  Gradient parity with plain autodiff is pinned by
-tests/test_graph_bptt.py (f64).
+InstantNode function nodes, stateless Linear/LinearMasked edges (regular or
+feedback) with frozen masks.  Gradient parity with plain autodiff is pinned
+by tests/test_graph_bptt.py (f64).
 
 Reference training semantics: /root/reference/rectipy/network.py:603-707.
 """
@@ -129,12 +135,19 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
 
     if net._compiled is None:
         net.compile()
-    if net._fb_edge_list():
-        raise ValueError("Deferred-gradient graph BPTT does not support "
-                         "feedback edges (plain autodiff handles them).")
     order = list(net._compiled["order"])
     preds = {n: sorted(net.graph.predecessors(n)) for n in order}
     out_node = net._out_node
+    # feedback edges (FeedbackNetwork): the previous-step source output is
+    # part of the scan carry; each fb edge becomes a stage whose producer
+    # reads that carried value, and the post-step carry update re-reads the
+    # source's post-update output (network.py make_step fb semantics)
+    fb_edges = net._fb_edge_list()  # [(u, v, edge_obj)]
+    fb_by_target: Dict[str, list] = {}
+    for u, v, _e in fb_edges:
+        fb_by_target.setdefault(v, []).append(u)
+    fb_sources = sorted({u for u, _, _ in fb_edges})
+    has_fb = bool(fb_edges)
 
     progs: Dict[str, SimpleNamespace] = {}
     inst_steps: Dict[str, Callable] = {}
@@ -154,28 +167,32 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
                          "DSL-built population.")
 
     # validate edges: stateless linear projections with frozen masks
+    def _check_edge(u, n, e):
+        if type(e) not in (Linear, LinearMasked):
+            raise ValueError(
+                f"Deferred-gradient graph BPTT requires stateless Linear/"
+                f"LinearMasked edges; edge {u}->{n} is {type(e).__name__}.")
+        if type(e) is LinearMasked and "mask" in e.train_keys:
+            raise ValueError("Trainable edge masks use plain autodiff.")
+
     for n in order:
         for u in preds[n]:
-            e = net.get_edge(u, n)
-            if type(e) not in (Linear, LinearMasked):
-                raise ValueError(
-                    f"Deferred-gradient graph BPTT requires stateless Linear/"
-                    f"LinearMasked edges; edge {u}->{n} is {type(e).__name__}.")
-            if type(e) is LinearMasked and "mask" in e.train_keys:
-                raise ValueError("Trainable edge masks use plain autodiff.")
+            _check_edge(u, n, net.get_edge(u, n))
+    for u, v, e in fb_edges:
+        _check_edge(u, v, e)
 
     # ---------------------------------------------------------------- stages
-    # built along the topological order; producer_j sees (Y, svals[:j], x,
-    # args) where svals are earlier stage results
+    # built along the topological order; producer_j sees (C, svals[:j], x,
+    # args) where C = {"Y": node states, "fb": carried feedback outputs} is
+    # the scan carry and svals are earlier stage results
     stages: List[SimpleNamespace] = []
     stage_idx: Dict[tuple, int] = {}
     inp_expr: Dict[str, Callable] = {}
     out_expr: Dict[str, Callable] = {}
     weight_paths: List[tuple] = []
 
-    def _edge_stage(u, nname):
+    def _edge_stage(u, nname, e, producer):
         ek = _ekey(u, nname)
-        e = net.get_edge(u, nname)
         w = e.params["weights"]
         mv, mv_t, grad_w = _edge_ops(w)
         masked = type(e) is LinearMasked
@@ -193,7 +210,6 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
             def deff(dE, wv, args):
                 return dE
 
-        producer = out_expr[u]  # the source node's output this step
         return SimpleNamespace(flatkey=f"e:{ek}", mv=mv, mv_t=mv_t,
                                grad_w=grad_w, eff=eff, deff=deff,
                                producer=producer), ("edges", ek, "weights")
@@ -210,8 +226,8 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         rd = p.src_readers[i]
         n_, split = p.n, p.split_states
 
-        def producer(Y, svals, x, args, lbl=lbl, rd=rd, n_=n_, split=split):
-            y = Y[lbl]
+        def producer(C, svals, x, args, lbl=lbl, rd=rd, n_=n_, split=split):
+            y = C["Y"][lbl]
             return jnp.broadcast_to(rd(split(y), args["nodes"][lbl]),
                                     (n_,)).astype(y.dtype)
 
@@ -225,25 +241,47 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
                                grad_w=grad_w, eff=eff, deff=deff,
                                producer=producer), ("nodes", lbl, wk)
 
+    # feedback-edge stages first: their producers read only the carried
+    # previous-step value, so they depend on no other stage
+    for u, v, e in fb_edges:
+        def fb_producer(C, svals, x, args, u=u):
+            return C["fb"][u]
+
+        st, path = _edge_stage(u, v, e, fb_producer)
+        stage_idx[("fb", u, v)] = len(stages)
+        stages.append(st)
+        weight_paths.append((st.flatkey,) + path)
+
     for nname in order:
         # 1. stages for this node's input edges (producers = source outputs)
         for u in preds[nname]:
-            st, path = _edge_stage(u, nname)
+            st, path = _edge_stage(u, nname, net.get_edge(u, nname),
+                                   out_expr[u])
             stage_idx[("e", u, nname)] = len(stages)
             stages.append(st)
             weight_paths.append((st.flatkey,) + path)
 
-        # 2. this node's input expression
-        if preds[nname]:
-            idxs = tuple(stage_idx[("e", u, nname)] for u in preds[nname])
+        # 2. this node's input expression: regular edges (sorted preds
+        # order) then feedback contributions, summed exactly as the composed
+        # step does (network.py make_step) for bit-parity
+        idxs = tuple(stage_idx[("e", u, nname)] for u in preds[nname])
+        fb_idxs = tuple(stage_idx[("fb", u, nname)]
+                        for u in fb_by_target.get(nname, []))
+        if idxs or fb_idxs:
+            first = (idxs + fb_idxs)[0]
 
-            def inp_fn(Y, svals, x, args, idxs=idxs):
-                v = svals[idxs[0]]
-                for j in idxs[1:]:
+            def inp_fn(C, svals, x, args, idxs=idxs, fb_idxs=fb_idxs,
+                       first=first, ext=not idxs):
+                v = x + svals[first] if ext else svals[first]
+                for j in (idxs + fb_idxs)[1:]:
                     v = v + svals[j]
                 return v
+
+            # NOTE: pred-less nodes still receive the external drive x even
+            # when they have feedback edges (network.py make_step: inp = x,
+            # then fb contributions are added)
         else:
-            def inp_fn(Y, svals, x, args):
+            def inp_fn(C, svals, x, args):
                 return x
         inp_expr[nname] = inp_fn
 
@@ -257,23 +295,24 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
 
         # 4. this node's output expression
         if nname in inst_steps:
-            def out_fn(Y, svals, x, args, nname=nname):
+            def out_fn(C, svals, x, args, nname=nname):
                 _, out = inst_steps[nname](None, args["nodes"].get(nname, {}),
-                                           inp_expr[nname](Y, svals, x, args))
+                                           inp_expr[nname](C, svals, x, args))
                 return out
         elif progs[nname].post_out:
             cidx = tuple(stage_idx[("c", nname, i)]
                          for i in range(len(progs[nname].wkeys)))
 
-            def out_fn(Y, svals, x, args, nname=nname, cidx=cidx):
+            def out_fn(C, svals, x, args, nname=nname, cidx=cidx):
                 s_ins = tuple(svals[j] for j in cidx)
                 _, out = progs[nname].step_x(
-                    Y[nname], s_ins, inp_expr[nname](Y, svals, x, args),
+                    C["Y"][nname], s_ins, inp_expr[nname](C, svals, x, args),
                     args["nodes"][nname])
                 return out
         else:
-            def out_fn(Y, svals, x, args, nname=nname):
-                return progs[nname].out_pre(Y[nname], args["nodes"][nname])
+            def out_fn(C, svals, x, args, nname=nname):
+                return progs[nname].out_pre(C["Y"][nname],
+                                            args["nodes"][nname])
         out_expr[nname] = out_fn
 
     S = len(stages)
@@ -281,7 +320,7 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
                            for i in range(len(progs[lbl].wkeys)))
                 for lbl in progs}
 
-    def final(Y, svals, x, args):
+    def final(C, svals, x, args):
         """Coupling-free composite step: advance every population one Euler
         step with the stage results supplied externally, and read the
         network output."""
@@ -290,39 +329,47 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
             if lbl in progs:
                 s_ins = tuple(svals[j] for j in pop_cidx[lbl])
                 y_new, _ = progs[lbl].step_x(
-                    Y[lbl], s_ins, inp_expr[lbl](Y, svals, x, args),
+                    C["Y"][lbl], s_ins, inp_expr[lbl](C, svals, x, args),
                     args["nodes"][lbl])
                 Y_new[lbl] = y_new
-        out = out_expr[out_node](Y, svals, x, args)
-        return Y_new, out
+        out = out_expr[out_node](C, svals, x, args)
+        # next-step feedback: re-read each source's POST-update output
+        # (network.py make_step fb semantics: fb_readers on the stepped state)
+        new_fb = {}
+        for u in fb_sources:
+            if u in progs:
+                new_fb[u] = progs[u].out_pre(Y_new[u], args["nodes"][u])
+            else:
+                new_fb[u] = out_expr[u](C, svals, x, args)
+        return {"Y": Y_new, "fb": new_fb}, out
 
-    def _svals_of(weights, args, Y, x):
+    def _svals_of(weights, args, C, x):
         svals = []
         for st in stages:
-            src = st.producer(Y, tuple(svals), x, args)
+            src = st.producer(C, tuple(svals), x, args)
             svals.append(st.mv(st.eff(weights[st.flatkey], args), src))
         return tuple(svals)
 
     @jax.custom_vjp
-    def traj(weights, args, Y0, xs):
-        def body(Y, x):
-            return final(Y, _svals_of(weights, args, Y, x), x, args)
+    def traj_core(weights, args, C0, xs):
+        def body(C, x):
+            return final(C, _svals_of(weights, args, C, x), x, args)
 
-        YT, outs = jax.lax.scan(body, Y0, xs)
-        return YT, outs
+        CT, outs = jax.lax.scan(body, C0, xs)
+        return CT, outs
 
-    def traj_fwd(weights, args, Y0, xs):
-        def body(Y, x):
+    def traj_fwd(weights, args, C0, xs):
+        def body(C, x):
             srcs, svals = [], []
             for st in stages:
-                src = st.producer(Y, tuple(svals), x, args)
+                src = st.producer(C, tuple(svals), x, args)
                 srcs.append(src)
                 svals.append(st.mv(st.eff(weights[st.flatkey], args), src))
-            Y_new, out = final(Y, tuple(svals), x, args)
-            return Y_new, (out, Y, tuple(srcs), tuple(svals))
+            C_new, out = final(C, tuple(svals), x, args)
+            return C_new, (out, C, tuple(srcs), tuple(svals))
 
-        YT, (outs, Ys, srcs_t, svals_t) = jax.lax.scan(body, Y0, xs)
-        return (YT, outs), (weights, args, xs, Ys, srcs_t, svals_t)
+        CT, (outs, Ys, srcs_t, svals_t) = jax.lax.scan(body, C0, xs)
+        return (CT, outs), (weights, args, xs, Ys, srcs_t, svals_t)
 
     def traj_bwd(res, cots):
         weights, args, xs, Ys, srcs_t, svals_t = res
@@ -374,7 +421,18 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
             d_weights[st.flatkey] = st.deff(dE, w, full_args).astype(w.dtype)
         return d_weights, _merge_float0(d_args, aux_args), lam0, d_xs
 
-    traj.defvjp(traj_fwd, traj_bwd)
+    traj_core.defvjp(traj_fwd, traj_bwd)
     spec = SimpleNamespace(weight_paths=weight_paths,
-                           pop_labels=sorted(progs.keys()))
+                           pop_labels=sorted(progs.keys()),
+                           has_fb=has_fb)
+    if has_fb:
+        # feedback networks: the caller passes the full carry
+        # ``{"Y": states, "fb": prev outputs}`` and gets the final carry back
+        return traj_core, spec
+
+    def traj(weights, args, Y0, xs):
+        """No-feedback API: carry is just the node-state dict."""
+        CT, outs = traj_core(weights, args, {"Y": Y0, "fb": {}}, xs)
+        return CT["Y"], outs
+
     return traj, spec

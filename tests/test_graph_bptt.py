@@ -163,3 +163,77 @@ def test_graph_bptt_unsupported_falls_back():
         build().fit_bptt([inp], [tgt], verbose=False, fused_bptt=True)
     obs = build().fit_bptt([inp] * 2, [tgt] * 2, verbose=False, fused_bptt="auto")
     assert len(obs["epoch_loss"]) == 2
+
+
+def test_graph_traj_feedback_network_matches_plain():
+    """FeedbackNetwork: the graph trajectory carries previous-step feedback
+    outputs, forward matches the composed step bit-for-bit, and fit_bptt
+    losses + trained weights (incl. the FEEDBACK edge) match plain autodiff."""
+    from rectipy_tpu import FeedbackNetwork
+
+    n = 6
+    rng = np.random.default_rng(24)
+    W1 = rng.normal(size=(n, n)) * 0.2
+    W2 = rng.normal(size=(n, n)) * 0.2
+    k_fb0 = rng.normal(size=(n, n)) * 0.1
+
+    def build():
+        net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+        for label, W in [("p1", W1), ("p2", W2)]:
+            net.add_diffeq_node(label, TANH, weights=W, input_var="li_op/I_ext",
+                                output_var="li_op/v", source_var="tanh_op/r",
+                                target_var="li_op/r_in", train_params=["weights"])
+        net.add_edge("p1", "p2", weights=np.eye(n))
+        net.add_edge("p2", "p1", weights=k_fb0, feedback=True, train="gd")
+        net.compile()
+        return net
+
+    # forward bit-parity of the raw trajectory vs the composed step
+    net = build()
+    gtraj, spec = make_graph_traj(net)
+    assert spec.has_fb
+    step = net.make_step()
+    params = net.parameters_pytree()
+    state0 = net.init_state()
+    T = 80
+    xs = jnp.asarray(rng.normal(size=(T, n)))
+    wpaths = spec.weight_paths
+    excl = {(kind, label, key) for _, kind, label, key in wpaths}
+    weights0 = {fk: params[kind][label][key] for fk, kind, label, key in wpaths}
+    args = {sec: {lbl: {k: v for k, v in sub.items()
+                        if (sec, lbl, k) not in excl}
+                  for lbl, sub in params[sec].items()}
+            for sec in ("nodes", "edges")}
+    C0 = {"Y": {lbl: state0["nodes"][lbl] for lbl in spec.pop_labels},
+          "fb": state0["fb"]}
+
+    def body(st, x):
+        st, out, _ = step(st, params, x)
+        return st, out
+
+    stT, outs_std = jax.lax.scan(body, state0, xs)
+    CT, outs_f = gtraj(weights0, args, C0, xs)
+    np.testing.assert_array_equal(np.asarray(outs_f), np.asarray(outs_std))
+    for u in CT["fb"]:
+        np.testing.assert_array_equal(np.asarray(CT["fb"][u]),
+                                      np.asarray(stT["fb"][u]))
+
+    # fit-level parity: losses and all trained weights
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def fit(fused):
+        net = build()
+        obs = net.fit_bptt([inp] * 8, [tgt] * 8, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        return (np.asarray(obs["epoch_loss"]),
+                np.asarray(net.get_node("p1")["weights"]),
+                np.asarray(net.get_edge("p2", "p1").weights))
+
+    l_fast, w1_fast, wfb_fast = fit(True)
+    l_std, w1_std, wfb_std = fit(False)
+    np.testing.assert_allclose(l_fast, l_std, rtol=1e-8)
+    np.testing.assert_allclose(w1_fast, w1_std, rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(wfb_fast, wfb_std, rtol=1e-5, atol=1e-10)
+    assert np.abs(wfb_fast - k_fb0).max() > 1e-5, "feedback edge did not train"
+    assert l_fast[-1] < l_fast[0]
