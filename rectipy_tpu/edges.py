@@ -83,9 +83,23 @@ class Linear:
         self.n_out = n_out
         self.params: Dict[str, jnp.ndarray] = {"weights": weights}
         self.train_keys = []
+        # remember the requested trainables so params registered by
+        # subclasses AFTER this constructor (filter, mask) still become
+        # trainable -- the reference sets those attributes before its super
+        # call, so e.g. LinearFilter trains its filter by default
+        # (/root/reference/rectipy/edges.py:38-43,113-116)
+        self._train_req: list = []
         if not detach:
             train_params = kwargs.pop("train_params", self._tensors)
+            self._train_req = list(train_params)
             self.train_keys = [k for k in self._tensors if k in train_params and k in self.params]
+
+    def _register_param(self, name: str, value) -> None:
+        """Add a parameter created by a subclass constructor, honoring the
+        train_params request made at __init__ time."""
+        self.params[name] = value
+        if name in self._train_req and name in self._tensors and name not in self.train_keys:
+            self.train_keys.append(name)
 
     # -- reference-parity attribute access -------------------------------------
     @property
@@ -145,7 +159,7 @@ class LinearMasked(Linear):
                 "Shape of the provided mask does not match the input and output dimensions "
                 "of the source and target nodes."
             )
-        self.params["mask"] = mask
+        self._register_param("mask", mask)
 
     @property
     def mask(self):
@@ -216,7 +230,7 @@ class LinearFilter(Linear):
                 "Intrinsic weights have to be a square matrix with the number of rows and "
                 "columns matching the number of inputs to the edge."
             )
-        self.params["filter"] = filter_weights
+        self._register_param("filter", filter_weights)
         self._y = jnp.zeros(n_in, dtype=self.dtype)
 
     @property
@@ -259,7 +273,7 @@ class LinearMemoryFilter(LinearMemory):
                 "Intrinsic weights have to be a square matrix with the number of rows and "
                 "columns matching the number of inputs to the edge."
             )
-        self.params["filter"] = filter_weights
+        self._register_param("filter", filter_weights)
 
     @property
     def filter(self):

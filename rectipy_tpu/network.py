@@ -1209,8 +1209,10 @@ class Network:
                 return loss_fn(_downsample(outs), tgt)
         elif gtraj is not None:
             Y0 = {lbl: state0["nodes"][lbl] for lbl in gspec.pop_labels}
-            if gspec.has_fb:  # FeedbackNetwork: carry previous-step outputs
-                Y0 = {"Y": Y0, "fb": state0["fb"]}
+            if gspec.needs_carry:  # feedback outputs / edge buffers carried
+                Y0 = {"Y": Y0, "fb": state0.get("fb", {}),
+                      "E": {ek: state0["edges"][ek]
+                            for ek in gspec.stateful_edges}}
             wpaths = gspec.weight_paths
             excl = {(kind, label, key) for _, kind, label, key in wpaths}
 

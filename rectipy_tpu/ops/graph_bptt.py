@@ -166,12 +166,16 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         raise ValueError("Deferred-gradient graph BPTT requires at least one "
                          "DSL-built population.")
 
-    # validate edges: stateless linear projections with frozen masks
+    # validate edges: linear projections (optionally with delay buffers or a
+    # synaptic filter state -- those join the scan carry) with frozen masks
+    from ..edges import LinearFilter, LinearMemory
+
     def _check_edge(u, n, e):
-        if type(e) not in (Linear, LinearMasked):
+        if type(e) not in (Linear, LinearMasked, LinearMemory, LinearFilter):
             raise ValueError(
-                f"Deferred-gradient graph BPTT requires stateless Linear/"
-                f"LinearMasked edges; edge {u}->{n} is {type(e).__name__}.")
+                f"Deferred-gradient graph BPTT requires Linear/LinearMasked/"
+                f"LinearMemory/LinearFilter edges; edge {u}->{n} is "
+                f"{type(e).__name__}.")
         if type(e) is LinearMasked and "mask" in e.train_keys:
             raise ValueError("Trainable edge masks use plain autodiff.")
 
@@ -191,28 +195,74 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
     out_expr: Dict[str, Callable] = {}
     weight_paths: List[tuple] = []
 
+    estate_update: Dict[str, Callable] = {}  # ekey -> new edge state expr
+
+    def _ident_eff():
+        def eff(wv, args):
+            return wv
+
+        def deff(dE, wv, args):
+            return dE
+
+        return eff, deff
+
     def _edge_stage(u, nname, e, producer):
+        """Stage(s) for one edge.  Stateless Linear/LinearMasked: one W-matvec
+        stage of the source output.  LinearMemory: the W stage projects slot 0
+        of the shifted+written delay buffer (buffer carried in C['E']).
+        LinearFilter: an extra filter-matvec stage of the carried y, then the
+        W stage of ``y' = F@y + x`` -- both weights deferred.  Returns a list
+        of (stage, path) pairs; the last stage is the edge's output."""
         ek = _ekey(u, nname)
         w = e.params["weights"]
         mv, mv_t, grad_w = _edge_ops(w)
-        masked = type(e) is LinearMasked
+        out = []
 
-        if masked:
+        if type(e) is LinearMemory:
+            wm = e._write_mask
+
+            def buf_new(C, svals, x, args, producer=producer, ek=ek, wm=wm):
+                x_u = producer(C, svals, x, args)
+                buf = C["E"][ek]
+                return jnp.roll(buf, -1, axis=1) * (1.0 - wm) + wm * x_u[:, None]
+
+            estate_update[ek] = buf_new
+
+            def producer(C, svals, x, args, buf_new=buf_new):
+                return buf_new(C, svals, x, args)[:, 0]
+        elif type(e) is LinearFilter:
+            fmv, fmv_t, fgrad_w = _edge_ops(e.params["filter"])
+
+            def f_producer(C, svals, x, args, ek=ek):
+                return C["E"][ek]  # carried filter state y
+
+            feff, fdeff = _ident_eff()
+            fst = SimpleNamespace(flatkey=f"ef:{ek}", mv=fmv, mv_t=fmv_t,
+                                  grad_w=fgrad_w, eff=feff, deff=fdeff,
+                                  producer=f_producer)
+            fidx = len(stages) + len(out)
+            out.append((fst, ("edges", ek, "filter")))
+
+            def y_new(C, svals, x, args, producer=producer, fidx=fidx):
+                return svals[fidx] + producer(C, svals, x, args)
+
+            estate_update[ek] = y_new
+            producer = y_new
+
+        if type(e) is LinearMasked:
             def eff(wv, args, ek=ek):
                 return wv * args["edges"][ek]["mask"]
 
             def deff(dE, wv, args, ek=ek):
                 return dE * args["edges"][ek]["mask"]
         else:
-            def eff(wv, args):
-                return wv
+            eff, deff = _ident_eff()
 
-            def deff(dE, wv, args):
-                return dE
-
-        return SimpleNamespace(flatkey=f"e:{ek}", mv=mv, mv_t=mv_t,
-                               grad_w=grad_w, eff=eff, deff=deff,
-                               producer=producer), ("edges", ek, "weights")
+        out.append((SimpleNamespace(flatkey=f"e:{ek}", mv=mv, mv_t=mv_t,
+                                    grad_w=grad_w, eff=eff, deff=deff,
+                                    producer=producer),
+                    ("edges", ek, "weights")))
+        return out
 
     def _coupling_stage(lbl, i):
         p = progs[lbl]
@@ -247,19 +297,19 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         def fb_producer(C, svals, x, args, u=u):
             return C["fb"][u]
 
-        st, path = _edge_stage(u, v, e, fb_producer)
-        stage_idx[("fb", u, v)] = len(stages)
-        stages.append(st)
-        weight_paths.append((st.flatkey,) + path)
+        for st, path in _edge_stage(u, v, e, fb_producer):
+            stage_idx[("fb", u, v)] = len(stages)  # last stage = edge output
+            stages.append(st)
+            weight_paths.append((st.flatkey,) + path)
 
     for nname in order:
         # 1. stages for this node's input edges (producers = source outputs)
         for u in preds[nname]:
-            st, path = _edge_stage(u, nname, net.get_edge(u, nname),
-                                   out_expr[u])
-            stage_idx[("e", u, nname)] = len(stages)
-            stages.append(st)
-            weight_paths.append((st.flatkey,) + path)
+            for st, path in _edge_stage(u, nname, net.get_edge(u, nname),
+                                        out_expr[u]):
+                stage_idx[("e", u, nname)] = len(stages)  # last = edge output
+                stages.append(st)
+                weight_paths.append((st.flatkey,) + path)
 
         # 2. this node's input expression: regular edges (sorted preds
         # order) then feedback contributions, summed exactly as the composed
@@ -341,7 +391,8 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
                 new_fb[u] = progs[u].out_pre(Y_new[u], args["nodes"][u])
             else:
                 new_fb[u] = out_expr[u](C, svals, x, args)
-        return {"Y": Y_new, "fb": new_fb}, out
+        new_E = {ek: upd(C, svals, x, args) for ek, upd in estate_update.items()}
+        return {"Y": Y_new, "fb": new_fb, "E": new_E}, out
 
     def _svals_of(weights, args, C, x):
         svals = []
@@ -422,17 +473,21 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         return d_weights, _merge_float0(d_args, aux_args), lam0, d_xs
 
     traj_core.defvjp(traj_fwd, traj_bwd)
+    needs_carry = has_fb or bool(estate_update)
     spec = SimpleNamespace(weight_paths=weight_paths,
                            pop_labels=sorted(progs.keys()),
-                           has_fb=has_fb)
-    if has_fb:
-        # feedback networks: the caller passes the full carry
-        # ``{"Y": states, "fb": prev outputs}`` and gets the final carry back
+                           has_fb=has_fb,
+                           stateful_edges=sorted(estate_update.keys()),
+                           needs_carry=needs_carry)
+    if needs_carry:
+        # feedback networks / stateful edges: the caller passes the full
+        # carry ``{"Y": states, "fb": prev outputs, "E": edge buffers}`` and
+        # gets the final carry back
         return traj_core, spec
 
     def traj(weights, args, Y0, xs):
-        """No-feedback API: carry is just the node-state dict."""
-        CT, outs = traj_core(weights, args, {"Y": Y0, "fb": {}}, xs)
+        """Stateless-edge, no-feedback API: carry is just the node-state dict."""
+        CT, outs = traj_core(weights, args, {"Y": Y0, "fb": {}, "E": {}}, xs)
         return CT["Y"], outs
 
     return traj, spec

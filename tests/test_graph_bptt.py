@@ -140,8 +140,9 @@ def test_fit_bptt_graph_matches_plain():
 
 
 def test_graph_bptt_unsupported_falls_back():
-    """Stateful (delay) edges between populations: fused_bptt=True raises,
-    'auto' silently falls back to plain autodiff and still trains."""
+    """LinearMemoryFilter edges (delays + filter in one edge) are outside
+    the deferred path's scope: fused_bptt=True raises, 'auto' silently
+    falls back to plain autodiff and still trains."""
     rng = np.random.default_rng(23)
     n = 6
 
@@ -154,7 +155,8 @@ def test_graph_bptt_unsupported_falls_back():
         net.add_diffeq_node("pop2", TANH, weights=rng.normal(size=(n, n)) * 0.2,
                             input_var="li_op/I_ext", output_var="li_op/v",
                             source_var="tanh_op/r", target_var="li_op/r_in")
-        net.add_edge("pop1", "pop2", weights=np.eye(n), delays=np.arange(n) % 3)
+        net.add_edge("pop1", "pop2", weights=np.eye(n), delays=np.arange(n) % 3,
+                     filter_weights=np.eye(n) * 0.9)
         return net
 
     inp = rng.normal(size=(40, n))
@@ -163,6 +165,55 @@ def test_graph_bptt_unsupported_falls_back():
         build().fit_bptt([inp], [tgt], verbose=False, fused_bptt=True)
     obs = build().fit_bptt([inp] * 2, [tgt] * 2, verbose=False, fused_bptt="auto")
     assert len(obs["epoch_loss"]) == 2
+
+
+@pytest.mark.parametrize("edge_kind", ["delay", "filter"])
+def test_graph_bptt_stateful_edges_match_plain(edge_kind):
+    """Delay (LinearMemory) and synaptic-filter (LinearFilter) edges join
+    the scan carry: fit_bptt losses and trained weights -- including the
+    deferred FILTER matrix -- match plain autodiff at f64."""
+    rng = np.random.default_rng(25)
+    n = 6
+    W1 = rng.normal(size=(n, n)) * 0.2
+    W2 = rng.normal(size=(n, n)) * 0.2
+    We = rng.normal(size=(n, n)) * 0.4
+    F0 = np.eye(n) * 0.8 + rng.normal(size=(n, n)) * 0.05
+    T = 80
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def fit(fused):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("pop1", TANH, weights=W1, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        net.add_diffeq_node("pop2", TANH, weights=W2, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+        if edge_kind == "delay":
+            net.add_edge("pop1", "pop2", weights=We, train="gd",
+                         delays=(np.arange(n) % 3) + 1)
+        else:
+            net.add_edge("pop1", "pop2", weights=We, train="gd",
+                         filter_weights=F0)
+        obs = net.fit_bptt([inp] * 8, [tgt] * 8, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        e = net.get_edge("pop1", "pop2")
+        flt = np.asarray(e.params["filter"]) if edge_kind == "filter" else None
+        return (np.asarray(obs["epoch_loss"]),
+                np.asarray(net.get_node("pop1")["weights"]),
+                np.asarray(e.weights), flt)
+
+    l_fast, w1_fast, we_fast, f_fast = fit(True)
+    l_std, w1_std, we_std, f_std = fit(False)
+    np.testing.assert_allclose(l_fast, l_std, rtol=1e-8)
+    np.testing.assert_allclose(w1_fast, w1_std, rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(we_fast, we_std, rtol=1e-5, atol=1e-10)
+    if edge_kind == "filter":
+        np.testing.assert_allclose(f_fast, f_std, rtol=1e-5, atol=1e-10)
+        assert np.abs(f_fast - F0).max() > 1e-6, "filter did not train"
+    assert np.abs(we_fast - We).max() > 1e-5, "edge weights did not train"
+    assert l_fast[-1] < l_fast[0]
 
 
 def test_graph_traj_feedback_network_matches_plain():
@@ -205,7 +256,7 @@ def test_graph_traj_feedback_network_matches_plain():
                   for lbl, sub in params[sec].items()}
             for sec in ("nodes", "edges")}
     C0 = {"Y": {lbl: state0["nodes"][lbl] for lbl in spec.pop_labels},
-          "fb": state0["fb"]}
+          "fb": state0["fb"], "E": {}}
 
     def body(st, x):
         st, out, _ = step(st, params, x)
