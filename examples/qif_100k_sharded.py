@@ -93,3 +93,51 @@ assert np.all(np.isfinite(s_mean)), "non-finite dynamics"
 print(f"{T} steps x {N} neurons in {wall:.2f}s -> "
       f"{T * N / wall:.3e} neuron-updates/s; mean(s) in "
       f"[{s_mean.min():.5f}, {s_mean.max():.5f}]", flush=True)
+
+# ---------------------------------------------------------------- training
+# QIF_TRAIN=1: train the block-sparse coupling AND the diagonal feedback
+# gains at the nominal N through the deferred-gradient graph trajectory
+# (ops/graph_bptt.py) -- plain autodiff would carry the full coupling
+# cotangent through the backward scan, which cannot exist at N=100k.
+if os.environ.get("QIF_TRAIN", "0") == "1":
+    T_tr = int(os.environ.get("QIF_TRAIN_T", 500))
+    n_ep = int(os.environ.get("QIF_TRAIN_EPOCHS", 8))
+    rng_t = np.random.default_rng(2)
+    inp_tr = np.zeros((T_tr, 1), dtype=np.float32)
+    inp_tr[T_tr // 4:, 0] = 3.0
+    tgt_tr = (0.05 + 0.01 * np.sin(np.linspace(0, 8 * np.pi, T_tr))
+              )[:, None].astype(np.float32) * np.ones((1, N), dtype=np.float32)
+
+    # a fresh network with the coupling + feedback gains marked trainable
+    net2 = FeedbackNetwork(dt)
+    net2.add_func_node("inp", 1, activation_function="identity")
+    net2.add_diffeq_node(
+        "qif", "rectipy_tpu.models.spiking_neurons.qif.qif_sfa", weights=A,
+        source_var="s", target_var="s_in", input_var="I_ext", output_var="s",
+        spike_var="spike", spike_def="v", op="qif_sfa_op",
+        spike_threshold=1e2, spike_reset=-1e2,
+        node_vars={"all/qif_sfa_op/eta": etas, "all/qif_sfa_op/alpha": 0.05,
+                   "all/qif_sfa_op/k": 15.0},
+        coupling_dtype=os.environ.get("QIF_COUPLING", "bfloat16"),
+        train_params=["weights"],
+    )
+    net2.add_edge("inp", "qif", weights=rng.normal(size=(N, 1)).astype(np.float32))
+    net2.add_edge("qif", "qif", weights=np.full(N, 0.3, dtype=np.float32),
+                  delays=delays, feedback=True, train="gd")
+    net2.compile()
+
+    t0 = time.perf_counter()
+    obs = net2.fit_bptt([inp_tr] * 2, [tgt_tr] * 2, optimizer="adam", lr=1e-3,
+                        verbose=False, fused_bptt=True)
+    print(f"train warmup (2 epochs + compile): {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    t0 = time.perf_counter()
+    obs = net2.fit_bptt([inp_tr] * n_ep, [tgt_tr] * n_ep, optimizer="adam",
+                        lr=1e-3, verbose=False, fused_bptt=True)
+    wall = time.perf_counter() - t0
+    losses = np.asarray(obs["epoch_loss"])
+    print(f"TRAINED {n_ep} epochs x {T_tr} steps x {N} neurons in {wall:.2f}s "
+          f"-> {wall / n_ep * 1e3:.0f} ms/epoch = "
+          f"{T_tr * N * n_ep / wall:.3e} trained neuron-updates/s; "
+          f"loss {losses[0]:.6f} -> {losses[-1]:.6f}", flush=True)
+    assert np.all(np.isfinite(losses)), "non-finite training loss"

@@ -288,3 +288,51 @@ def test_graph_traj_feedback_network_matches_plain():
     np.testing.assert_allclose(wfb_fast, wfb_std, rtol=1e-5, atol=1e-10)
     assert np.abs(wfb_fast - k_fb0).max() > 1e-5, "feedback edge did not train"
     assert l_fast[-1] < l_fast[0]
+
+
+def test_graph_bptt_blocksparse_delayed_feedback_matches_plain():
+    """The N=100k flagship topology at small N: instant input -> block-sparse
+    QIF population with a STATEFUL diagonal delayed self-feedback edge
+    (FeedbackNetwork + LinearMemory).  The deferred path must train the
+    block-sparse coupling and the diagonal feedback gains, matching plain
+    autodiff at f64 -- this is the configuration that makes N=100k training
+    feasible (plain autodiff would carry the full coupling cotangent)."""
+    from rectipy_tpu import FeedbackNetwork
+    from rectipy_tpu.ops.sparse import block_random_connectivity
+
+    n, bs, T = 64, 16, 150
+    rng = np.random.default_rng(26)
+    A = block_random_connectivity(n, n, 8, block_size=bs, seed=4)
+    etas = 2.0 + rng.random(n)
+    delays = rng.integers(0, 4, size=n)
+    inp = rng.normal(size=(T, 1)) * 2.0
+    tgt = rng.normal(size=(T, n)) * 0.1
+    W_in = rng.normal(size=(n, 1))
+
+    def fit(fused):
+        net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+        net.add_func_node("inp", 1, activation_function="identity")
+        net.add_diffeq_node("qif", QIF, weights=A, input_var="I_ext",
+                            output_var="s", source_var="s", target_var="s_in",
+                            op="qif_op", spike_var="spike", spike_def="v",
+                            spike_threshold=100.0, spike_reset=-100.0,
+                            node_vars={"all/qif_op/eta": etas},
+                            train_params=["weights"])
+        net.add_edge("inp", "qif", weights=W_in)
+        net.add_edge("qif", "qif", weights=np.full(n, 0.3), delays=delays,
+                     feedback=True, train="gd")
+        obs = net.fit_bptt([inp] * 6, [tgt] * 6, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        return (np.asarray(obs["epoch_loss"]),
+                np.asarray(net.get_node("qif")["weights"]),
+                np.asarray(net.get_edge("qif", "qif").weights))
+
+    l_fast, w_fast, g_fast = fit(True)
+    l_std, w_std, g_std = fit(False)
+    np.testing.assert_allclose(l_fast, l_std, rtol=1e-8)
+    np.testing.assert_allclose(w_fast, w_std, rtol=0.0,
+                               atol=1e-5 * np.abs(w_std).max())
+    np.testing.assert_allclose(g_fast, g_std, rtol=1e-5, atol=1e-10)
+    assert g_fast.ndim == 1 and np.abs(g_fast - 0.3).max() > 1e-6, \
+        "diagonal feedback gains did not train"
+    assert np.abs(w_fast - np.asarray(A.blocks)).max() > 1e-6
