@@ -108,15 +108,24 @@ if os.environ.get("QIF_TRAIN", "0") == "1":
     tgt_tr = (0.05 + 0.01 * np.sin(np.linspace(0, 8 * np.pi, T_tr))
               )[:, None].astype(np.float32) * np.ones((1, N), dtype=np.float32)
 
-    # a fresh network with the coupling + feedback gains marked trainable
-    net2 = FeedbackNetwork(dt)
+    # a fresh network with the coupling + feedback gains marked trainable.
+    # Training needs ACTIVITY inside the horizon: the coupling gradient is
+    # delta (x) s, so a silent population (the dt=1e-4 long-simulation
+    # regime above: QIF period >> 500 steps) has exactly-zero coupling
+    # gradients.  The training demo therefore runs in a spiking regime --
+    # dt=1e-3 and suprathreshold etas (QIF period ~ pi/sqrt(eta) ~ 300
+    # steps), the same scales as the reference's BPTT workload
+    # (/root/reference/documentation/bptt_spiking_neurons_recurrent.py).
+    dt_tr = 1e-3
+    etas_tr = 100.0 + 20.0 * rng_t.standard_normal(N)
+    net2 = FeedbackNetwork(dt_tr)
     net2.add_func_node("inp", 1, activation_function="identity")
     net2.add_diffeq_node(
         "qif", "rectipy_tpu.models.spiking_neurons.qif.qif_sfa", weights=A,
         source_var="s", target_var="s_in", input_var="I_ext", output_var="s",
         spike_var="spike", spike_def="v", op="qif_sfa_op",
         spike_threshold=1e2, spike_reset=-1e2,
-        node_vars={"all/qif_sfa_op/eta": etas, "all/qif_sfa_op/alpha": 0.05,
+        node_vars={"all/qif_sfa_op/eta": etas_tr, "all/qif_sfa_op/alpha": 0.05,
                    "all/qif_sfa_op/k": 15.0},
         coupling_dtype=os.environ.get("QIF_COUPLING", "bfloat16"),
         train_params=["weights"],
@@ -127,17 +136,17 @@ if os.environ.get("QIF_TRAIN", "0") == "1":
     net2.compile()
 
     t0 = time.perf_counter()
-    obs = net2.fit_bptt([inp_tr] * 2, [tgt_tr] * 2, optimizer="adam", lr=1e-3,
+    obs = net2.fit_bptt([inp_tr] * 2, [tgt_tr] * 2, optimizer="adam", lr=1e-2,
                         verbose=False, fused_bptt=True)
     print(f"train warmup (2 epochs + compile): {time.perf_counter() - t0:.1f}s",
           flush=True)
     t0 = time.perf_counter()
     obs = net2.fit_bptt([inp_tr] * n_ep, [tgt_tr] * n_ep, optimizer="adam",
-                        lr=1e-3, verbose=False, fused_bptt=True)
+                        lr=1e-2, verbose=False, fused_bptt=True)
     wall = time.perf_counter() - t0
     losses = np.asarray(obs["epoch_loss"])
     print(f"TRAINED {n_ep} epochs x {T_tr} steps x {N} neurons in {wall:.2f}s "
           f"-> {wall / n_ep * 1e3:.0f} ms/epoch = "
           f"{T_tr * N * n_ep / wall:.3e} trained neuron-updates/s; "
-          f"loss {losses[0]:.6f} -> {losses[-1]:.6f}", flush=True)
+          f"loss {losses[0]:.6e} -> {losses[-1]:.6e}", flush=True)
     assert np.all(np.isfinite(losses)), "non-finite training loss"

@@ -1604,7 +1604,7 @@ class Network:
     def fit_eprop(self, inputs, targets, feedback_weights: np.ndarray = None,
                   epsilon: float = 0.99, delta: float = 0.9, update_steps: int = 1,
                   sampling_steps: int = 100, lr: float = 1e-2, decay: float = 0.0,
-                  verbose: bool = True, **kwargs) -> Observer:
+                  normalize: bool = False, verbose: bool = True, **kwargs) -> Observer:
         """Online three-factor (e-prop-style) learning of the readout edge.
 
         The reference declares this method but raises NotImplementedError
@@ -1620,6 +1620,17 @@ class Network:
 
         run as one on-device scan.  Register the trained edge with
         ``add_edge(..., train='eprop')`` (or reuse an ``'rls'`` edge).
+
+        ``normalize=True`` switches the update to NLMS: the outer product is
+        divided by the eligibility energy ``1e-8 + elig @ elig``, making
+        ``lr`` a dimensionless relaxation factor in (0, 2) instead of a
+        quantity that must be tuned against the reservoir's activity scale.
+        Plain LMS diverges when ``lr * ||r_pre||^2`` exceeds the stability
+        bound (e.g. the instantaneous rule ``epsilon=delta=0`` at lr=0.5 on
+        a tanh reservoir); the normalized rule stays stable at the same
+        settings (regression-tested).  For reaching the ridge optimum on
+        strongly correlated features, use ``fit_rls`` (full whitening) --
+        any LMS-family rule carries irreducible misadjustment there.
 
         ``feedback_weights`` (shape ``(n_in, n_out)``) implements the
         reference-documented output->population feedback: the carried
@@ -1696,7 +1707,10 @@ class Network:
                 # rule grows weight mass along near-collinear reservoir
                 # directions that only cancel while updates keep correcting --
                 # the frozen readout then diverges at test time
-                W = W * (1.0 - gate * decay) + gate * jnp.outer(err_bar, elig)
+                upd = jnp.outer(err_bar, elig)
+                if normalize:  # NLMS: step size relative to eligibility energy
+                    upd = upd / (1e-8 + elig @ elig)
+                W = W * (1.0 - gate * decay) + gate * upd
                 loss = err @ err
                 do_rec = (step_idx % sampling_steps) == 0
                 idx = jnp.minimum(rec_i, max(n_rec - 1, 0))

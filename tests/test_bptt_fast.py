@@ -204,28 +204,41 @@ def test_fit_bptt_fused_chain_topology_matches_plain():
     assert np.abs(we_fast - W_out0).max() > 1e-4, "readout edge did not train"
 
 
-def test_fused_bptt_chain_with_stateful_edge_falls_back():
-    """Delay edges in the chain are stateful -> no fast path; 'auto' still
-    trains via plain autodiff and fused_bptt=True raises."""
+def test_fused_bptt_chain_with_stateful_edge_uses_graph_path():
+    """Delay edges break the chain decomposition (stateful pre-stage can't
+    hoist out of the scan) but the GRAPH trajectory handles them: fused=True
+    succeeds and matches plain autodiff.  Only LinearMemoryFilter edges
+    remain outside the deferred scope (raise with fused=True)."""
     n = 6
     rng = np.random.default_rng(9)
-
-    def build():
-        net = Network(1e-2, dtype=jnp.float64)
-        net.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)) * 0.2,
-                            input_var="li_op/I_ext", output_var="li_op/v",
-                            source_var="tanh_op/r", target_var="li_op/r_in",
-                            train_params=["weights"])
-        net.add_func_node("inp", n, activation_function="identity")
-        net.add_edge("inp", "rnn", weights=np.eye(n), delays=np.arange(n) % 3)
-        return net
-
+    W0 = rng.normal(size=(n, n)) * 0.2
     inp = rng.normal(size=(40, n))
     tgt = rng.normal(size=(40, n))
+
+    def build(filtered):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        net.add_func_node("inp", n, activation_function="identity")
+        kw = dict(delays=np.arange(n) % 3)
+        if filtered:
+            kw["filter_weights"] = np.eye(n) * 0.9
+        net.add_edge("inp", "rnn", weights=np.eye(n), **kw)
+        return net
+
+    def fit(fused):
+        net = build(False)
+        obs = net.fit_bptt([inp] * 3, [tgt] * 3, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        return np.asarray(obs["epoch_loss"]), np.asarray(net.get_node("rnn")["weights"])
+
+    l_fast, w_fast = fit(True)
+    l_std, w_std = fit(False)
+    np.testing.assert_allclose(l_fast, l_std, rtol=1e-8)
+    np.testing.assert_allclose(w_fast, w_std, rtol=1e-6, atol=1e-10)
     with pytest.raises(ValueError):
-        build().fit_bptt([inp], [tgt], verbose=False, fused_bptt=True)
-    obs = build().fit_bptt([inp] * 2, [tgt] * 2, verbose=False, fused_bptt="auto")
-    assert len(obs["epoch_loss"]) == 2
+        build(True).fit_bptt([inp], [tgt], verbose=False, fused_bptt=True)
 
 
 def test_fit_bptt_fused_block_sparse_matches_plain():

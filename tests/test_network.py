@@ -718,3 +718,51 @@ def test_bptt_step_mode_global_sampling_grid():
                          target_var="li_op/r_in")
     ref_out = net2.run(inp, sampling_steps=1, verbose=False).to_numpy("out")
     np.testing.assert_allclose(obs.to_numpy("out"), ref_out[steps], atol=1e-10)
+
+
+def test_fit_eprop_nlms_step_size_robustness():
+    """normalize=True (NLMS) divides the delta update by the eligibility
+    energy, making lr a relaxation factor in (0, 2) instead of a quantity
+    that must be tuned against the reservoir activity scale: the
+    INSTANTANEOUS rule (epsilon=delta=0) at lr=0.5 diverges under plain LMS
+    but stays stable and converges under NLMS, across a 10x lr range."""
+    n, m, k = 12, 2, 1
+    rng = np.random.default_rng(18)
+    W_res = rng.normal(size=(n, n)) * 0.3
+    W_in = rng.normal(size=(n, m))
+
+    def build(with_readout):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_func_node("inp", m, activation_function="identity")
+        net.add_diffeq_node("rnn", TANH, weights=W_res, input_var="li_op/I_ext",
+                            output_var="tanh_op/r", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+        net.add_edge("inp", "rnn", weights=W_in)
+        if with_readout:
+            net.add_func_node("out", k, activation_function="identity")
+            net.add_edge("rnn", "out", weights=np.zeros((k, n)), train="eprop")
+        return net
+
+    T = 4000
+    time = np.arange(T) * 1e-2
+    inp = np.stack([np.sin(2 * np.pi * 0.5 * time), np.cos(2 * np.pi * 0.2 * time)], 1)
+    w_t = rng.normal(size=(n, k))
+    X = build(False).run(inp, verbose=False).to_numpy("out")
+    target = X @ w_t
+
+    def trained_test_loss(normalize, lr):
+        net = build(True)
+        net.fit_eprop(inp[: T // 2], target[: T // 2], epsilon=0.0, delta=0.0,
+                      lr=lr, update_steps=1, sampling_steps=50,
+                      normalize=normalize, verbose=False)
+        _, loss = net.test(inp[T // 2:], target[T // 2:], loss="mse",
+                           sampling_steps=1, verbose=False)
+        return float(loss)
+
+    assert not np.isfinite(trained_test_loss(False, 0.5)), (
+        "instantaneous LMS at lr=0.5 should diverge on this reservoir "
+        "(||r||^2 ~ 8 exceeds the stability bound) -- test premise broken")
+    for lr in (0.05, 0.2, 0.5):
+        loss = trained_test_loss(True, lr)
+        assert np.isfinite(loss) and loss < 0.5, (
+            f"NLMS at lr={lr} should be stable and track: {loss}")
