@@ -78,21 +78,23 @@ inputs = np.zeros((T, 1), dtype=np.float32)
 inputs[T // 4:, 0] = 3.0
 
 print(f"device={jax.devices()[0]}", flush=True)
+RUN_FWD = os.environ.get("QIF_FWD", "1") == "1"
 t0 = time.perf_counter()
-obs = net.run(inputs[: min(T, 200)], record_output=False, sampling_steps=100,
-              record_vars=[("qif", "s", True)], verbose=False)
-print(f"first run (incl. compile): {time.perf_counter() - t0:.1f}s", flush=True)
+if RUN_FWD:
+    obs = net.run(inputs[: min(T, 200)], record_output=False, sampling_steps=100,
+                  record_vars=[("qif", "s", True)], verbose=False)
+    print(f"first run (incl. compile): {time.perf_counter() - t0:.1f}s", flush=True)
 
-net.reset()
-t0 = time.perf_counter()
-obs = net.run(inputs, record_output=False, sampling_steps=100,
-              record_vars=[("qif", "s", True)], verbose=False)
-wall = time.perf_counter() - t0
-s_mean = obs.to_numpy(("qif", "s"))
-assert np.all(np.isfinite(s_mean)), "non-finite dynamics"
-print(f"{T} steps x {N} neurons in {wall:.2f}s -> "
-      f"{T * N / wall:.3e} neuron-updates/s; mean(s) in "
-      f"[{s_mean.min():.5f}, {s_mean.max():.5f}]", flush=True)
+    net.reset()
+    t0 = time.perf_counter()
+    obs = net.run(inputs, record_output=False, sampling_steps=100,
+                  record_vars=[("qif", "s", True)], verbose=False)
+    wall = time.perf_counter() - t0
+    s_mean = obs.to_numpy(("qif", "s"))
+    assert np.all(np.isfinite(s_mean)), "non-finite dynamics"
+    print(f"{T} steps x {N} neurons in {wall:.2f}s -> "
+          f"{T * N / wall:.3e} neuron-updates/s; mean(s) in "
+          f"[{s_mean.min():.5f}, {s_mean.max():.5f}]", flush=True)
 
 # ---------------------------------------------------------------- training
 # QIF_TRAIN=1: train the block-sparse coupling AND the diagonal feedback
@@ -136,13 +138,13 @@ if os.environ.get("QIF_TRAIN", "0") == "1":
     net2.compile()
 
     t0 = time.perf_counter()
-    obs = net2.fit_bptt([inp_tr] * 2, [tgt_tr] * 2, optimizer="adam", lr=1e-2,
+    obs = net2.fit_bptt([inp_tr] * 2, [tgt_tr] * 2, optimizer="adam", lr=float(os.environ.get("QIF_TRAIN_LR", 1e-3)),
                         verbose=False, fused_bptt=True)
     print(f"train warmup (2 epochs + compile): {time.perf_counter() - t0:.1f}s",
           flush=True)
     t0 = time.perf_counter()
     obs = net2.fit_bptt([inp_tr] * n_ep, [tgt_tr] * n_ep, optimizer="adam",
-                        lr=1e-2, verbose=False, fused_bptt=True)
+                        lr=float(os.environ.get("QIF_TRAIN_LR", 1e-3)), verbose=False, fused_bptt=True)
     wall = time.perf_counter() - t0
     losses = np.asarray(obs["epoch_loss"])
     print(f"TRAINED {n_ep} epochs x {T_tr} steps x {N} neurons in {wall:.2f}s "

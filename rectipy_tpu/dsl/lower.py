@@ -276,10 +276,17 @@ def lower(
     # gradients flow through the cast back to the f32 master -- the standard
     # mixed-precision training pattern.
     master_bf16 = str(coupling_dtype) in ("bfloat16_master", "bf16_master")
-    w_dtype = dtype if master_bf16 else (coupling_dtype or dtype)
+    # 'int8_master': float master weights, per-row int8 requantization hoisted
+    # out of the scan, int8 x int8 matvec with STE gradients (ops/quant.py)
+    master_int8 = str(coupling_dtype) == "int8_master"
+    w_dtype = dtype if (master_bf16 or master_int8) else (coupling_dtype or dtype)
     int8_coupling = w_dtype == jnp.int8
     w_scales: Dict[str, jnp.ndarray] = {}
     for _, _, W, wkey in all_edges:
+        if hasattr(W, "blocks") and master_int8:
+            raise ValueError(
+                "coupling_dtype='int8_master' supports dense couplings only; "
+                "use 'int8' (inference) or 'bfloat16' blocks for block-sparse.")
         if hasattr(W, "blocks"):
             # block-sparse coupling (ops/sparse.py): blocks stream at w_dtype,
             # the block-column index table rides along as an int32 arg
@@ -337,6 +344,10 @@ def lower(
                 return out.reshape(n_br * bs).astype(src.dtype)
             cast = jnp.bfloat16 if (master_bf16 or w.dtype == jnp.bfloat16) else None
             return block_sparse_matvec(w, a[wkey + "__cols"], src, cast_dtype=cast)
+        if master_int8 and w.ndim == 2:
+            from ..ops.quant import int8_master_matvec
+
+            return int8_master_matvec(w, src).astype(src.dtype)
         if w.dtype == jnp.int8:
             s_max = jnp.maximum(jnp.max(jnp.abs(src)), 1e-30)
             s_scale = jax.lax.stop_gradient(s_max / 127.0)
@@ -630,5 +641,5 @@ def lower(
         state_order=list(state_order),
         make_tile_reader=make_tile_reader,
         couplings=[(esv, etv, wkey) for esv, etv, _, wkey in all_edges],
-        coupling_cast="bf16" if master_bf16 else None,
+        coupling_cast="bf16" if master_bf16 else ("int8" if master_int8 else None),
     )

@@ -328,7 +328,7 @@ class RateNet:
         extra_edges = kwargs.pop("edges", None)
         coupling_dtype = kwargs.pop("coupling_dtype", None)
         if coupling_dtype is not None and str(coupling_dtype) not in (
-                "bfloat16_master", "bf16_master"):
+                "bfloat16_master", "bf16_master", "int8_master"):
             coupling_dtype = resolve_dtype(coupling_dtype)
 
         vf = lower(

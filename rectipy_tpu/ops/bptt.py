@@ -40,7 +40,8 @@ RateNet / SpikeResetNet / SpikeNet / MultiSpikeResetNet with Euler
 integration (plus Heun on RateNet: both stage matvec cotangents are emitted
 and dW gains a second post-scan matmul per coupling),
 at least one coupling matrix in float32 / bfloat16(_master)
-(int8 coupling is inference-only), no population reductions, and coupling
+(frozen-int8 coupling is inference-only; 'int8_master' trains quantized
+via ops/quant.py), no population reductions, and coupling
 sources / algebraic outputs that depend on states+params only.
 
 Reference training semantics: /root/reference/rectipy/network.py:603-707
@@ -59,6 +60,10 @@ __all__ = ["make_coupled_traj"]
 
 def _make_matvec(cast: str | None):
     """Coupling matvec matching dsl.lower._coupling_matvec numerics."""
+    if cast == "int8":  # int8_master quantized training (ops/quant.py)
+        from .quant import int8_master_ops
+
+        return int8_master_ops()
 
     def mv(w, src):
         if cast == "bf16" or w.dtype in (jnp.bfloat16, jnp.float16):
@@ -155,15 +160,7 @@ def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
     ``(T, n_in)`` external-drive series fed to the node's input variable.
     """
     p = _node_pieces(node)
-    (heun, wkeys, src_fn, step_x, mvs, mv_ts, grad_ws, n, dt, state_order,
-     split_states, tile_func, tgt_names, inp_key, out_reader_alg, out_lo,
-     out_hi, src_readers) = (
-        p.heun, p.wkeys, p.src_fn, p.step_x, p.mvs, p.mv_ts, p.grad_ws, p.n,
-        p.dt, p.state_order, p.split_states, p.tile_func, p.tgt_names,
-        p.inp_key, p.out_reader_alg, p.out_lo, p.out_hi, p.src_readers)
-
-    K = len(wkeys)
-    if heun:
+    if p.heun:
         return _make_heun_traj(p)
     return _make_euler_traj(p)
 
@@ -207,8 +204,8 @@ def _node_pieces(node):
         raise ValueError("Deferred-gradient BPTT requires at least one coupling matrix")
     for wk in wkeys:
         if node._args[wk].dtype == jnp.int8:
-            raise ValueError("int8 coupling is inference-only (STE quantization); "
-                             "train with float32 or bfloat16_master coupling")
+            raise ValueError("frozen int8 coupling is inference-only; train with "
+                             "float32, bfloat16_master, or int8_master coupling")
     src_readers = []
     for src, _tgt, _wk in vf.couplings:
         rd = vf.make_tile_reader(src) if vf.make_tile_reader else None

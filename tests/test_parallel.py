@@ -382,3 +382,41 @@ def test_public_fit_rls_and_eprop_mesh_match_single_device():
         w2 = np.asarray(net2.get_edge("rnn", "out").weights)
         assert np.abs(w1).max() > 0, f"{method} did not train"
         np.testing.assert_allclose(w2, w1, rtol=1e-9, atol=1e-12)
+
+
+def test_public_fit_bptt_mesh_graph_trajectory_matches_single_device():
+    """fit_bptt(mesh=) on a MULTI-POPULATION FeedbackNetwork (the graph
+    deferred-gradient trajectory, ops/graph_bptt.py): sharded training must
+    produce the same losses and trained weights as single-device -- the
+    stage matvecs, carried feedback, and post-scan dW contractions all run
+    under GSPMD."""
+    from rectipy_tpu import FeedbackNetwork
+
+    n = 16
+    rng = np.random.default_rng(9)
+    W1 = rng.normal(size=(n, n)) * 0.2
+    W2 = rng.normal(size=(n, n)) * 0.2
+    k_fb = rng.normal(size=(n, n)) * 0.1
+    inp = rng.normal(size=(50, n))
+    tgt = rng.normal(size=(50, n)) * 0.1
+
+    def fit(mesh):
+        net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+        for label, W in [("p1", W1), ("p2", W2)]:
+            net.add_diffeq_node(label, TANH, weights=W, input_var="li_op/I_ext",
+                                output_var="li_op/v", source_var="tanh_op/r",
+                                target_var="li_op/r_in", train_params=["weights"])
+        net.add_edge("p1", "p2", weights=np.eye(n))
+        net.add_edge("p2", "p1", weights=k_fb, feedback=True, train="gd")
+        obs = net.fit_bptt([inp] * 4, [tgt] * 4, optimizer="adam", lr=1e-2,
+                           verbose=False, mesh=mesh, fused_bptt=True)
+        return (np.asarray(obs["epoch_loss"]),
+                np.asarray(net.get_node("p1")["weights"]),
+                np.asarray(net.get_edge("p2", "p1").weights))
+
+    l_s, w1_s, wfb_s = fit(None)
+    l_m, w1_m, wfb_m = fit(make_mesh(8, data=1))
+    np.testing.assert_allclose(l_m, l_s, rtol=1e-10)
+    np.testing.assert_allclose(w1_m, w1_s, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(wfb_m, wfb_s, rtol=1e-8, atol=1e-12)
+    assert l_s[-1] < l_s[0]
