@@ -1092,7 +1092,8 @@ class Network:
                 targets = self._mesh_replicate(targets, mesh)
             train, stateT, rec = self._bptt_steps(step, loss_fn, opt, train, frozen, opt_state,
                                                   state0, inputs, targets, update_steps,
-                                                  sampling_steps, obs)
+                                                  sampling_steps, obs,
+                                                  fused_bptt=kwargs.pop("fused_bptt", "auto"))
             self._write_back(state=stateT)
             obs.record_batch(rec["steps"], outputs=rec["out"], losses=rec["loss"],
                              var_values=rec.get("vars"))
@@ -1333,7 +1334,8 @@ class Network:
         return train, losses
 
     def _bptt_steps(self, step, loss_fn, opt, train, frozen, opt_state, state0,
-                    inputs, targets, update_steps, sampling_steps, obs=None):
+                    inputs, targets, update_steps, sampling_steps, obs=None,
+                    fused_bptt="auto"):
         combine = self._combine
         T = int(inputs.shape[0])
         u = int(update_steps)
@@ -1341,19 +1343,52 @@ class Network:
         n_out = self.n_out
         rec_info = self._resolve_record_vars(obs) if obs is not None else []
 
-        def chunk_loss(train, state, inp_c, tgt_c):
-            params = combine(train, frozen)
+        # deferred-gradient fast path for truncated BPTT: each update chunk
+        # is a T=update_steps trajectory, so chain networks route it through
+        # the custom-VJP trajectory (ops/bptt.py) exactly like epoch mode --
+        # unless per-step variable recording is requested (the trajectory
+        # only emits outputs)
+        traj_fast = None
+        order = self._compiled["order"]
+        if not rec_info and fused_bptt in ("auto", True):
+            chain = ((order[0], None, None) if len(order) == 1
+                     else self._chain_decompose())
+            if chain is not None:
+                f_label, f_prefix, f_suffix = chain
+                try:
+                    from .ops.bptt import make_coupled_traj
 
-            def body(state, x_t):
-                state, out, _ = step(state, params, x_t)
-                vals = tuple(
-                    (jnp.mean(reader(state["nodes"][label], params["nodes"][label]))
-                     if reduce else reader(state["nodes"][label], params["nodes"][label]))
-                    for (_, label, reader, reduce) in rec_info)
-                return state, (out, vals)
+                    traj_fast, traj_fast_wkeys = make_coupled_traj(self.get_node(f_label))
+                except (ValueError, AttributeError, KeyError):
+                    traj_fast = None
 
-            state, (preds, vals) = jax.lax.scan(body, state, inp_c)
-            return loss_fn(preds, tgt_c), (state, preds, vals)
+        if traj_fast is not None:
+            def chunk_loss(train, state, inp_c, tgt_c):
+                params = combine(train, frozen)
+                nargs = params["nodes"][f_label]
+                W = {k: nargs[k] for k in traj_fast_wkeys}
+                rest = {k: v for k, v in nargs.items() if k not in traj_fast_wkeys}
+                xs = f_prefix(params, inp_c) if f_prefix is not None else inp_c
+                yT, outs = traj_fast(W, rest, state["nodes"][f_label], xs)
+                if f_suffix is not None:
+                    outs = f_suffix(params, outs)
+                new_state = {"nodes": {**state["nodes"], f_label: yT},
+                             "edges": state["edges"]}
+                return loss_fn(outs, tgt_c), (new_state, outs, ())
+        else:
+            def chunk_loss(train, state, inp_c, tgt_c):
+                params = combine(train, frozen)
+
+                def body(state, x_t):
+                    state, out, _ = step(state, params, x_t)
+                    vals = tuple(
+                        (jnp.mean(reader(state["nodes"][label], params["nodes"][label]))
+                         if reduce else reader(state["nodes"][label], params["nodes"][label]))
+                        for (_, label, reader, reduce) in rec_info)
+                    return state, (out, vals)
+
+                state, (preds, vals) = jax.lax.scan(body, state, inp_c)
+                return loss_fn(preds, tgt_c), (state, preds, vals)
 
         def _fwd_body(params):
             def body(state, x_t):

@@ -59,11 +59,21 @@ __all__ = ["make_coupled_traj"]
 
 
 def _make_matvec(cast: str | None):
-    """Coupling matvec matching dsl.lower._coupling_matvec numerics."""
+    """Coupling contraction 4-tuple ``(prep, mv, mv_t, grad_w)`` matching
+    dsl.lower._coupling_matvec numerics.  ``prep(w)`` is evaluated by the
+    trajectories ONCE before each scan (precision casts / quantization are
+    loop-invariant but XLA's LICM does not reliably hoist them out of the
+    scan body -- measured +82% epoch time for int8 requantization left
+    inline); ``mv``/``mv_t`` consume the prepped representation."""
     if cast == "int8":  # int8_master quantized training (ops/quant.py)
         from .quant import int8_master_ops
 
         return int8_master_ops()
+
+    def prep(w):
+        if cast == "bf16" and w.dtype not in (jnp.bfloat16, jnp.float16):
+            return w.astype(jnp.bfloat16)
+        return w
 
     def mv(w, src):
         if cast == "bf16" or w.dtype in (jnp.bfloat16, jnp.float16):
@@ -102,7 +112,7 @@ def _make_matvec(cast: str | None):
             preferred_element_type=jnp.float32,
         ).astype(deltas.dtype)
 
-    return mv, mv_t, grad_w
+    return prep, mv, mv_t, grad_w
 
 
 def _make_sparse_matvec(cast: str | None, cols):
@@ -147,7 +157,12 @@ def _make_sparse_matvec(cast: str | None, cols):
         return jnp.einsum("tri,trcj->rcij", d_blk, s_blk,
                           preferred_element_type=jnp.float32)
 
-    return mv, mv_t, grad_w
+    def prep(w):
+        if cd is not None and w.dtype not in (jnp.bfloat16, jnp.int8):
+            return w.astype(jnp.bfloat16)
+        return w
+
+    return prep, mv, mv_t, grad_w
 
 
 def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
@@ -232,16 +247,17 @@ def _node_pieces(node):
     post_out = cls_name in ("SpikeNet", "MultiSpikeResetNet")
     # per-coupling contraction triples: dense matmuls or block-sparse
     # gather/scatter contractions (the column tables are static structure)
-    mvs, mv_ts, grad_ws = [], [], []
+    preps, mvs, mv_ts, grad_ws = [], [], [], []
     for wk in wkeys:
         if node._args[wk].ndim == 4:
-            ops3 = _make_sparse_matvec(vf.coupling_cast,
+            ops4 = _make_sparse_matvec(vf.coupling_cast,
                                        jnp.asarray(node._args[wk + "__cols"]))
         else:
-            ops3 = _make_matvec(vf.coupling_cast)
-        mvs.append(ops3[0])
-        mv_ts.append(ops3[1])
-        grad_ws.append(ops3[2])
+            ops4 = _make_matvec(vf.coupling_cast)
+        preps.append(ops4[0])
+        mvs.append(ops4[1])
+        mv_ts.append(ops4[2])
+        grad_ws.append(ops4[3])
 
     # spiking configuration per node class (see nodes.py make_step of each)
     spike_fn = getattr(node, "spike", None)
@@ -319,7 +335,8 @@ def _node_pieces(node):
         return y[out_lo:out_hi]
 
     return SimpleNamespace(
-        heun=heun, wkeys=wkeys, src_fn=src_fn, step_x=step_x, mvs=mvs,
+        heun=heun, wkeys=wkeys, src_fn=src_fn, step_x=step_x,
+        preps=preps, mvs=mvs,
         mv_ts=mv_ts, grad_ws=grad_ws, n=n, dt=dt, state_order=state_order,
         split_states=split_states, tile_func=tile_func, tgt_names=tgt_names,
         inp_key=inp_key, out_reader_alg=out_reader_alg, out_lo=out_lo,
@@ -328,10 +345,10 @@ def _node_pieces(node):
 
 
 def _make_heun_traj(p):
-    (wkeys, src_fn, mvs, mv_ts, grad_ws, n, dt, state_order, split_states,
-     tile_func, tgt_names, inp_key, out_reader_alg, out_lo, out_hi,
-     src_readers) = (
-        p.wkeys, p.src_fn, p.mvs, p.mv_ts, p.grad_ws, p.n, p.dt,
+    (wkeys, src_fn, preps, mvs, mv_ts, grad_ws, n, dt, state_order,
+     split_states, tile_func, tgt_names, inp_key, out_reader_alg, out_lo,
+     out_hi, src_readers) = (
+        p.wkeys, p.src_fn, p.preps, p.mvs, p.mv_ts, p.grad_ws, p.n, p.dt,
         p.state_order, p.split_states, p.tile_func, p.tgt_names, p.inp_key,
         p.out_reader_alg, p.out_lo, p.out_hi, p.src_readers)
     if True:
@@ -379,30 +396,38 @@ def _make_heun_traj(p):
                 out = y[out_lo:out_hi]
             return y_new, out
 
-        def _mv_all(weights, srcs):
-            return tuple(mvs[i](weights[wk], s)
-                         for i, (wk, s) in enumerate(zip(wkeys, srcs)))
+        def _prep_all(weights):
+            # precision casts / quantization of the loop-invariant masters,
+            # evaluated OUTSIDE the scans (XLA's LICM does not reliably
+            # hoist them; see _make_matvec)
+            return tuple(preps[i](weights[wk]) for i, wk in enumerate(wkeys))
 
-        def _mv_t_all(weights, deltas):
-            return tuple(mv_ts[i](weights[wk], d)
-                         for i, (wk, d) in enumerate(zip(wkeys, deltas)))
+        def _mv_all(wp, srcs):
+            return tuple(mvs[i](wp[i], s) for i, s in enumerate(srcs))
+
+        def _mv_t_all(wp, deltas):
+            return tuple(mv_ts[i](wp[i], d) for i, d in enumerate(deltas))
 
         @jax.custom_vjp
         def traj(weights, args, y0, xs):
+            wp = _prep_all(weights)
+
             def body(y, x):
-                s1 = _mv_all(weights, src_fn(y, args))
-                s2 = _mv_all(weights, src2_fn(y, s1, x, args))
+                s1 = _mv_all(wp, src_fn(y, args))
+                s2 = _mv_all(wp, src2_fn(y, s1, x, args))
                 return step_x2(y, s1, s2, x, args)
 
             yT, outs = jax.lax.scan(body, y0, xs)
             return yT, outs
 
         def traj_fwd(weights, args, y0, xs):
+            wp = _prep_all(weights)
+
             def body(y, x):
                 srcs1 = src_fn(y, args)
-                s1 = _mv_all(weights, srcs1)
+                s1 = _mv_all(wp, srcs1)
                 srcs2 = src2_fn(y, s1, x, args)
-                s2 = _mv_all(weights, srcs2)
+                s2 = _mv_all(wp, srcs2)
                 y_new, out = step_x2(y, s1, s2, x, args)
                 return y_new, (out, y, srcs1, srcs2, s1, s2)
 
@@ -411,6 +436,7 @@ def _make_heun_traj(p):
 
         def traj_bwd(res, cots):
             weights, args, xs, ys, srcs1_t, srcs2_t, s1_t, s2_t = res
+            wp = _prep_all(weights)
             cot_yT, cot_outs = cots
             diff_args, aux_args = _split_args(args)
             d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
@@ -433,12 +459,12 @@ def _make_heun_traj(p):
                 dyA, ds1A, delta2, dxA, dargsA = vjp_step((lam, cot_out_t))
                 # stage B: route the stage-2 source cotangent back through
                 # the midpoint (depends on y AND the stage-1 matvec results)
-                gsrc2 = _mv_t_all(weights, delta2)
+                gsrc2 = _mv_t_all(wp, delta2)
                 _, vjp_src2 = jax.vjp(src2_fn_d, y_t, s1_, x_t, diff_args)
                 dyB, ds1B, dxB, dargsB = vjp_src2(gsrc2)
                 delta1 = tuple(a + b for a, b in zip(ds1A, ds1B))
                 # stage A: stage-1 sources read the pre-step state directly
-                gsrc1 = _mv_t_all(weights, delta1)
+                gsrc1 = _mv_t_all(wp, delta1)
                 _, vjp_src1 = jax.vjp(src_fn_d, y_t, diff_args)
                 dyC, dargsC = vjp_src1(gsrc1)
                 lam_prev = dyA + dyB + dyC
@@ -466,16 +492,21 @@ def _make_heun_traj(p):
 
 
 def _make_euler_traj(p):
-    wkeys, src_fn, step_x, mvs, mv_ts, grad_ws = (
-        p.wkeys, p.src_fn, p.step_x, p.mvs, p.mv_ts, p.grad_ws)
+    wkeys, src_fn, step_x, preps, mvs, mv_ts, grad_ws = (
+        p.wkeys, p.src_fn, p.step_x, p.preps, p.mvs, p.mv_ts, p.grad_ws)
     K = len(wkeys)
+
+    def _prep_all(weights):
+        # loop-invariant precision prep (cast/quantize), outside the scans
+        return tuple(preps[i](weights[wk]) for i, wk in enumerate(wkeys))
 
     @jax.custom_vjp
     def traj(weights, args, y0, xs):
+        wp = _prep_all(weights)
+
         def body(y, x):
             srcs = src_fn(y, args)
-            s_ins = tuple(mvs[i](weights[wk], s)
-                          for i, (wk, s) in enumerate(zip(wkeys, srcs)))
+            s_ins = tuple(mvs[i](wp[i], s) for i, s in enumerate(srcs))
             y_new, out = step_x(y, s_ins, x, args)
             return y_new, out
 
@@ -483,10 +514,11 @@ def _make_euler_traj(p):
         return yT, outs
 
     def traj_fwd(weights, args, y0, xs):
+        wp = _prep_all(weights)
+
         def body(y, x):
             srcs = src_fn(y, args)
-            s_ins = tuple(mvs[i](weights[wk], s)
-                          for i, (wk, s) in enumerate(zip(wkeys, srcs)))
+            s_ins = tuple(mvs[i](wp[i], s) for i, s in enumerate(srcs))
             y_new, out = step_x(y, s_ins, x, args)
             # residuals: the pre-step state and the matvec results -- O(N)
             # per step, so the backward pass never re-touches W to rebuild
@@ -498,6 +530,7 @@ def _make_euler_traj(p):
 
     def traj_bwd(res, cots):
         weights, args, xs, ys, srcs_t, s_ins_t = res
+        wp = _prep_all(weights)
         cot_yT, cot_outs = cots
         diff_args, aux_args = _split_args(args)
         d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
@@ -516,8 +549,7 @@ def _make_euler_traj(p):
             dy1, d_s_in, d_x, d_args_step = vjp_step((lam, cot_out_t))
             # stage B: cotangent through the matvec inputs and source readers
             deltas = d_s_in  # per-coupling matvec-output cotangents, emitted
-            gsrc = tuple(mv_ts[i](weights[wk], d)
-                         for i, (wk, d) in enumerate(zip(wkeys, deltas)))
+            gsrc = tuple(mv_ts[i](wp[i], d) for i, d in enumerate(deltas))
             _, vjp_src = jax.vjp(src_fn_d, y_t, diff_args)
             dy2, d_args_src = vjp_src(gsrc)
             lam_prev = dy1 + dy2

@@ -98,9 +98,12 @@ def _merge_float0(d_diff, aux):
 
 
 def _edge_ops(w):
-    """Contraction triple for a stateless linear edge: (n_out, n_in) matvec
-    or 1-D diagonal gains (per-source elementwise)."""
+    """Contraction 4-tuple (prep, mv, mv_t, grad_w) for a linear edge:
+    (n_out, n_in) matvec or 1-D diagonal gains (per-source elementwise)."""
     if w.ndim == 1:
+        def prep(w):
+            return w
+
         def mv(w, s):
             return w * s
 
@@ -110,7 +113,7 @@ def _edge_ops(w):
         def grad_w(deltas, srcs):
             return jnp.einsum("ti,ti->i", deltas, srcs)
 
-        return mv, mv_t, grad_w
+        return prep, mv, mv_t, grad_w
     return _make_matvec(None)
 
 
@@ -215,7 +218,7 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         of (stage, path) pairs; the last stage is the edge's output."""
         ek = _ekey(u, nname)
         w = e.params["weights"]
-        mv, mv_t, grad_w = _edge_ops(w)
+        wprep, mv, mv_t, grad_w = _edge_ops(w)
         out = []
 
         if type(e) is LinearMemory:
@@ -231,15 +234,15 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
             def producer(C, svals, x, args, buf_new=buf_new):
                 return buf_new(C, svals, x, args)[:, 0]
         elif type(e) is LinearFilter:
-            fmv, fmv_t, fgrad_w = _edge_ops(e.params["filter"])
+            fprep, fmv, fmv_t, fgrad_w = _edge_ops(e.params["filter"])
 
             def f_producer(C, svals, x, args, ek=ek):
                 return C["E"][ek]  # carried filter state y
 
             feff, fdeff = _ident_eff()
-            fst = SimpleNamespace(flatkey=f"ef:{ek}", mv=fmv, mv_t=fmv_t,
-                                  grad_w=fgrad_w, eff=feff, deff=fdeff,
-                                  producer=f_producer)
+            fst = SimpleNamespace(flatkey=f"ef:{ek}", prep=fprep, mv=fmv,
+                                  mv_t=fmv_t, grad_w=fgrad_w, eff=feff,
+                                  deff=fdeff, producer=f_producer)
             fidx = len(stages) + len(out)
             out.append((fst, ("edges", ek, "filter")))
 
@@ -258,9 +261,9 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         else:
             eff, deff = _ident_eff()
 
-        out.append((SimpleNamespace(flatkey=f"e:{ek}", mv=mv, mv_t=mv_t,
-                                    grad_w=grad_w, eff=eff, deff=deff,
-                                    producer=producer),
+        out.append((SimpleNamespace(flatkey=f"e:{ek}", prep=wprep, mv=mv,
+                                    mv_t=mv_t, grad_w=grad_w, eff=eff,
+                                    deff=deff, producer=producer),
                     ("edges", ek, "weights")))
         return out
 
@@ -269,10 +272,10 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         wk = p.wkeys[i]
         node = net.get_node(lbl)
         if node._args[wk].ndim == 4:
-            mv, mv_t, grad_w = _make_sparse_matvec(
+            prep, mv, mv_t, grad_w = _make_sparse_matvec(
                 node._vf.coupling_cast, jnp.asarray(node._args[wk + "__cols"]))
         else:
-            mv, mv_t, grad_w = _make_matvec(node._vf.coupling_cast)
+            prep, mv, mv_t, grad_w = _make_matvec(node._vf.coupling_cast)
         rd = p.src_readers[i]
         n_, split = p.n, p.split_states
 
@@ -287,8 +290,8 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         def deff(dE, wv, args):
             return dE
 
-        return SimpleNamespace(flatkey=f"n:{lbl}:{wk}", mv=mv, mv_t=mv_t,
-                               grad_w=grad_w, eff=eff, deff=deff,
+        return SimpleNamespace(flatkey=f"n:{lbl}:{wk}", prep=prep, mv=mv,
+                               mv_t=mv_t, grad_w=grad_w, eff=eff, deff=deff,
                                producer=producer), ("nodes", lbl, wk)
 
     # feedback-edge stages first: their producers read only the carried
@@ -394,28 +397,36 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         new_E = {ek: upd(C, svals, x, args) for ek, upd in estate_update.items()}
         return {"Y": Y_new, "fb": new_fb, "E": new_E}, out
 
-    def _svals_of(weights, args, C, x):
-        svals = []
-        for st in stages:
-            src = st.producer(C, tuple(svals), x, args)
-            svals.append(st.mv(st.eff(weights[st.flatkey], args), src))
-        return tuple(svals)
+    def _prep_all(weights, args):
+        """Per-stage effective weights (masking) + precision prep
+        (casts/quantization), evaluated ONCE outside each scan -- XLA's LICM
+        does not reliably hoist these loop-invariant transforms."""
+        return tuple(st.prep(st.eff(weights[st.flatkey], args))
+                     for st in stages)
 
     @jax.custom_vjp
     def traj_core(weights, args, C0, xs):
+        wp = _prep_all(weights, args)
+
         def body(C, x):
-            return final(C, _svals_of(weights, args, C, x), x, args)
+            svals = []
+            for j, st in enumerate(stages):
+                src = st.producer(C, tuple(svals), x, args)
+                svals.append(st.mv(wp[j], src))
+            return final(C, tuple(svals), x, args)
 
         CT, outs = jax.lax.scan(body, C0, xs)
         return CT, outs
 
     def traj_fwd(weights, args, C0, xs):
+        wp = _prep_all(weights, args)
+
         def body(C, x):
             srcs, svals = [], []
-            for st in stages:
+            for j, st in enumerate(stages):
                 src = st.producer(C, tuple(svals), x, args)
                 srcs.append(src)
-                svals.append(st.mv(st.eff(weights[st.flatkey], args), src))
+                svals.append(st.mv(wp[j], src))
             C_new, out = final(C, tuple(svals), x, args)
             return C_new, (out, C, tuple(srcs), tuple(svals))
 
@@ -424,6 +435,7 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
 
     def traj_bwd(res, cots):
         weights, args, xs, Ys, srcs_t, svals_t = res
+        wp = _prep_all(weights, args)
         cot_YT, cot_outs = cots
         diff_args, aux_args = _split_nested(args)
         d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
@@ -448,9 +460,7 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
             d_args = jax.tree.map(jnp.add, d_args, dargsF)
             for j in reversed(range(S)):
                 delta_j = acc[j]
-                e_j = stages[j].eff(weights[stages[j].flatkey],
-                                    _merge_nested(diff_args, aux_args))
-                g_j = stages[j].mv_t(e_j, delta_j)
+                g_j = stages[j].mv_t(wp[j], delta_j)
                 _, vjp_p = jax.vjp(producers_d[j], Y_t, svals_[:j], x_t,
                                    diff_args)
                 dY_j, dsv_j, dx_j, dargs_j = vjp_p(g_j)

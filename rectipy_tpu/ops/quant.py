@@ -65,19 +65,27 @@ def int8_dot_t(wq, vq):
         preferred_element_type=jnp.int32).astype(jnp.float32)
 
 
-def _mv(w, src):
-    wq, ws = quantize_rows(w)  # loop-invariant: XLA hoists out of the scan
+def _mv_prepped(wp, src):
+    wq, ws = wp
     xq, xs = quant_vec(src)
     return (int8_dot(wq, xq) * ws * xs).astype(src.dtype)
 
 
-def _mv_t(w, delta):
+def _mv_t_prepped(wp, delta):
     """W^T @ delta = W_q^T (scale . delta), delta row-scaled BEFORE dynamic
     quantization so one scalar activation scale suffices."""
-    wq, ws = quantize_rows(w)
+    wq, ws = wp
     v = ws.astype(delta.dtype) * delta
     vq, vs = quant_vec(v)
     return (int8_dot_t(wq, vq) * vs).astype(delta.dtype)
+
+
+def _mv(w, src):
+    return _mv_prepped(quantize_rows(w), src)
+
+
+def _mv_t(w, delta):
+    return _mv_t_prepped(quantize_rows(w), delta)
 
 
 def _grad_w(deltas, srcs):
@@ -90,8 +98,12 @@ def _grad_w(deltas, srcs):
 
 
 def int8_master_ops():
-    """(mv, mv_t, grad_w) triple for the deferred-gradient trajectories."""
-    return _mv, _mv_t, _grad_w
+    """(prep, mv, mv_t, grad_w) for the deferred-gradient trajectories.
+    ``prep`` quantizes the master ONCE before each scan (the trajectories
+    call it outside the scan body -- XLA's loop-invariant code motion does
+    NOT reliably hoist the requantization, measured +82% epoch time when
+    left inside); ``mv``/``mv_t`` take the prepped ``(wq, scale)`` pair."""
+    return quantize_rows, _mv_prepped, _mv_t_prepped, _grad_w
 
 
 @jax.custom_vjp

@@ -490,3 +490,44 @@ def test_fit_bptt_int8_master_trains():
     np.testing.assert_allclose(l_fast, l_std, rtol=1e-7)
     np.testing.assert_allclose(w_fast, w_std, rtol=1e-4, atol=1e-8)
     assert l_fast[-1] < l_fast[0], "int8_master training did not reduce the loss"
+
+
+def test_tbptt_step_mode_uses_deferred_trajectory():
+    """Step mode (truncated BPTT): each update chunk routes through the
+    deferred trajectory for chain networks when no per-step variables are
+    recorded.  Observer records (steps/out/loss) and trained weights must
+    be identical to the plain path; requesting record_vars falls back to
+    the plain scan and still matches."""
+    n, T = 8, 130  # not a multiple of update_steps: leftover steps recorded
+    rng = np.random.default_rng(16)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.2
+
+    def fit(fused, record_vars=None):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        kw = {"record_vars": record_vars} if record_vars else {}
+        obs = net.fit_bptt(inp, tgt, optimizer="adam", lr=1e-2,
+                           update_steps=25, sampling_steps=5, verbose=False,
+                           fused_bptt=fused, **kw)
+        return obs, np.asarray(net.get_node("rnn")["weights"])
+
+    obs_f, w_f = fit(True)
+    obs_s, w_s = fit(False)
+    np.testing.assert_array_equal(np.asarray(obs_f["steps"]),
+                                  np.asarray(obs_s["steps"]))
+    np.testing.assert_allclose(obs_f.to_numpy("out"), obs_s.to_numpy("out"),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(obs_f["loss"]), np.asarray(obs_s["loss"]),
+                               rtol=1e-9)
+    np.testing.assert_allclose(w_f, w_s, rtol=1e-6, atol=1e-10)
+    assert np.abs(w_f - W0).max() > 1e-4, "TBPTT did not train"
+
+    # record_vars forces the plain scan (the trajectory only emits outputs);
+    # results still match the fused run
+    obs_v, w_v = fit(True, record_vars=[("rnn", "v", True)])
+    assert obs_v.to_numpy(("rnn", "v")).shape[0] == len(np.asarray(obs_v["steps"]))
+    np.testing.assert_allclose(w_v, w_f, rtol=1e-6, atol=1e-10)
