@@ -119,7 +119,30 @@ def _make_sparse_matvec(cast: str | None, cols):
     """Block-sparse analogs of the three coupling contractions.  ``cols`` is
     the static (n_br, cb) block-column table (structure never changes, so it
     folds into the program as a constant)."""
+    import numpy as onp
+
     cd = jnp.bfloat16 if cast == "bf16" else None
+
+    # transposed block structure, built ONCE in numpy: for each column block
+    # c, the (row-block, slot) pairs with cols[r, slot] == c, padded to the
+    # max in-degree.  The backward matvec then GATHERS tiles instead of
+    # scatter-adding contributions -- scatters serialize on TPU and
+    # dominated the N=100k backward pass.
+    cols_np = onp.asarray(cols)
+    n_br_s, cb_s = cols_np.shape
+    lists = [[] for _ in range(n_br_s)]  # square coupling: n_bc == n_br
+    for r in range(n_br_s):
+        for j in range(cb_s):
+            lists[int(cols_np[r, j])].append((r, j))
+    cb_t = max(1, max(len(l) for l in lists))
+    rows_T = onp.zeros((n_br_s, cb_t), dtype=onp.int32)
+    slot_T = onp.zeros((n_br_s, cb_t), dtype=onp.int32)
+    mask_T = onp.zeros((n_br_s, cb_t), dtype=onp.float32)
+    for c, pairs in enumerate(lists):
+        for k, (r, j) in enumerate(pairs):
+            rows_T[c, k], slot_T[c, k], mask_T[c, k] = r, j, 1.0
+    rows_T, slot_T = jnp.asarray(rows_T), jnp.asarray(slot_T)
+    mask_T = jnp.asarray(mask_T)
 
     def maybe(x, w):
         if cd is not None or w.dtype == jnp.bfloat16:
@@ -134,13 +157,14 @@ def _make_sparse_matvec(cast: str | None, cols):
 
     def mv_t(w, delta):
         """A^T @ delta for a SQUARE block-sparse A (recurrent coupling):
-        per-block transposed products scatter-added into the source blocks
-        (contiguous bs-rows -- an efficient segment scatter)."""
+        gather each source block's incoming tiles (transposed structure) and
+        contract -- no scatter."""
         n_br, cb, bs, _ = w.shape
         d_blk = delta.reshape(n_br, bs)
-        contrib = jnp.einsum("rcij,ri->rcj", maybe(w, w), maybe(d_blk, w),
-                             preferred_element_type=jnp.float32)
-        out = jnp.zeros((n_br, bs), dtype=jnp.float32).at[cols].add(contrib)
+        G = w[rows_T, slot_T]              # (n_bc, cb_t, bs, bs)
+        D = d_blk[rows_T] * mask_T[..., None].astype(d_blk.dtype)
+        out = jnp.einsum("qcij,qci->qj", maybe(G, w), maybe(D, w),
+                         preferred_element_type=jnp.float32)
         return out.reshape(-1).astype(delta.dtype)
 
     def grad_w(deltas, srcs):
