@@ -155,12 +155,25 @@ def _make_sparse_matvec(cast: str | None, cols):
         cast_dtype = jnp.bfloat16 if (cd is not None or w.dtype == jnp.bfloat16) else None
         return block_sparse_matvec(w, cols, src, cast_dtype=cast_dtype)
 
+    import os
+
+    bwd_mode = os.environ.get("RECTIPY_SPARSE_BWD", "gather")
+
     def mv_t(w, delta):
-        """A^T @ delta for a SQUARE block-sparse A (recurrent coupling):
-        gather each source block's incoming tiles (transposed structure) and
-        contract -- no scatter."""
+        """A^T @ delta for a SQUARE block-sparse A (recurrent coupling).
+        'gather' (default): gather each source block's incoming tiles via the
+        transposed structure and contract -- no scatter, but the gather may
+        materialize a copy of the tile tensor per step.  'scatter': contract
+        in forward layout and scatter-add the (n_br, cb, bs) contributions --
+        one pass over the tiles, small scatter.  Both are gradient-identical;
+        pick per workload via RECTIPY_SPARSE_BWD."""
         n_br, cb, bs, _ = w.shape
         d_blk = delta.reshape(n_br, bs)
+        if bwd_mode == "scatter":
+            contrib = jnp.einsum("rcij,ri->rcj", maybe(w, w), maybe(d_blk, w),
+                                 preferred_element_type=jnp.float32)
+            out = jnp.zeros((n_br, bs), dtype=jnp.float32).at[cols].add(contrib)
+            return out.reshape(-1).astype(delta.dtype)
         G = w[rows_T, slot_T]              # (n_bc, cb_t, bs, bs)
         D = d_blk[rows_T] * mask_T[..., None].astype(d_blk.dtype)
         out = jnp.einsum("qcij,qci->qj", maybe(G, w), maybe(D, w),
