@@ -282,11 +282,19 @@ def lower(
     w_dtype = dtype if (master_bf16 or master_int8) else (coupling_dtype or dtype)
     int8_coupling = w_dtype == jnp.int8
     w_scales: Dict[str, jnp.ndarray] = {}
+    block_q_mv: Dict[str, Callable] = {}  # int8_master block-sparse matvecs
     for _, _, W, wkey in all_edges:
         if hasattr(W, "blocks") and master_int8:
-            raise ValueError(
-                "coupling_dtype='int8_master' supports dense couplings only; "
-                "use 'int8' (inference) or 'bfloat16' blocks for block-sparse.")
+            # int8_master blocks: float master blocks + a build-time STE
+            # quantized matvec (the block structure is concrete here, so the
+            # transposed table for the backward is built once)
+            from ..ops.quant import make_block_int8_master_matvec
+
+            args[wkey] = jnp.asarray(W.blocks, dtype=dtype)
+            args[wkey + "__cols"] = jnp.asarray(W.cols, dtype=jnp.int32)
+            keys.extend([wkey, wkey + "__cols"])
+            block_q_mv[wkey] = make_block_int8_master_matvec(W.cols)
+            continue
         if hasattr(W, "blocks"):
             # block-sparse coupling (ops/sparse.py): blocks stream at w_dtype,
             # the block-column index table rides along as an int32 arg
@@ -325,6 +333,8 @@ def lower(
             keys.append(wkey)
 
     def _coupling_matvec(w, src, a=None, wkey=None):
+        if wkey in block_q_mv:  # int8_master block-sparse (ops/quant.py)
+            return block_q_mv[wkey](w, src).astype(src.dtype)
         if w.ndim == 4:  # block-sparse (ops/sparse.py)
             from ..ops.sparse import block_sparse_matvec
 

@@ -287,8 +287,13 @@ def _node_pieces(node):
     preps, mvs, mv_ts, grad_ws = [], [], [], []
     for wk in wkeys:
         if node._args[wk].ndim == 4:
-            ops4 = _make_sparse_matvec(vf.coupling_cast,
-                                       jnp.asarray(node._args[wk + "__cols"]))
+            if vf.coupling_cast == "int8":
+                from .quant import make_block_int8_ops
+
+                ops4 = make_block_int8_ops(node._args[wk + "__cols"])
+            else:
+                ops4 = _make_sparse_matvec(vf.coupling_cast,
+                                           jnp.asarray(node._args[wk + "__cols"]))
         else:
             ops4 = _make_matvec(vf.coupling_cast)
         preps.append(ops4[0])

@@ -272,8 +272,14 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         wk = p.wkeys[i]
         node = net.get_node(lbl)
         if node._args[wk].ndim == 4:
-            prep, mv, mv_t, grad_w = _make_sparse_matvec(
-                node._vf.coupling_cast, jnp.asarray(node._args[wk + "__cols"]))
+            if node._vf.coupling_cast == "int8":
+                from .quant import make_block_int8_ops
+
+                prep, mv, mv_t, grad_w = make_block_int8_ops(
+                    node._args[wk + "__cols"])
+            else:
+                prep, mv, mv_t, grad_w = _make_sparse_matvec(
+                    node._vf.coupling_cast, jnp.asarray(node._args[wk + "__cols"]))
         else:
             prep, mv, mv_t, grad_w = _make_matvec(node._vf.coupling_cast)
         rd = p.src_readers[i]

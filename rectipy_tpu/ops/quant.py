@@ -125,3 +125,108 @@ def _imm_bwd(res, g):
 
 
 int8_master_matvec.defvjp(_imm_fwd, _imm_bwd)
+
+
+# ---------------------------------------------------------------- block-sparse
+
+
+def quantize_blocks(blocks):
+    """Symmetric per-output-row int8 quantization of a block-sparse master
+    tensor ``(n_br, cb, bs, bs)``: each global output row (r, i) gets one
+    scale over its cb*bs stored inputs."""
+    amax = jnp.max(jnp.abs(blocks), axis=(1, 3))  # (n_br, bs)
+    scale = (jnp.maximum(amax, 1e-30) / 127.0).astype(jnp.float32)
+    bq = jnp.clip(jnp.round(blocks / scale[:, None, :, None].astype(blocks.dtype)),
+                  -127, 127).astype(jnp.int8)
+    return bq, scale
+
+
+def block_int8_mv(wp, cols, src):
+    """Forward block contraction from the prepped ``(bq, scale)`` pair:
+    gather int8 source blocks, int8 x int8 einsum with int32 accumulation,
+    per-row rescale.  Same math as the frozen-int8 block path in
+    dsl/lower.py."""
+    bq, scale = wp
+    n_br, cb, bs, _ = bq.shape
+    xq, xs = quant_vec(src)
+    s_blk = xq.reshape(-1, bs)[cols]  # (n_br, cb, bs) int8
+    acc = jnp.einsum("rcij,rcj->ri", bq, s_blk,
+                     preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * scale * xs
+    return out.reshape(n_br * bs).astype(src.dtype)
+
+
+def make_block_int8_ops(cols_np):
+    """(prep, mv, mv_t, grad_w) for int8_master block-sparse couplings.
+    ``cols_np`` must be CONCRETE (numpy) block structure -- the transposed
+    block table for the gather-based backward is built once here."""
+    import numpy as onp
+
+    cols_np = onp.asarray(cols_np)
+    n_br, cb = cols_np.shape
+    lists = [[] for _ in range(n_br)]  # square coupling
+    for r in range(n_br):
+        for j in range(cb):
+            lists[int(cols_np[r, j])].append((r, j))
+    cb_t = max(1, max(len(l) for l in lists))
+    rows_T = onp.zeros((n_br, cb_t), dtype=onp.int32)
+    slot_T = onp.zeros((n_br, cb_t), dtype=onp.int32)
+    mask_T = onp.zeros((n_br, cb_t), dtype=onp.float32)
+    for c, pairs in enumerate(lists):
+        for k, (r, j) in enumerate(pairs):
+            rows_T[c, k], slot_T[c, k], mask_T[c, k] = r, j, 1.0
+    cols = jnp.asarray(cols_np, dtype=jnp.int32)
+    rows_T, slot_T, mask_T = (jnp.asarray(rows_T), jnp.asarray(slot_T),
+                              jnp.asarray(mask_T))
+
+    def mv(wp, src):
+        return block_int8_mv(wp, cols, src)
+
+    def mv_t(wp, delta):
+        """A^T @ delta: per-row scales fold into delta BEFORE the dynamic
+        quantization; gathered transposed int8 tiles contract (no scatter)."""
+        bq, scale = wp
+        n_br_, cb_, bs, _ = bq.shape
+        d_blk = delta.reshape(n_br_, bs)
+        v = scale.astype(delta.dtype) * d_blk
+        vq, vs = quant_vec(v)
+        G = bq[rows_T, slot_T]                    # (n_bc, cb_t, bs, bs) int8
+        D = vq[rows_T] * mask_T[..., None].astype(jnp.int8)
+        acc = jnp.einsum("qcij,qci->qj", G, D,
+                         preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * vs).reshape(-1).astype(delta.dtype)
+
+    def grad_w(deltas, srcs):
+        """dA[r, c] = sum_t delta_t[row r] (.) src_t[cols[r, c]] in f32 --
+        the master gradient is never quantized (STE)."""
+        T = deltas.shape[0]
+        bs = deltas.shape[1] // n_br
+        d_blk = deltas.reshape(T, n_br, bs).astype(jnp.float32)
+        s_blk = srcs.reshape(T, -1, bs)[:, cols].astype(jnp.float32)
+        return jnp.einsum("tri,trcj->rcij", d_blk, s_blk,
+                          preferred_element_type=jnp.float32)
+
+    return quantize_blocks, mv, mv_t, grad_w
+
+
+def make_block_int8_master_matvec(cols_np):
+    """STE quantized block-sparse matvec for the plain autodiff path (the
+    deferred trajectories use make_block_int8_ops directly and prep once per
+    scan).  ``cols_np`` must be concrete structure."""
+    prep, mv, mv_t, grad_w = make_block_int8_ops(cols_np)
+
+    @jax.custom_vjp
+    def f(blocks, src):
+        return mv(prep(blocks), src)
+
+    def fwd(blocks, src):
+        return mv(prep(blocks), src), (blocks, src)
+
+    def bwd(res, g):
+        blocks, src = res
+        wp = prep(blocks)
+        dblocks = grad_w(g[None, :], src[None, :])  # single-step contraction
+        return dblocks.astype(blocks.dtype), mv_t(wp, g)
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -531,3 +531,71 @@ def test_tbptt_step_mode_uses_deferred_trajectory():
     obs_v, w_v = fit(True, record_vars=[("rnn", "v", True)])
     assert obs_v.to_numpy(("rnn", "v")).shape[0] == len(np.asarray(obs_v["steps"]))
     np.testing.assert_allclose(w_v, w_f, rtol=1e-6, atol=1e-10)
+
+
+def test_int8_master_block_sparse_trains_and_matches_plain():
+    """coupling_dtype='int8_master' with BLOCK-SPARSE couplings (the N=100k
+    configuration): forward trajectory is bit-identical between the deferred
+    trajectory and the composed step (same quantized math), correlates >0.99
+    with the f32 run, fused/plain training agree, and the loss decreases."""
+    from rectipy_tpu.ops.sparse import block_random_connectivity
+
+    n, bs, T = 64, 16, 250
+    rng = np.random.default_rng(17)
+    A = block_random_connectivity(n, n, 8, block_size=bs, seed=5)
+    etas = 6.0 + rng.random(n)
+    inp = rng.normal(size=(T, n)) * 2.0
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def build(cd):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("qif", QIF, weights=A, input_var="I_ext",
+                            output_var="s", source_var="s", target_var="s_in",
+                            op="qif_op", spike_var="spike", spike_def="v",
+                            spike_threshold=100.0, spike_reset=-100.0,
+                            node_vars={"all/qif_op/eta": etas},
+                            coupling_dtype=cd, train_params=["weights"])
+        net.compile()
+        return net
+
+    out_q = build("int8_master").run(inp, verbose=False).to_numpy("out")
+    out_f = build(None).run(inp, verbose=False).to_numpy("out")
+    assert out_q.max() > 0, "no spikes -> vacuous"
+    c = np.corrcoef(out_q.ravel(), out_f.ravel())[0, 1]
+    assert c > 0.99, f"int8_master block trajectory decorrelated: {c}"
+
+    # deferred trajectory == composed step, bit for bit
+    net = build("int8_master")
+    from rectipy_tpu.ops.bptt import make_coupled_traj
+    traj, wkeys = make_coupled_traj(net.get_node("qif"))
+    params = net.parameters_pytree()
+    nargs = params["nodes"]["qif"]
+    y0 = net.init_state()["nodes"]["qif"]
+    Wd = {k: nargs[k] for k in wkeys}
+    rest = {k: v for k, v in nargs.items() if k not in wkeys}
+    assert all(np.asarray(Wd[k]).ndim == 4 for k in wkeys)
+    step = net.make_step()
+
+    def body(st, x):
+        st, out, _ = step(st, {"nodes": {"qif": nargs}, "edges": {}}, x)
+        return st, out
+
+    _, outs_std = jax.lax.scan(body, {"nodes": {"qif": y0}, "edges": {}},
+                               jnp.asarray(inp))
+    _, outs_fast = traj(Wd, rest, y0, jnp.asarray(inp))
+    np.testing.assert_array_equal(np.asarray(outs_fast), np.asarray(outs_std))
+
+    def fit(fused):
+        net = build("int8_master")
+        obs = net.fit_bptt([inp] * 8, [tgt] * 8, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        return (np.asarray(obs["epoch_loss"]),
+                np.asarray(net.get_node("qif")["weights"]))
+
+    l_fast, w_fast = fit(True)
+    l_std, w_std = fit(False)
+    assert w_fast.ndim == 4
+    np.testing.assert_allclose(l_fast, l_std, rtol=1e-7)
+    np.testing.assert_allclose(w_fast, w_std, rtol=0.0,
+                               atol=1e-4 * np.abs(w_std).max())
+    assert l_fast[-1] < l_fast[0], "block int8_master training did not reduce loss"
