@@ -1349,6 +1349,7 @@ class Network:
         # unless per-step variable recording is requested (the trajectory
         # only emits outputs)
         traj_fast = None
+        gtraj_fast = None
         order = self._compiled["order"]
         if not rec_info and fused_bptt in ("auto", True):
             chain = ((order[0], None, None) if len(order) == 1
@@ -1361,6 +1362,15 @@ class Network:
                     traj_fast, traj_fast_wkeys = make_coupled_traj(self.get_node(f_label))
                 except (ValueError, AttributeError, KeyError):
                     traj_fast = None
+            if traj_fast is None:
+                try:
+                    from .ops.graph_bptt import make_graph_traj
+
+                    gtraj_fast, gspec_fast = make_graph_traj(self)
+                except (ValueError, AttributeError, KeyError):
+                    if fused_bptt is True:
+                        raise
+                    gtraj_fast = None
 
         if traj_fast is not None:
             def chunk_loss(train, state, inp_c, tgt_c):
@@ -1374,6 +1384,33 @@ class Network:
                     outs = f_suffix(params, outs)
                 new_state = {"nodes": {**state["nodes"], f_label: yT},
                              "edges": state["edges"]}
+                return loss_fn(outs, tgt_c), (new_state, outs, ())
+        elif gtraj_fast is not None:
+            g_wpaths = gspec_fast.weight_paths
+            g_excl = {(kind, label, key) for _, kind, label, key in g_wpaths}
+
+            def chunk_loss(train, state, inp_c, tgt_c):
+                params = combine(train, frozen)
+                weights = {fk: params[kind][label][key]
+                           for fk, kind, label, key in g_wpaths}
+                args = {sec: {lbl: {k: v for k, v in sub.items()
+                                    if (sec, lbl, k) not in g_excl}
+                              for lbl, sub in params[sec].items()}
+                        for sec in ("nodes", "edges")}
+                Y = {lbl: state["nodes"][lbl] for lbl in gspec_fast.pop_labels}
+                if gspec_fast.needs_carry:
+                    C0 = {"Y": Y, "fb": state.get("fb", {}),
+                          "E": {ek: state["edges"][ek]
+                                for ek in gspec_fast.stateful_edges}}
+                    CT, outs = gtraj_fast(weights, args, C0, inp_c)
+                    new_state = {"nodes": {**state["nodes"], **CT["Y"]},
+                                 "edges": {**state["edges"], **CT["E"]}}
+                    if "fb" in state:
+                        new_state["fb"] = CT["fb"]
+                else:
+                    YT, outs = gtraj_fast(weights, args, Y, inp_c)
+                    new_state = {"nodes": {**state["nodes"], **YT},
+                                 "edges": state["edges"]}
                 return loss_fn(outs, tgt_c), (new_state, outs, ())
         else:
             def chunk_loss(train, state, inp_c, tgt_c):

@@ -336,3 +336,47 @@ def test_graph_bptt_blocksparse_delayed_feedback_matches_plain():
     assert g_fast.ndim == 1 and np.abs(g_fast - 0.3).max() > 1e-6, \
         "diagonal feedback gains did not train"
     assert np.abs(w_fast - np.asarray(A.blocks)).max() > 1e-6
+
+
+def test_tbptt_step_mode_graph_trajectory_matches_plain():
+    """Step mode (truncated BPTT) on a multi-population FEEDBACK network
+    with a stateful delay edge routes through the graph trajectory: Observer
+    records and trained weights match the plain path exactly."""
+    from rectipy_tpu import FeedbackNetwork
+
+    n, T = 6, 110
+    rng = np.random.default_rng(27)
+    W1 = rng.normal(size=(n, n)) * 0.2
+    W2 = rng.normal(size=(n, n)) * 0.2
+    k_fb = rng.normal(size=(n, n)) * 0.1
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def fit(fused):
+        net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+        for label, W in [("p1", W1), ("p2", W2)]:
+            net.add_diffeq_node(label, TANH, weights=W, input_var="li_op/I_ext",
+                                output_var="li_op/v", source_var="tanh_op/r",
+                                target_var="li_op/r_in", train_params=["weights"])
+        net.add_edge("p1", "p2", weights=np.eye(n) * 0.8, train="gd",
+                     delays=(np.arange(n) % 3) + 1)
+        net.add_edge("p2", "p1", weights=k_fb, feedback=True, train="gd")
+        obs = net.fit_bptt(inp, tgt, optimizer="adam", lr=1e-2,
+                           update_steps=20, sampling_steps=4, verbose=False,
+                           fused_bptt=fused)
+        return (obs, np.asarray(net.get_node("p1")["weights"]),
+                np.asarray(net.get_edge("p2", "p1").weights))
+
+    obs_f, w1_f, wfb_f = fit(True)
+    obs_s, w1_s, wfb_s = fit(False)
+    np.testing.assert_array_equal(np.asarray(obs_f["steps"]),
+                                  np.asarray(obs_s["steps"]))
+    # f64 reduction-reordering drift compounds through the per-chunk adam
+    # updates; measured max relative deviation ~1e-9
+    np.testing.assert_allclose(obs_f.to_numpy("out"), obs_s.to_numpy("out"),
+                               rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(obs_f["loss"]),
+                               np.asarray(obs_s["loss"]), rtol=1e-7)
+    np.testing.assert_allclose(w1_f, w1_s, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(wfb_f, wfb_s, rtol=1e-6, atol=1e-10)
+    assert np.abs(wfb_f - k_fb).max() > 1e-5, "feedback edge did not train"
