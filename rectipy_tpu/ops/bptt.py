@@ -125,9 +125,8 @@ def _make_sparse_matvec(cast: str | None, cols):
 
     # transposed block structure, built ONCE in numpy: for each column block
     # c, the (row-block, slot) pairs with cols[r, slot] == c, padded to the
-    # max in-degree.  The backward matvec then GATHERS tiles instead of
-    # scatter-adding contributions -- scatters serialize on TPU and
-    # dominated the N=100k backward pass.
+    # max in-degree.  Used by the optional 'gather' backward variant (see
+    # mv_t: 'scatter' measured 5x faster at N=100k and is the default).
     cols_np = onp.asarray(cols)
     n_br_s, cb_s = cols_np.shape
     lists = [[] for _ in range(n_br_s)]  # square coupling: n_bc == n_br
@@ -157,16 +156,17 @@ def _make_sparse_matvec(cast: str | None, cols):
 
     import os
 
-    bwd_mode = os.environ.get("RECTIPY_SPARSE_BWD", "gather")
+    bwd_mode = os.environ.get("RECTIPY_SPARSE_BWD", "scatter")
 
     def mv_t(w, delta):
         """A^T @ delta for a SQUARE block-sparse A (recurrent coupling).
-        'gather' (default): gather each source block's incoming tiles via the
-        transposed structure and contract -- no scatter, but the gather may
-        materialize a copy of the tile tensor per step.  'scatter': contract
-        in forward layout and scatter-add the (n_br, cb, bs) contributions --
-        one pass over the tiles, small scatter.  Both are gradient-identical;
-        pick per workload via RECTIPY_SPARSE_BWD."""
+        'scatter' (default): contract in forward layout and scatter-add the
+        small (n_br, cb, bs) contributions -- ONE pass over the tiles.
+        'gather': gather each source block's incoming tiles via the
+        transposed structure -- XLA materializes a copy of the whole tile
+        tensor per step, measured 5x slower at N=100k (5985 vs 1169
+        ms/epoch).  Both are gradient-identical; RECTIPY_SPARSE_BWD
+        overrides."""
         n_br, cb, bs, _ = w.shape
         d_blk = delta.reshape(n_br, bs)
         if bwd_mode == "scatter":
@@ -386,13 +386,58 @@ def _node_pieces(node):
         out_pre=out_pre, cls_name=cls_name)
 
 
+def heun_fns(p):
+    """Heun (RK2) stage functions for a node-pieces bundle: ``src2_fn(y, s1,
+    x, args)`` -- the coupling sources at the full-Euler midpoint (a function
+    of the stage-1 matvec results, so its VJP routes cotangents into both) --
+    and ``step_x2(y, s1, s2, x, args)`` mirroring
+    RateNet.make_step(integrator='heun').  Shared by the single-population
+    trajectory and the multi-population graph trajectory."""
+    (src_readers, n, dt, state_order, split_states, tile_func, tgt_names,
+     inp_key, out_reader_alg, out_lo, out_hi) = (
+        p.src_readers, p.n, p.dt, p.state_order, p.split_states, p.tile_func,
+        p.tgt_names, p.inp_key, p.out_reader_alg, p.out_lo, p.out_hi)
+
+    def _ext_of(s_ins):
+        ext: Dict[str, jnp.ndarray] = {}
+        for tgt, s_in in zip(tgt_names, s_ins):
+            ext[tgt] = ext.get(tgt, 0.0) + s_in
+        return ext
+
+    def _deriv(states, s_ins, x, args):
+        a2 = dict(args)
+        a2[inp_key] = x
+        return a2, tile_func(states, a2, _ext_of(s_ins))
+
+    def _mid(y, s1, x, args):
+        states = split_states(y)
+        a2, d1 = _deriv(states, s1, x, args)
+        mid = {q: states[q] + dt * d1[q] for q in state_order}
+        return states, a2, d1, mid
+
+    def src2_fn(y, s1, x, args):
+        _, _, _, mid = _mid(y, s1, x, args)
+        return tuple(jnp.broadcast_to(rd(mid, args), (n,)).astype(y.dtype)
+                     for rd in src_readers)
+
+    def step_x2(y, s1, s2, x, args):
+        states, a2, d1, mid = _mid(y, s1, x, args)
+        _, d2 = _deriv(mid, s2, x, args)
+        new_states = {q: states[q] + (dt * 0.5) * (d1[q] + d2[q])
+                      for q in state_order}
+        y_new = jnp.concatenate([new_states[q] for q in state_order])
+        if out_reader_alg is not None:
+            out = jnp.broadcast_to(out_reader_alg(states, a2), (n,))
+        else:
+            out = y[out_lo:out_hi]
+        return y_new, out
+
+    return src2_fn, step_x2
+
+
 def _make_heun_traj(p):
-    (wkeys, src_fn, preps, mvs, mv_ts, grad_ws, n, dt, state_order,
-     split_states, tile_func, tgt_names, inp_key, out_reader_alg, out_lo,
-     out_hi, src_readers) = (
-        p.wkeys, p.src_fn, p.preps, p.mvs, p.mv_ts, p.grad_ws, p.n, p.dt,
-        p.state_order, p.split_states, p.tile_func, p.tgt_names, p.inp_key,
-        p.out_reader_alg, p.out_lo, p.out_hi, p.src_readers)
+    wkeys, src_fn, preps, mvs, mv_ts, grad_ws = (
+        p.wkeys, p.src_fn, p.preps, p.mvs, p.mv_ts, p.grad_ws)
     if True:
         # Heun (RK2) needs TWO coupling matvecs per step -- at y and at the
         # full-Euler midpoint y_mid = y + dt*k1.  The deferred factorization
@@ -400,43 +445,7 @@ def _make_heun_traj(p):
         # cotangents, and dW = Delta1^T @ Src1 + Delta2^T @ Src2 (two post-
         # scan matmuls per coupling).  The midpoint is recomputed where
         # needed (elementwise, XLA CSEs the duplicates inside one scan body).
-        def _ext_of(s_ins):
-            ext: Dict[str, jnp.ndarray] = {}
-            for tgt, s_in in zip(tgt_names, s_ins):
-                ext[tgt] = ext.get(tgt, 0.0) + s_in
-            return ext
-
-        def _deriv(states, s_ins, x, args):
-            a2 = dict(args)
-            a2[inp_key] = x
-            return a2, tile_func(states, a2, _ext_of(s_ins))
-
-        def _mid(y, s1, x, args):
-            states = split_states(y)
-            a2, d1 = _deriv(states, s1, x, args)
-            mid = {q: states[q] + dt * d1[q] for q in state_order}
-            return states, a2, d1, mid
-
-        def src2_fn(y, s1, x, args):
-            """Coupling sources at the midpoint: a function of (y, stage-1
-            matvec results) so the VJP routes its cotangent back into both."""
-            _, _, _, mid = _mid(y, s1, x, args)
-            return tuple(jnp.broadcast_to(rd(mid, args), (n,)).astype(y.dtype)
-                         for rd in src_readers)
-
-        def step_x2(y, s1, s2, x, args):
-            """One Heun step with both stage matvec results supplied
-            externally; mirrors RateNet.make_step(integrator='heun')."""
-            states, a2, d1, mid = _mid(y, s1, x, args)
-            _, d2 = _deriv(mid, s2, x, args)
-            new_states = {q: states[q] + (dt * 0.5) * (d1[q] + d2[q])
-                          for q in state_order}
-            y_new = jnp.concatenate([new_states[q] for q in state_order])
-            if out_reader_alg is not None:
-                out = jnp.broadcast_to(out_reader_alg(states, a2), (n,))
-            else:
-                out = y[out_lo:out_hi]
-            return y_new, out
+        src2_fn, step_x2 = heun_fns(p)
 
         def _prep_all(weights):
             # precision casts / quantization of the loop-invariant masters,

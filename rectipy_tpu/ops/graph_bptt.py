@@ -159,12 +159,7 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         if isinstance(node, InstantNode):
             inst_steps[lbl] = node.make_step()
         else:
-            p = _node_pieces(node)
-            if p.heun:
-                raise ValueError("Deferred-gradient graph BPTT supports Euler "
-                                 "populations only (Heun multi-population "
-                                 "graphs use plain autodiff).")
-            progs[lbl] = p
+            progs[lbl] = _node_pieces(node)  # Euler or Heun (2-stage) pieces
     if not progs:
         raise ValueError("Deferred-gradient graph BPTT requires at least one "
                          "DSL-built population.")
@@ -199,6 +194,7 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
     weight_paths: List[tuple] = []
 
     estate_update: Dict[str, Callable] = {}  # ekey -> new edge state expr
+    heun_steppers: Dict[str, Callable] = {}  # label -> step_x2 (Heun pops)
 
     def _ident_eff():
         def eff(wv, args):
@@ -344,13 +340,38 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
                 return x
         inp_expr[nname] = inp_fn
 
-        # 3. coupling stages (producers read this node's pre-step state only)
+        # 3. coupling stages (stage-1 producers read this node's pre-step
+        # state only; Heun populations add stage-2 producers reading the
+        # full-Euler midpoint, a function of the stage-1 results and input)
         if nname in progs:
-            for i in range(len(progs[nname].wkeys)):
+            pk = progs[nname]
+            nw = len(pk.wkeys)
+            for i in range(nw):
                 st, path = _coupling_stage(nname, i)
                 stage_idx[("c", nname, i)] = len(stages)
                 stages.append(st)
                 weight_paths.append((st.flatkey,) + path)
+            if pk.heun:
+                from .bptt import heun_fns
+
+                src2_fn, step_x2 = heun_fns(pk)
+                heun_steppers[nname] = step_x2
+                c1 = tuple(stage_idx[("c", nname, i)] for i in range(nw))
+                for i in range(nw):
+                    base, path = _coupling_stage(nname, i)
+
+                    def producer2(C, svals, x, args, nname=nname, c1=c1,
+                                  src2_fn=src2_fn, i=i):
+                        s1 = tuple(svals[j] for j in c1)
+                        return src2_fn(C["Y"][nname], s1,
+                                       inp_expr[nname](C, svals, x, args),
+                                       args["nodes"][nname])[i]
+
+                    st2 = SimpleNamespace(**{**vars(base),
+                                             "producer": producer2})
+                    stage_idx[("c2", nname, i)] = len(stages)
+                    stages.append(st2)
+                    weight_paths.append((st2.flatkey,) + path)
 
         # 4. this node's output expression
         if nname in inst_steps:
@@ -378,18 +399,26 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
     pop_cidx = {lbl: tuple(stage_idx[("c", lbl, i)]
                            for i in range(len(progs[lbl].wkeys)))
                 for lbl in progs}
+    pop_c2idx = {lbl: tuple(stage_idx[("c2", lbl, i)]
+                            for i in range(len(progs[lbl].wkeys)))
+                 for lbl in progs if progs[lbl].heun}
 
     def final(C, svals, x, args):
-        """Coupling-free composite step: advance every population one Euler
-        step with the stage results supplied externally, and read the
-        network output."""
+        """Coupling-free composite step: advance every population one
+        Euler/Heun step with the stage results supplied externally, and read
+        the network output."""
         Y_new = {}
         for lbl in order:
             if lbl in progs:
                 s_ins = tuple(svals[j] for j in pop_cidx[lbl])
-                y_new, _ = progs[lbl].step_x(
-                    C["Y"][lbl], s_ins, inp_expr[lbl](C, svals, x, args),
-                    args["nodes"][lbl])
+                inp = inp_expr[lbl](C, svals, x, args)
+                if lbl in heun_steppers:
+                    s2 = tuple(svals[j] for j in pop_c2idx[lbl])
+                    y_new, _ = heun_steppers[lbl](C["Y"][lbl], s_ins, s2,
+                                                  inp, args["nodes"][lbl])
+                else:
+                    y_new, _ = progs[lbl].step_x(C["Y"][lbl], s_ins, inp,
+                                                 args["nodes"][lbl])
                 Y_new[lbl] = y_new
         out = out_expr[out_node](C, svals, x, args)
         # next-step feedback: re-read each source's POST-update output
@@ -485,7 +514,11 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         for j, st in enumerate(stages):
             dE = st.grad_w(deltas_t[j], srcs_t[j])
             w = weights[st.flatkey]
-            d_weights[st.flatkey] = st.deff(dE, w, full_args).astype(w.dtype)
+            dw = st.deff(dE, w, full_args).astype(w.dtype)
+            # Heun couplings appear as TWO stages with the same flatkey:
+            # their contributions accumulate
+            d_weights[st.flatkey] = (d_weights[st.flatkey] + dw
+                                     if st.flatkey in d_weights else dw)
         return d_weights, _merge_float0(d_args, aux_args), lam0, d_xs
 
     traj_core.defvjp(traj_fwd, traj_bwd)

@@ -182,14 +182,28 @@ def make_block_int8_ops(cols_np):
     def mv(wp, src):
         return block_int8_mv(wp, cols, src)
 
+    import os
+
+    bwd_mode = os.environ.get("RECTIPY_SPARSE_BWD", "scatter")
+
     def mv_t(wp, delta):
         """A^T @ delta: per-row scales fold into delta BEFORE the dynamic
-        quantization; gathered transposed int8 tiles contract (no scatter)."""
+        quantization.  'scatter' (default): int8 contraction in forward tile
+        layout, small f32 scatter-add (one pass over the tiles -- the gather
+        variant copies the whole tile tensor per step, 5x slower at N=100k,
+        same finding as the bf16 path in ops/bptt.py)."""
         bq, scale = wp
         n_br_, cb_, bs, _ = bq.shape
         d_blk = delta.reshape(n_br_, bs)
         v = scale.astype(delta.dtype) * d_blk
         vq, vs = quant_vec(v)
+        if bwd_mode == "scatter":
+            vq_blk = vq.reshape(n_br_, bs)
+            contrib = jnp.einsum("rcij,ri->rcj", bq, vq_blk,
+                                 preferred_element_type=jnp.int32)
+            out = jnp.zeros((n_br_, bs), dtype=jnp.float32).at[cols].add(
+                contrib.astype(jnp.float32))
+            return (out * vs).reshape(-1).astype(delta.dtype)
         G = bq[rows_T, slot_T]                    # (n_bc, cb_t, bs, bs) int8
         D = vq[rows_T] * mask_T[..., None].astype(jnp.int8)
         acc = jnp.einsum("qcij,qci->qj", G, D,

@@ -380,3 +380,79 @@ def test_tbptt_step_mode_graph_trajectory_matches_plain():
     np.testing.assert_allclose(w1_f, w1_s, rtol=1e-6, atol=1e-10)
     np.testing.assert_allclose(wfb_f, wfb_s, rtol=1e-6, atol=1e-10)
     assert np.abs(wfb_f - k_fb).max() > 1e-5, "feedback edge did not train"
+
+
+def test_graph_bptt_heun_populations_match_plain():
+    """Heun (RK2) populations in a multi-population graph: each coupling
+    contributes TWO stages (pre-state and midpoint sources) and their dW
+    contributions accumulate.  Forward is bit-identical to the composed
+    step; fit_bptt losses and trained weights match plain autodiff."""
+    rng = np.random.default_rng(28)
+    n, T = 8, 120
+    W1 = rng.normal(size=(n, n)) * 0.3
+    W2 = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("p1", TANH, weights=W1, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"],
+                            integrator="heun")
+        net.add_diffeq_node("p2", TANH, weights=W2, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        net.add_edge("p1", "p2", weights=rng.normal(size=(n, n)) * 0.4, train="gd")
+        net.compile()
+        return net
+
+    # forward bit-parity: graph trajectory vs composed step
+    net = build()
+    gtraj, spec = make_graph_traj(net)
+    # p1 heun: 2 stages for its coupling (same flatkey twice) + p2 coupling + edge
+    assert len(spec.weight_paths) == 4
+    step = net.make_step()
+    params = net.parameters_pytree()
+    state0 = net.init_state()
+    xs = jnp.asarray(inp)
+    wpaths = spec.weight_paths
+    excl = {(kind, label, key) for _, kind, label, key in wpaths}
+    weights0 = {fk: params[kind][label][key] for fk, kind, label, key in wpaths}
+    args = {sec: {lbl: {k: v for k, v in sub.items()
+                        if (sec, lbl, k) not in excl}
+                  for lbl, sub in params[sec].items()}
+            for sec in ("nodes", "edges")}
+    Y0 = {lbl: state0["nodes"][lbl] for lbl in spec.pop_labels}
+
+    def body(st, x):
+        st, out, _ = step(st, params, x)
+        return st, out
+
+    _, outs_std = jax.lax.scan(body, state0, xs)
+    _, outs_f = gtraj(weights0, args, Y0, xs)
+    np.testing.assert_array_equal(np.asarray(outs_f), np.asarray(outs_std))
+
+    def fit(fused):
+        net2 = Network(1e-2, dtype=jnp.float64)
+        net2.add_diffeq_node("p1", TANH, weights=W1, input_var="li_op/I_ext",
+                             output_var="li_op/v", source_var="tanh_op/r",
+                             target_var="li_op/r_in", train_params=["weights"],
+                             integrator="heun")
+        net2.add_diffeq_node("p2", TANH, weights=W2, input_var="li_op/I_ext",
+                             output_var="li_op/v", source_var="tanh_op/r",
+                             target_var="li_op/r_in", train_params=["weights"])
+        net2.add_edge("p1", "p2", weights=np.eye(n) * 0.5, train="gd")
+        obs = net2.fit_bptt([inp] * 8, [tgt] * 8, optimizer="adam", lr=1e-2,
+                            verbose=False, fused_bptt=fused)
+        return (np.asarray(obs["epoch_loss"]),
+                np.asarray(net2.get_node("p1")["weights"]),
+                np.asarray(net2.get_edge("p1", "p2").weights))
+
+    l_f, w1_f, we_f = fit(True)
+    l_s, w1_s, we_s = fit(False)
+    np.testing.assert_allclose(l_f, l_s, rtol=1e-8)
+    np.testing.assert_allclose(w1_f, w1_s, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(we_f, we_s, rtol=1e-6, atol=1e-10)
+    assert np.abs(w1_f - W1).max() > 1e-5, "heun population did not train"
+    assert l_f[-1] < l_f[0]
