@@ -12,6 +12,10 @@ Usage:
     QIF_N=100000 QIF_T=2000 python examples/qif_100k_sharded.py   # real TPU
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
     QIF_N=2048 QIF_T=200 python examples/qif_100k_sharded.py      # CPU mesh
+    # TRAIN the coupling + feedback gains at nominal N (deferred-gradient
+    # graph trajectory; 847 ms/epoch with int8_master blocks on one v5e):
+    QIF_TRAIN=1 QIF_FWD=0 QIF_COUPLING=int8_master \
+    python examples/qif_100k_sharded.py
 """
 
 import os
