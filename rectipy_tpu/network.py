@@ -43,6 +43,20 @@ from .utility import add_op_name, retrieve_from_dict
 # at most two training programs compile regardless of the epoch count
 _EPOCH_SCAN_CHUNK = 8
 
+
+def _graph_weights_args(gspec, params):
+    """Split a params pytree into the graph trajectory's (weights, args):
+    deferred stage weights keyed by flatkey, everything else in the nested
+    args tree (see ops/graph_bptt.make_graph_traj)."""
+    wpaths = gspec.weight_paths
+    excl = {(kind, label, key) for _, kind, label, key in wpaths}
+    weights = {fk: params[kind][label][key] for fk, kind, label, key in wpaths}
+    args = {sec: {lbl: {k: v for k, v in sub.items()
+                        if (sec, lbl, k) not in excl}
+                  for lbl, sub in params[sec].items()}
+            for sec in ("nodes", "edges")}
+    return weights, args
+
 __all__ = ["Network", "FeedbackNetwork"]
 
 
@@ -1025,7 +1039,9 @@ class Network:
         ``remat_steps=k`` (epoch mode) applies ``jax.checkpoint`` to k-step
         scan segments: activation memory drops from O(T) to O(T/k + k) at the
         cost of one recomputed forward pass -- the TPU-native way to fit long
-        trajectories in HBM (no reference analog; SURVEY.md §5).
+        trajectories in HBM (no reference analog; SURVEY.md §5).  A remat
+        request disables the (non-checkpointing) deferred-gradient fast path
+        under ``fused_bptt='auto'``; pass ``fused_bptt=True`` to override.
 
         ``fused_bptt`` (epoch mode, default ``'auto'``): use a deferred-
         gradient custom-VJP trajectory -- every coupling/edge weight
@@ -1167,6 +1183,11 @@ class Network:
         traj = None
         gtraj = None
         order = self._compiled["order"]
+        if remat_steps > 1 and fused_bptt == "auto":
+            # an explicit remat request signals memory pressure: the deferred
+            # trajectories save O(T*N) residuals and do not checkpoint, so
+            # honor the request via the plain path (fused_bptt=True overrides)
+            fused_bptt = False
         if fused_bptt in ("auto", True):
             chain = (order[0], None, None) if len(order) == 1 else self._chain_decompose()
             if chain is not None:
@@ -1214,17 +1235,9 @@ class Network:
                 Y0 = {"Y": Y0, "fb": state0.get("fb", {}),
                       "E": {ek: state0["edges"][ek]
                             for ek in gspec.stateful_edges}}
-            wpaths = gspec.weight_paths
-            excl = {(kind, label, key) for _, kind, label, key in wpaths}
 
             def epoch_loss(train, inp, tgt):
-                params = combine(train, frozen)
-                weights = {fk: params[kind][label][key]
-                           for fk, kind, label, key in wpaths}
-                args = {sec: {lbl: {k: v for k, v in sub.items()
-                                    if (sec, lbl, k) not in excl}
-                              for lbl, sub in params[sec].items()}
-                        for sec in ("nodes", "edges")}
+                weights, args = _graph_weights_args(gspec, combine(train, frozen))
                 _, outs = gtraj(weights, args, Y0, inp)
                 return loss_fn(_downsample(outs), tgt)
         else:
@@ -1386,17 +1399,9 @@ class Network:
                              "edges": state["edges"]}
                 return loss_fn(outs, tgt_c), (new_state, outs, ())
         elif gtraj_fast is not None:
-            g_wpaths = gspec_fast.weight_paths
-            g_excl = {(kind, label, key) for _, kind, label, key in g_wpaths}
-
             def chunk_loss(train, state, inp_c, tgt_c):
-                params = combine(train, frozen)
-                weights = {fk: params[kind][label][key]
-                           for fk, kind, label, key in g_wpaths}
-                args = {sec: {lbl: {k: v for k, v in sub.items()
-                                    if (sec, lbl, k) not in g_excl}
-                              for lbl, sub in params[sec].items()}
-                        for sec in ("nodes", "edges")}
+                weights, args = _graph_weights_args(gspec_fast,
+                                                    combine(train, frozen))
                 Y = {lbl: state["nodes"][lbl] for lbl in gspec_fast.pop_labels}
                 if gspec_fast.needs_carry:
                     C0 = {"Y": Y, "fb": state.get("fb", {}),

@@ -599,3 +599,31 @@ def test_int8_master_block_sparse_trains_and_matches_plain():
     np.testing.assert_allclose(w_fast, w_std, rtol=0.0,
                                atol=1e-4 * np.abs(w_std).max())
     assert l_fast[-1] < l_fast[0], "block int8_master training did not reduce loss"
+
+
+def test_remat_request_disables_fused_path():
+    """remat_steps>1 signals memory pressure: the deferred trajectories save
+    O(T*N) residuals and do not checkpoint, so 'auto' honors the request via
+    the plain (checkpointed) path -- results equal the no-remat fused run to
+    f64 tolerance, and fused_bptt=True still overrides."""
+    n, T = 8, 120
+    rng = np.random.default_rng(19)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.2
+
+    def fit(**kw):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        obs = net.fit_bptt([inp] * 4, [tgt] * 4, optimizer="adam", lr=1e-2,
+                           verbose=False, **kw)
+        return np.asarray(obs["epoch_loss"]), np.asarray(net.get_node("rnn")["weights"])
+
+    l_remat, w_remat = fit(remat_steps=30)            # auto -> plain + checkpoint
+    l_fused, w_fused = fit()                          # auto -> deferred trajectory
+    l_force, w_force = fit(remat_steps=30, fused_bptt=True)  # explicit override
+    np.testing.assert_allclose(l_remat, l_fused, rtol=1e-8)
+    np.testing.assert_allclose(w_remat, w_fused, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(w_force, w_fused, rtol=1e-10)
