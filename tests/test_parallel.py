@@ -420,3 +420,50 @@ def test_public_fit_bptt_mesh_graph_trajectory_matches_single_device():
     np.testing.assert_allclose(w1_m, w1_s, rtol=1e-8, atol=1e-12)
     np.testing.assert_allclose(wfb_m, wfb_s, rtol=1e-8, atol=1e-12)
     assert l_s[-1] < l_s[0]
+
+
+def test_sharded_training_step_collective_budget():
+    """Collective budget of the DEFERRED-GRADIENT training step under a
+    model-sharded mesh (value_and_grad through the custom-VJP trajectory):
+
+    - forward scan body: ONE all-gather of the (N,) coupling source;
+    - backward scan body: ONE all-reduce of the W^T delta partial sums
+      (row-sharded W contracts over its sharded axis);
+    - per EPOCH (outside the scans): one gather of the saved (T, N)
+      trajectory feeding the single dW matmul, and the scalar loss psum.
+
+    Anything more per step means GSPMD regressed the training layout."""
+    from rectipy_tpu.ops.bptt import make_coupled_traj
+    from rectipy_tpu.parallel.diagnostics import collective_stats
+
+    n, T = 64, 8
+    rng = np.random.default_rng(12)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)) * 0.2,
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        source_var="tanh_op/r", target_var="li_op/r_in",
+                        train_params=["weights"])
+    net.compile()
+    for n_model in (2, 8):
+        mesh = make_mesh(n_model, data=1)
+        traj, wkeys = make_coupled_traj(net.get_node("rnn"))
+        params = net._mesh_place(net.parameters_pytree(), mesh)
+        state0 = net._mesh_place(net.init_state(), mesh)
+        nargs = params["nodes"]["rnn"]
+        W = {k: nargs[k] for k in wkeys}
+        rest = {k: v for k, v in nargs.items() if k not in wkeys}
+        y0 = state0["nodes"]["rnn"]
+        xs = net._mesh_replicate(jnp.zeros((T, n), dtype=jnp.float64), mesh)
+        tgt = net._mesh_replicate(jnp.zeros((T, n), dtype=jnp.float64), mesh)
+
+        def loss(W):
+            _, outs = traj(W, rest, y0, xs)
+            return jnp.mean((outs - tgt) ** 2)
+
+        stats = collective_stats(jax.value_and_grad(loss), W)
+        # 2 = one per-step fwd gather + one per-epoch trajectory gather
+        assert stats["all-gather"]["count"] == 2, (n_model, stats)
+        # 2 = one per-step bwd psum + the scalar loss psum
+        assert stats["all-reduce"]["count"] == 2, (n_model, stats)
+        for op in ("all-to-all", "collective-permute", "reduce-scatter"):
+            assert stats[op]["count"] == 0, (n_model, op, stats)
