@@ -467,3 +467,33 @@ def test_sharded_training_step_collective_budget():
         assert stats["all-reduce"]["count"] == 2, (n_model, stats)
         for op in ("all-to-all", "collective-permute", "reduce-scatter"):
             assert stats[op]["count"] == 0, (n_model, op, stats)
+
+
+def test_public_fit_bptt_mesh_int8_master_matches_single_device():
+    """Quantized training under the one-call mesh API: int8_master
+    requantization (per-row scales over LOCAL rows of the row-sharded
+    master) and the dynamic activation scale (a global max -> psum) must
+    reproduce single-device training exactly (f64: only collective
+    reduction order may differ)."""
+    n = 16
+    rng = np.random.default_rng(13)
+    W0 = rng.normal(size=(n, n)) * 0.2
+    inp = rng.normal(size=(50, n))
+    tgt = rng.normal(size=(50, n)) * 0.1
+
+    def fit(mesh):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"],
+                            coupling_dtype="int8_master")
+        obs = net.fit_bptt([inp] * 4, [tgt] * 4, optimizer="adam", lr=1e-2,
+                           verbose=False, mesh=mesh)
+        return (np.asarray(obs["epoch_loss"]),
+                np.asarray(net.get_node("rnn")["weights"]))
+
+    l_s, w_s = fit(None)
+    l_m, w_m = fit(make_mesh(8, data=1))
+    np.testing.assert_allclose(l_m, l_s, rtol=1e-10)
+    np.testing.assert_allclose(w_m, w_s, rtol=1e-8, atol=1e-12)
+    assert l_s[-1] < l_s[0]
