@@ -50,3 +50,21 @@ with mesh:
     for i in range(5):
         train, opt_state, loss = step(train, frozen, opt_state, state0, inputs, targets)
         print(f"step {i}: loss={float(loss):.6f}")
+
+# ---------------------------------------------------------------- one-call API
+# The same sharding through the PUBLIC interface (round 2): pass mesh= to
+# run/fit_bptt/fit_rls/fit_eprop. Observer records equal the single-device
+# run; training goes through the deferred-gradient trajectory under GSPMD
+# (per step: ONE all-gather forward + ONE all-reduce backward -- see
+# tests/test_parallel.py::test_sharded_training_step_collective_budget).
+net2 = Network(1e-2)
+net2.add_diffeq_node("rnn", "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+                     weights=W, input_var="li_op/I_ext", output_var="li_op/v",
+                     source_var="tanh_op/r", target_var="li_op/r_in",
+                     train_params=["weights"])
+inp1 = rng.normal(size=(200, N)).astype(np.float32)
+obs = net2.run(inp1, sampling_steps=10, verbose=False, mesh=mesh)
+print("one-call run(mesh=):", obs.to_numpy("out").shape)
+obs = net2.fit_bptt([inp1] * 3, [np.zeros((200, N), np.float32)] * 3,
+                    optimizer="adam", lr=1e-3, verbose=False, mesh=mesh)
+print("one-call fit_bptt(mesh=) losses:", [f"{l:.5f}" for l in obs["epoch_loss"]])
