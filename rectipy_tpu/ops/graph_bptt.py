@@ -31,10 +31,12 @@ post-step carry update re-reads every source's post-update output -- so
 trained feedback weights also get the one-matmul gradient.
 
 Scope (ValueError otherwise; fit_bptt falls back to plain autodiff):
-DSL-built Euler populations (same per-node constraints as ops/bptt.py),
-InstantNode function nodes, stateless Linear/LinearMasked edges (regular or
-feedback) with frozen masks.  Gradient parity with plain autodiff is pinned
-by tests/test_graph_bptt.py (f64).
+DSL-built populations (Euler all classes; Heun RateNets get two stages per
+coupling), InstantNode function nodes, and the full linear edge family --
+Linear / LinearMasked (frozen masks) / LinearMemory / LinearFilter /
+LinearMemoryFilter (up to _MAX_FILTER_SLOTS buffer slots) -- as regular or
+feedback edges.  Gradient parity with plain autodiff is pinned by
+tests/test_graph_bptt.py (f64).
 
 Reference training semantics: /root/reference/rectipy/network.py:603-707.
 """
@@ -50,6 +52,10 @@ import jax.numpy as jnp
 from .bptt import _make_matvec, _make_sparse_matvec, _node_pieces
 
 __all__ = ["make_graph_traj"]
+
+# LinearMemoryFilter lifts one filter-matvec stage per delay-buffer slot;
+# cap the slot count so pathological delays don't blow up trace/compile time
+_MAX_FILTER_SLOTS = 16
 
 
 def _split_nested(d):
@@ -166,16 +172,22 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
 
     # validate edges: linear projections (optionally with delay buffers or a
     # synaptic filter state -- those join the scan carry) with frozen masks
-    from ..edges import LinearFilter, LinearMemory
+    from ..edges import LinearFilter, LinearMemory, LinearMemoryFilter
 
     def _check_edge(u, n, e):
-        if type(e) not in (Linear, LinearMasked, LinearMemory, LinearFilter):
+        if type(e) not in (Linear, LinearMasked, LinearMemory, LinearFilter,
+                           LinearMemoryFilter):
             raise ValueError(
-                f"Deferred-gradient graph BPTT requires Linear/LinearMasked/"
-                f"LinearMemory/LinearFilter edges; edge {u}->{n} is "
-                f"{type(e).__name__}.")
+                f"Deferred-gradient graph BPTT requires linear-family edges; "
+                f"edge {u}->{n} is {type(e).__name__}.")
         if type(e) is LinearMasked and "mask" in e.train_keys:
             raise ValueError("Trainable edge masks use plain autodiff.")
+        if (type(e) is LinearMemoryFilter
+                and e._write_mask.shape[1] > _MAX_FILTER_SLOTS):
+            raise ValueError(
+                f"LinearMemoryFilter with max_delay > {_MAX_FILTER_SLOTS - 1} "
+                f"uses plain autodiff (one filter stage per buffer slot; "
+                f"large delays would blow up the stage count).")
 
     for n in order:
         for u in preds[n]:
@@ -217,7 +229,38 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         wprep, mv, mv_t, grad_w = _edge_ops(w)
         out = []
 
-        if type(e) is LinearMemory:
+        if type(e) is LinearMemoryFilter:
+            # buf' = F @ roll(buf) masked-written with x: one filter-matvec
+            # stage PER BUFFER SLOT (producers read the carried buffer's
+            # rolled columns), all sharing the filter flatkey -- their dW
+            # contributions accumulate.  The W stage projects slot 0 of the
+            # written buffer; mirrors LinearMemoryFilter.make_step.
+            wm = e._write_mask
+            D1 = int(wm.shape[1])
+            fprep, fmv, fmv_t, fgrad_w = _edge_ops(e.params["filter"])
+            feff, fdeff = _ident_eff()
+            fidxs = []
+            for d in range(D1):
+                def f_producer(C, svals, x, args, ek=ek, d=d, D1=D1):
+                    return C["E"][ek][:, (d + 1) % D1]  # roll(-1) column d
+
+                fst = SimpleNamespace(flatkey=f"ef:{ek}", prep=fprep, mv=fmv,
+                                      mv_t=fmv_t, grad_w=fgrad_w, eff=feff,
+                                      deff=fdeff, producer=f_producer)
+                fidxs.append(len(stages) + len(out))
+                out.append((fst, ("edges", ek, "filter")))
+
+            def buf_new(C, svals, x, args, producer=producer,
+                        fidxs=tuple(fidxs), wm=wm):
+                x_u = producer(C, svals, x, args)
+                filtered = jnp.stack([svals[j] for j in fidxs], axis=1)
+                return filtered * (1.0 - wm) + wm * x_u[:, None]
+
+            estate_update[ek] = buf_new
+
+            def producer(C, svals, x, args, buf_new=buf_new):
+                return buf_new(C, svals, x, args)[:, 0]
+        elif type(e) is LinearMemory:
             wm = e._write_mask
 
             def buf_new(C, svals, x, args, producer=producer, ek=ek, wm=wm):

@@ -208,7 +208,8 @@ def test_fused_bptt_chain_with_stateful_edge_uses_graph_path():
     """Delay edges break the chain decomposition (stateful pre-stage can't
     hoist out of the scan) but the GRAPH trajectory handles them: fused=True
     succeeds and matches plain autodiff.  Only LinearMemoryFilter edges
-    remain outside the deferred scope (raise with fused=True)."""
+    with max_delay above the per-slot stage cap remain outside the deferred
+    scope (raise with fused=True)."""
     n = 6
     rng = np.random.default_rng(9)
     W0 = rng.normal(size=(n, n)) * 0.2
@@ -223,7 +224,8 @@ def test_fused_bptt_chain_with_stateful_edge_uses_graph_path():
         net.add_func_node("inp", n, activation_function="identity")
         kw = dict(delays=np.arange(n) % 3)
         if filtered:
-            kw["filter_weights"] = np.eye(n) * 0.9
+            kw = dict(delays=np.arange(n) % 3 + 18,  # > 16-slot stage cap
+                      filter_weights=np.eye(n) * 0.9)
         net.add_edge("inp", "rnn", weights=np.eye(n), **kw)
         return net
 

@@ -140,9 +140,10 @@ def test_fit_bptt_graph_matches_plain():
 
 
 def test_graph_bptt_unsupported_falls_back():
-    """LinearMemoryFilter edges (delays + filter in one edge) are outside
-    the deferred path's scope: fused_bptt=True raises, 'auto' silently
-    falls back to plain autodiff and still trains."""
+    """LinearMemoryFilter edges with max_delay above the stage cap (one
+    filter stage per buffer slot) are outside the deferred path's scope:
+    fused_bptt=True raises, 'auto' silently falls back to plain autodiff
+    and still trains."""
     rng = np.random.default_rng(23)
     n = 6
 
@@ -155,7 +156,8 @@ def test_graph_bptt_unsupported_falls_back():
         net.add_diffeq_node("pop2", TANH, weights=rng.normal(size=(n, n)) * 0.2,
                             input_var="li_op/I_ext", output_var="li_op/v",
                             source_var="tanh_op/r", target_var="li_op/r_in")
-        net.add_edge("pop1", "pop2", weights=np.eye(n), delays=np.arange(n) % 3,
+        net.add_edge("pop1", "pop2", weights=np.eye(n),
+                     delays=np.arange(n) % 3 + 18,  # D=21 slots > cap of 16
                      filter_weights=np.eye(n) * 0.9)
         return net
 
@@ -455,4 +457,43 @@ def test_graph_bptt_heun_populations_match_plain():
     np.testing.assert_allclose(w1_f, w1_s, rtol=1e-6, atol=1e-10)
     np.testing.assert_allclose(we_f, we_s, rtol=1e-6, atol=1e-10)
     assert np.abs(w1_f - W1).max() > 1e-5, "heun population did not train"
+    assert l_f[-1] < l_f[0]
+
+
+def test_graph_bptt_memory_filter_edge_matches_plain():
+    """LinearMemoryFilter (delays + synaptic filter in one edge): the filter
+    applies per buffer slot, so the deferred path lifts one filter-matvec
+    stage per slot (shared filter flatkey, accumulated dW) plus the W stage
+    on the written slot 0.  fit_bptt losses and trained weights -- edge W
+    AND the filter matrix -- match plain autodiff at f64."""
+    rng = np.random.default_rng(29)
+    n, T = 6, 90
+    W1 = rng.normal(size=(n, n)) * 0.2
+    We = rng.normal(size=(n, n)) * 0.4
+    F0 = np.eye(n) * 0.7 + rng.normal(size=(n, n)) * 0.05
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def fit(fused):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("pop1", TANH, weights=W1, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        net.add_diffeq_node("pop2", TANH, weights=W1 * 0.5, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+        net.add_edge("pop1", "pop2", weights=We, train="gd",
+                     delays=(np.arange(n) % 3) + 1, filter_weights=F0)
+        obs = net.fit_bptt([inp] * 6, [tgt] * 6, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        e = net.get_edge("pop1", "pop2")
+        return (np.asarray(obs["epoch_loss"]), np.asarray(e.weights),
+                np.asarray(e.params["filter"]))
+
+    l_f, we_f, flt_f = fit(True)
+    l_s, we_s, flt_s = fit(False)
+    np.testing.assert_allclose(l_f, l_s, rtol=1e-8)
+    np.testing.assert_allclose(we_f, we_s, rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(flt_f, flt_s, rtol=1e-5, atol=1e-10)
+    assert np.abs(flt_f - F0).max() > 1e-6, "filter did not train"
     assert l_f[-1] < l_f[0]
