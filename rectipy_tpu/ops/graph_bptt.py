@@ -1,8 +1,9 @@
 """Deferred-gradient BPTT for multi-population graphs.
 
 Generalizes ops/bptt.py's single-population trajectory to any DAG of
-DSL-built populations and instant (function) nodes connected by stateless
-``Linear`` / ``LinearMasked`` edges.  Every "big" linear contraction inside
+DSL-built populations and instant (function) nodes connected by
+linear-family edges (stateless projections, masked, delay-buffer, synaptic
+filter).  Every "big" linear contraction inside
 the scan -- each population's recurrent coupling matvec AND each inter-node
 edge projection -- is lifted to a *stage*: the forward scan saves only the
 per-step stage inputs and outputs (O(N) per step), the backward scan emits
