@@ -697,10 +697,13 @@ class Network:
         truncate_steps = int(kwargs.pop("truncate_steps", steps))
 
         self.compile()
-        if self.n_in and inputs.shape[1] != self.n_in:
+        # single-channel inputs broadcast across the input node (the
+        # documented common-drive idiom, e.g. a (T, 1) scalar drive onto an
+        # N-neuron population; also keeps host->device traffic at (T, 1))
+        if self.n_in and inputs.shape[1] not in (1, self.n_in):
             raise ValueError(
                 f"`inputs` has {inputs.shape[1]} channels but the network input node "
-                f"{self._in_node!r} expects {self.n_in}."
+                f"{self._in_node!r} expects {self.n_in} (or 1, broadcast)."
             )
 
         if "obs" in kwargs:

@@ -766,3 +766,24 @@ def test_fit_eprop_nlms_step_size_robustness():
         loss = trained_test_loss(True, lr)
         assert np.isfinite(loss) and loss < 0.5, (
             f"NLMS at lr={lr} should be stable and track: {loss}")
+
+
+def test_run_accepts_single_channel_broadcast_inputs():
+    """(T, 1) inputs broadcast across a multi-channel input node (the
+    documented common-drive idiom, also used by the N=100k example to keep
+    host->device traffic at (T, 1)); mismatched channel counts > 1 still
+    raise."""
+    n = 12
+    rng = np.random.default_rng(30)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)) * 0.2,
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        source_var="tanh_op/r", target_var="li_op/r_in")
+    T = 20
+    scalar_drive = rng.normal(size=(T, 1))
+    out_b = net.run(scalar_drive, verbose=False).to_numpy("out")
+    net.reset()
+    out_full = net.run(np.tile(scalar_drive, (1, n)), verbose=False).to_numpy("out")
+    np.testing.assert_allclose(out_b, out_full, rtol=1e-12)
+    with pytest.raises(ValueError, match="channels"):
+        net.run(rng.normal(size=(T, 3)), verbose=False)
