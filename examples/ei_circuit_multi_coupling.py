@@ -18,6 +18,7 @@ except ImportError:  # fallback: run from a source checkout
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from rectipy_tpu import Network
@@ -44,7 +45,8 @@ net.add_diffeq_node("ei", circuit, input_var="li_op/I_ext",
                     output_var="tanh_op/r", dtype=jnp.float32)
 net.compile()
 attach_generic_fused_step(net.get_node("ei"), tile=256,
-                          interpret=os.environ.get("EI_INTERPRET", "0") == "1")
+                          interpret=(jax.devices()[0].platform == "cpu"
+                                     or os.environ.get("EI_INTERPRET", "0") == "1"))
 
 T = 2000
 inp = rng.normal(size=(T, N)).astype(np.float32) * 0.1

@@ -23,6 +23,7 @@ except ImportError:  # fallback: run from a source checkout
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from rectipy_tpu import Network
@@ -45,7 +46,8 @@ net.add_diffeq_node(
 net.compile()
 
 # one call swaps the node's step for the fused kernel
-attach_generic_fused_step(net.get_node("lif"), tile=512)
+attach_generic_fused_step(net.get_node("lif"), tile=512,
+                          interpret=jax.devices()[0].platform == "cpu")
 
 T = 5000
 obs = net.run(np.zeros((T, N), dtype=np.float32), record_output=False,
