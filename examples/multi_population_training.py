@@ -93,7 +93,8 @@ losses = np.asarray(obs["epoch_loss"])
 print(f"{n_epochs} epochs x {T} steps, populations ({n1} spiking + {n2} rate) "
       f"in {wall:.1f}s; loss {losses[0]:.5f} -> {losses[-1]:.5f}")
 assert np.isfinite(losses).all()
-assert losses[-1] < losses[0] * 0.8, "training did not converge"
+assert losses[-1] < losses[0] * float(os.environ.get("MPT_TOL", "0.8")), \
+    "training did not converge"
 
 obs2 = net.run(inp, verbose=False, record_vars=[("exc", "s", True)])
 out = obs2.to_numpy("out")

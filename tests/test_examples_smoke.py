@@ -1,0 +1,46 @@
+"""Example-gallery smoke tests: the flagship example SCRIPTS must run
+end-to-end (tiny configurations) -- parity tests cover the library paths,
+but example bitrot is invisible to them (a stale kwarg or import only breaks
+the script).  Each runs in a subprocess with the CPU platform forced."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUNNER = (
+    "import jax; jax.config.update('jax_platforms','cpu'); "
+    "exec(open(r'{path}').read())"
+)
+
+
+def _run(example, env=None, timeout=420):
+    full_env = dict(os.environ)
+    full_env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    full_env.update(env or {})
+    path = os.path.join(REPO, "examples", example)
+    proc = subprocess.run(
+        [sys.executable, "-c", RUNNER.format(path=path)],
+        cwd=REPO, env=full_env, capture_output=True, text=True, timeout=timeout)
+    assert proc.returncode == 0, (
+        f"{example} failed:\n{proc.stderr[-2000:]}")
+    return proc.stdout
+
+
+@pytest.mark.parametrize("example,env", [
+    # the N=100k flagship at toy scale, INCLUDING the training phase
+    # (block-sparse + stateful delayed feedback through the graph trajectory)
+    ("qif_100k_sharded.py", {"QIF_N": "512", "QIF_BS": "128", "QIF_T": "50",
+                             "QIF_TRAIN": "1", "QIF_TRAIN_T": "60",
+                             "QIF_TRAIN_EPOCHS": "2"}),
+    # multi-population teacher-student through the graph trajectory
+    ("multi_population_training.py", {"MPT_N1": "32", "MPT_N2": "16",
+                                      "MPT_T": "80", "MPT_EPOCHS": "3",
+                                      "MPT_TOL": "1.5"}),
+    # low-level sharding helpers + the one-call mesh API on a 2-device mesh
+    ("multichip_sharding.py", {}),
+])
+def test_example_runs(example, env):
+    _run(example, env)
