@@ -1039,12 +1039,14 @@ class Network:
           ``update_steps`` steps, state carried with stop_gradient between
           update chunks; the whole optimization is a single lax.scan.
 
-        ``remat_steps=k`` (epoch mode) applies ``jax.checkpoint`` to k-step
-        scan segments: activation memory drops from O(T) to O(T/k + k) at the
-        cost of one recomputed forward pass -- the TPU-native way to fit long
-        trajectories in HBM (no reference analog; SURVEY.md §5).  A remat
-        request disables the (non-checkpointing) deferred-gradient fast path
-        under ``fused_bptt='auto'``; pass ``fused_bptt=True`` to override.
+        ``remat_steps=k`` (epoch mode) checkpoints the trajectory in k-step
+        chunks: activation memory drops from O(T) to O(T/k + k) at the cost
+        of one recomputed forward pass -- the TPU-native way to fit long
+        trajectories in HBM (no reference analog; SURVEY.md §5).  On Euler
+        chain networks (T divisible by k) this composes with the deferred-
+        gradient trajectory (chunked custom VJP: roofline speed AND low
+        memory); other topologies honor the request via the plain
+        ``jax.checkpoint`` path under ``fused_bptt='auto'``.
 
         ``fused_bptt`` (epoch mode, default ``'auto'``): use a deferred-
         gradient custom-VJP trajectory -- every coupling/edge weight
@@ -1186,11 +1188,14 @@ class Network:
         traj = None
         gtraj = None
         order = self._compiled["order"]
-        if remat_steps > 1 and fused_bptt == "auto":
-            # an explicit remat request signals memory pressure: the deferred
-            # trajectories save O(T*N) residuals and do not checkpoint, so
-            # honor the request via the plain path (fused_bptt=True overrides)
-            fused_bptt = False
+        # a remat request composes with the CHAIN trajectory (chunked
+        # checkpointing inside the custom VJP, Euler only, T % K == 0);
+        # other topologies honor the memory request via the plain
+        # (jax.checkpoint) path under 'auto'
+        T0 = int(np.asarray(inputs[0]).shape[0]) if len(inputs) else 0
+        rk = remat_steps if (remat_steps > 1 and T0 and T0 % remat_steps == 0) else 0
+        if remat_steps > 1 and rk == 0 and fused_bptt == "auto":
+            fused_bptt = False  # non-divisible T: plain path handles remat
         if fused_bptt in ("auto", True):
             chain = (order[0], None, None) if len(order) == 1 else self._chain_decompose()
             if chain is not None:
@@ -1198,10 +1203,16 @@ class Network:
                 try:
                     from .ops.bptt import make_coupled_traj
 
-                    traj, traj_wkeys = make_coupled_traj(self.get_node(label))
+                    traj, traj_wkeys = make_coupled_traj(self.get_node(label),
+                                                         remat_steps=rk)
                 except (ValueError, AttributeError, KeyError):
                     traj = None
-            if traj is None:
+            if traj is None and rk > 0 and fused_bptt == "auto":
+                # remat requested but the chain trajectory can't serve it
+                # (Heun / non-chain): the graph trajectory does not
+                # checkpoint, so honor the request via the plain path
+                gtraj = None
+            elif traj is None:
                 try:
                     from .ops.graph_bptt import make_graph_traj
 

@@ -202,7 +202,7 @@ def _make_sparse_matvec(cast: str | None, cols):
     return prep, mv, mv_t, grad_w
 
 
-def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
+def make_coupled_traj(node, remat_steps: int = 0) -> Tuple[Callable, List[str]]:
     """Build ``traj(weights: dict, args: dict, y0, xs) -> (yT, outs)`` with a
     custom VJP deferring every coupling-weight gradient to one post-scan
     matmul.  Returns ``(traj, weight_keys)``.
@@ -210,11 +210,23 @@ def make_coupled_traj(node) -> Tuple[Callable, List[str]]:
     ``weights`` maps each coupling key to its matrix (the trainable master
     copy); ``args`` holds every other vector-field argument; ``xs`` is the
     ``(T, n_in)`` external-drive series fed to the node's input variable.
+
+    ``remat_steps=K`` (Euler only, T divisible by K) checkpoints the
+    trajectory in K-step chunks: the forward saves only chunk-entry states
+    (O(T/K) memory instead of O(T) residuals) and the backward recomputes
+    each chunk's residuals before its reverse sweep -- one extra forward
+    matvec pass over W (~+50% epoch time), the custom-VJP analog of
+    ``jax.checkpoint``, at the deferred-gradient roofline instead of plain
+    autodiff's (N, N)-accumulator backward.
     """
     p = _node_pieces(node)
     if p.heun:
+        if remat_steps > 1:
+            raise ValueError("Deferred-gradient BPTT with remat_steps is "
+                             "Euler-only (Heun uses plain autodiff when "
+                             "checkpointing is requested).")
         return _make_heun_traj(p)
-    return _make_euler_traj(p)
+    return _make_euler_traj(p, remat_steps=remat_steps)
 
 
 def _split_args(args):
@@ -542,49 +554,29 @@ def _make_heun_traj(p):
         return traj, wkeys
 
 
-def _make_euler_traj(p):
+def _make_euler_traj(p, remat_steps: int = 0):
     wkeys, src_fn, step_x, preps, mvs, mv_ts, grad_ws = (
         p.wkeys, p.src_fn, p.step_x, p.preps, p.mvs, p.mv_ts, p.grad_ws)
     K = len(wkeys)
+    R = int(remat_steps)
 
     def _prep_all(weights):
         # loop-invariant precision prep (cast/quantize), outside the scans
         return tuple(preps[i](weights[wk]) for i, wk in enumerate(wkeys))
 
-    @jax.custom_vjp
-    def traj(weights, args, y0, xs):
-        wp = _prep_all(weights)
-
-        def body(y, x):
-            srcs = src_fn(y, args)
-            s_ins = tuple(mvs[i](wp[i], s) for i, s in enumerate(srcs))
-            y_new, out = step_x(y, s_ins, x, args)
-            return y_new, out
-
-        yT, outs = jax.lax.scan(body, y0, xs)
-        return yT, outs
-
-    def traj_fwd(weights, args, y0, xs):
-        wp = _prep_all(weights)
-
-        def body(y, x):
-            srcs = src_fn(y, args)
-            s_ins = tuple(mvs[i](wp[i], s) for i, s in enumerate(srcs))
-            y_new, out = step_x(y, s_ins, x, args)
+    def _fwd_step(wp, args, y, x, with_residuals):
+        srcs = src_fn(y, args)
+        s_ins = tuple(mvs[i](wp[i], s) for i, s in enumerate(srcs))
+        y_new, out = step_x(y, s_ins, x, args)
+        if with_residuals:
             # residuals: the pre-step state and the matvec results -- O(N)
             # per step, so the backward pass never re-touches W to rebuild
             # its forward locals
             return y_new, (out, y, srcs, s_ins)
+        return y_new, out
 
-        yT, (outs, ys, srcs_t, s_ins_t) = jax.lax.scan(body, y0, xs)
-        return (yT, outs), (weights, args, xs, ys, srcs_t, s_ins_t)
-
-    def traj_bwd(res, cots):
-        weights, args, xs, ys, srcs_t, s_ins_t = res
-        wp = _prep_all(weights)
-        cot_yT, cot_outs = cots
-        diff_args, aux_args = _split_args(args)
-        d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
+    def _make_bwd_body(wp, diff_args, aux_args):
+        """Reverse-sweep step shared by the full and chunked backwards."""
 
         def step_x_d(y, s_ins, x, dargs):
             return step_x(y, s_ins, x, {**aux_args, **dargs})
@@ -608,17 +600,118 @@ def _make_euler_traj(p):
                                   jax.tree.map(jnp.add, d_args_step, d_args_src))
             return (lam_prev, d_args), (deltas, d_x)
 
-        (lam0, d_args), (deltas_t, d_xs) = jax.lax.scan(
-            body, (cot_yT, d_args0), (ys, s_ins_t, xs, cot_outs), reverse=True)
-        # the deferred contraction: dW_i = Delta_i^T @ Src_i, one matmul each
-        d_weights = {wk: grad_ws[i](deltas_t[i], srcs_t[i]).astype(weights[wk].dtype)
-                     for i, wk in enumerate(wkeys)}
+        return body
+
+    def _finish_d_args(d_args, aux_args):
         import numpy as onp
 
         d_args_full = dict(d_args)
         for k, v in aux_args.items():  # float0 cotangents for integer leaves
             d_args_full[k] = onp.zeros(jnp.shape(v), dtype=jax.dtypes.float0)
-        return d_weights, d_args_full, lam0, d_xs
+        return d_args_full
+
+    @jax.custom_vjp
+    def traj(weights, args, y0, xs):
+        wp = _prep_all(weights)
+
+        def body(y, x):
+            return _fwd_step(wp, args, y, x, with_residuals=False)
+
+        yT, outs = jax.lax.scan(body, y0, xs)
+        return yT, outs
+
+    if R > 1:
+        # checkpointed trajectory: the forward saves only chunk-entry states;
+        # the backward recomputes each chunk's O(N)-per-step residuals before
+        # its reverse sweep and accumulates the per-chunk dW contractions
+        def traj_fwd(weights, args, y0, xs):
+            T = xs.shape[0]
+            if T % R:
+                raise ValueError(
+                    f"remat_steps={R} must divide the trajectory length {T}")
+            wp = _prep_all(weights)
+            xs_c = xs.reshape(T // R, R, *xs.shape[1:])
+
+            def chunk(y, xc):
+                def body(y, x):
+                    return _fwd_step(wp, args, y, x, with_residuals=False)
+
+                y_end, outs = jax.lax.scan(body, y, xc)
+                return y_end, (outs, y)
+
+            yT, (outs_c, y_starts) = jax.lax.scan(chunk, y0, xs_c)
+            outs = outs_c.reshape(T, *outs_c.shape[2:])
+            return (yT, outs), (weights, args, xs, y_starts)
+
+        def traj_bwd(res, cots):
+            weights, args, xs, y_starts = res
+            wp = _prep_all(weights)
+            cot_yT, cot_outs = cots
+            diff_args, aux_args = _split_args(args)
+            d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
+            body = _make_bwd_body(wp, diff_args, aux_args)
+            T = xs.shape[0]
+            n_c = T // R
+            xs_c = xs.reshape(n_c, R, *xs.shape[1:])
+            cot_outs_c = cot_outs.reshape(n_c, R, *cot_outs.shape[1:])
+            # per-coupling gradient accumulators in grad_w's own output
+            # dtype/shape (f32 for quantized/bf16 paths, state dtype for f32)
+            dW0 = {}
+            for i, wk in enumerate(wkeys):
+                seg = jax.ShapeDtypeStruct((R, p.n), y_starts.dtype)
+                shp = jax.eval_shape(grad_ws[i], seg, seg)
+                dW0[wk] = jnp.zeros(shp.shape, shp.dtype)
+
+            def chunk_bwd(carry, per_c):
+                lam, d_args, dW = carry
+                y_start, xc, cotc = per_c
+
+                def fwd_body(y, x):
+                    y_new, (out, y_res, srcs, s_ins) = _fwd_step(
+                        wp, args, y, x, with_residuals=True)
+                    del out
+                    return y_new, (y_res, srcs, s_ins)
+
+                _, (ys, srcs_t, s_ins_t) = jax.lax.scan(fwd_body, y_start, xc)
+                (lam, d_args), (deltas_t, d_xc) = jax.lax.scan(
+                    body, (lam, d_args), (ys, s_ins_t, xc, cotc), reverse=True)
+                dW = {wk: dW[wk] + grad_ws[i](deltas_t[i], srcs_t[i])
+                      for i, wk in enumerate(wkeys)}
+                return (lam, d_args, dW), d_xc
+
+            (lam0, d_args, dW), d_xs_c = jax.lax.scan(
+                chunk_bwd, (cot_yT, d_args0, dW0),
+                (y_starts, xs_c, cot_outs_c), reverse=True)
+            d_xs = d_xs_c.reshape(T, *d_xs_c.shape[2:])
+            d_weights = {wk: dW[wk].astype(weights[wk].dtype) for wk in wkeys}
+            return (d_weights, _finish_d_args(d_args, aux_args), lam0, d_xs)
+
+        traj.defvjp(traj_fwd, traj_bwd)
+        return traj, wkeys
+
+    def traj_fwd(weights, args, y0, xs):
+        wp = _prep_all(weights)
+
+        def body(y, x):
+            return _fwd_step(wp, args, y, x, with_residuals=True)
+
+        yT, (outs, ys, srcs_t, s_ins_t) = jax.lax.scan(body, y0, xs)
+        return (yT, outs), (weights, args, xs, ys, srcs_t, s_ins_t)
+
+    def traj_bwd(res, cots):
+        weights, args, xs, ys, srcs_t, s_ins_t = res
+        wp = _prep_all(weights)
+        cot_yT, cot_outs = cots
+        diff_args, aux_args = _split_args(args)
+        d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
+        body = _make_bwd_body(wp, diff_args, aux_args)
+
+        (lam0, d_args), (deltas_t, d_xs) = jax.lax.scan(
+            body, (cot_yT, d_args0), (ys, s_ins_t, xs, cot_outs), reverse=True)
+        # the deferred contraction: dW_i = Delta_i^T @ Src_i, one matmul each
+        d_weights = {wk: grad_ws[i](deltas_t[i], srcs_t[i]).astype(weights[wk].dtype)
+                     for i, wk in enumerate(wkeys)}
+        return d_weights, _finish_d_args(d_args, aux_args), lam0, d_xs
 
     traj.defvjp(traj_fwd, traj_bwd)
     return traj, wkeys

@@ -603,11 +603,11 @@ def test_int8_master_block_sparse_trains_and_matches_plain():
     assert l_fast[-1] < l_fast[0], "block int8_master training did not reduce loss"
 
 
-def test_remat_request_disables_fused_path():
-    """remat_steps>1 signals memory pressure: the deferred trajectories save
-    O(T*N) residuals and do not checkpoint, so 'auto' honors the request via
-    the plain (checkpointed) path -- results equal the no-remat fused run to
-    f64 tolerance, and fused_bptt=True still overrides."""
+def test_remat_composes_with_deferred_trajectory():
+    """remat_steps on an Euler chain uses the CHUNKED deferred trajectory
+    (checkpointing inside the custom VJP): results equal the full-residual
+    fused run at f64 tolerance; a T not divisible by remat_steps falls back
+    to the plain jax.checkpoint path and still matches."""
     n, T = 8, 120
     rng = np.random.default_rng(19)
     W0 = rng.normal(size=(n, n)) * 0.3
@@ -623,9 +623,54 @@ def test_remat_request_disables_fused_path():
                            verbose=False, **kw)
         return np.asarray(obs["epoch_loss"]), np.asarray(net.get_node("rnn")["weights"])
 
-    l_remat, w_remat = fit(remat_steps=30)            # auto -> plain + checkpoint
-    l_fused, w_fused = fit()                          # auto -> deferred trajectory
-    l_force, w_force = fit(remat_steps=30, fused_bptt=True)  # explicit override
+    l_fused, w_fused = fit()                          # full-residual trajectory
+    l_remat, w_remat = fit(remat_steps=30)            # chunked trajectory
+    l_nd, w_nd = fit(remat_steps=50)                  # 120 % 50 != 0 -> plain path
     np.testing.assert_allclose(l_remat, l_fused, rtol=1e-8)
     np.testing.assert_allclose(w_remat, w_fused, rtol=1e-6, atol=1e-10)
-    np.testing.assert_allclose(w_force, w_fused, rtol=1e-10)
+    np.testing.assert_allclose(l_nd, l_fused, rtol=1e-8)
+    np.testing.assert_allclose(w_nd, w_fused, rtol=1e-6, atol=1e-10)
+
+
+@pytest.mark.parametrize("kind", ["rate", "spike_reset"])
+def test_chunked_traj_gradient_parity(kind):
+    """Direct trajectory-level check: make_coupled_traj(remat_steps=K)
+    produces the SAME forward (bit-identical) and the same gradients (f64,
+    association-only deviation) as the full-residual trajectory."""
+    n = 10
+    T, K = (300, 50) if kind == "spike_reset" else (120, 30)  # spikes need ~220 steps
+    rng = np.random.default_rng(20)
+    net = _build(kind, n, rng)
+    node = net.get_node("rnn")
+    traj_full, wkeys = make_coupled_traj(node)
+    traj_ck, _ = make_coupled_traj(node, remat_steps=K)
+
+    params = net.parameters_pytree()
+    nargs = params["nodes"]["rnn"]
+    y0 = net.init_state()["nodes"]["rnn"]
+    xs = jnp.asarray(rng.normal(size=(T, n)))
+    tgt = jnp.asarray(rng.normal(size=(T, n)))
+    Wd = {k: nargs[k] for k in wkeys}
+    rest = {k: v for k, v in nargs.items() if k not in wkeys}
+
+    yT_f, outs_f = traj_full(Wd, rest, y0, xs)
+    yT_c, outs_c = traj_ck(Wd, rest, y0, xs)
+    np.testing.assert_array_equal(np.asarray(outs_c), np.asarray(outs_f))
+    np.testing.assert_array_equal(np.asarray(yT_c), np.asarray(yT_f))
+
+    def loss(traj):
+        def f(Wm, y0_, xs_):
+            _, outs = traj(Wm, rest, y0_, xs_)
+            return jnp.mean((outs - tgt) ** 2)
+
+        return f
+
+    g_f = jax.grad(loss(traj_full), argnums=(0, 1, 2))(Wd, y0, xs)
+    g_c = jax.grad(loss(traj_ck), argnums=(0, 1, 2))(Wd, y0, xs)
+    for wk in wkeys:
+        a, b = np.asarray(g_f[0][wk]), np.asarray(g_c[0][wk])
+        assert np.abs(a).max() > 0
+        np.testing.assert_allclose(b, a, atol=1e-9 * max(np.abs(a).max(), 1.0))
+    for i in (1, 2):
+        np.testing.assert_allclose(np.asarray(g_c[i]), np.asarray(g_f[i]),
+                                   rtol=1e-10, atol=1e-14)
