@@ -1207,16 +1207,11 @@ class Network:
                                                          remat_steps=rk)
                 except (ValueError, AttributeError, KeyError):
                     traj = None
-            if traj is None and rk > 0 and fused_bptt == "auto":
-                # remat requested but the chain trajectory can't serve it
-                # (Heun / non-chain): the graph trajectory does not
-                # checkpoint, so honor the request via the plain path
-                gtraj = None
-            elif traj is None:
+            if traj is None:
                 try:
                     from .ops.graph_bptt import make_graph_traj
 
-                    gtraj, gspec = make_graph_traj(self)
+                    gtraj, gspec = make_graph_traj(self, remat_steps=rk)
                 except (ValueError, AttributeError, KeyError):
                     if fused_bptt is True:
                         raise

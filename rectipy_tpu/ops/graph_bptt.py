@@ -124,7 +124,7 @@ def _edge_ops(w):
     return _make_matvec(None)
 
 
-def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
+def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespace]:
     """Build ``traj(weights, args, Y0, xs) -> (YT, outs)`` for the whole
     compiled network, with a custom VJP deferring every coupling- and
     edge-weight gradient to one post-scan matmul.
@@ -138,11 +138,17 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
     Returns ``(traj, spec)``; ``spec.weight_paths`` lists
     ``(flatkey, kind, label, key)`` for each deferred weight so callers can
     assemble the ``weights`` dict from the network params pytree.
+
+    ``remat_steps=K`` (T divisible by K) checkpoints the trajectory in
+    K-step chunks: the forward saves only chunk-entry carries, the backward
+    recomputes each chunk's stage residuals -- O(T/K) memory at the
+    deferred-gradient roofline (see ops/bptt.py).
     """
     from ..edges import Linear, LinearMasked
     from ..network import _ekey
     from ..nodes import InstantNode
 
+    R = int(remat_steps)
     if net._compiled is None:
         net.compile()
     order = list(net._compiled["order"])
@@ -247,7 +253,8 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
 
                 fst = SimpleNamespace(flatkey=f"ef:{ek}", prep=fprep, mv=fmv,
                                       mv_t=fmv_t, grad_w=fgrad_w, eff=feff,
-                                      deff=fdeff, producer=f_producer)
+                                      deff=fdeff, producer=f_producer,
+                                      dims=(e.n_in, e.n_in))
                 fidxs.append(len(stages) + len(out))
                 out.append((fst, ("edges", ek, "filter")))
 
@@ -282,7 +289,8 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
             feff, fdeff = _ident_eff()
             fst = SimpleNamespace(flatkey=f"ef:{ek}", prep=fprep, mv=fmv,
                                   mv_t=fmv_t, grad_w=fgrad_w, eff=feff,
-                                  deff=fdeff, producer=f_producer)
+                                  deff=fdeff, producer=f_producer,
+                                  dims=(e.n_in, e.n_in))
             fidx = len(stages) + len(out)
             out.append((fst, ("edges", ek, "filter")))
 
@@ -303,7 +311,8 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
 
         out.append((SimpleNamespace(flatkey=f"e:{ek}", prep=wprep, mv=mv,
                                     mv_t=mv_t, grad_w=grad_w, eff=eff,
-                                    deff=deff, producer=producer),
+                                    deff=deff, producer=producer,
+                                    dims=(e.n_out, e.n_in)),
                     ("edges", ek, "weights")))
         return out
 
@@ -338,7 +347,7 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
 
         return SimpleNamespace(flatkey=f"n:{lbl}:{wk}", prep=prep, mv=mv,
                                mv_t=mv_t, grad_w=grad_w, eff=eff, deff=deff,
-                               producer=producer), ("nodes", lbl, wk)
+                               producer=producer, dims=(p.n, p.n)), ("nodes", lbl, wk)
 
     # feedback-edge stages first: their producers read only the carried
     # previous-step value, so they depend on no other stage
@@ -512,12 +521,8 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
         CT, (outs, Ys, srcs_t, svals_t) = jax.lax.scan(body, C0, xs)
         return (CT, outs), (weights, args, xs, Ys, srcs_t, svals_t)
 
-    def traj_bwd(res, cots):
-        weights, args, xs, Ys, srcs_t, svals_t = res
-        wp = _prep_all(weights, args)
-        cot_YT, cot_outs = cots
-        diff_args, aux_args = _split_nested(args)
-        d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
+    def _make_bwd_body(wp, diff_args, aux_args):
+        """Reverse-sweep step shared by the full and chunked backwards."""
 
         def final_d(Y, svals, x, dargs):
             return final(Y, svals, x, _merge_nested(dargs, aux_args))
@@ -550,6 +555,16 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
                 d_args = jax.tree.map(jnp.add, d_args, dargs_j)
             return (dY, d_args), (tuple(acc), d_x)
 
+        return body
+
+    def traj_bwd(res, cots):
+        weights, args, xs, Ys, srcs_t, svals_t = res
+        wp = _prep_all(weights, args)
+        cot_YT, cot_outs = cots
+        diff_args, aux_args = _split_nested(args)
+        d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
+        body = _make_bwd_body(wp, diff_args, aux_args)
+
         (lam0, d_args), (deltas_t, d_xs) = jax.lax.scan(
             body, (cot_YT, d_args0), (Ys, svals_t, xs, cot_outs),
             reverse=True)
@@ -565,7 +580,93 @@ def make_graph_traj(net) -> Tuple[Callable, SimpleNamespace]:
                                      if st.flatkey in d_weights else dw)
         return d_weights, _merge_float0(d_args, aux_args), lam0, d_xs
 
-    traj_core.defvjp(traj_fwd, traj_bwd)
+    if R > 1:
+        # checkpointed trajectory (same scheme as ops/bptt.py Euler): the
+        # forward saves only chunk-entry CARRIES (incl. feedback values and
+        # edge buffers), the backward recomputes each chunk's stage
+        # residuals and accumulates raw per-stage dE contributions per
+        # flatkey (deff -- masking -- is linear, so it applies once at the
+        # end to the total)
+        def traj_fwd_ck(weights, args, C0, xs):
+            T = xs.shape[0]
+            if T % R:
+                raise ValueError(
+                    f"remat_steps={R} must divide the trajectory length {T}")
+            wp = _prep_all(weights, args)
+            xs_c = xs.reshape(T // R, R, *xs.shape[1:])
+
+            def chunk(C, xc):
+                def b(C, x):
+                    svals = []
+                    for j, st in enumerate(stages):
+                        src = st.producer(C, tuple(svals), x, args)
+                        svals.append(st.mv(wp[j], src))
+                    return final(C, tuple(svals), x, args)
+
+                C_end, outs = jax.lax.scan(b, C, xc)
+                return C_end, (outs, C)
+
+            CT, (outs_c, C_starts) = jax.lax.scan(chunk, C0, xs_c)
+            outs = outs_c.reshape(T, *outs_c.shape[2:])
+            return (CT, outs), (weights, args, xs, C_starts)
+
+        def traj_bwd_ck(res, cots):
+            weights, args, xs, C_starts = res
+            wp = _prep_all(weights, args)
+            cot_CT, cot_outs = cots
+            diff_args, aux_args = _split_nested(args)
+            d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
+            body = _make_bwd_body(wp, diff_args, aux_args)
+            T = xs.shape[0]
+            n_c = T // R
+            xs_c = xs.reshape(n_c, R, *xs.shape[1:])
+            cot_outs_c = cot_outs.reshape(n_c, R, *cot_outs.shape[1:])
+            st_dtype = jax.tree.leaves(C_starts["Y"])[0].dtype
+            dE0, fk_stage = {}, {}
+            for st in stages:
+                if st.flatkey in dE0:
+                    continue
+                dl, sl = st.dims
+                shp = jax.eval_shape(st.grad_w,
+                                     jax.ShapeDtypeStruct((R, dl), st_dtype),
+                                     jax.ShapeDtypeStruct((R, sl), st_dtype))
+                dE0[st.flatkey] = jnp.zeros(shp.shape, shp.dtype)
+                fk_stage[st.flatkey] = st
+
+            def chunk_bwd(carry, per_c):
+                lam, d_args, dE = carry
+                C_start, xc, cotc = per_c
+
+                def fwd_body(C, x):
+                    srcs, svals = [], []
+                    for j, st in enumerate(stages):
+                        src = st.producer(C, tuple(svals), x, args)
+                        srcs.append(src)
+                        svals.append(st.mv(wp[j], src))
+                    C_new, _ = final(C, tuple(svals), x, args)
+                    return C_new, (C, tuple(srcs), tuple(svals))
+
+                _, (Cs, srcs_t, svals_t) = jax.lax.scan(fwd_body, C_start, xc)
+                (lam, d_args), (deltas_t, d_xc) = jax.lax.scan(
+                    body, (lam, d_args), (Cs, svals_t, xc, cotc), reverse=True)
+                dE = dict(dE)
+                for j, st in enumerate(stages):
+                    dE[st.flatkey] = dE[st.flatkey] + st.grad_w(deltas_t[j],
+                                                                srcs_t[j])
+                return (lam, d_args, dE), d_xc
+
+            (lam0, d_args, dE), d_xs_c = jax.lax.scan(
+                chunk_bwd, (cot_CT, d_args0, dE0),
+                (C_starts, xs_c, cot_outs_c), reverse=True)
+            d_xs = d_xs_c.reshape(T, *d_xs_c.shape[2:])
+            full_args = _merge_nested(diff_args, aux_args)
+            d_weights = {fk: fk_stage[fk].deff(dE[fk], weights[fk], full_args)
+                         .astype(weights[fk].dtype) for fk in dE}
+            return d_weights, _merge_float0(d_args, aux_args), lam0, d_xs
+
+        traj_core.defvjp(traj_fwd_ck, traj_bwd_ck)
+    else:
+        traj_core.defvjp(traj_fwd, traj_bwd)
     needs_carry = has_fb or bool(estate_update)
     spec = SimpleNamespace(weight_paths=weight_paths,
                            pop_labels=sorted(progs.keys()),

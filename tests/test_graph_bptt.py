@@ -497,3 +497,97 @@ def test_graph_bptt_memory_filter_edge_matches_plain():
     np.testing.assert_allclose(flt_f, flt_s, rtol=1e-5, atol=1e-10)
     assert np.abs(flt_f - F0).max() > 1e-6, "filter did not train"
     assert l_f[-1] < l_f[0]
+
+
+def test_graph_traj_remat_matches_full():
+    """Chunked graph trajectory (remat_steps=K): forward bit-identical and
+    gradients equal the full-residual graph trajectory at f64, on a
+    FeedbackNetwork with a stateful delay edge (the carry -- states, fb
+    values, edge buffers -- checkpoints at chunk boundaries)."""
+    from rectipy_tpu import FeedbackNetwork
+
+    n, T, K = 6, 120, 30
+    rng = np.random.default_rng(31)
+    net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+    for label in ("p1", "p2"):
+        net.add_diffeq_node(label, TANH, weights=rng.normal(size=(n, n)) * 0.2,
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in",
+                            train_params=["weights"])
+    net.add_edge("p1", "p2", weights=rng.normal(size=(n, n)) * 0.4, train="gd",
+                 delays=(np.arange(n) % 3) + 1)
+    net.add_edge("p2", "p1", weights=rng.normal(size=(n, n)) * 0.1,
+                 feedback=True, train="gd")
+    net.compile()
+
+    gtraj_f, spec = make_graph_traj(net)
+    gtraj_c, spec_c = make_graph_traj(net, remat_steps=K)
+    assert spec.needs_carry and spec_c.needs_carry
+
+    params = net.parameters_pytree()
+    state0 = net.init_state()
+    wpaths = spec.weight_paths
+    excl = {(kind, label, key) for _, kind, label, key in wpaths}
+    weights0 = {fk: params[kind][label][key] for fk, kind, label, key in wpaths}
+    args = {sec: {lbl: {k: v for k, v in sub.items()
+                        if (sec, lbl, k) not in excl}
+                  for lbl, sub in params[sec].items()}
+            for sec in ("nodes", "edges")}
+    C0 = {"Y": {lbl: state0["nodes"][lbl] for lbl in spec.pop_labels},
+          "fb": state0["fb"],
+          "E": {ek: state0["edges"][ek] for ek in spec.stateful_edges}}
+    xs = jnp.asarray(rng.normal(size=(T, n)))
+    tgt = jnp.asarray(rng.normal(size=(T, n)))
+
+    CT_f, outs_f = gtraj_f(weights0, args, C0, xs)
+    CT_c, outs_c = gtraj_c(weights0, args, C0, xs)
+    np.testing.assert_array_equal(np.asarray(outs_c), np.asarray(outs_f))
+
+    def loss(traj):
+        def f(weights, xs_):
+            _, outs = traj(weights, args, C0, xs_)
+            return jnp.mean((outs - tgt) ** 2)
+
+        return f
+
+    g_f = jax.grad(loss(gtraj_f), argnums=(0, 1))(weights0, xs)
+    g_c = jax.grad(loss(gtraj_c), argnums=(0, 1))(weights0, xs)
+    for fk in weights0:
+        a, b = np.asarray(g_f[0][fk]), np.asarray(g_c[0][fk])
+        assert np.abs(a).max() > 0, f"zero grad for {fk}"
+        np.testing.assert_allclose(b, a, atol=1e-9 * max(np.abs(a).max(), 1.0),
+                                   err_msg=fk)
+    np.testing.assert_allclose(np.asarray(g_c[1]), np.asarray(g_f[1]),
+                               rtol=1e-10, atol=1e-14)
+
+
+def test_fit_bptt_graph_remat_matches_full():
+    """fit_bptt(remat_steps=) on a multi-population net routes through the
+    CHUNKED graph trajectory and matches the full-residual fused run."""
+    rng = np.random.default_rng(32)
+    n, T = 8, 120
+    W1 = rng.normal(size=(n, n)) * 0.2
+    W2 = rng.normal(size=(n, n)) * 0.2
+    We = rng.normal(size=(n, n)) * 0.4
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def fit(**kw):
+        net = Network(1e-2, dtype=jnp.float64)
+        for label, W in [("p1", W1), ("p2", W2)]:
+            net.add_diffeq_node(label, TANH, weights=W, input_var="li_op/I_ext",
+                                output_var="li_op/v", source_var="tanh_op/r",
+                                target_var="li_op/r_in", train_params=["weights"])
+        net.add_edge("p1", "p2", weights=We, train="gd")
+        obs = net.fit_bptt([inp] * 4, [tgt] * 4, optimizer="adam", lr=1e-2,
+                           verbose=False, **kw)
+        return (np.asarray(obs["epoch_loss"]),
+                np.asarray(net.get_node("p1")["weights"]),
+                np.asarray(net.get_edge("p1", "p2").weights))
+
+    l_f, w1_f, we_f = fit()
+    l_c, w1_c, we_c = fit(remat_steps=30)
+    np.testing.assert_allclose(l_c, l_f, rtol=1e-8)
+    np.testing.assert_allclose(w1_c, w1_f, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(we_c, we_f, rtol=1e-6, atol=1e-10)
+    assert l_f[-1] < l_f[0]
