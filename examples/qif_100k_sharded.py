@@ -141,14 +141,19 @@ if os.environ.get("QIF_TRAIN", "0") == "1":
                   delays=delays, feedback=True, train="gd")
     net2.compile()
 
+    # QIF_TRAIN_REMAT=K: chunked checkpointing inside the graph trajectory
+    # (O(T/K) residual memory) -- enables long horizons (QIF_TRAIN_T=2000+)
+    # where full residuals (~5.4 MB/step at this N) would crowd out HBM
+    remat = int(os.environ.get("QIF_TRAIN_REMAT", 0))
     t0 = time.perf_counter()
     obs = net2.fit_bptt([inp_tr] * 2, [tgt_tr] * 2, optimizer="adam", lr=float(os.environ.get("QIF_TRAIN_LR", 1e-3)),
-                        verbose=False, fused_bptt=True)
+                        verbose=False, fused_bptt=True, remat_steps=remat)
     print(f"train warmup (2 epochs + compile): {time.perf_counter() - t0:.1f}s",
           flush=True)
     t0 = time.perf_counter()
     obs = net2.fit_bptt([inp_tr] * n_ep, [tgt_tr] * n_ep, optimizer="adam",
-                        lr=float(os.environ.get("QIF_TRAIN_LR", 1e-3)), verbose=False, fused_bptt=True)
+                        lr=float(os.environ.get("QIF_TRAIN_LR", 1e-3)), verbose=False,
+                        fused_bptt=True, remat_steps=remat)
     wall = time.perf_counter() - t0
     losses = np.asarray(obs["epoch_loss"])
     print(f"TRAINED {n_ep} epochs x {T_tr} steps x {N} neurons in {wall:.2f}s "
