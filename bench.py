@@ -8,8 +8,11 @@ dense coupling matvec), exactly the reference hot path
 side runs the same dynamics as ONE jitted lax.scan on the default JAX device
 (TPU under the driver).
 
-Prints exactly one JSON line:
+Prints the headline JSON line immediately after the primary measurement:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+then re-prints a superset line (same keys + bptt_* secondaries) after each
+optional secondary completes, so a truncated run still carries the headline
+and a full run carries everything on its last line.
 """
 
 import json
@@ -18,6 +21,17 @@ import sys
 import time
 
 import numpy as np
+
+_T_START = time.perf_counter()
+# wall-clock budget for the OPTIONAL secondary metrics: the headline always
+# runs to completion and prints first; each secondary is skipped when the
+# elapsed total exceeds this (round-2 lesson: the driver timeout hit while a
+# secondary was compiling and the already-measured headline was lost)
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1200))
+
+
+def _elapsed():
+    return time.perf_counter() - _T_START
 
 N = int(os.environ.get("BENCH_N", 10_000))
 # 20k steps ~ 2s device time per timed run: long enough to amortize dispatch
@@ -88,6 +102,13 @@ def bench_rebuild(W, etas):
 
     inputs = build_inputs(STEPS)
     log(f"[rebuild] device={jax.devices()[0]} N={N} steps={STEPS} dtype={net.dtype}")
+
+    # absorb the relay rewarm stall (first op after heavy TPU use can block
+    # 10-15 min) on a trivial op, so compile time is reported separately
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    jnp.zeros((8,)).block_until_ready()
+    log(f"[rebuild] first device op (relay warm): {time.perf_counter() - t0:.2f}s")
 
     # warmup (compile) on a short run, then timed runs
     t0 = time.perf_counter()
@@ -174,15 +195,23 @@ def bench_bptt_secondary():
                         weights=W0, source_var="tanh_op/r", target_var="li_op/r_in",
                         input_var="li_op/I_ext", output_var="li_op/v",
                         train_params=["weights"], node_vars=node_vars)
+    # n_ep is a multiple of network._EPOCH_SCAN_CHUNK (8) so the fit runs as
+    # pure chunk scans: exactly ONE XLA program, and the warmup fit compiles
+    # the SAME program the timed fit runs (the round-2 regression was timing
+    # a 10-epoch fit warmed with 2 epochs -- the 8-epoch chunk program
+    # compiled inside the clock)
+    n_ep = 8
     t0 = _t.perf_counter()
-    net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="rmsprop", lr=1e-4, verbose=False)
-    warm = _t.perf_counter() - t0
-    t0 = _t.perf_counter()
-    n_ep = 10
     net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="rmsprop", lr=1e-4, verbose=False)
-    ours_epoch = (_t.perf_counter() - t0) / n_ep
-    log(f"[bptt ours] warmup(2ep+compile) {warm:.2f}s; {ours_epoch * 1e3:.1f} ms/epoch "
-        f"(N={n}, T={T})")
+    warm = _t.perf_counter() - t0
+    ours_epoch = float("inf")
+    for _ in range(2):  # best-of-2: tunneled-chip variance
+        t0 = _t.perf_counter()
+        net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="rmsprop", lr=1e-4,
+                     verbose=False)
+        ours_epoch = min(ours_epoch, (_t.perf_counter() - t0) / n_ep)
+    log(f"[bptt ours] warmup({n_ep}ep+compile) {warm:.2f}s; {ours_epoch * 1e3:.1f} "
+        f"ms/epoch (N={n}, T={T})")
 
     # torch-CPU reference model: per-step loop, autograd through the epoch
     import torch
@@ -322,15 +351,36 @@ def main():
         "unit": "neuron-updates/s",
         "vs_baseline": round(ours / base, 2),
     }
+    # print+flush the headline IMMEDIATELY: the secondaries below each
+    # involve a fresh XLA compile (a 4-470 s lottery under remote-compile
+    # congestion) and must never cost us the primary record (round 2 lost
+    # its measured headline to a driver timeout during a secondary).  Each
+    # secondary re-prints the full superset line, so whether the driver
+    # parses the first or the last JSON line it gets a complete record.
+    print(json.dumps(result), flush=True)
     if os.environ.get("BENCH_BPTT", "1") == "1":
-        try:
-            bench_bptt_secondary()
-            trained_ups, trained_vs = bench_spiking_bptt_secondary()
-            result["bptt_trained_nu_per_s"] = round(trained_ups, 1)
-            result["bptt_vs_torch_cpu"] = round(trained_vs, 2)
-        except Exception as e:  # secondary metric must never break the headline
-            log(f"[bptt] secondary benchmark failed: {e}")
-    print(json.dumps(result))
+        # north-star first (BASELINE.md: QIF BPTT vs torch-CPU), rate second
+        if _elapsed() < BUDGET_S:
+            try:
+                trained_ups, trained_vs = bench_spiking_bptt_secondary()
+                result["bptt_trained_nu_per_s"] = round(trained_ups, 1)
+                result["bptt_vs_torch_cpu"] = round(trained_vs, 2)
+                print(json.dumps(result), flush=True)
+            except Exception as e:  # secondary must never break the headline
+                log(f"[qif-bptt] secondary benchmark failed: {e}")
+        else:
+            log(f"[qif-bptt] skipped: {_elapsed():.0f}s elapsed > {BUDGET_S:.0f}s budget")
+        if _elapsed() < BUDGET_S:
+            try:
+                rate_ours, rate_torch = bench_bptt_secondary()
+                result["bptt_rate_ms_per_epoch"] = round(rate_ours * 1e3, 1)
+                result["bptt_rate_vs_torch_cpu"] = round(rate_torch / rate_ours, 2)
+                print(json.dumps(result), flush=True)
+            except Exception as e:
+                log(f"[rate-bptt] secondary benchmark failed: {e}")
+        else:
+            log(f"[rate-bptt] skipped: {_elapsed():.0f}s elapsed > {BUDGET_S:.0f}s budget")
+    log(f"[bench] total wall-clock {_elapsed():.0f}s")
 
 
 if __name__ == "__main__":
