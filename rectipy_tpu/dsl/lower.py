@@ -67,6 +67,7 @@ class VectorField:
     make_tile_reader: Optional[Callable] = None  # qname -> tile reader or None
     couplings: List[Tuple[str, str, str]] = field(default_factory=list)  # (src, tgt, wkey)
     coupling_cast: Optional[str] = None  # 'bf16' for bfloat16_master lowering
+    prep_args: Optional[Callable] = None  # once-per-scan args prep (int8_master)
 
 
 @jax.custom_jvp
@@ -283,6 +284,18 @@ def lower(
     int8_coupling = w_dtype == jnp.int8
     w_scales: Dict[str, jnp.ndarray] = {}
     block_q_mv: Dict[str, Callable] = {}  # int8_master block-sparse matvecs
+    master_dense_keys: List[str] = []  # int8_master dense couplings (prep_args)
+
+    def _check_int8_fan_in(n_in: int, wkey: str):
+        # int8 x int8 accumulates in int32: worst case 127*127*n_in per output
+        from ..ops.quant import INT8_DOT_MAX_FAN_IN
+
+        if n_in >= INT8_DOT_MAX_FAN_IN:
+            raise ValueError(
+                f"Dense int8 coupling {wkey!r} has fan-in {n_in} >= "
+                f"{INT8_DOT_MAX_FAN_IN}, which can overflow the int32 "
+                f"accumulator in the worst case. Use a block-sparse coupling "
+                f"(fan-in bounded per row) or bfloat16/float32 at this size.")
     for _, _, W, wkey in all_edges:
         if hasattr(W, "blocks") and master_int8:
             # int8_master blocks: float master blocks + a build-time STE
@@ -320,6 +333,7 @@ def lower(
             # The matvec runs int8 x int8 on the MXU (native on v5e+), halving
             # HBM traffic again vs bf16; the dynamic activation scale costs
             # one O(N) reduction per step.
+            _check_int8_fan_in(int(np.shape(W)[1]), wkey)
             W = np.asarray(W, dtype=np.float64)
             row_max = np.maximum(np.abs(W).max(axis=1), 1e-30)
             scale = row_max / 127.0
@@ -329,10 +343,48 @@ def lower(
             keys.extend([wkey, wkey + "__scale"])
             w_scales[wkey] = args[wkey + "__scale"]
         else:
+            if master_int8:
+                _check_int8_fan_in(int(np.shape(W)[1]), wkey)
+                master_dense_keys.append(wkey)
             args[wkey] = jnp.asarray(W, dtype=w_dtype)
             keys.append(wkey)
 
+    # int8_master inference prep: requantize the float master ONCE per scan
+    # (network._prep_params calls this inside the jitted run program, outside
+    # the lax.scan -- XLA's LICM does not reliably hoist the requantization
+    # from the scan body, measured +82% step time inline).  The prepped
+    # (wq, scale) pairs ride along in args under reserved "__q"/"__qs" keys;
+    # _coupling_matvec picks them up.  Inference-only: the plain-autodiff
+    # TRAINING fallback keeps the per-step custom-VJP matvec so master-weight
+    # gradients stay exact (the deferred trajectories prep internally).
+    prep_args = None
+    if master_int8 and (master_dense_keys or block_q_mv):
+        _block_keys = sorted(block_q_mv.keys())
+
+        def prep_args(a: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+            from ..ops.quant import quantize_blocks, quantize_rows
+
+            a = dict(a)
+            for wk in master_dense_keys:
+                a[wk + "__q"], a[wk + "__qs"] = quantize_rows(a[wk])
+            for wk in _block_keys:
+                a[wk + "__q"], a[wk + "__qs"] = quantize_blocks(a[wk])
+            return a
+
     def _coupling_matvec(w, src, a=None, wkey=None):
+        if (master_int8 and a is not None and wkey is not None
+                and wkey + "__q" in a):
+            # prepped int8_master path (inference scans): int8 matvec from
+            # the hoisted (wq, scale) pair -- same numerics as the per-step
+            # custom-VJP matvec's forward
+            wp = (a[wkey + "__q"], a[wkey + "__qs"])
+            if wp[0].ndim == 4:
+                from ..ops.quant import block_int8_mv
+
+                return block_int8_mv(wp, a[wkey + "__cols"], src)
+            from ..ops.quant import _mv_prepped
+
+            return _mv_prepped(wp, src).astype(src.dtype)
         if wkey in block_q_mv:  # int8_master block-sparse (ops/quant.py)
             return block_q_mv[wkey](w, src).astype(src.dtype)
         if w.ndim == 4:  # block-sparse (ops/sparse.py)
@@ -652,4 +704,5 @@ def lower(
         make_tile_reader=make_tile_reader,
         couplings=[(esv, etv, wkey) for esv, etv, _, wkey in all_edges],
         coupling_cast="bf16" if master_bf16 else ("int8" if master_int8 else None),
+        prep_args=prep_args,
     )

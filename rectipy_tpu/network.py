@@ -393,6 +393,25 @@ class Network:
     def _fb_edge_list(self) -> list:
         return []  # overridden by FeedbackNetwork
 
+    def _prep_params(self, params: dict) -> dict:
+        """Once-per-scan parameter prep for the INFERENCE scans: each node may
+        transform its own params (int8_master requantization, nodes.py
+        ``prep_params``) outside the ``lax.scan`` -- evaluated inside the
+        jitted run program, so it costs one pass per call, not per step.
+        Training paths never use this (the deferred trajectories prep
+        internally; the plain-autodiff fallback needs the per-step custom VJP
+        for exact master gradients)."""
+        nodes = {}
+        any_prepped = False
+        for n, sub in params["nodes"].items():
+            prep = getattr(self.get_node(n), "prep_params", None)
+            new = prep(sub) if prep is not None else sub
+            any_prepped = any_prepped or new is not sub
+            nodes[n] = new
+        if not any_prepped:
+            return params
+        return {**params, "nodes": nodes}
+
     def _step_versions(self) -> tuple:
         """Per-node step versions: attaching a fused kernel bumps a node's
         version, invalidating every cached program composed from it."""
@@ -762,6 +781,8 @@ class Network:
         tail = (steps - 1) - n_win * s
 
         def scan_fn(state0, params, inputs):
+            params = self._prep_params(params)  # once per call, outside the scan
+
             def body(state, xt):
                 x_t, step_idx = xt
                 state, out, _ = step(state, params, x_t)
@@ -873,6 +894,7 @@ class Network:
         truncating = truncate_steps < steps
 
         def scan_fn(state0, params, inputs):
+            params = self._prep_params(params)  # once per call, outside the scan
             rec0 = {
                 "out": jnp.zeros((n_rec, n_out), dtype=dtype),
             }

@@ -409,6 +409,19 @@ class RateNet:
 
         return step
 
+    def prep_params(self, args: dict) -> dict:
+        """Once-per-scan parameter prep: int8_master couplings requantize the
+        float master here (outside the time scan) instead of every step -- the
+        inference analog of the deferred trajectories' ``prep`` stage.  The
+        prepped pairs ride along in the args dict under reserved keys that
+        the lowered matvec picks up (dsl/lower.py).  Identity for all other
+        coupling dtypes.  Inference-only: gradient paths bypass this."""
+        vf = getattr(self, "_vf", None)
+        prep = getattr(vf, "prep_args", None) if vf is not None else None
+        if prep is None or getattr(self, "_fused_attached", False):
+            return args
+        return prep(args)
+
     def _make_out_reader(self) -> Callable:
         if self._out_alg is not None:
             read_var, qname = self._vf.read_var, self._out_alg

@@ -123,26 +123,6 @@ def _make_sparse_matvec(cast: str | None, cols):
 
     cd = jnp.bfloat16 if cast == "bf16" else None
 
-    # transposed block structure, built ONCE in numpy: for each column block
-    # c, the (row-block, slot) pairs with cols[r, slot] == c, padded to the
-    # max in-degree.  Used by the optional 'gather' backward variant (see
-    # mv_t: 'scatter' measured 5x faster at N=100k and is the default).
-    cols_np = onp.asarray(cols)
-    n_br_s, cb_s = cols_np.shape
-    lists = [[] for _ in range(n_br_s)]  # square coupling: n_bc == n_br
-    for r in range(n_br_s):
-        for j in range(cb_s):
-            lists[int(cols_np[r, j])].append((r, j))
-    cb_t = max(1, max(len(l) for l in lists))
-    rows_T = onp.zeros((n_br_s, cb_t), dtype=onp.int32)
-    slot_T = onp.zeros((n_br_s, cb_t), dtype=onp.int32)
-    mask_T = onp.zeros((n_br_s, cb_t), dtype=onp.float32)
-    for c, pairs in enumerate(lists):
-        for k, (r, j) in enumerate(pairs):
-            rows_T[c, k], slot_T[c, k], mask_T[c, k] = r, j, 1.0
-    rows_T, slot_T = jnp.asarray(rows_T), jnp.asarray(slot_T)
-    mask_T = jnp.asarray(mask_T)
-
     def maybe(x, w):
         if cd is not None or w.dtype == jnp.bfloat16:
             return x.astype(jnp.bfloat16)
@@ -156,7 +136,15 @@ def _make_sparse_matvec(cast: str | None, cols):
 
     import os
 
+    # read at BUILD time and baked into the jitted closures (changing the env
+    # var after a trajectory is built has no effect); the transposed table is
+    # only constructed when the gather variant is actually selected
     bwd_mode = os.environ.get("RECTIPY_SPARSE_BWD", "scatter")
+    rows_T = slot_T = mask_T = None
+    if bwd_mode == "gather":
+        from .quant import _transposed_block_table
+
+        rows_T, slot_T, mask_T = _transposed_block_table(onp.asarray(cols))
 
     def mv_t(w, delta):
         """A^T @ delta for a SQUARE block-sparse A (recurrent coupling).

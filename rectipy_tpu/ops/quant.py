@@ -1,10 +1,13 @@
 """int8 quantized-training coupling (``coupling_dtype='int8_master'``).
 
 Mixed-precision training one notch below bf16_master: the float32 master
-coupling is symmetrically quantized per output row ONCE per training step
-(the quantization depends only on the loop-invariant master weights, so XLA
-hoists it out of the time scan), the per-step matvec runs int8 x int8 on the
-MXU with int32 accumulation, and gradients flow straight-through (STE):
+coupling is symmetrically quantized per output row ONCE per scan -- the
+deferred trajectories (ops/bptt.py, ops/graph_bptt.py) and the inference
+scans (network._prep_params) evaluate ``prep`` explicitly before the scan,
+because XLA's loop-invariant code motion does NOT reliably hoist the
+requantization out of a scan body (measured +82% epoch time when left
+inline).  The per-step matvec runs int8 x int8 on the MXU with int32
+accumulation, and gradients flow straight-through (STE):
 
     forward   out = (scale . (W_q @ q(src))) * s_src        ~  W @ src
     backward  dsrc = W_q^T (scale . delta) * s_delta        ~  W^T @ delta
@@ -51,8 +54,16 @@ def quant_vec(x):
     return xq, s
 
 
+# int8 x int8 products accumulate in int32: the worst-case per-output sum is
+# 127*127*n_in, so fan-in must stay below INT8_DOT_MAX_FAN_IN ~ 1.33e5 to be
+# overflow-safe.  Dense couplings are checked loudly at lowering time
+# (dsl/lower.py); block-sparse fan-in is bounded by cb*bs per construction.
+INT8_DOT_MAX_FAN_IN = (2**31 - 1) // (127 * 127)  # 133152
+
+
 def int8_dot(wq, xq):
-    """(n_out, n_in) int8 @ (n_in,) int8 -> f32 (int32 accumulation)."""
+    """(n_out, n_in) int8 @ (n_in,) int8 -> f32 (int32 accumulation; fan-in
+    must be < INT8_DOT_MAX_FAN_IN to be overflow-safe in the worst case)."""
     return jax.lax.dot_general(
         wq, xq, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32).astype(jnp.float32)
@@ -156,13 +167,12 @@ def block_int8_mv(wp, cols, src):
     return out.reshape(n_br * bs).astype(src.dtype)
 
 
-def make_block_int8_ops(cols_np):
-    """(prep, mv, mv_t, grad_w) for int8_master block-sparse couplings.
-    ``cols_np`` must be CONCRETE (numpy) block structure -- the transposed
-    block table for the gather-based backward is built once here."""
+def _transposed_block_table(cols_np):
+    """Transposed block structure for the gather backward: for each column
+    block c, the (row-block, slot) pairs with cols[r, slot] == c, padded to
+    the max in-degree.  Built lazily (gather mode only)."""
     import numpy as onp
 
-    cols_np = onp.asarray(cols_np)
     n_br, cb = cols_np.shape
     lists = [[] for _ in range(n_br)]  # square coupling
     for r in range(n_br):
@@ -175,9 +185,21 @@ def make_block_int8_ops(cols_np):
     for c, pairs in enumerate(lists):
         for k, (r, j) in enumerate(pairs):
             rows_T[c, k], slot_T[c, k], mask_T[c, k] = r, j, 1.0
+    return jnp.asarray(rows_T), jnp.asarray(slot_T), jnp.asarray(mask_T)
+
+
+def make_block_int8_ops(cols_np):
+    """(prep, mv, mv_t, grad_w) for int8_master block-sparse couplings.
+    ``cols_np`` must be CONCRETE (numpy) block structure.
+
+    NOTE: RECTIPY_SPARSE_BWD is read HERE, at build time, and baked into the
+    returned closures (same for ops/bptt._make_sparse_matvec) -- changing the
+    env var after a trajectory/network is built has no effect on it."""
+    import numpy as onp
+
+    cols_np = onp.asarray(cols_np)
+    n_br, cb = cols_np.shape
     cols = jnp.asarray(cols_np, dtype=jnp.int32)
-    rows_T, slot_T, mask_T = (jnp.asarray(rows_T), jnp.asarray(slot_T),
-                              jnp.asarray(mask_T))
 
     def mv(wp, src):
         return block_int8_mv(wp, cols, src)
@@ -185,6 +207,9 @@ def make_block_int8_ops(cols_np):
     import os
 
     bwd_mode = os.environ.get("RECTIPY_SPARSE_BWD", "scatter")
+    rows_T = slot_T = mask_T = None
+    if bwd_mode == "gather":
+        rows_T, slot_T, mask_T = _transposed_block_table(cols_np)
 
     def mv_t(wp, delta):
         """A^T @ delta: per-row scales fold into delta BEFORE the dynamic

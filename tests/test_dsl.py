@@ -467,3 +467,55 @@ def test_expression_fuzz_against_numpy():
         ref = np.asarray(np_eval(ast), dtype=np.float64)
         np.testing.assert_allclose(ours, np.broadcast_to(ref, ours.shape) if ours.shape else ref,
                                    rtol=1e-6, atol=1e-6, err_msg=expr)
+
+
+def test_int8_master_run_prep_hoisted_bit_identical():
+    """run()/inference hoists the int8_master requantization out of the scan
+    (network._prep_params -> vf.prep_args): the prepped matvec must be
+    BIT-identical to the per-step custom-VJP matvec it replaces."""
+    import jax
+
+    from rectipy_tpu import Network
+
+    n = 32
+    rng = np.random.default_rng(21)
+    W = rng.normal(size=(n, n)) / np.sqrt(n)
+    inp = rng.normal(size=(40, 1)).astype(np.float32)
+
+    def build():
+        net = Network(1e-2)
+        net.add_diffeq_node(
+            "t", "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+            weights=W, source_var="tanh_op/r", target_var="li_op/r_in",
+            input_var="li_op/I_ext", output_var="li_op/v",
+            coupling_dtype="int8_master")
+        return net
+
+    net = build()
+    assert net.get_node("t")._vf.prep_args is not None
+    out = net.run(inp, record_output=True, verbose=False).to_numpy("out")
+
+    # manual per-step loop through the UNPREPPED step (custom-VJP matvec)
+    node = build().get_node("t")
+    step = jax.jit(node.make_step())
+    y, args = node.init_state(), dict(node.args)
+    ref = []
+    for t in range(inp.shape[0]):
+        y, o = step(y, args, jnp.broadcast_to(jnp.asarray(inp[t]), (n,)))
+        ref.append(np.asarray(o))
+    np.testing.assert_array_equal(out, np.stack(ref))
+
+
+def test_int8_dense_fan_in_overflow_guard(monkeypatch):
+    """Dense int8/int8_master couplings above the int32-safe fan-in bound
+    fail loudly at lowering time (ops/quant.INT8_DOT_MAX_FAN_IN)."""
+    import rectipy_tpu.ops.quant as quant
+
+    monkeypatch.setattr(quant, "INT8_DOT_MAX_FAN_IN", 10)
+    n = 16
+    W = np.eye(n)
+    kw = dict(weights=W, source_var="tanh_op/r", target_var="li_op/r_in")
+    for cd in (jnp.int8, "int8_master"):
+        with pytest.raises(ValueError, match="overflow"):
+            lower("rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+                  coupling_dtype=cd, **kw)
