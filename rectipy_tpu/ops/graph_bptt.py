@@ -34,10 +34,11 @@ trained feedback weights also get the one-matmul gradient.
 Scope (ValueError otherwise; fit_bptt falls back to plain autodiff):
 DSL-built populations (Euler all classes; Heun RateNets get two stages per
 coupling), InstantNode function nodes, and the full linear edge family --
-Linear / LinearMasked (frozen masks) / LinearMemory / LinearFilter /
-LinearMemoryFilter (up to _MAX_FILTER_SLOTS buffer slots) -- as regular or
-feedback edges.  Gradient parity with plain autodiff is pinned by
-tests/test_graph_bptt.py (f64).
+Linear / LinearMasked (trainable OR frozen masks -- the mask cotangent is
+emitted explicitly from the deferred dE) / LinearMemory / LinearFilter /
+LinearMemoryFilter (any max_delay: the filter is ONE ring-buffer stage) --
+as regular or feedback edges.  Gradient parity with plain autodiff is
+pinned by tests/test_graph_bptt.py (f64).
 
 Reference training semantics: /root/reference/rectipy/network.py:603-707.
 """
@@ -53,10 +54,6 @@ import jax.numpy as jnp
 from .bptt import _make_matvec, _make_sparse_matvec, _node_pieces
 
 __all__ = ["make_graph_traj"]
-
-# LinearMemoryFilter lifts one filter-matvec stage per delay-buffer slot;
-# cap the slot count so pathological delays don't blow up trace/compile time
-_MAX_FILTER_SLOTS = 16
 
 
 def _split_nested(d):
@@ -124,6 +121,29 @@ def _edge_ops(w):
     return _make_matvec(None)
 
 
+def _filter_matrix_ops():
+    """Contraction 4-tuple for a synaptic filter applied to the WHOLE (n, D)
+    rolled delay buffer in one stage: ``F @ buf`` is a single (n, n) x (n, D)
+    matmul per step whatever the delay depth, and ``dF`` is ONE post-scan
+    contraction of the saved (T, n, D) trajectories.  This replaces the
+    per-buffer-slot stage decomposition (one stage per delay slot, capped at
+    16) -- max_delay no longer bounds the deferred path."""
+
+    def prep(w):
+        return w
+
+    def mv(w, s):
+        return w @ s
+
+    def mv_t(w, d):
+        return w.T @ d
+
+    def grad_w(deltas, srcs):
+        return jnp.einsum("tid,tjd->ij", deltas, srcs)
+
+    return prep, mv, mv_t, grad_w
+
+
 def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespace]:
     """Build ``traj(weights, args, Y0, xs) -> (YT, outs)`` for the whole
     compiled network, with a custom VJP deferring every coupling- and
@@ -132,7 +152,8 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
     - ``weights``: flat dict keyed by ``"n:<label>:<wkey>"`` (population
       couplings) and ``"e:<ekey>"`` (edge weights).
     - ``args``: ``{"nodes": {label: {...}}, "edges": {ekey: {...}}}`` --
-      every other parameter (frozen masks ride in ``edges``).
+      every other parameter (masks ride in ``edges``; trainable masks get
+      their cotangent from the deferred dE).
     - ``Y0``: dict of per-population state vectors; ``xs``: ``(T, n_in)``.
 
     Returns ``(traj, spec)``; ``spec.weight_paths`` lists
@@ -178,7 +199,7 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
                          "DSL-built population.")
 
     # validate edges: linear projections (optionally with delay buffers or a
-    # synaptic filter state -- those join the scan carry) with frozen masks
+    # synaptic filter state -- those join the scan carry)
     from ..edges import LinearFilter, LinearMemory, LinearMemoryFilter
 
     def _check_edge(u, n, e):
@@ -187,14 +208,6 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
             raise ValueError(
                 f"Deferred-gradient graph BPTT requires linear-family edges; "
                 f"edge {u}->{n} is {type(e).__name__}.")
-        if type(e) is LinearMasked and "mask" in e.train_keys:
-            raise ValueError("Trainable edge masks use plain autodiff.")
-        if (type(e) is LinearMemoryFilter
-                and e._write_mask.shape[1] > _MAX_FILTER_SLOTS):
-            raise ValueError(
-                f"LinearMemoryFilter with max_delay > {_MAX_FILTER_SLOTS - 1} "
-                f"uses plain autodiff (one filter stage per buffer slot; "
-                f"large delays would blow up the stage count).")
 
     for n in order:
         for u in preds[n]:
@@ -237,32 +250,31 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
         out = []
 
         if type(e) is LinearMemoryFilter:
-            # buf' = F @ roll(buf) masked-written with x: one filter-matvec
-            # stage PER BUFFER SLOT (producers read the carried buffer's
-            # rolled columns), all sharing the filter flatkey -- their dW
-            # contributions accumulate.  The W stage projects slot 0 of the
-            # written buffer; mirrors LinearMemoryFilter.make_step.
+            # buf' = F @ roll(buf) masked-written with x: ONE ring-buffer
+            # filter stage -- the producer reads the whole rolled (n, D)
+            # carried buffer and the stage matmuls F against it, so the stage
+            # count (and compile time) is independent of max_delay.  The W
+            # stage projects slot 0 of the written buffer; mirrors
+            # LinearMemoryFilter.make_step / reference edges.py:144-147.
             wm = e._write_mask
             D1 = int(wm.shape[1])
-            fprep, fmv, fmv_t, fgrad_w = _edge_ops(e.params["filter"])
+            fprep, fmv, fmv_t, fgrad_w = _filter_matrix_ops()
             feff, fdeff = _ident_eff()
-            fidxs = []
-            for d in range(D1):
-                def f_producer(C, svals, x, args, ek=ek, d=d, D1=D1):
-                    return C["E"][ek][:, (d + 1) % D1]  # roll(-1) column d
 
-                fst = SimpleNamespace(flatkey=f"ef:{ek}", prep=fprep, mv=fmv,
-                                      mv_t=fmv_t, grad_w=fgrad_w, eff=feff,
-                                      deff=fdeff, producer=f_producer,
-                                      dims=(e.n_in, e.n_in))
-                fidxs.append(len(stages) + len(out))
-                out.append((fst, ("edges", ek, "filter")))
+            def f_producer(C, svals, x, args, ek=ek):
+                return jnp.roll(C["E"][ek], -1, axis=1)  # (n, D) rolled buffer
 
-            def buf_new(C, svals, x, args, producer=producer,
-                        fidxs=tuple(fidxs), wm=wm):
+            fst = SimpleNamespace(flatkey=f"ef:{ek}", prep=fprep, mv=fmv,
+                                  mv_t=fmv_t, grad_w=fgrad_w, eff=feff,
+                                  deff=fdeff, producer=f_producer,
+                                  dims=(e.n_in, e.n_in),
+                                  shapes=((e.n_in, D1), (e.n_in, D1)))
+            fidx = len(stages) + len(out)
+            out.append((fst, ("edges", ek, "filter")))
+
+            def buf_new(C, svals, x, args, producer=producer, fidx=fidx, wm=wm):
                 x_u = producer(C, svals, x, args)
-                filtered = jnp.stack([svals[j] for j in fidxs], axis=1)
-                return filtered * (1.0 - wm) + wm * x_u[:, None]
+                return svals[fidx] * (1.0 - wm) + wm * x_u[:, None]
 
             estate_update[ek] = buf_new
 
@@ -300,19 +312,29 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
             estate_update[ek] = y_new
             producer = y_new
 
+        mask_path = None
         if type(e) is LinearMasked:
             def eff(wv, args, ek=ek):
                 return wv * args["edges"][ek]["mask"]
 
             def deff(dE, wv, args, ek=ek):
                 return dE * args["edges"][ek]["mask"]
+
+            # the mask multiply runs in _prep_all, OUTSIDE the differentiated
+            # region, so its cotangent must be emitted explicitly from the
+            # same raw dE: d(w*m)/dm = w -> dmask = dE * w (added into d_args
+            # at this path by the backwards below).  Trainable masks
+            # therefore get the same one-contraction deferred gradient as
+            # the weights (reference analog: edges.py:173-174).
+            mask_path = ("edges", ek, "mask")
         else:
             eff, deff = _ident_eff()
 
         out.append((SimpleNamespace(flatkey=f"e:{ek}", prep=wprep, mv=mv,
                                     mv_t=mv_t, grad_w=grad_w, eff=eff,
                                     deff=deff, producer=producer,
-                                    dims=(e.n_out, e.n_in)),
+                                    dims=(e.n_out, e.n_in),
+                                    mask_path=mask_path),
                     ("edges", ek, "weights")))
         return out
 
@@ -578,6 +600,11 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
             # their contributions accumulate
             d_weights[st.flatkey] = (d_weights[st.flatkey] + dw
                                      if st.flatkey in d_weights else dw)
+            mp = getattr(st, "mask_path", None)
+            if mp is not None:  # trainable-mask cotangent: dmask = dE * w
+                sec, lbl, key = mp
+                leaf = d_args[sec][lbl][key]
+                d_args[sec][lbl][key] = leaf + (dE * w).astype(leaf.dtype)
         return d_weights, _merge_float0(d_args, aux_args), lam0, d_xs
 
     if R > 1:
@@ -626,10 +653,13 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
             for st in stages:
                 if st.flatkey in dE0:
                     continue
-                dl, sl = st.dims
+                # per-step stage shapes: (out, src) vectors by default, full
+                # matrices for ring-buffer filter stages
+                osh, ssh = getattr(st, "shapes",
+                                   ((st.dims[0],), (st.dims[1],)))
                 shp = jax.eval_shape(st.grad_w,
-                                     jax.ShapeDtypeStruct((R, dl), st_dtype),
-                                     jax.ShapeDtypeStruct((R, sl), st_dtype))
+                                     jax.ShapeDtypeStruct((R,) + tuple(osh), st_dtype),
+                                     jax.ShapeDtypeStruct((R,) + tuple(ssh), st_dtype))
                 dE0[st.flatkey] = jnp.zeros(shp.shape, shp.dtype)
                 fk_stage[st.flatkey] = st
 
@@ -662,6 +692,12 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
             full_args = _merge_nested(diff_args, aux_args)
             d_weights = {fk: fk_stage[fk].deff(dE[fk], weights[fk], full_args)
                          .astype(weights[fk].dtype) for fk in dE}
+            for fk, st in fk_stage.items():
+                mp = getattr(st, "mask_path", None)
+                if mp is not None:  # trainable-mask cotangent: dmask = dE * w
+                    sec, lbl, key = mp
+                    leaf = d_args[sec][lbl][key]
+                    d_args[sec][lbl][key] = leaf + (dE[fk] * weights[fk]).astype(leaf.dtype)
             return d_weights, _merge_float0(d_args, aux_args), lam0, d_xs
 
         traj_core.defvjp(traj_fwd_ck, traj_bwd_ck)

@@ -140,10 +140,9 @@ def test_fit_bptt_graph_matches_plain():
 
 
 def test_graph_bptt_unsupported_falls_back():
-    """LinearMemoryFilter edges with max_delay above the stage cap (one
-    filter stage per buffer slot) are outside the deferred path's scope:
-    fused_bptt=True raises, 'auto' silently falls back to plain autodiff
-    and still trains."""
+    """Edges outside the linear family (here an RLS edge) are outside the
+    deferred path's scope: fused_bptt=True raises, 'auto' silently falls
+    back to plain autodiff and still trains."""
     rng = np.random.default_rng(23)
     n = 6
 
@@ -156,9 +155,7 @@ def test_graph_bptt_unsupported_falls_back():
         net.add_diffeq_node("pop2", TANH, weights=rng.normal(size=(n, n)) * 0.2,
                             input_var="li_op/I_ext", output_var="li_op/v",
                             source_var="tanh_op/r", target_var="li_op/r_in")
-        net.add_edge("pop1", "pop2", weights=np.eye(n),
-                     delays=np.arange(n) % 3 + 18,  # D=21 slots > cap of 16
-                     filter_weights=np.eye(n) * 0.9)
+        net.add_edge("pop1", "pop2", weights=np.eye(n), train="rls")
         return net
 
     inp = rng.normal(size=(40, n))
@@ -167,6 +164,125 @@ def test_graph_bptt_unsupported_falls_back():
         build().fit_bptt([inp], [tgt], verbose=False, fused_bptt=True)
     obs = build().fit_bptt([inp] * 2, [tgt] * 2, verbose=False, fused_bptt="auto")
     assert len(obs["epoch_loss"]) == 2
+
+
+def test_graph_bptt_long_delay_memory_filter_matches_plain():
+    """LinearMemoryFilter with max_delay >> 16 (the former per-slot stage
+    cap): the single ring-buffer filter stage keeps the deferred path
+    available at ANY delay depth -- make_graph_traj must accept it, and
+    fit_bptt losses + trained weights AND filter must match plain autodiff
+    at f64.  Reference semantics: rectipy/edges.py:144-147."""
+    rng = np.random.default_rng(27)
+    n = 6
+    W1 = rng.normal(size=(n, n)) * 0.2
+    We = rng.normal(size=(n, n)) * 0.4
+    F0 = np.eye(n) * 0.8 + rng.normal(size=(n, n)) * 0.05
+    delays = (np.arange(n) * 17) % 100 + 1  # max_delay = 86 -> D = 87 slots
+    T = 120
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("pop1", TANH, weights=W1, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        net.add_diffeq_node("pop2", TANH, weights=W1.copy(),
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in")
+        net.add_edge("pop1", "pop2", weights=We, train="gd", delays=delays,
+                     filter_weights=F0)
+        return net
+
+    gtraj, spec = make_graph_traj(build().compile())  # must not raise
+    assert any(fk.startswith("ef:") for fk, *_ in spec.weight_paths)
+
+    def fit(fused):
+        net = build()
+        obs = net.fit_bptt([inp] * 8, [tgt] * 8, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        e = net.get_edge("pop1", "pop2")
+        return (np.asarray(obs["epoch_loss"]), np.asarray(e.weights),
+                np.asarray(e.params["filter"]))
+
+    l_fast, we_fast, f_fast = fit(True)
+    l_std, we_std, f_std = fit(False)
+    np.testing.assert_allclose(l_fast, l_std, rtol=1e-8)
+    np.testing.assert_allclose(we_fast, we_std, rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(f_fast, f_std, rtol=1e-5, atol=1e-10)
+    assert np.abs(f_fast - F0).max() > 1e-8, "filter did not train"
+    assert l_fast[-1] < l_fast[0]
+
+
+@pytest.mark.parametrize("remat", [0, 40])
+def test_graph_bptt_trainable_mask_matches_plain(remat):
+    """Trainable-mask LinearMasked on the deferred path: the mask multiply
+    runs outside the differentiated region (stage prep), so its cotangent is
+    emitted explicitly as dmask = dE * W.  Gradients for BOTH the weights
+    and the mask must match plain autodiff at f64, full and chunked."""
+    rng = np.random.default_rng(28)
+    net = Network(1e-2, dtype=jnp.float64)
+    n1, n2 = 7, 5
+    W1 = rng.normal(size=(n1, n1)) * 0.2
+    We = rng.normal(size=(n2, n1)) * 0.5
+    mask0 = rng.random((n2, n1))
+    net.add_diffeq_node("pop1", TANH, weights=W1, input_var="li_op/I_ext",
+                        output_var="li_op/v", source_var="tanh_op/r",
+                        target_var="li_op/r_in", train_params=["weights"])
+    net.add_diffeq_node("pop2", TANH, weights=rng.normal(size=(n2, n2)) * 0.2,
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        source_var="tanh_op/r", target_var="li_op/r_in")
+    net.add_edge("pop1", "pop2", weights=We, train="gd", mask=mask0,
+                 train_params=["weights", "mask"])
+    net.compile()
+    assert "mask" in net.get_edge("pop1", "pop2").train_keys
+
+    gtraj, spec = make_graph_traj(net, remat_steps=remat)
+    step = net.make_step()
+    params = net.parameters_pytree()
+    state0 = net.init_state()
+    T = 80
+    xs = jnp.asarray(rng.normal(size=(T, n1)))
+    tgt = jnp.asarray(rng.normal(size=(T, n2)))
+
+    wpaths = spec.weight_paths
+    excl = {(kind, label, key) for _, kind, label, key in wpaths}
+    weights0 = {fk: params[kind][label][key] for fk, kind, label, key in wpaths}
+    args0 = {sec: {lbl: {k: v for k, v in sub.items()
+                         if (sec, lbl, k) not in excl}
+                   for lbl, sub in params[sec].items()}
+             for sec in ("nodes", "edges")}
+    Y0 = {lbl: state0["nodes"][lbl] for lbl in spec.pop_labels}
+
+    def loss_std(weights, args):
+        p = {sec: {lbl: dict(sub) for lbl, sub in args[sec].items()}
+             for sec in ("nodes", "edges")}
+        for fk, kind, label, key in wpaths:
+            p[kind][label][key] = weights[fk]
+
+        def body(st, x):
+            st, out, _ = step(st, p, x)
+            return st, out
+
+        _, outs = jax.lax.scan(body, state0, xs)
+        return jnp.mean((outs - tgt) ** 2)
+
+    def loss_fast(weights, args):
+        _, outs = gtraj(weights, args, Y0, xs)
+        return jnp.mean((outs - tgt) ** 2)
+
+    g_std = jax.grad(loss_std, argnums=(0, 1))(weights0, args0)
+    g_fast = jax.grad(loss_fast, argnums=(0, 1))(weights0, args0)
+    dm_std = np.asarray(g_std[1]["edges"]["pop1->pop2"]["mask"])
+    dm_fast = np.asarray(g_fast[1]["edges"]["pop1->pop2"]["mask"])
+    assert np.abs(dm_std).max() > 0, "mask gradient vacuous in the reference path"
+    np.testing.assert_allclose(dm_fast, dm_std,
+                               atol=1e-7 * max(np.abs(dm_std).max(), 1e-30))
+    for fk in weights0:
+        ref = np.asarray(g_std[0][fk])
+        np.testing.assert_allclose(np.asarray(g_fast[0][fk]), ref,
+                                   atol=1e-7 * max(np.abs(ref).max(), 1e-30),
+                                   err_msg=fk)
 
 
 @pytest.mark.parametrize("edge_kind", ["delay", "filter"])
