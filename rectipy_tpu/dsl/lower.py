@@ -63,6 +63,7 @@ class VectorField:
     read_var: Optional[Callable] = None  # read_var(qname, y, args) -> (N,) value
     alg_vars: List[str] = field(default_factory=list)  # algebraic (non-state) variables
     tile_func: Optional[Callable] = None  # tile-local vector field (see lower())
+    tile_local: bool = True  # False when reductions make tile_func global-only
     state_order: List[str] = field(default_factory=list)
     make_tile_reader: Optional[Callable] = None  # qname -> tile reader or None
     couplings: List[Tuple[str, str, str]] = field(default_factory=list)  # (src, tgt, wkey)
@@ -538,7 +539,8 @@ def lower(
     # tile slices and every coupling contribution is supplied precomputed via
     # ``ext`` (the matvec needs the full population and happens outside).
     # Population reductions (mean/sum/min/max over neurons) are global, so
-    # templates using them get tile_func=None.
+    # templates using them are flagged tile_local=False: the trajectories may
+    # still call tile_func on the FULL population, tiled callers must refuse.
     def _uses_reduction(ast) -> bool:
         tag = ast[0]
         if tag == "call":
@@ -587,14 +589,21 @@ def lower(
             out[qname] = jnp.broadcast_to(evaluate(rhs_ast, op_env(opname)), shape)
         return out
 
-    if any_reduction:
-        tile_func = None
+    # Reduction templates keep tile_func -- evaluated on the FULL (N,)
+    # population by the deferred-gradient trajectories (ops/bptt.py,
+    # ops/graph_bptt.py) the reductions are the true population means -- but
+    # are NOT tile-local: the fused Pallas kernels (ops/generic_fused.py)
+    # must refuse them (a tile-wise mean() would silently be tile-local).
+    tile_is_local = not any_reduction
 
-    def make_tile_reader(qname: str):
-        """Tile-local reader for a state or algebraic variable that depends
+    def make_tile_reader(qname: str, allow_global: bool = False):
+        """Reader for a state or algebraic variable that depends
         (transitively) only on states/params -- returns None when the chain
-        touches an input variable (coupling/external values are global)."""
-        if any_reduction:
+        touches an input variable (coupling/external values are global).
+        ``allow_global=True`` (the trajectories, which evaluate on the full
+        population) additionally admits reduction-using templates; the
+        default refuses them (tile-local callers)."""
+        if any_reduction and not allow_global:
             return None
         if qname in var_map:
             return lambda states, a_tile: states[qname]
@@ -700,6 +709,7 @@ def lower(
         read_var=read_var,
         alg_vars=alg_names,
         tile_func=tile_func,
+        tile_local=tile_is_local,
         state_order=list(state_order),
         make_tile_reader=make_tile_reader,
         couplings=[(esv, etv, wkey) for esv, etv, _, wkey in all_edges],

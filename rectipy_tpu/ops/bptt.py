@@ -41,8 +41,10 @@ integration (plus Heun on RateNet: both stage matvec cotangents are emitted
 and dW gains a second post-scan matmul per coupling),
 at least one coupling matrix in float32 / bfloat16(_master)
 (frozen-int8 coupling is inference-only; 'int8_master' trains quantized
-via ops/quant.py), no population reductions, and coupling
-sources / algebraic outputs that depend on states+params only.
+via ops/quant.py), and coupling sources / algebraic outputs that depend on
+states+params only.  Population reductions (mean()/sum(), e.g. the iku
+mean-field recovery) are supported: the trajectory evaluates the
+coupling-free step on the FULL population, so reductions are global.
 
 Reference training semantics: /root/reference/rectipy/network.py:603-707
 (_bptt_epochs), nodes.py:382-392 (spike/reset interleaving).
@@ -237,8 +239,8 @@ def _node_pieces(node):
     vf = getattr(node, "_vf", None)
     if vf is None or vf.tile_func is None:
         raise ValueError(
-            "Deferred-gradient BPTT requires a DSL-built node without "
-            "population reductions (mean()/sum() templates use plain autodiff)."
+            "Deferred-gradient BPTT requires a DSL-built node (raw-constructor "
+            "nodes use plain autodiff)."
         )
     if getattr(node, "_fused_attached", False):
         raise ValueError("Deferred-gradient BPTT requires the standard (unpadded) "
@@ -258,9 +260,13 @@ def _node_pieces(node):
         if node._args[wk].dtype == jnp.int8:
             raise ValueError("frozen int8 coupling is inference-only; train with "
                              "float32, bfloat16_master, or int8_master coupling")
+    # allow_global=True: the trajectories evaluate readers on the FULL
+    # population, so mean()/sum() reduction templates (e.g. iku mean-field
+    # recovery) are admitted -- the reductions compute true population values
     src_readers = []
     for src, _tgt, _wk in vf.couplings:
-        rd = vf.make_tile_reader(src) if vf.make_tile_reader else None
+        rd = (vf.make_tile_reader(src, allow_global=True)
+              if vf.make_tile_reader else None)
         if rd is None:
             raise ValueError(
                 "Deferred-gradient BPTT requires every coupling source to be a "
@@ -269,7 +275,7 @@ def _node_pieces(node):
         src_readers.append(rd)
     out_reader_alg = None
     if node._out_alg is not None:
-        out_reader_alg = vf.make_tile_reader(node._out_alg)
+        out_reader_alg = vf.make_tile_reader(node._out_alg, allow_global=True)
         if out_reader_alg is None:
             raise ValueError("Deferred-gradient BPTT requires an algebraic output "
                              "to depend on states/params only.")

@@ -55,10 +55,11 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
             "kernel configuration."
         )
     vf = getattr(node, "_vf", None)
-    if vf is None or vf.tile_func is None:
+    if vf is None or vf.tile_func is None or not getattr(vf, "tile_local", True):
         raise ValueError(
             "Generic fused step requires a DSL-built node without population "
-            "reductions (mean()/sum() templates run on the XLA path)."
+            "reductions (mean()/sum() templates run on the XLA path -- their "
+            "tile_func is global-only, a tiled mean() would be tile-local)."
         )
     cls_name = type(node).__name__
     if cls_name not in ("RateNet", "SpikeResetNet", "SpikeNet", "MultiSpikeResetNet"):

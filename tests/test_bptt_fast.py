@@ -140,19 +140,27 @@ def test_fit_bptt_fused_matches_plain_path():
 
 
 def test_fused_bptt_unsupported_raises_and_auto_falls_back():
-    """Mean-field templates (population reductions) cannot use the deferred
-    path: fused_bptt=True raises, 'auto' silently falls back and trains."""
+    """Raw-constructor nodes (no DSL lowering, _vf is None) cannot use the
+    deferred path: fused_bptt=True raises, 'auto' silently falls back and
+    trains.  (Mean-field reduction templates USED to be the unsupported case
+    here; they now route through the trajectory -- see the iku test below.)"""
+    from rectipy_tpu.nodes import RateNet
+
     n, T = 6, 50
     rng = np.random.default_rng(5)
+    W0 = rng.normal(size=(n, n)) * 0.3
 
     def build():
+        def rate(t, y, args):
+            return -y + jnp.tanh(args["weights"] @ y) + args["in"]
+
+        node = RateNet(rate, {"weights": jnp.asarray(W0), "in": jnp.zeros(n)},
+                       {"out": [0, n]}, {"in": "in", "weights": "weights"},
+                       dt=1e-2, dtype=jnp.float64, train_params=["weights"],
+                       y0=jnp.zeros(n, dtype=jnp.float64))
         net = Network(1e-2, dtype=jnp.float64)
-        net.add_diffeq_node("rnn", IKU, weights=np.abs(rng.normal(size=(n, n))) * 0.02,
-                            input_var="I_ext", output_var="s", source_var="s",
-                            target_var="s_in", op="iku_op", spike_var="spike",
-                            reset_var="v", spike_threshold=40.0, spike_reset=-60.0,
-                            node_vars={"all/iku_op/eta": 150.0},
-                            train_params=["weights"])
+        net.add_node("rnn", node, "diffeq")
+        net.compile()
         return net
 
     inp = rng.normal(size=(T, n))
@@ -160,6 +168,81 @@ def test_fused_bptt_unsupported_raises_and_auto_falls_back():
     with pytest.raises(ValueError):
         build().fit_bptt([inp], [tgt], verbose=False, fused_bptt=True)
     obs = build().fit_bptt([inp] * 2, [tgt] * 2, verbose=False, fused_bptt="auto")
+    assert len(obs["epoch_loss"]) == 2
+
+
+def test_iku_meanfield_traj_forward_and_grad_parity():
+    """Mean-field templates (population reductions, here iku's mean(v) /
+    mean(spike) recovery) route through the deferred trajectory: the
+    trajectory evaluates the coupling-free step on the FULL population so
+    the reductions are global.  Forward bit-identical to the composed step,
+    gradients match plain autodiff at f64, and fit_bptt auto-selects it."""
+    n, T = 8, 700
+    rng = np.random.default_rng(6)
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", IKU, weights=np.abs(rng.normal(size=(n, n))) * 0.02,
+                            input_var="I_ext", output_var="s", source_var="s",
+                            target_var="s_in", op="iku_op", spike_var="spike",
+                            reset_var="v", spike_threshold=40.0, spike_reset=-60.0,
+                            node_vars={"all/iku_op/eta": 3000.0 + 100.0 * rng.random(n)},
+                            train_params=["weights"])
+        net.compile()
+        return net
+
+    net = build()
+    node = net.get_node("rnn")
+    assert node._vf.tile_local is False  # reductions: global-only tile_func
+    traj, wkeys = make_coupled_traj(node)
+
+    step = net.make_step()
+    params = net.parameters_pytree()
+    state0 = net.init_state()
+    nargs = params["nodes"]["rnn"]
+    y0 = state0["nodes"]["rnn"]
+    xs = jnp.asarray(rng.normal(size=(T, n)))
+    tgt = jnp.asarray(rng.normal(size=(T, n)))
+    Wd = {k: nargs[k] for k in wkeys}
+    rest = {k: v for k, v in nargs.items() if k not in wkeys}
+
+    def run_std(Wm, xs_):
+        p = {"nodes": {"rnn": {**nargs, **Wm}}, "edges": {}}
+        st0 = {"nodes": {"rnn": y0}, "edges": {}}
+
+        def body(st, x):
+            st, out, _ = step(st, p, x)
+            return st, out
+
+        _, outs = jax.lax.scan(body, st0, xs_)
+        return outs
+
+    outs_std = run_std(Wd, xs)
+    _, outs_f = traj(Wd, rest, y0, xs)
+    np.testing.assert_array_equal(np.asarray(outs_f), np.asarray(outs_std))
+    assert np.asarray(outs_std).max() > 0, "no spikes -> test is vacuous"
+
+    def loss_std(Wm, xs_):
+        return jnp.mean((run_std(Wm, xs_) - tgt) ** 2)
+
+    def loss_fast(Wm, xs_):
+        _, outs = traj(Wm, rest, y0, xs_)
+        return jnp.mean((outs - tgt) ** 2)
+
+    g_std = jax.grad(loss_std, argnums=(0, 1))(Wd, xs)
+    g_fast = jax.grad(loss_fast, argnums=(0, 1))(Wd, xs)
+    for wk in wkeys:
+        a, b = np.asarray(g_std[0][wk]), np.asarray(g_fast[0][wk])
+        assert np.abs(a).max() > 0, "zero weight gradient -> test is vacuous"
+        np.testing.assert_allclose(b, a, atol=1e-6 * np.abs(a).max())
+    np.testing.assert_allclose(np.asarray(g_fast[1]), np.asarray(g_std[1]),
+                               rtol=1e-9, atol=1e-12)
+
+    # fit_bptt auto-selects the trajectory for the reduction template now
+    inp_np = np.asarray(xs)
+    tgt_np = np.asarray(tgt)
+    obs = build().fit_bptt([inp_np] * 2, [tgt_np] * 2, verbose=False,
+                           fused_bptt=True)  # must NOT raise
     assert len(obs["epoch_loss"]) == 2
 
 
@@ -207,9 +290,8 @@ def test_fit_bptt_fused_chain_topology_matches_plain():
 def test_fused_bptt_chain_with_stateful_edge_uses_graph_path():
     """Delay edges break the chain decomposition (stateful pre-stage can't
     hoist out of the scan) but the GRAPH trajectory handles them: fused=True
-    succeeds and matches plain autodiff.  Only LinearMemoryFilter edges
-    with max_delay above the per-slot stage cap remain outside the deferred
-    scope (raise with fused=True)."""
+    succeeds and matches plain autodiff -- including LinearMemoryFilter at
+    ANY max_delay (the filter is one ring-buffer stage)."""
     n = 6
     rng = np.random.default_rng(9)
     W0 = rng.normal(size=(n, n)) * 0.2
@@ -224,7 +306,7 @@ def test_fused_bptt_chain_with_stateful_edge_uses_graph_path():
         net.add_func_node("inp", n, activation_function="identity")
         kw = dict(delays=np.arange(n) % 3)
         if filtered:
-            kw = dict(delays=np.arange(n) % 3 + 18,  # > 16-slot stage cap
+            kw = dict(delays=np.arange(n) % 3 + 18,  # D=21 slots, one stage
                       filter_weights=np.eye(n) * 0.9)
         net.add_edge("inp", "rnn", weights=np.eye(n), **kw)
         return net
@@ -239,8 +321,10 @@ def test_fused_bptt_chain_with_stateful_edge_uses_graph_path():
     l_std, w_std = fit(False)
     np.testing.assert_allclose(l_fast, l_std, rtol=1e-8)
     np.testing.assert_allclose(w_fast, w_std, rtol=1e-6, atol=1e-10)
-    with pytest.raises(ValueError):
-        build(True).fit_bptt([inp], [tgt], verbose=False, fused_bptt=True)
+    # filtered long-delay edge: formerly outside the deferred scope (16-slot
+    # cap), now trains on the graph trajectory without raising
+    obs = build(True).fit_bptt([inp], [tgt], verbose=False, fused_bptt=True)
+    assert len(obs["epoch_loss"]) == 1
 
 
 def test_fit_bptt_fused_block_sparse_matches_plain():
