@@ -208,18 +208,47 @@ class CircuitTemplate:
     def __post_init__(self):
         if not self.nodes:
             raise TemplateError("CircuitTemplate requires at least one node")
-        templates = {id(t) for t in self.nodes.values()}
-        names = {t.name for t in self.nodes.values()}
-        if len(templates) > 1 and len(names) > 1:
-            raise TemplateError(
-                "CircuitTemplate lowering requires all nodes to share one template "
-                "(homogeneous populations); build separate Network nodes for "
-                "heterogeneous circuits."
-            )
-        self.node_template: NodeTemplate = next(iter(self.nodes.values()))
+        tlist = list(self.nodes.values())  # insertion order = neuron index
+        first = tlist[0]
+        self.node_vars: dict = {}
+        if any(t is not first for t in tlist[1:]):
+            # heterogeneous node templates: PARAMETER heterogeneity (same
+            # operator structure/equations, different variable defaults) is
+            # merged symbolically -- each differing default becomes an (N,)
+            # per-neuron override array, so the population still lowers as
+            # ONE vectorized node.  Circuits mixing different EQUATIONS
+            # cannot share a vector field; express them as separate Network
+            # nodes wired with add_edge (the multi-population graph
+            # trajectory trains those at the same deferred-gradient
+            # roofline).  PyRates analog: per-node parameter values on
+            # replicated templates (/root/reference/rectipy/nodes.py:241-252
+            # only ever replicates one template).
+            def sig(t: NodeTemplate):
+                return tuple(
+                    (op.name, tuple(op.equations),
+                     tuple(sorted((v, s.role) for v, s in op.variables.items())))
+                    for op in t.operators)
+
+            ref_sig = sig(first)
+            if any(sig(t) != ref_sig for t in tlist[1:]):
+                raise TemplateError(
+                    "CircuitTemplate lowering requires all nodes to share one "
+                    "operator structure (same equations). Parameter-heterogeneous "
+                    "circuits (same equations, different variable defaults) merge "
+                    "automatically; circuits mixing different model equations must "
+                    "be built as separate Network nodes connected with add_edge."
+                )
+            import numpy as _np
+
+            for oi, op in enumerate(first.operators):
+                for vname in op.variables:
+                    vals = [t.operators[oi].variables[vname].default for t in tlist]
+                    if any(v != vals[0] for v in vals[1:]):
+                        self.node_vars[f"{op.name}/{vname}"] = _np.asarray(
+                            vals, dtype=float)
+        self.node_template: NodeTemplate = first
         self.n: int = len(self.nodes)
         self.edges: list = []  # (source_var, target_var, weight matrix)
-        self.node_vars: dict = {}
 
     def add_edges_from_matrix(self, source_var: str, target_var: str,
                               source_nodes: list = None, weight=None, **kwargs):

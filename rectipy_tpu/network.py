@@ -1614,17 +1614,34 @@ class Network:
                     "`inputs` and `targets` agree in the first dimension (epochs)."
                 )
             y0 = self.state
+            # stage epoch arrays ONCE per distinct array (repeated-epoch
+            # training must not re-transfer host->device every epoch) and keep
+            # per-epoch losses on device -- a per-epoch float() blocks the
+            # dispatch pipeline on a device round-trip (~170 ms/epoch over a
+            # tunneled chip; same rule as _bptt_epochs)
+            dev_cache: Dict[int, jnp.ndarray] = {}
+
+            def stage(x):
+                k = id(x)
+                if k not in dev_cache:
+                    dev_cache[k] = jnp.asarray(np.asarray(x), dtype=self.dtype)
+                return dev_cache[k]
+
             epoch_losses = []
             for epoch in range(len(inputs)):
-                _, loss = self._rls_scan(np.asarray(inputs[epoch]), np.asarray(targets[epoch]),
+                _, loss = self._rls_scan(stage(inputs[epoch]), stage(targets[epoch]),
                                          update_steps, sampling_steps, obs, record=False,
-                                         mesh=mesh)
-                epoch_losses.append(float(loss))
+                                         mesh=mesh, sync=verbose)
+                epoch_losses.append(loss)
                 self.reset(y0)
                 if verbose:
                     print(f"Progress: {epoch + 1}/{len(inputs)} training epochs finished.")
-                    print(f"Epoch loss: {epoch_losses[-1]}.")
+                    print(f"Epoch loss: {float(loss)}.")
                     print("")
+            if epoch_losses:
+                epoch_losses = [float(x) for x in np.asarray(jnp.stack(epoch_losses))]
+                rls_edge = self.get_edge(*self._train_edge)
+                rls_edge.loss = epoch_losses[-1]
             obs.save("epoch_loss", epoch_losses)
             obs.save("epochs", np.arange(len(inputs)))
         else:
@@ -1642,7 +1659,12 @@ class Network:
         return obs
 
     def _rls_scan(self, inputs, targets, update_steps, sampling_steps, obs, record=True,
-                  mesh=None):
+                  mesh=None, sync=True):
+        """One RLS training scan.  ``sync=False`` (epoch mode) keeps the loss
+        on device and skips the per-call ``float()`` so repeated epochs
+        pipeline without host round-trips; the jitted scan program is cached
+        per configuration (a fresh ``jax.jit`` wrapper per call would force a
+        full host-side retrace every epoch)."""
         src, tgt_node = self._train_edge
         rls_edge: RLS = self.get_edge(src, tgt_node)
         ekey = _ekey(src, tgt_node)
@@ -1666,7 +1688,6 @@ class Network:
             lambda s, p, x: step(s, p, x)[1], state0, params, inputs[0])
         w_dtype = rls_edge.params["weights"].dtype
 
-        @jax.jit
         def scan_all(state0, params, W, P, inputs, targets):
             rec_out0 = jnp.zeros((n_rec, n_out), dtype=out_aval.dtype)
             rec_loss0 = jnp.zeros((n_rec,), dtype=w_dtype)
@@ -1699,11 +1720,17 @@ class Network:
                 body, init, (inputs, targets, jnp.arange(steps)))
             return stateT, W, P, loss, rec_out, rec_loss
 
-        stateT, W, P, loss, rec_out, rec_loss = scan_all(
+        cache_key = ("rls_scan", ekey, float(rls_edge.beta), str(w_dtype),
+                     update_steps, sampling_steps, steps, n_rec,
+                     self._step_versions())
+        if cache_key not in self._step_cache:
+            self._step_cache[cache_key] = jax.jit(scan_all)
+        stateT, W, P, loss, rec_out, rec_loss = self._step_cache[cache_key](
             state0, params, rls_edge.params["weights"], rls_edge.params["P"], inputs, targets)
         rls_edge.params["weights"] = W
         rls_edge.params["P"] = P
-        rls_edge.loss = float(loss)
+        if sync:
+            rls_edge.loss = float(loss)
         self._write_back(state=stateT)
         if record:
             obs.record_batch(rec_steps_host, outputs=rec_out, losses=rec_loss)

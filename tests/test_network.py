@@ -787,3 +787,51 @@ def test_run_accepts_single_channel_broadcast_inputs():
     np.testing.assert_allclose(out_b, out_full, rtol=1e-12)
     with pytest.raises(ValueError, match="channels"):
         net.run(rng.normal(size=(T, 3)), verbose=False)
+
+
+def test_circuit_template_parameter_heterogeneous_nodes():
+    """Parameter-heterogeneous CircuitTemplates (same equations, different
+    variable defaults per node) merge into ONE vectorized population: the
+    differing defaults become per-neuron override arrays.  Mixing different
+    equations raises with guidance."""
+    from rectipy_tpu import CircuitTemplate, NodeTemplate
+    from rectipy_tpu.dsl.parser import OperatorTemplate, TemplateError, VarSpec
+
+    n = 6
+    rng = np.random.default_rng(31)
+    W = rng.normal(size=(n, n)) * 0.3
+    base = NodeTemplate.from_yaml(TANH)
+
+    def variant(eta):
+        ops = []
+        for op in base.operators:
+            variables = dict(op.variables)
+            if "eta" in variables:
+                variables["eta"] = VarSpec(variables["eta"].role, float(eta))
+            ops.append(OperatorTemplate(op.name, list(op.equations), variables))
+        return NodeTemplate(base.name, ops)
+
+    etas = np.linspace(-1.0, 2.0, n)
+    circ = CircuitTemplate("het", {f"p{i}": variant(e) for i, e in enumerate(etas)})
+    np.testing.assert_array_equal(circ.node_vars["li_op/eta"], etas)
+    circ.add_edges_from_matrix(source_var="tanh_op/r", target_var="li_op/r_in",
+                               weight=W)
+
+    net1 = Network(1e-2, dtype=jnp.float64)
+    net1.add_diffeq_node("n1", node=circ, input_var="li_op/I_ext",
+                         output_var="li_op/v")
+    net2 = Network(1e-2, dtype=jnp.float64)
+    net2.add_diffeq_node("n1", TANH, weights=W, input_var="li_op/I_ext",
+                         output_var="li_op/v", source_var="tanh_op/r",
+                         target_var="li_op/r_in",
+                         node_vars={"all/li_op/eta": etas})
+    inp = rng.normal(size=(20, n))
+    o1 = net1.run(inp, verbose=False).to_numpy("out")
+    o2 = net2.run(inp, verbose=False).to_numpy("out")
+    np.testing.assert_allclose(o1, o2, atol=1e-12)
+    assert np.std(o1[-1]) > 1e-6, "heterogeneous etas had no effect"
+
+    # different EQUATIONS cannot share a vector field -> loud guidance
+    other = NodeTemplate.from_yaml("neuron_model_templates.spiking_neurons.qif.qif")
+    with pytest.raises(TemplateError, match="separate Network nodes"):
+        CircuitTemplate("bad", {"a": base, "b": other})
