@@ -966,6 +966,7 @@ class Network:
         matvecs become matmuls on the MXU).  Falls back to a per-trial loop
         only for T == 1, where the windowed scan doesn't apply.
         """
+        mesh = kwargs.pop("mesh", None)
         inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
         if inputs.ndim != 3:
             raise ValueError(f"run_batch expects (B, T, m) inputs, got {inputs.shape}")
@@ -974,6 +975,18 @@ class Network:
         state0 = self.init_state()
         params = self.parameters_pytree()
         B, T = int(inputs.shape[0]), int(inputs.shape[1])
+        if mesh is not None:
+            # dp x mp in one call: trials shard over the mesh's 'data' axis,
+            # the population over 'model' (same placement rules as run(mesh=));
+            # GSPMD lays the collectives, records are identical to single-device
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            state0 = self._mesh_place(state0, mesh)
+            params = self._mesh_place(params, mesh)
+            n_data = mesh.shape.get("data", 1)
+            batch_spec = (PartitionSpec("data", None, None)
+                          if n_data > 1 and B % n_data == 0 else PartitionSpec())
+            inputs = jax.device_put(inputs, NamedSharding(mesh, batch_spec))
 
         results = {}
         if T <= 1:  # degenerate horizon: loop trials through the generic path

@@ -497,3 +497,26 @@ def test_public_fit_bptt_mesh_int8_master_matches_single_device():
     np.testing.assert_allclose(l_m, l_s, rtol=1e-10)
     np.testing.assert_allclose(w_m, w_s, rtol=1e-8, atol=1e-12)
     assert l_s[-1] < l_s[0]
+
+
+def test_public_run_batch_mesh_matches_single_device():
+    """run_batch(mesh=): trials shard over 'data', the population over
+    'model', records identical to the single-device batched run."""
+    from rectipy_tpu.parallel import make_mesh
+
+    n, B, T = 16, 4, 30
+    rng = np.random.default_rng(41)
+    W = np.abs(rng.normal(size=(n, n))) * 0.4
+    net = Network(1e-2)
+    net.add_diffeq_node("qif", "neuron_model_templates.spiking_neurons.qif.qif",
+                        weights=W, source_var="s", target_var="s_in",
+                        input_var="I_ext", output_var="s", op="qif_op",
+                        spike_var="spike", spike_def="v",
+                        spike_threshold=100.0, spike_reset=-100.0,
+                        node_vars={"all/qif_op/eta": 4.0 + rng.random(n)})
+    inputs = rng.normal(size=(B, T, n)).astype(np.float32)
+    res_1dev = net.run_batch(inputs, sampling_steps=3)
+    mesh = make_mesh(8, data=2)  # 2 x 4 (data, model)
+    res_mesh = net.run_batch(inputs, sampling_steps=3, mesh=mesh)
+    np.testing.assert_array_equal(res_mesh["steps"], res_1dev["steps"])
+    np.testing.assert_allclose(res_mesh["out"], res_1dev["out"], rtol=1e-5, atol=1e-6)
