@@ -252,7 +252,10 @@ def bench_spiking_bptt_secondary():
 
     n = int(os.environ.get("BENCH_BPTT_N", 10_000))
     T, dt = 500, 5e-3
-    torch_T = 50  # torch-CPU epoch is extrapolated from a short run
+    # torch-CPU epoch is extrapolated from a short run; per-step cost is
+    # linear (one dense matvec + elementwise), so 30 steps bounds the
+    # baseline's wall-clock at ~50 s at N=10k without hurting the estimate
+    torch_T = int(os.environ.get("BENCH_BPTT_TORCH_T", 30))
     thresh, v_reset = 1e2, -1e2
     slope = 100.0 / abs(thresh - v_reset)
     rng = np.random.default_rng(2)
