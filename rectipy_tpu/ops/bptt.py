@@ -553,6 +553,16 @@ def _make_euler_traj(p, remat_steps: int = 0):
         p.wkeys, p.src_fn, p.step_x, p.preps, p.mvs, p.mv_ts, p.grad_ws)
     K = len(wkeys)
     R = int(remat_steps)
+    # scan unroll factor: the trajectory bodies are dominated by one matvec
+    # plus a tail of small elementwise/reduction kernels whose launch
+    # overhead is per-iteration; unrolling lets XLA fuse across steps and
+    # amortize it.  Read at BUILD time (baked into the jitted programs).
+    import os
+
+    U = max(1, int(os.environ.get("RECTIPY_SCAN_UNROLL", "1")))
+
+    def _scan(f, init, xs, reverse=False):
+        return jax.lax.scan(f, init, xs, reverse=reverse, unroll=U)
 
     def _prep_all(weights):
         # loop-invariant precision prep (cast/quantize), outside the scans
@@ -611,7 +621,7 @@ def _make_euler_traj(p, remat_steps: int = 0):
         def body(y, x):
             return _fwd_step(wp, args, y, x, with_residuals=False)
 
-        yT, outs = jax.lax.scan(body, y0, xs)
+        yT, outs = _scan(body, y0, xs)
         return yT, outs
 
     if R > 1:
@@ -630,7 +640,7 @@ def _make_euler_traj(p, remat_steps: int = 0):
                 def body(y, x):
                     return _fwd_step(wp, args, y, x, with_residuals=False)
 
-                y_end, outs = jax.lax.scan(body, y, xc)
+                y_end, outs = _scan(body, y, xc)
                 return y_end, (outs, y)
 
             yT, (outs_c, y_starts) = jax.lax.scan(chunk, y0, xs_c)
@@ -666,8 +676,8 @@ def _make_euler_traj(p, remat_steps: int = 0):
                     del out
                     return y_new, (y_res, srcs, s_ins)
 
-                _, (ys, srcs_t, s_ins_t) = jax.lax.scan(fwd_body, y_start, xc)
-                (lam, d_args), (deltas_t, d_xc) = jax.lax.scan(
+                _, (ys, srcs_t, s_ins_t) = _scan(fwd_body, y_start, xc)
+                (lam, d_args), (deltas_t, d_xc) = _scan(
                     body, (lam, d_args), (ys, s_ins_t, xc, cotc), reverse=True)
                 dW = {wk: dW[wk] + grad_ws[i](deltas_t[i], srcs_t[i])
                       for i, wk in enumerate(wkeys)}
@@ -689,7 +699,7 @@ def _make_euler_traj(p, remat_steps: int = 0):
         def body(y, x):
             return _fwd_step(wp, args, y, x, with_residuals=True)
 
-        yT, (outs, ys, srcs_t, s_ins_t) = jax.lax.scan(body, y0, xs)
+        yT, (outs, ys, srcs_t, s_ins_t) = _scan(body, y0, xs)
         return (yT, outs), (weights, args, xs, ys, srcs_t, s_ins_t)
 
     def traj_bwd(res, cots):
@@ -700,7 +710,7 @@ def _make_euler_traj(p, remat_steps: int = 0):
         d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
         body = _make_bwd_body(wp, diff_args, aux_args)
 
-        (lam0, d_args), (deltas_t, d_xs) = jax.lax.scan(
+        (lam0, d_args), (deltas_t, d_xs) = _scan(
             body, (cot_yT, d_args0), (ys, s_ins_t, xs, cot_outs), reverse=True)
         # the deferred contraction: dW_i = Delta_i^T @ Src_i, one matmul each
         d_weights = {wk: grad_ws[i](deltas_t[i], srcs_t[i]).astype(weights[wk].dtype)
