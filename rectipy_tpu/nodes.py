@@ -319,7 +319,7 @@ class RateNet:
         kwargs.pop("verbose", None)
         kwargs.pop("file_name", None)
         kwargs.pop("device", None)
-        n = kwargs.pop("N", None)
+        n = kwargs.pop("N", kwargs.pop("n", None))  # population size (either case)
         node_vars = kwargs.pop("node_vars", kwargs.pop("node_values", None))
         param_mapping = dict(kwargs.pop("param_mapping", {}))
         param_mapping.setdefault("in", input_var)

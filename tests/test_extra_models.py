@@ -71,3 +71,105 @@ def test_theta_neuron_spikes_and_resets():
     assert s.max() > 0, "theta neuron never spiked"
     assert np.all(np.isfinite(th))
     assert th.max() <= np.pi + 0.5 and th.min() >= -np.pi - 0.5, "phase escaped [-pi, pi]"
+
+
+def test_fhn_vector_field_oracle_and_oscillation():
+    """FitzHugh-Nagumo: dv = v - v^3/3 - w + I; dw = (v + a - b w)/tau;
+    relaxation oscillation at I_ext = 0.5."""
+    n = 4
+    vf = lower("rectipy_tpu.models.rate_neurons.fhn.fhn", n=n, dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=n)
+    w = rng.normal(size=n)
+    y = jnp.asarray(np.concatenate([v, w]))
+    dy = np.asarray(vf.func(0.0, y, vf.args))
+    np.testing.assert_allclose(dy[:n], v - v ** 3 / 3.0 - w, rtol=1e-12)
+    np.testing.assert_allclose(dy[n:], (v + 0.7 - 0.8 * w) / 12.5, rtol=1e-12)
+
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("fhn", "rectipy_tpu.models.rate_neurons.fhn.fhn",
+                        weights=np.zeros((n, n)), source_var="v",
+                        target_var="r_in", input_var="I_ext", output_var="v")
+    T = 20_000
+    obs = net.run(np.full((T, n), 0.5), sampling_steps=50, verbose=False)
+    tr = obs.to_numpy("out")
+    assert np.all(np.isfinite(tr))
+    late = tr[len(tr) // 2:, 0]
+    assert late.max() - late.min() > 1.0, "expected relaxation oscillation"
+
+
+def test_kuramoto_two_matvec_identity_and_sync():
+    """Kuramoto: the template's cos(th)*(W@sin th) - sin(th)*(W@cos th)
+    coupling must equal the pairwise sum_j W_ij sin(th_j - th_i); strong
+    global coupling synchronizes the phases (order parameter -> 1)."""
+    n = 6
+    rng = np.random.default_rng(3)
+    W = np.abs(rng.normal(size=(n, n))) * 0.5
+    omegas = rng.normal(loc=1.0, scale=0.1, size=n)
+    vf = lower("rectipy_tpu.models.rate_neurons.kuramoto.kuramoto", n=n,
+               dtype=jnp.float64, edges=[("s_t", "sin_in", W), ("c_t", "cos_in", W)],
+               node_vars={"all/kuramoto_op/omega": omegas})
+    th = rng.uniform(-np.pi, np.pi, size=n)
+    dy = np.asarray(vf.func(0.0, jnp.asarray(th), vf.args))
+    oracle = omegas + np.asarray(
+        [np.sum(W[i] * np.sin(th - th[i])) for i in range(n)])
+    np.testing.assert_allclose(dy, oracle, rtol=1e-10, atol=1e-12)
+
+    K = 4.0
+    Wg = np.full((n, n), K / n)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("kur", "rectipy_tpu.models.rate_neurons.kuramoto.kuramoto",
+                        n=n, edges=[("s_t", "sin_in", Wg), ("c_t", "cos_in", Wg)],
+                        input_var="I_ext", output_var="theta",
+                        node_vars={"all/kuramoto_op/omega": omegas,
+                                   "all/kuramoto_op/theta": rng.uniform(-2.0, 2.0, n)})
+    obs = net.run(np.zeros((5000, n)), sampling_steps=100, verbose=False)
+    th_t = obs.to_numpy("out")
+
+    def order(ths):
+        return np.abs(np.exp(1j * ths).mean())
+
+    assert order(th_t[-1]) > 0.95, "strong coupling failed to synchronize"
+    assert order(th_t[-1]) > order(th_t[0])
+
+
+def test_jansen_rit_vector_field_oracle_and_alpha_rhythm():
+    """Jansen-Rit neural mass: second-order alpha-kernel dynamics; the
+    classic parameterization oscillates around the alpha band under
+    constant pyramidal drive."""
+    n = 3
+    vf = lower("rectipy_tpu.models.mean_field.jansen_rit.jansen_rit", n=n,
+               dtype=jnp.float64)
+    rng = np.random.default_rng(4)
+    psp_p, z_p = rng.normal(size=n) * 1e-3, rng.normal(size=n) * 1e-3
+    psp_e, z_e = rng.normal(size=n) * 1e-3, rng.normal(size=n) * 1e-3
+    psp_i, z_i = rng.normal(size=n) * 1e-3, rng.normal(size=n) * 1e-3
+    y = jnp.asarray(np.concatenate([psp_p, z_p, psp_e, z_e, psp_i, z_i]))
+    dy = np.asarray(vf.func(0.0, y, vf.args))
+    H_e, H_i, tau_e, tau_i = 3.25e-3, 22.0e-3, 10.0e-3, 20.0e-3
+    s_max, r, v0 = 5.0, 560.0, 6.0e-3
+    c1, c2, c3, c4 = 135.0, 108.0, 33.75, 33.75
+    sig = lambda x: s_max / (1.0 + np.exp(r * (v0 - x)))
+    m_py, m_ein, m_iin = sig(psp_e - psp_i), sig(c1 * psp_p), sig(c3 * psp_p)
+    expect = np.concatenate([
+        z_p, H_e / tau_e * m_py - 2 * z_p / tau_e - psp_p / tau_e ** 2,
+        z_e, H_e / tau_e * (c2 * m_ein + 220.0) - 2 * z_e / tau_e - psp_e / tau_e ** 2,
+        z_i, H_i / tau_i * c4 * m_iin - 2 * z_i / tau_i - psp_i / tau_i ** 2,
+    ])
+    np.testing.assert_allclose(dy, expect, rtol=1e-10, atol=1e-14)
+
+    net = Network(1e-4, dtype=jnp.float64)  # dt in seconds
+    net.add_diffeq_node("jr", "rectipy_tpu.models.mean_field.jansen_rit.jansen_rit",
+                        weights=np.zeros((n, n)), source_var="m_py",
+                        target_var="r_in", input_var="I_ext", output_var="v_out")
+    T = 20_000  # 2 s
+    obs = net.run(np.full((T, n), 220.0), sampling_steps=20, verbose=False)
+    v = obs.to_numpy("out")
+    assert np.all(np.isfinite(v))
+    late = v[len(v) // 2:, 0]
+    assert late.max() - late.min() > 1e-3, "expected alpha-band oscillation"
+    # dominant frequency in the broad alpha range (6-14 Hz)
+    sp = np.abs(np.fft.rfft(late - late.mean()))
+    freqs = np.fft.rfftfreq(len(late), d=1e-4 * 20)
+    f_dom = freqs[np.argmax(sp)]
+    assert 4.0 < f_dom < 16.0, f"dominant frequency {f_dom:.1f} Hz outside alpha-ish band"
