@@ -41,6 +41,8 @@ def _run(example, env=None, timeout=420):
                                       "MPT_TOL": "1.5"}),
     # low-level sharding helpers + the one-call mesh API on a 2-device mesh
     ("multichip_sharding.py", {}),
+    # Kuramoto synchronization sweep (pairwise sin coupling as two matvecs)
+    ("kuramoto_sync.py", {"KUR_N": "64", "KUR_STEPS": "2000"}),
 ])
 def test_example_runs(example, env):
     _run(example, env)
