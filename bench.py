@@ -328,8 +328,10 @@ def bench_spiking_bptt_secondary():
     loss = torch.mean((torch.stack(preds) - torch.tensor(tgt[:torch_T])) ** 2)
     opt.zero_grad()
     loss.backward()
-    opt.step()
-    torch_epoch = (_t.perf_counter() - t0) * (T / torch_T)
+    t_scaled = _t.perf_counter() - t0  # forward+loss+backward: linear in steps
+    opt.step()  # one (N,N) adam step: FIXED per epoch, must not be scaled
+    t_fixed = _t.perf_counter() - t0 - t_scaled
+    torch_epoch = t_scaled * (T / torch_T) + t_fixed
     log(f"[qif-bptt torch-cpu] {torch_epoch * 1e3:.1f} ms/epoch (extrapolated from "
         f"{torch_T} steps) -> ours is {torch_epoch / ours_epoch:.1f}x faster "
         f"({T * n / torch_epoch:.3e} trained neuron-updates/s)")

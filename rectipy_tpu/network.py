@@ -984,8 +984,18 @@ class Network:
             state0 = self._mesh_place(state0, mesh)
             params = self._mesh_place(params, mesh)
             n_data = mesh.shape.get("data", 1)
-            batch_spec = (PartitionSpec("data", None, None)
-                          if n_data > 1 and B % n_data == 0 else PartitionSpec())
+            if n_data > 1 and B % n_data == 0:
+                batch_spec = PartitionSpec("data", None, None)
+            else:
+                batch_spec = PartitionSpec()
+                if n_data > 1:
+                    import warnings
+
+                    warnings.warn(
+                        f"run_batch: batch size {B} does not divide the mesh's "
+                        f"'data' axis ({n_data}); trials run REPLICATED (no "
+                        f"data parallelism). Pad the batch to a multiple of "
+                        f"{n_data} to shard it.", stacklevel=2)
             inputs = jax.device_put(inputs, NamedSharding(mesh, batch_spec))
 
         results = {}
@@ -1644,7 +1654,7 @@ class Network:
             for epoch in range(len(inputs)):
                 _, loss = self._rls_scan(stage(inputs[epoch]), stage(targets[epoch]),
                                          update_steps, sampling_steps, obs, record=False,
-                                         mesh=mesh, sync=verbose)
+                                         mesh=mesh, sync=False)
                 epoch_losses.append(loss)
                 self.reset(y0)
                 if verbose:

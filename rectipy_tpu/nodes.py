@@ -319,7 +319,13 @@ class RateNet:
         kwargs.pop("verbose", None)
         kwargs.pop("file_name", None)
         kwargs.pop("device", None)
-        n = kwargs.pop("N", kwargs.pop("n", None))  # population size (either case)
+        if "N" in kwargs and "n" in kwargs:
+            raise ValueError("Pass the population size as either N= or n=, not both.")
+        n = kwargs.pop("N", None)
+        if n is None:
+            n = kwargs.pop("n", None)
+        else:
+            kwargs.pop("n", None)
         node_vars = kwargs.pop("node_vars", kwargs.pop("node_values", None))
         param_mapping = dict(kwargs.pop("param_mapping", {}))
         param_mapping.setdefault("in", input_var)

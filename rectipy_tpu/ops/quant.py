@@ -58,7 +58,7 @@ def quant_vec(x):
 # 127*127*n_in, so fan-in must stay below INT8_DOT_MAX_FAN_IN ~ 1.33e5 to be
 # overflow-safe.  Dense couplings are checked loudly at lowering time
 # (dsl/lower.py); block-sparse fan-in is bounded by cb*bs per construction.
-INT8_DOT_MAX_FAN_IN = (2**31 - 1) // (127 * 127)  # 133152
+INT8_DOT_MAX_FAN_IN = (2**31 - 1) // (127 * 127)  # 133144
 
 
 def int8_dot(wq, xq):
