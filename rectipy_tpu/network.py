@@ -1138,11 +1138,22 @@ class Network:
                     "Wrong dimensions of input and target output. Please make sure that "
                     "`inputs` and `targets` agree in the first dimension (epochs)."
                 )
+            # program-cache key: everything baked into the jitted update
+            # closures that is not an argument (optimizer + loss config);
+            # non-string (callable) configs disable caching conservatively
+            prog_key = None
+            if isinstance(optimizer, str) and isinstance(loss, str):
+                try:
+                    prog_key = (optimizer, float(lr),
+                                repr(sorted((optimizer_kwargs or {}).items())),
+                                loss, repr(sorted((loss_kwargs or {}).items())))
+                except TypeError:
+                    prog_key = None
             train, losses = self._bptt_epochs(step, loss_fn, opt, train, frozen, opt_state,
                                               state0, inputs, targets, sampling_steps, verbose,
                                               remat_steps=remat_steps,
                                               fused_bptt=kwargs.pop("fused_bptt", "auto"),
-                                              mesh=mesh)
+                                              mesh=mesh, prog_key=prog_key)
             obs.save("epoch_loss", losses)
             obs.save("epochs", np.arange(len(losses)))
         else:
@@ -1220,27 +1231,20 @@ class Network:
 
         return label, apply_prefix, apply_suffix
 
-    def _bptt_epochs(self, step, loss_fn, opt, train, frozen, opt_state, state0,
-                     inputs, targets, sampling_steps, verbose, remat_steps: int = 0,
-                     fused_bptt="auto", mesh=None):
+    def _build_epoch_programs(self, step, loss_fn, opt, fused_bptt, rk,
+                              remat_steps, sampling_steps):
+        """Build the jitted epoch-mode training programs:
+        ``(update, update_chunk, pack)`` where ``pack(state0)`` extracts the
+        initial-state argument the programs expect.  Deferred-gradient fast
+        paths: chain networks train through the single-population custom-VJP
+        trajectory (ops/bptt.py, preferred -- pre/post stages hoist OUT of
+        the scan entirely); general DAGs of populations fall through to the
+        multi-stage graph trajectory (ops/graph_bptt.py); everything else
+        uses plain autodiff."""
         combine = self._combine
-
-        # deferred-gradient fast paths: chain networks train through the
-        # single-population custom-VJP trajectory (ops/bptt.py, preferred --
-        # pre/post stages hoist OUT of the scan entirely); general DAGs of
-        # populations fall through to the multi-stage graph trajectory
-        # (ops/graph_bptt.py); everything else uses plain autodiff
+        order = self._compiled["order"]
         traj = None
         gtraj = None
-        order = self._compiled["order"]
-        # a remat request composes with the CHAIN trajectory (chunked
-        # checkpointing inside the custom VJP, Euler only, T % K == 0);
-        # other topologies honor the memory request via the plain
-        # (jax.checkpoint) path under 'auto'
-        T0 = int(np.asarray(inputs[0]).shape[0]) if len(inputs) else 0
-        rk = remat_steps if (remat_steps > 1 and T0 and T0 % remat_steps == 0) else 0
-        if remat_steps > 1 and rk == 0 and fused_bptt == "auto":
-            fused_bptt = False  # non-divisible T: plain path handles remat
         if fused_bptt in ("auto", True):
             chain = (order[0], None, None) if len(order) == 1 else self._chain_decompose()
             if chain is not None:
@@ -1271,9 +1275,10 @@ class Network:
             return outs
 
         if traj is not None:
-            y0 = state0["nodes"][label]
+            def pack(state0, label=label):
+                return state0["nodes"][label]
 
-            def epoch_loss(train, inp, tgt):
+            def epoch_loss(train, frozen, y0, inp, tgt):
                 params = combine(train, frozen)
                 nargs = params["nodes"][label]
                 W = {k: nargs[k] for k in traj_wkeys}
@@ -1284,18 +1289,23 @@ class Network:
                     outs = apply_suffix(params, outs)
                 return loss_fn(_downsample(outs), tgt)
         elif gtraj is not None:
-            Y0 = {lbl: state0["nodes"][lbl] for lbl in gspec.pop_labels}
-            if gspec.needs_carry:  # feedback outputs / edge buffers carried
-                Y0 = {"Y": Y0, "fb": state0.get("fb", {}),
-                      "E": {ek: state0["edges"][ek]
-                            for ek in gspec.stateful_edges}}
+            def pack(state0, gspec=gspec):
+                Y0 = {lbl: state0["nodes"][lbl] for lbl in gspec.pop_labels}
+                if gspec.needs_carry:  # feedback outputs / edge buffers carried
+                    Y0 = {"Y": Y0, "fb": state0.get("fb", {}),
+                          "E": {ek: state0["edges"][ek]
+                                for ek in gspec.stateful_edges}}
+                return Y0
 
-            def epoch_loss(train, inp, tgt):
+            def epoch_loss(train, frozen, Y0, inp, tgt):
                 weights, args = _graph_weights_args(gspec, combine(train, frozen))
                 _, outs = gtraj(weights, args, Y0, inp)
                 return loss_fn(_downsample(outs), tgt)
         else:
-            def epoch_loss(train, inp, tgt):
+            def pack(state0):
+                return state0
+
+            def epoch_loss(train, frozen, state0, inp, tgt):
                 params = combine(train, frozen)
 
                 def body(state, x_t):
@@ -1320,8 +1330,8 @@ class Network:
                 return loss_fn(_downsample(outs), tgt)
 
         @jax.jit
-        def update(train, opt_state, inp, tgt):
-            lval, grads = jax.value_and_grad(epoch_loss)(train, inp, tgt)
+        def update(train, frozen, opt_state, y0p, inp, tgt):
+            lval, grads = jax.value_and_grad(epoch_loss)(train, frozen, y0p, inp, tgt)
             updates, opt_state = opt.update(grads, opt_state, train)
             return optax.apply_updates(train, updates), opt_state, lval
 
@@ -1334,10 +1344,11 @@ class Network:
         C = _EPOCH_SCAN_CHUNK
 
         @jax.jit
-        def update_chunk(train, opt_state, inp, tgt):
+        def update_chunk(train, frozen, opt_state, y0p, inp, tgt):
             def body(carry, _):
                 tr, os_ = carry
-                lval, grads = jax.value_and_grad(epoch_loss)(tr, inp, tgt)
+                lval, grads = jax.value_and_grad(epoch_loss)(tr, frozen, y0p,
+                                                             inp, tgt)
                 updates, os_ = opt.update(grads, os_, tr)
                 return (optax.apply_updates(tr, updates), os_), lval
 
@@ -1345,18 +1356,63 @@ class Network:
                 body, (train, opt_state), None, length=C)
             return train, opt_state, lvals
 
+        return update, update_chunk, pack
+
+    def _bptt_epochs(self, step, loss_fn, opt, train, frozen, opt_state, state0,
+                     inputs, targets, sampling_steps, verbose, remat_steps: int = 0,
+                     fused_bptt="auto", mesh=None, prog_key=None):
+
+        # a remat request composes with the CHAIN trajectory (chunked
+        # checkpointing inside the custom VJP, Euler only, T % K == 0);
+        # other topologies honor the memory request via the plain
+        # (jax.checkpoint) path under 'auto'
+        T0 = int(np.asarray(inputs[0]).shape[0]) if len(inputs) else 0
+        rk = remat_steps if (remat_steps > 1 and T0 and T0 % remat_steps == 0) else 0
+        if remat_steps > 1 and rk == 0 and fused_bptt == "auto":
+            fused_bptt = False  # non-divisible T: plain path handles remat
+
+        # the jitted update programs (and the trajectory builds they capture)
+        # are CACHED across fit_bptt calls: rebuilding a fresh jax.jit closure
+        # per fit forces a full host-side retrace+lowering of the T-step scan
+        # every call (~0.5-1 s at N=10k -- measured 141 -> ~95 ms/epoch once
+        # cached).  Everything value-like (trainable/frozen params, initial
+        # state) is an ARGUMENT of the cached programs, never a closure
+        # constant; the key covers everything baked into the closures.
+        cache_key = None
+        if prog_key is not None:
+            cache_key = ("bptt_epochs", prog_key, T0, sampling_steps, rk,
+                         str(fused_bptt), remat_steps, self._step_versions())
+        built = self._step_cache.get(cache_key) if cache_key is not None else None
+        if built is None:
+            built = self._build_epoch_programs(step, loss_fn, opt, fused_bptt,
+                                               rk, remat_steps, sampling_steps)
+            if cache_key is not None:
+                self._step_cache[cache_key] = built
+        update, update_chunk, pack = built
+        y0p = pack(state0)
+        C = _EPOCH_SCAN_CHUNK
+
         losses = []
         n_epochs = len(inputs)
         # de-duplicate epoch arrays by identity: repeated-epoch training
         # ([inp]*K, the common workload shape) must transfer host->device
         # ONCE, not per epoch -- on a tunneled device the 2x20 MB per-epoch
-        # transfer at N=10k costs ~1.7 s/epoch, 5x the actual compute
+        # transfer at N=10k costs ~1.7 s/epoch, 5x the actual compute.
+        # Arrays that are ALREADY on device with the right dtype are used
+        # as-is (jax arrays are immutable, so no defensive copy is needed):
+        # pre-staging inputs as jnp arrays lets repeated fits skip the
+        # host->device transfer entirely (~60 ms/epoch at n_ep=16 over the
+        # tunnel).  Host numpy arrays still re-stage per fit by design --
+        # they are mutable.
         dev_cache: Dict[int, jnp.ndarray] = {}
 
         def stage(x):
             key = id(x)
             if key not in dev_cache:
-                arr = jnp.asarray(np.asarray(x), dtype=self.dtype)
+                if isinstance(x, jnp.ndarray) and x.dtype == self.dtype:
+                    arr = x
+                else:
+                    arr = jnp.asarray(np.asarray(x), dtype=self.dtype)
                 dev_cache[key] = (self._mesh_replicate(arr, mesh) if mesh is not None
                                   else jax.device_put(arr))
             return dev_cache[key]
@@ -1374,11 +1430,13 @@ class Network:
             loss_parts = []
             for inp, tgt, k in runs:
                 while k >= C:
-                    train, opt_state, lvals = update_chunk(train, opt_state, inp, tgt)
+                    train, opt_state, lvals = update_chunk(train, frozen, opt_state,
+                                                           y0p, inp, tgt)
                     loss_parts.append(lvals)
                     k -= C
                 for _ in range(k):
-                    train, opt_state, lval = update(train, opt_state, inp, tgt)
+                    train, opt_state, lval = update(train, frozen, opt_state,
+                                                    y0p, inp, tgt)
                     loss_parts.append(lval[None] if jnp.ndim(lval) == 0 else lval)
             if loss_parts:
                 losses = [float(x) for x in np.asarray(jnp.concatenate(loss_parts))]
@@ -1387,7 +1445,7 @@ class Network:
         for epoch in range(n_epochs):
             inp = stage(inputs[epoch])
             tgt = stage(targets[epoch])
-            train, opt_state, lval = update(train, opt_state, inp, tgt)
+            train, opt_state, lval = update(train, frozen, opt_state, y0p, inp, tgt)
             # keep losses on device: a per-epoch float() blocks the dispatch
             # pipeline on a device round-trip (~170 ms/epoch over a tunneled
             # chip -- 35% of the epoch at N=10k); fetch once after the loop
@@ -1647,7 +1705,10 @@ class Network:
             def stage(x):
                 k = id(x)
                 if k not in dev_cache:
-                    dev_cache[k] = jnp.asarray(np.asarray(x), dtype=self.dtype)
+                    if isinstance(x, jnp.ndarray) and x.dtype == self.dtype:
+                        dev_cache[k] = x  # already on device; jax arrays are immutable
+                    else:
+                        dev_cache[k] = jnp.asarray(np.asarray(x), dtype=self.dtype)
                 return dev_cache[k]
 
             epoch_losses = []

@@ -758,3 +758,55 @@ def test_chunked_traj_gradient_parity(kind):
     for i in (1, 2):
         np.testing.assert_allclose(np.asarray(g_c[i]), np.asarray(g_f[i]),
                                    rtol=1e-10, atol=1e-14)
+
+
+def test_fit_bptt_epoch_programs_cached_across_fits():
+    """fit_bptt epoch mode caches its jitted update programs across calls
+    (a fresh jax.jit per fit costs a full host retrace of the T-step scan,
+    measured ~0.5-1 s at N=10k).  The cache must hit for identical configs,
+    miss on optimizer change, and -- since params/state are ARGUMENTS, not
+    closure constants -- cached programs must track current weights/state."""
+    n, T = 8, 60
+    rng = np.random.default_rng(33)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        return net
+
+    A = build()
+    A.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-2, verbose=False)
+    keys = [k for k in A._step_cache if k[0] == "bptt_epochs"]
+    assert len(keys) == 1
+    built = A._step_cache[keys[0]]
+    lA2 = A.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-2,
+                     verbose=False)["epoch_loss"]
+    assert A._step_cache[keys[0]] is built, "cache was not reused"
+
+    # the cached program must see the UPDATED weights: a fresh net doing two
+    # sequential fits must produce the same second-fit losses
+    B = build()
+    B.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-2, verbose=False)
+    lB2 = B.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-2,
+                     verbose=False)["epoch_loss"]
+    np.testing.assert_allclose(lA2, lB2, rtol=1e-12)
+
+    # different optimizer config -> distinct cached program
+    A.fit_bptt([inp] * 2, [tgt] * 2, optimizer="sgd", lr=1e-2, verbose=False)
+    assert len([k for k in A._step_cache if k[0] == "bptt_epochs"]) == 2
+
+    # state is an argument too: changing the initial state between fits must
+    # change the result through the SAME cached program
+    C_net = build()
+    l_zero = C_net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-2,
+                            verbose=False)["epoch_loss"]
+    D_net = build()
+    D_net.get_node("rnn").reset(np.full(n, 0.5))
+    l_half = D_net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-2,
+                            verbose=False)["epoch_loss"]
+    assert abs(l_zero[0] - l_half[0]) > 1e-12
