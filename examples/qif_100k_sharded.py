@@ -145,15 +145,26 @@ if os.environ.get("QIF_TRAIN", "0") == "1":
     # (O(T/K) residual memory) -- enables long horizons (QIF_TRAIN_T=2000+)
     # where full residuals (~5.4 MB/step at this N) would crowd out HBM
     remat = int(os.environ.get("QIF_TRAIN_REMAT", 0))
+    # pre-stage the epoch arrays on device ONCE (the (T, N) target is 200 MB
+    # at this N -- re-transferring it every fit over a tunneled chip costs
+    # seconds) and warm with the SAME epoch count as the timed fit so the
+    # exact programs (incl. the 8-epoch chunk scan) compile outside the clock
+    import jax
+    import jax.numpy as jnp
+
+    inp_d = jax.device_put(jnp.asarray(inp_tr))
+    tgt_d = jax.device_put(jnp.asarray(tgt_tr))
+    lr_tr = float(os.environ.get("QIF_TRAIN_LR", 1e-3))
     t0 = time.perf_counter()
-    obs = net2.fit_bptt([inp_tr] * 2, [tgt_tr] * 2, optimizer="adam", lr=float(os.environ.get("QIF_TRAIN_LR", 1e-3)),
-                        verbose=False, fused_bptt=True, remat_steps=remat)
-    print(f"train warmup (2 epochs + compile): {time.perf_counter() - t0:.1f}s",
+    obs = net2.fit_bptt([inp_d] * n_ep, [tgt_d] * n_ep, optimizer="adam",
+                        lr=lr_tr, verbose=False, fused_bptt=True,
+                        remat_steps=remat)
+    print(f"train warmup ({n_ep} epochs + compile): {time.perf_counter() - t0:.1f}s",
           flush=True)
     t0 = time.perf_counter()
-    obs = net2.fit_bptt([inp_tr] * n_ep, [tgt_tr] * n_ep, optimizer="adam",
-                        lr=float(os.environ.get("QIF_TRAIN_LR", 1e-3)), verbose=False,
-                        fused_bptt=True, remat_steps=remat)
+    obs = net2.fit_bptt([inp_d] * n_ep, [tgt_d] * n_ep, optimizer="adam",
+                        lr=lr_tr, verbose=False, fused_bptt=True,
+                        remat_steps=remat)
     wall = time.perf_counter() - t0
     losses = np.asarray(obs["epoch_loss"])
     print(f"TRAINED {n_ep} epochs x {T_tr} steps x {N} neurons in {wall:.2f}s "
