@@ -1167,10 +1167,19 @@ class Network:
             if mesh is not None:
                 inputs = self._mesh_replicate(inputs, mesh)
                 targets = self._mesh_replicate(targets, mesh)
+            prog_key = None
+            if isinstance(optimizer, str) and isinstance(loss, str):
+                try:
+                    prog_key = (optimizer, float(lr),
+                                repr(sorted((optimizer_kwargs or {}).items())),
+                                loss, repr(sorted((loss_kwargs or {}).items())))
+                except TypeError:
+                    prog_key = None
             train, stateT, rec = self._bptt_steps(step, loss_fn, opt, train, frozen, opt_state,
                                                   state0, inputs, targets, update_steps,
                                                   sampling_steps, obs,
-                                                  fused_bptt=kwargs.pop("fused_bptt", "auto"))
+                                                  fused_bptt=kwargs.pop("fused_bptt", "auto"),
+                                                  prog_key=prog_key)
             self._write_back(state=stateT)
             obs.record_batch(rec["steps"], outputs=rec["out"], losses=rec["loss"],
                              var_values=rec.get("vars"))
@@ -1460,7 +1469,7 @@ class Network:
 
     def _bptt_steps(self, step, loss_fn, opt, train, frozen, opt_state, state0,
                     inputs, targets, update_steps, sampling_steps, obs=None,
-                    fused_bptt="auto"):
+                    fused_bptt="auto", prog_key=None):
         combine = self._combine
         T = int(inputs.shape[0])
         u = int(update_steps)
@@ -1473,76 +1482,78 @@ class Network:
         # the custom-VJP trajectory (ops/bptt.py) exactly like epoch mode --
         # unless per-step variable recording is requested (the trajectory
         # only emits outputs)
-        traj_fast = None
-        gtraj_fast = None
-        order = self._compiled["order"]
-        if not rec_info and fused_bptt in ("auto", True):
-            chain = ((order[0], None, None) if len(order) == 1
-                     else self._chain_decompose())
-            if chain is not None:
-                f_label, f_prefix, f_suffix = chain
-                try:
-                    from .ops.bptt import make_coupled_traj
+        def _build_chunk_loss():
+            traj_fast = None
+            gtraj_fast = None
+            order = self._compiled["order"]
+            if not rec_info and fused_bptt in ("auto", True):
+                chain = ((order[0], None, None) if len(order) == 1
+                         else self._chain_decompose())
+                if chain is not None:
+                    f_label, f_prefix, f_suffix = chain
+                    try:
+                        from .ops.bptt import make_coupled_traj
 
-                    traj_fast, traj_fast_wkeys = make_coupled_traj(self.get_node(f_label))
-                except (ValueError, AttributeError, KeyError):
-                    traj_fast = None
-            if traj_fast is None:
-                try:
-                    from .ops.graph_bptt import make_graph_traj
+                        traj_fast, traj_fast_wkeys = make_coupled_traj(self.get_node(f_label))
+                    except (ValueError, AttributeError, KeyError):
+                        traj_fast = None
+                if traj_fast is None:
+                    try:
+                        from .ops.graph_bptt import make_graph_traj
 
-                    gtraj_fast, gspec_fast = make_graph_traj(self)
-                except (ValueError, AttributeError, KeyError):
-                    if fused_bptt is True:
-                        raise
-                    gtraj_fast = None
+                        gtraj_fast, gspec_fast = make_graph_traj(self)
+                    except (ValueError, AttributeError, KeyError):
+                        if fused_bptt is True:
+                            raise
+                        gtraj_fast = None
 
-        if traj_fast is not None:
-            def chunk_loss(train, state, inp_c, tgt_c):
-                params = combine(train, frozen)
-                nargs = params["nodes"][f_label]
-                W = {k: nargs[k] for k in traj_fast_wkeys}
-                rest = {k: v for k, v in nargs.items() if k not in traj_fast_wkeys}
-                xs = f_prefix(params, inp_c) if f_prefix is not None else inp_c
-                yT, outs = traj_fast(W, rest, state["nodes"][f_label], xs)
-                if f_suffix is not None:
-                    outs = f_suffix(params, outs)
-                new_state = {"nodes": {**state["nodes"], f_label: yT},
-                             "edges": state["edges"]}
-                return loss_fn(outs, tgt_c), (new_state, outs, ())
-        elif gtraj_fast is not None:
-            def chunk_loss(train, state, inp_c, tgt_c):
-                weights, args = _graph_weights_args(gspec_fast,
-                                                    combine(train, frozen))
-                Y = {lbl: state["nodes"][lbl] for lbl in gspec_fast.pop_labels}
-                if gspec_fast.needs_carry:
-                    C0 = {"Y": Y, "fb": state.get("fb", {}),
-                          "E": {ek: state["edges"][ek]
-                                for ek in gspec_fast.stateful_edges}}
-                    CT, outs = gtraj_fast(weights, args, C0, inp_c)
-                    new_state = {"nodes": {**state["nodes"], **CT["Y"]},
-                                 "edges": {**state["edges"], **CT["E"]}}
-                    if "fb" in state:
-                        new_state["fb"] = CT["fb"]
-                else:
-                    YT, outs = gtraj_fast(weights, args, Y, inp_c)
-                    new_state = {"nodes": {**state["nodes"], **YT},
+            if traj_fast is not None:
+                def chunk_loss(train, frozen, state, inp_c, tgt_c):
+                    params = combine(train, frozen)
+                    nargs = params["nodes"][f_label]
+                    W = {k: nargs[k] for k in traj_fast_wkeys}
+                    rest = {k: v for k, v in nargs.items() if k not in traj_fast_wkeys}
+                    xs = f_prefix(params, inp_c) if f_prefix is not None else inp_c
+                    yT, outs = traj_fast(W, rest, state["nodes"][f_label], xs)
+                    if f_suffix is not None:
+                        outs = f_suffix(params, outs)
+                    new_state = {"nodes": {**state["nodes"], f_label: yT},
                                  "edges": state["edges"]}
-                return loss_fn(outs, tgt_c), (new_state, outs, ())
-        else:
-            def chunk_loss(train, state, inp_c, tgt_c):
-                params = combine(train, frozen)
+                    return loss_fn(outs, tgt_c), (new_state, outs, ())
+            elif gtraj_fast is not None:
+                def chunk_loss(train, frozen, state, inp_c, tgt_c):
+                    weights, args = _graph_weights_args(gspec_fast,
+                                                        combine(train, frozen))
+                    Y = {lbl: state["nodes"][lbl] for lbl in gspec_fast.pop_labels}
+                    if gspec_fast.needs_carry:
+                        C0 = {"Y": Y, "fb": state.get("fb", {}),
+                              "E": {ek: state["edges"][ek]
+                                    for ek in gspec_fast.stateful_edges}}
+                        CT, outs = gtraj_fast(weights, args, C0, inp_c)
+                        new_state = {"nodes": {**state["nodes"], **CT["Y"]},
+                                     "edges": {**state["edges"], **CT["E"]}}
+                        if "fb" in state:
+                            new_state["fb"] = CT["fb"]
+                    else:
+                        YT, outs = gtraj_fast(weights, args, Y, inp_c)
+                        new_state = {"nodes": {**state["nodes"], **YT},
+                                     "edges": state["edges"]}
+                    return loss_fn(outs, tgt_c), (new_state, outs, ())
+            else:
+                def chunk_loss(train, frozen, state, inp_c, tgt_c):
+                    params = combine(train, frozen)
 
-                def body(state, x_t):
-                    state, out, _ = step(state, params, x_t)
-                    vals = tuple(
-                        (jnp.mean(reader(state["nodes"][label], params["nodes"][label]))
-                         if reduce else reader(state["nodes"][label], params["nodes"][label]))
-                        for (_, label, reader, reduce) in rec_info)
-                    return state, (out, vals)
+                    def body(state, x_t):
+                        state, out, _ = step(state, params, x_t)
+                        vals = tuple(
+                            (jnp.mean(reader(state["nodes"][label], params["nodes"][label]))
+                             if reduce else reader(state["nodes"][label], params["nodes"][label]))
+                            for (_, label, reader, reduce) in rec_info)
+                        return state, (out, vals)
 
-                state, (preds, vals) = jax.lax.scan(body, state, inp_c)
-                return loss_fn(preds, tgt_c), (state, preds, vals)
+                    state, (preds, vals) = jax.lax.scan(body, state, inp_c)
+                    return loss_fn(preds, tgt_c), (state, preds, vals)
+            return chunk_loss
 
         def _fwd_body(params):
             def body(state, x_t):
@@ -1576,29 +1587,45 @@ class Network:
         s = int(sampling_steps)
         emit_sub = (u % s == 0)
 
-        @jax.jit
-        def train_all(train, opt_state, state):
-            inp_chunks = inputs[: n_upd * u].reshape(n_upd, u, -1)
-            tgt_chunks = targets[: n_upd * u].reshape(n_upd, u, -1)
+        # the jitted program is cached across fit calls (inputs/targets and
+        # all params/state are ARGUMENTS): repeated step-mode fits with fresh
+        # same-shape data -- the RL-style workload -- skip the host retrace
+        cache_key = None
+        if prog_key is not None:
+            cache_key = ("bptt_steps", prog_key, T, u, s, n_out, str(fused_bptt),
+                         tuple((key, reduce) for (key, _, _, reduce) in rec_info),
+                         self._step_versions())
+        train_all = self._step_cache.get(cache_key) if cache_key is not None else None
+        if train_all is None:
+            chunk_loss = _build_chunk_loss()
 
-            def chunk(carry, xt):
-                train, opt_state, state = carry
-                inp_c, tgt_c = xt
-                (lval, (state, preds, vals)), grads = jax.value_and_grad(
-                    chunk_loss, has_aux=True)(train, state, inp_c, tgt_c)
-                updates, opt_state = opt.update(grads, opt_state, train)
-                train = optax.apply_updates(train, updates)
-                state = jax.lax.stop_gradient(state)  # truncated BPTT boundary
-                if emit_sub:
-                    preds = preds[::s]
-                    vals = tuple(v[::s] for v in vals)
-                return (train, opt_state, state), (lval, preds, vals)
+            @jax.jit
+            def train_all(train, frozen, opt_state, state, inputs, targets):
+                inp_chunks = inputs[: n_upd * u].reshape(n_upd, u, -1)
+                tgt_chunks = targets[: n_upd * u].reshape(n_upd, u, -1)
 
-            (train, opt_state, state), (losses, preds, vals) = jax.lax.scan(
-                chunk, (train, opt_state, state), (inp_chunks, tgt_chunks))
-            return train, opt_state, state, losses, preds, vals
+                def chunk(carry, xt):
+                    train, opt_state, state = carry
+                    inp_c, tgt_c = xt
+                    (lval, (state, preds, vals)), grads = jax.value_and_grad(
+                        chunk_loss, has_aux=True)(train, frozen, state, inp_c, tgt_c)
+                    updates, opt_state = opt.update(grads, opt_state, train)
+                    train = optax.apply_updates(train, updates)
+                    state = jax.lax.stop_gradient(state)  # truncated BPTT boundary
+                    if emit_sub:
+                        preds = preds[::s]
+                        vals = tuple(v[::s] for v in vals)
+                    return (train, opt_state, state), (lval, preds, vals)
 
-        train, opt_state, stateT, losses, preds, vals = train_all(train, opt_state, state0)
+                (train, opt_state, state), (losses, preds, vals) = jax.lax.scan(
+                    chunk, (train, opt_state, state), (inp_chunks, tgt_chunks))
+                return train, opt_state, state, losses, preds, vals
+
+            if cache_key is not None:
+                self._step_cache[cache_key] = train_all
+
+        train, opt_state, stateT, losses, preds, vals = train_all(
+            train, frozen, opt_state, state0, inputs, targets)
         body_T = n_upd * u
         if emit_sub:
             rec_steps = np.arange(0, body_T, s)

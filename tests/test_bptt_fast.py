@@ -810,3 +810,44 @@ def test_fit_bptt_epoch_programs_cached_across_fits():
     l_half = D_net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-2,
                             verbose=False)["epoch_loss"]
     assert abs(l_zero[0] - l_half[0]) > 1e-12
+
+
+def test_fit_bptt_step_mode_program_cached_across_fits():
+    """Step-mode (TBPTT) fits cache their jitted program across calls too --
+    inputs/targets are arguments, so repeated fits with FRESH same-shape
+    data (the RL-style workload) reuse the compiled program, and results
+    still track the new data."""
+    n, T = 6, 60
+    rng = np.random.default_rng(34)
+    W0 = rng.normal(size=(n, n)) * 0.3
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        return net
+
+    inp1, tgt1 = rng.normal(size=(T, n)), rng.normal(size=(T, n))
+    inp2, tgt2 = rng.normal(size=(T, n)), rng.normal(size=(T, n))
+
+    A = build()
+    A.fit_bptt(inp1, tgt1, update_steps=20, optimizer="adam", lr=1e-2,
+               verbose=False)
+    keys = [k for k in A._step_cache if k[0] == "bptt_steps"]
+    assert len(keys) == 1
+    prog = A._step_cache[keys[0]]
+    o2 = A.fit_bptt(inp2, tgt2, update_steps=20, optimizer="adam", lr=1e-2,
+                    verbose=False)
+    assert A._step_cache[keys[0]] is prog, "step-mode program not reused"
+
+    # the cached program must track the new data AND the updated weights:
+    # a fresh net fitting inp1 then inp2 sequentially matches exactly
+    B = build()
+    B.fit_bptt(inp1, tgt1, update_steps=20, optimizer="adam", lr=1e-2,
+               verbose=False)
+    o2b = B.fit_bptt(inp2, tgt2, update_steps=20, optimizer="adam", lr=1e-2,
+                     verbose=False)
+    np.testing.assert_allclose(np.asarray(o2["out"]), np.asarray(o2b["out"]),
+                               rtol=1e-12)
+    assert np.abs(np.asarray(o2["loss"])).max() > 0
