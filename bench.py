@@ -57,7 +57,9 @@ DT = 1e-4
 
 
 def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    # elapsed-stamped: the tunneled relay can stall minutes between phases
+    # (first op after heavy use), so the tail must show WHERE time went
+    print(f"[{_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def build_inputs(steps):
