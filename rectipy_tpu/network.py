@@ -1927,8 +1927,21 @@ class Network:
                     f"({self.n_in}, {err_dim}); got {tuple(fb.shape)}."
                 )
 
-        @jax.jit
-        def scan_all(state0, params, W, inputs, targets):
+        # cached across calls (online/RL workloads re-fit repeatedly with
+        # fresh same-shape data; a fresh jax.jit per call would retrace the
+        # whole scan).  Everything value-like is an argument; the key covers
+        # the baked-in hyperparameters and grids.
+        use_fb = fb is not None
+        cache_key = ("eprop_scan", ekey, steps, int(update_steps),
+                     int(sampling_steps), float(lr), float(epsilon),
+                     float(delta), float(decay), bool(normalize), use_fb,
+                     str(w_dtype), self._step_versions())
+        cached = self._step_cache.get(cache_key)
+        if cached is not None:
+            scan_all = cached
+        else:
+          @jax.jit
+          def scan_all(state0, params, W, fb_arg, inputs, targets):
             err_bar0 = jnp.zeros(W.shape[0], dtype=w_dtype)
             elig0 = jnp.zeros(W.shape[1], dtype=w_dtype)
             rec_out0 = jnp.zeros((n_rec, n_out), dtype=w_dtype)
@@ -1941,8 +1954,8 @@ class Network:
                 p["edges"] = dict(params["edges"])
                 p["edges"][ekey] = dict(params["edges"][ekey])
                 p["edges"][ekey]["weights"] = W
-                if fb is not None:
-                    x_t = x_t + (fb @ err_bar.astype(self.dtype))
+                if use_fb:
+                    x_t = x_t + (fb_arg @ err_bar.astype(self.dtype))
                 state, out, taps = step(state, p, x_t)
                 err = y_t.astype(w_dtype) - taps[tgt_node].astype(w_dtype)
                 err_bar = epsilon * err_bar + (1.0 - epsilon) * err
@@ -1972,9 +1985,12 @@ class Network:
                 body, init, (inputs, targets, jnp.arange(steps)))
             return stateT, W, rec_out, rec_loss
 
+          self._step_cache[cache_key] = scan_all
+
         t0 = perf_counter()
+        fb_arg = fb if use_fb else jnp.zeros((), dtype=self.dtype)
         stateT, W, rec_out, rec_loss = scan_all(state0, params, edge.params["weights"],
-                                                inputs, targets)
+                                                fb_arg, inputs, targets)
         edge.params["weights"] = W
         self._write_back(state=stateT)
         obs.record_batch(rec_steps_host, outputs=rec_out, losses=rec_loss)

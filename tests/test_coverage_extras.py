@@ -170,3 +170,41 @@ def test_feedback_network_ridge_and_rls():
     assert "readout" in net.nodes
     obs2, loss = net.test(inp, tgt, sampling_steps=1, verbose=False)
     assert np.isfinite(loss)
+
+
+def test_fit_eprop_program_cached_across_fits():
+    """fit_eprop caches its jitted scan across calls (the online/RL workload
+    re-fits repeatedly with fresh same-shape data); results must track the
+    new data and the updated readout weights exactly."""
+    TANH = "neuron_model_templates.rate_neurons.leaky_integrator.tanh"
+    n, m, T = 8, 3, 40
+    rng = np.random.default_rng(35)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    Wout0 = rng.normal(size=(m, n)) * 0.1
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+        net.add_func_node("out", m, activation_function="identity")
+        net.add_edge("rnn", "out", weights=Wout0.copy(), train="eprop")
+        return net
+
+    inp1, tgt1 = rng.normal(size=(T, n)), rng.normal(size=(T, m)) * 0.1
+    inp2, tgt2 = rng.normal(size=(T, n)), rng.normal(size=(T, m)) * 0.1
+
+    A = build()
+    A.fit_eprop(inp1, tgt1, update_steps=1, verbose=False)
+    keys = [k for k in A._step_cache if k[0] == "eprop_scan"]
+    assert len(keys) == 1
+    prog = A._step_cache[keys[0]]
+    A.fit_eprop(inp2, tgt2, update_steps=1, verbose=False)
+    assert A._step_cache[keys[0]] is prog, "eprop program not reused"
+    wA = np.asarray(A.get_edge("rnn", "out").weights)
+
+    B = build()
+    B.fit_eprop(inp1, tgt1, update_steps=1, verbose=False)
+    B.fit_eprop(inp2, tgt2, update_steps=1, verbose=False)
+    np.testing.assert_allclose(wA, np.asarray(B.get_edge("rnn", "out").weights),
+                               rtol=1e-12)
