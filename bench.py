@@ -259,9 +259,11 @@ def bench_spiking_bptt_secondary():
     n = int(os.environ.get("BENCH_BPTT_N", 10_000))
     T, dt = 500, 5e-3
     # torch-CPU epoch is extrapolated from a short run; per-step cost is
-    # linear (one dense matvec + elementwise), so 30 steps bounds the
-    # baseline's wall-clock at ~50 s at N=10k without hurting the estimate
-    torch_T = int(os.environ.get("BENCH_BPTT_TORCH_T", 30))
+    # linear (one dense matvec + elementwise), so 20 steps estimate the
+    # epoch as well as 50 while bounding the phase's wall-clock (this
+    # container's CPU throughput varies 6x run-to-run; 30 steps took up to
+    # ~400 s under the slow regime)
+    torch_T = int(os.environ.get("BENCH_BPTT_TORCH_T", 20))
     thresh, v_reset = 1e2, -1e2
     slope = 100.0 / abs(thresh - v_reset)
     rng = np.random.default_rng(2)
@@ -291,8 +293,12 @@ def bench_spiking_bptt_secondary():
     # fit_bptt's staging untouched): repeated fits then pay zero
     # host->device transfer, and the cached jitted programs (no per-fit
     # retrace) run at the chunk-scan rate
+    t0 = _t.perf_counter()
     inp_d = jax.device_put(jnp.asarray(inp, dtype=jnp.float32))
     tgt_d = jax.device_put(jnp.asarray(tgt, dtype=jnp.float32))
+    jax.block_until_ready((inp_d, tgt_d))
+    log(f"[qif-bptt] staged 2x{inp_d.nbytes / 2 ** 20:.0f} MB epoch arrays in "
+        f"{_t.perf_counter() - t0:.1f}s")
     t0 = _t.perf_counter()
     # warm BOTH training programs (the 8-epoch scan chunk and the single
     # update) with a full-length run so the timed region is compile-free
