@@ -520,3 +520,26 @@ def test_public_run_batch_mesh_matches_single_device():
     res_mesh = net.run_batch(inputs, sampling_steps=3, mesh=mesh)
     np.testing.assert_array_equal(res_mesh["steps"], res_1dev["steps"])
     np.testing.assert_allclose(res_mesh["out"], res_1dev["out"], rtol=1e-5, atol=1e-6)
+
+
+def test_public_run_mesh_int8_master_matches_single_device():
+    """run(mesh=) with int8_master coupling: the once-per-call requantization
+    prep (network._prep_params) must compose with GSPMD population sharding
+    -- records equal the single-device run."""
+    n = 16
+    rng = np.random.default_rng(42)
+    W = rng.normal(size=(n, n)) * 0.3
+
+    def build():
+        net = Network(1e-2)
+        net.add_diffeq_node("t", "neuron_model_templates.rate_neurons.leaky_integrator.tanh",
+                            weights=W, source_var="tanh_op/r", target_var="li_op/r_in",
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            coupling_dtype="int8_master")
+        return net
+
+    inp = rng.normal(size=(40, n)).astype(np.float32)
+    o1 = build().run(inp, verbose=False).to_numpy("out")
+    mesh = make_mesh(8)
+    o2 = build().run(inp, verbose=False, mesh=mesh).to_numpy("out")
+    np.testing.assert_allclose(o2, o1, rtol=1e-5, atol=1e-6)
