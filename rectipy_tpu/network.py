@@ -1069,6 +1069,20 @@ class Network:
                 else:
                     n.reset()
 
+    def _train_prog_key(self, optimizer, loss, optimizer_kwargs, loss_kwargs):
+        """Cache-key component for the jitted training programs: the
+        optimizer/loss CONFIG baked into their closures.  The learning rate
+        is NOT part of the key -- get_optimizer injects it into opt_state
+        (optax.inject_hyperparams), so one compiled program serves every lr.
+        Non-string (callable) configs return None = no caching."""
+        if not (isinstance(optimizer, str) and isinstance(loss, str)):
+            return None
+        try:
+            return (optimizer, repr(sorted((optimizer_kwargs or {}).items())),
+                    loss, repr(sorted((loss_kwargs or {}).items())))
+        except TypeError:
+            return None
+
     def fit_bptt(self, inputs, targets, optimizer: str = "sgd", optimizer_kwargs: dict = None,
                  loss: str = "mse", loss_kwargs: dict = None, lr: float = 1e-3,
                  sampling_steps: int = 1, update_steps: int = 100, verbose: bool = True,
@@ -1138,17 +1152,8 @@ class Network:
                     "Wrong dimensions of input and target output. Please make sure that "
                     "`inputs` and `targets` agree in the first dimension (epochs)."
                 )
-            # program-cache key: everything baked into the jitted update
-            # closures that is not an argument (optimizer + loss config);
-            # non-string (callable) configs disable caching conservatively
-            prog_key = None
-            if isinstance(optimizer, str) and isinstance(loss, str):
-                try:
-                    prog_key = (optimizer, float(lr),
-                                repr(sorted((optimizer_kwargs or {}).items())),
-                                loss, repr(sorted((loss_kwargs or {}).items())))
-                except TypeError:
-                    prog_key = None
+            prog_key = self._train_prog_key(optimizer, loss, optimizer_kwargs,
+                                             loss_kwargs)
             train, losses = self._bptt_epochs(step, loss_fn, opt, train, frozen, opt_state,
                                               state0, inputs, targets, sampling_steps, verbose,
                                               remat_steps=remat_steps,
@@ -1167,14 +1172,8 @@ class Network:
             if mesh is not None:
                 inputs = self._mesh_replicate(inputs, mesh)
                 targets = self._mesh_replicate(targets, mesh)
-            prog_key = None
-            if isinstance(optimizer, str) and isinstance(loss, str):
-                try:
-                    prog_key = (optimizer, float(lr),
-                                repr(sorted((optimizer_kwargs or {}).items())),
-                                loss, repr(sorted((loss_kwargs or {}).items())))
-                except TypeError:
-                    prog_key = None
+            prog_key = self._train_prog_key(optimizer, loss, optimizer_kwargs,
+                                             loss_kwargs)
             train, stateT, rec = self._bptt_steps(step, loss_fn, opt, train, frozen, opt_state,
                                                   state0, inputs, targets, update_steps,
                                                   sampling_steps, obs,
@@ -1413,18 +1412,25 @@ class Network:
         # host->device transfer entirely (~60 ms/epoch at n_ep=16 over the
         # tunnel).  Host numpy arrays still re-stage per fit by design --
         # they are mutable.
-        dev_cache: Dict[int, jnp.ndarray] = {}
+        # the cache entry holds (source object, staged array): keeping the
+        # source alive is LOAD-BEARING -- id() of a temporary view (e.g.
+        # inputs[epoch] of a 3D array) is only unique while the view lives,
+        # and CPython reuses freed addresses (observed: a target view
+        # aliasing the previously staged input -> silently corrupt training)
+        dev_cache: Dict[int, tuple] = {}
 
         def stage(x):
             key = id(x)
-            if key not in dev_cache:
+            hit = dev_cache.get(key)
+            if hit is None:
                 if isinstance(x, jnp.ndarray) and x.dtype == self.dtype:
                     arr = x
                 else:
                     arr = jnp.asarray(np.asarray(x), dtype=self.dtype)
-                dev_cache[key] = (self._mesh_replicate(arr, mesh) if mesh is not None
-                                  else jax.device_put(arr))
-            return dev_cache[key]
+                hit = (x, self._mesh_replicate(arr, mesh) if mesh is not None
+                       else jax.device_put(arr))
+                dev_cache[key] = hit
+            return hit[1]
 
         if not verbose:
             # group consecutive epochs sharing the same staged arrays and run
@@ -1727,16 +1733,20 @@ class Network:
             # per-epoch losses on device -- a per-epoch float() blocks the
             # dispatch pipeline on a device round-trip (~170 ms/epoch over a
             # tunneled chip; same rule as _bptt_epochs)
-            dev_cache: Dict[int, jnp.ndarray] = {}
+            dev_cache: Dict[int, tuple] = {}
 
             def stage(x):
+                # entry = (source, staged): the held source reference keeps
+                # id(x) valid (temporary views get their address reused)
                 k = id(x)
-                if k not in dev_cache:
+                hit = dev_cache.get(k)
+                if hit is None:
                     if isinstance(x, jnp.ndarray) and x.dtype == self.dtype:
-                        dev_cache[k] = x  # already on device; jax arrays are immutable
+                        hit = (x, x)  # already on device; jax arrays are immutable
                     else:
-                        dev_cache[k] = jnp.asarray(np.asarray(x), dtype=self.dtype)
-                return dev_cache[k]
+                        hit = (x, jnp.asarray(np.asarray(x), dtype=self.dtype))
+                    dev_cache[k] = hit
+                return hit[1]
 
             epoch_losses = []
             for epoch in range(len(inputs)):
@@ -1932,16 +1942,19 @@ class Network:
         # whole scan).  Everything value-like is an argument; the key covers
         # the baked-in hyperparameters and grids.
         use_fb = fb is not None
+        # the scalar hyperparameters ride as ARGUMENTS (one program serves
+        # every lr/epsilon/delta/decay value -- schedules/sweeps don't leak
+        # a compiled program per value); only structure/grids key the cache
         cache_key = ("eprop_scan", ekey, steps, int(update_steps),
-                     int(sampling_steps), float(lr), float(epsilon),
-                     float(delta), float(decay), bool(normalize), use_fb,
+                     int(sampling_steps), bool(normalize), use_fb,
                      str(w_dtype), self._step_versions())
         cached = self._step_cache.get(cache_key)
         if cached is not None:
             scan_all = cached
         else:
           @jax.jit
-          def scan_all(state0, params, W, fb_arg, inputs, targets):
+          def scan_all(state0, params, W, fb_arg, hp, inputs, targets):
+            lr, epsilon, delta, decay = hp
             err_bar0 = jnp.zeros(W.shape[0], dtype=w_dtype)
             elig0 = jnp.zeros(W.shape[1], dtype=w_dtype)
             rec_out0 = jnp.zeros((n_rec, n_out), dtype=w_dtype)
@@ -1989,8 +2002,9 @@ class Network:
 
         t0 = perf_counter()
         fb_arg = fb if use_fb else jnp.zeros((), dtype=self.dtype)
+        hp = jnp.asarray([lr, epsilon, delta, decay], dtype=w_dtype)
         stateT, W, rec_out, rec_loss = scan_all(state0, params, edge.params["weights"],
-                                                fb_arg, inputs, targets)
+                                                fb_arg, hp, inputs, targets)
         edge.params["weights"] = W
         self._write_back(state=stateT)
         obs.record_batch(rec_steps_host, outputs=rec_out, losses=rec_loss)

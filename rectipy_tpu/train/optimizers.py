@@ -48,4 +48,9 @@ def get_optimizer(optimizer: str, lr: float, optimizer_kwargs: dict = None) -> o
                     optimizer_kwargs[sub_name] = sub_val
             else:
                 optimizer_kwargs[optax_name] = val
-    return factory(lr, **optimizer_kwargs)
+    # inject_hyperparams moves the learning rate (and numeric kwargs) into
+    # opt_state.hyperparams: they become traced VALUES instead of
+    # compile-time constants, so the cached jitted training programs
+    # (network._bptt_epochs/_bptt_steps) serve every lr -- an lr sweep or
+    # schedule reuses ONE compiled program instead of leaking one per value
+    return optax.inject_hyperparams(factory)(learning_rate=lr, **optimizer_kwargs)

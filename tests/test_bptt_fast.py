@@ -851,3 +851,57 @@ def test_fit_bptt_step_mode_program_cached_across_fits():
     np.testing.assert_allclose(np.asarray(o2["out"]), np.asarray(o2b["out"]),
                                rtol=1e-12)
     assert np.abs(np.asarray(o2["loss"])).max() > 0
+
+
+def test_fit_bptt_3d_epoch_form_matches_list_form():
+    """The documented 3D (epochs, T, m) input form must train identically to
+    the list form.  Regression: the id()-keyed staging cache used to alias
+    FREED temporary views (CPython reuses the address of inputs[epoch] for
+    targets[epoch]), silently training on corrupted targets."""
+    n, T, E = 8, 50, 3
+    rng = np.random.default_rng(36)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    inp3 = rng.normal(size=(E, T, n))  # float64 -> float32 conversion path
+    tgt3 = rng.normal(size=(E, T, n)) * 0.1
+
+    def build():
+        net = Network(1e-2)  # float32 default: stage() must convert (a copy)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        return net
+
+    l_3d = build().fit_bptt(inp3, tgt3, optimizer="adam", lr=1e-2,
+                            verbose=False)["epoch_loss"]
+    l_list = build().fit_bptt([inp3[i] for i in range(E)],
+                              [tgt3[i] for i in range(E)], optimizer="adam",
+                              lr=1e-2, verbose=False)["epoch_loss"]
+    np.testing.assert_allclose(l_3d, l_list, rtol=1e-6)
+    assert np.std(l_list) > 0 or l_list[0] != l_list[-1] or True
+    # distinct epochs -> distinct losses (aliasing collapsed them to equal)
+    assert len(set(np.round(l_list, 10))) > 1
+
+
+def test_fit_bptt_lr_sweep_reuses_one_program():
+    """The learning rate rides in opt_state (optax.inject_hyperparams), so a
+    sweep over lr values reuses ONE cached program -- and each fit still
+    applies ITS lr (larger lr moves the weights further)."""
+    n, T = 8, 40
+    rng = np.random.default_rng(37)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                        output_var="li_op/v", source_var="tanh_op/r",
+                        target_var="li_op/r_in", train_params=["weights"])
+    deltas = []
+    for lr in (1e-4, 1e-3, 1e-2):
+        net.get_node("rnn").set_param("weights", W0)
+        net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=lr,
+                     verbose=False)
+        deltas.append(np.abs(np.asarray(net.get_node("rnn")["weights"]) - W0).max())
+    keys = [k for k in net._step_cache if k[0] == "bptt_epochs"]
+    assert len(keys) == 1, f"lr sweep leaked programs: {len(keys)} cache entries"
+    assert deltas[0] < deltas[1] < deltas[2], f"lr not applied per-fit: {deltas}"
