@@ -178,3 +178,47 @@ def test_example_rl_online_learning_smoke(monkeypatch):
     monkeypatch.setenv("RL_TEST_STEPS", "10000")
     path = pathlib.Path(__file__).resolve().parent.parent / "examples" / "rl_online_learning.py"
     runpy.run_path(str(path), run_name="__main__")  # asserts internally
+
+
+def test_mixed_session_interleaved_apis_consistent(capsys):
+    """A realistic user session interleaves run(), epoch-mode and step-mode
+    fits (verbose and not) on ONE network: the per-API program caches must
+    not interfere, and every result must equal the same sequence on fresh
+    networks."""
+    import jax.numpy as jnp
+
+    from rectipy_tpu import Network
+
+    TANH = "neuron_model_templates.rate_neurons.leaky_integrator.tanh"
+    n, T = 8, 48
+    rng = np.random.default_rng(44)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        return net
+
+    def session(net):
+        o1 = net.run(inp, verbose=False).to_numpy("out")
+        net.reset()
+        l1 = net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-2,
+                          verbose=False)["epoch_loss"]
+        o2 = net.fit_bptt(inp, tgt, update_steps=16, optimizer="adam",
+                          lr=1e-2, verbose=False)
+        net.reset()
+        l2 = net.fit_bptt([inp] * 3, [tgt] * 3, optimizer="adam", lr=1e-2,
+                          verbose=True)["epoch_loss"]  # verbose loop path
+        o3 = net.run(inp, verbose=False).to_numpy("out")
+        return o1, np.asarray(l1), np.asarray(o2["loss"]), np.asarray(l2), o3
+
+    rA = session(build())
+    rB = session(build())
+    for a, b, name in zip(rA, rB, ["run", "epoch fit", "step fit",
+                                   "verbose epoch fit", "final run"]):
+        np.testing.assert_allclose(a, b, rtol=1e-10, err_msg=name)
+    assert "training epochs finished" in capsys.readouterr().out
