@@ -1952,53 +1952,53 @@ class Network:
         if cached is not None:
             scan_all = cached
         else:
-          @jax.jit
-          def scan_all(state0, params, W, fb_arg, hp, inputs, targets):
-            lr, epsilon, delta, decay = hp
-            err_bar0 = jnp.zeros(W.shape[0], dtype=w_dtype)
-            elig0 = jnp.zeros(W.shape[1], dtype=w_dtype)
-            rec_out0 = jnp.zeros((n_rec, n_out), dtype=w_dtype)
-            rec_loss0 = jnp.zeros((n_rec,), dtype=w_dtype)
+            @jax.jit
+            def scan_all(state0, params, W, fb_arg, hp, inputs, targets):
+              lr, epsilon, delta, decay = hp
+              err_bar0 = jnp.zeros(W.shape[0], dtype=w_dtype)
+              elig0 = jnp.zeros(W.shape[1], dtype=w_dtype)
+              rec_out0 = jnp.zeros((n_rec, n_out), dtype=w_dtype)
+              rec_loss0 = jnp.zeros((n_rec,), dtype=w_dtype)
 
-            def body(carry, xt):
-                state, W, err_bar, elig, rec_out, rec_loss, rec_i = carry
-                x_t, y_t, step_idx = xt
-                p = dict(params)
-                p["edges"] = dict(params["edges"])
-                p["edges"][ekey] = dict(params["edges"][ekey])
-                p["edges"][ekey]["weights"] = W
-                if use_fb:
-                    x_t = x_t + (fb_arg @ err_bar.astype(self.dtype))
-                state, out, taps = step(state, p, x_t)
-                err = y_t.astype(w_dtype) - taps[tgt_node].astype(w_dtype)
-                err_bar = epsilon * err_bar + (1.0 - epsilon) * err
-                elig = delta * elig + (1.0 - delta) * taps[src].astype(w_dtype)
-                do_upd = (step_idx % update_steps) == 0
-                gate = jnp.where(do_upd, lr, 0.0)
-                # `decay` L2-regularizes the online rule: without it the delta
-                # rule grows weight mass along near-collinear reservoir
-                # directions that only cancel while updates keep correcting --
-                # the frozen readout then diverges at test time
-                upd = jnp.outer(err_bar, elig)
-                if normalize:  # NLMS: step size relative to eligibility energy
-                    upd = upd / (1e-8 + elig @ elig)
-                W = W * (1.0 - gate * decay) + gate * upd
-                loss = err @ err
-                do_rec = (step_idx % sampling_steps) == 0
-                idx = jnp.minimum(rec_i, max(n_rec - 1, 0))
-                rec_out = rec_out.at[idx].set(jnp.where(do_rec, out.astype(w_dtype),
-                                                        rec_out[idx]))
-                rec_loss = rec_loss.at[idx].set(jnp.where(do_rec, loss, rec_loss[idx]))
-                rec_i = rec_i + do_rec.astype(jnp.int32)
-                return (state, W, err_bar, elig, rec_out, rec_loss, rec_i), None
+              def body(carry, xt):
+                  state, W, err_bar, elig, rec_out, rec_loss, rec_i = carry
+                  x_t, y_t, step_idx = xt
+                  p = dict(params)
+                  p["edges"] = dict(params["edges"])
+                  p["edges"][ekey] = dict(params["edges"][ekey])
+                  p["edges"][ekey]["weights"] = W
+                  if use_fb:
+                      x_t = x_t + (fb_arg @ err_bar.astype(self.dtype))
+                  state, out, taps = step(state, p, x_t)
+                  err = y_t.astype(w_dtype) - taps[tgt_node].astype(w_dtype)
+                  err_bar = epsilon * err_bar + (1.0 - epsilon) * err
+                  elig = delta * elig + (1.0 - delta) * taps[src].astype(w_dtype)
+                  do_upd = (step_idx % update_steps) == 0
+                  gate = jnp.where(do_upd, lr, 0.0)
+                  # `decay` L2-regularizes the online rule: without it the delta
+                  # rule grows weight mass along near-collinear reservoir
+                  # directions that only cancel while updates keep correcting --
+                  # the frozen readout then diverges at test time
+                  upd = jnp.outer(err_bar, elig)
+                  if normalize:  # NLMS: step size relative to eligibility energy
+                      upd = upd / (1e-8 + elig @ elig)
+                  W = W * (1.0 - gate * decay) + gate * upd
+                  loss = err @ err
+                  do_rec = (step_idx % sampling_steps) == 0
+                  idx = jnp.minimum(rec_i, max(n_rec - 1, 0))
+                  rec_out = rec_out.at[idx].set(jnp.where(do_rec, out.astype(w_dtype),
+                                                          rec_out[idx]))
+                  rec_loss = rec_loss.at[idx].set(jnp.where(do_rec, loss, rec_loss[idx]))
+                  rec_i = rec_i + do_rec.astype(jnp.int32)
+                  return (state, W, err_bar, elig, rec_out, rec_loss, rec_i), None
 
-            init = (state0, W, err_bar0, elig0, rec_out0, rec_loss0,
-                    jnp.asarray(0, dtype=jnp.int32))
-            (stateT, W, _, _, rec_out, rec_loss, _), _ = jax.lax.scan(
-                body, init, (inputs, targets, jnp.arange(steps)))
-            return stateT, W, rec_out, rec_loss
+              init = (state0, W, err_bar0, elig0, rec_out0, rec_loss0,
+                      jnp.asarray(0, dtype=jnp.int32))
+              (stateT, W, _, _, rec_out, rec_loss, _), _ = jax.lax.scan(
+                  body, init, (inputs, targets, jnp.arange(steps)))
+              return stateT, W, rec_out, rec_loss
 
-          self._step_cache[cache_key] = scan_all
+            self._step_cache[cache_key] = scan_all
 
         t0 = perf_counter()
         fb_arg = fb if use_fb else jnp.zeros((), dtype=self.dtype)
