@@ -905,3 +905,39 @@ def test_fit_bptt_lr_sweep_reuses_one_program():
     keys = [k for k in net._step_cache if k[0] == "bptt_epochs"]
     assert len(keys) == 1, f"lr sweep leaked programs: {len(keys)} cache entries"
     assert deltas[0] < deltas[1] < deltas[2], f"lr not applied per-fit: {deltas}"
+
+
+def test_fit_bptt_cached_program_tracks_frozen_param_changes():
+    """set_param on a FROZEN (non-trained) parameter between fits must flow
+    through the cached program -- frozen params are arguments, not traced
+    constants."""
+    n, T = 8, 40
+    rng = np.random.default_rng(38)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                        output_var="li_op/v", source_var="tanh_op/r",
+                        target_var="li_op/r_in", train_params=["weights"])
+    l1 = net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-3,
+                      verbose=False)["epoch_loss"]
+    keys = [k for k in net._step_cache if k[0] == "bptt_epochs"]
+    prog = net._step_cache[keys[0]]
+    net.get_node("rnn").set_param("eta", 5.0)  # frozen param changes
+    net.get_node("rnn").set_param("weights", W0)  # reset trained weights
+    l2 = net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-3,
+                      verbose=False)["epoch_loss"]
+    assert net._step_cache[keys[0]] is prog, "program should be reused"
+    assert abs(l1[0] - l2[0]) > 1e-9, "frozen-param change had no effect"
+
+    # oracle: a fresh net built with the new eta gives the same losses
+    net2 = Network(1e-2, dtype=jnp.float64)
+    net2.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                         output_var="li_op/v", source_var="tanh_op/r",
+                         target_var="li_op/r_in", train_params=["weights"],
+                         node_vars={"all/li_op/eta": 5.0})
+    l2_fresh = net2.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-3,
+                             verbose=False)["epoch_loss"]
+    np.testing.assert_allclose(l2, l2_fresh, rtol=1e-10)
