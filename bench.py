@@ -28,6 +28,11 @@ _T_START = time.perf_counter()
 # elapsed total exceeds this (round-2 lesson: the driver timeout hit while a
 # secondary was compiling and the already-measured headline was lost)
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1200))
+# the NORTH-STAR secondary (qif BPTT, BASELINE.md) gets a more generous gate:
+# its own cost is small once programs are cached (~20 s + the torch loop),
+# and losing it to a slow headline compile loses the round's key training
+# metric.  Its partial result (trained nu/s) flushes BEFORE the torch loop.
+NORTHSTAR_BUDGET_S = float(os.environ.get("BENCH_NORTHSTAR_BUDGET_S", 1800))
 
 
 def _elapsed():
@@ -244,10 +249,12 @@ def bench_bptt_secondary():
     return ours_epoch, torch_epoch
 
 
-def bench_spiking_bptt_secondary():
+def bench_spiking_bptt_secondary(on_ours=None):
     """North-star metric (BASELINE.md): QIF BPTT neuron-updates/sec vs
     torch-CPU.  N=1000 recurrent spiking net, trained recurrent weights
-    through surrogate gradients; one update per epoch."""
+    through surrogate gradients; one update per epoch.  ``on_ours`` is
+    called with the trained nu/s BEFORE the slow torch-CPU baseline so a
+    mid-baseline kill still leaves the measured value on stdout."""
     import time as _t
 
     import jax
@@ -314,7 +321,9 @@ def bench_spiking_bptt_secondary():
     log(f"[qif-bptt ours] warmup {warm:.2f}s; {ours_epoch * 1e3:.1f} ms/epoch "
         f"(N={n}, T={T}, {train_coupling}) -> {T * n / ours_epoch:.3e} trained "
         f"neuron-updates/s (deferred-gradient custom-VJP path; round-1 plain "
-        f"autodiff was 2364 ms, round-2 bf16_master 330 ms)")
+        f"autodiff was 2364 ms, round-2 int8_master 138 ms)")
+    if on_ours is not None:
+        on_ours(T * n / ours_epoch)
 
     class Spike(torch.autograd.Function):
         @staticmethod
@@ -383,17 +392,24 @@ def main():
     # parses the first or the last JSON line it gets a complete record.
     print(json.dumps(result), flush=True)
     if os.environ.get("BENCH_BPTT", "1") == "1":
-        # north-star first (BASELINE.md: QIF BPTT vs torch-CPU), rate second
-        if _elapsed() < BUDGET_S:
+        # north-star first (BASELINE.md: QIF BPTT vs torch-CPU), rate second.
+        # Its trained nu/s flushes as soon as it is measured (before the
+        # torch-CPU loop), so even a hard kill mid-baseline keeps it.
+        if _elapsed() < NORTHSTAR_BUDGET_S:
+            def _on_ours(trained_ups):
+                result["bptt_trained_nu_per_s"] = round(trained_ups, 1)
+                print(json.dumps(result), flush=True)
+
             try:
-                trained_ups, trained_vs = bench_spiking_bptt_secondary()
+                trained_ups, trained_vs = bench_spiking_bptt_secondary(_on_ours)
                 result["bptt_trained_nu_per_s"] = round(trained_ups, 1)
                 result["bptt_vs_torch_cpu"] = round(trained_vs, 2)
                 print(json.dumps(result), flush=True)
             except Exception as e:  # secondary must never break the headline
                 log(f"[qif-bptt] secondary benchmark failed: {e}")
         else:
-            log(f"[qif-bptt] skipped: {_elapsed():.0f}s elapsed > {BUDGET_S:.0f}s budget")
+            log(f"[qif-bptt] skipped: {_elapsed():.0f}s elapsed > "
+                f"{NORTHSTAR_BUDGET_S:.0f}s north-star budget")
         if _elapsed() < BUDGET_S:
             try:
                 rate_ours, rate_torch = bench_bptt_secondary()
