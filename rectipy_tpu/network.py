@@ -24,6 +24,7 @@ fan-in summation through ``torch.tensor([...])`` breaking gradients
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from time import perf_counter
 from typing import Callable, Dict, Iterator, List, Optional, Tuple, Union
 
@@ -42,6 +43,36 @@ from .utility import add_op_name, retrieve_from_dict
 # epochs per on-device scan chunk in fit_bptt(verbose=False); fixed so that
 # at most two training programs compile regardless of the epoch count
 _EPOCH_SCAN_CHUNK = 8
+
+
+class _LRUCache(OrderedDict):
+    """Bounded access-ordered cache for composed step closures and jitted
+    training/run programs.  Without a bound, a session sweeping T,
+    sampling_steps, or optimizer configs retains one traced program per
+    distinct key for the network's lifetime (compile() flushes on graph
+    changes, but normal fits never do).  64 entries is far above any regular
+    workload (the bench uses < 10) while capping host memory."""
+
+    def __init__(self, maxsize: int = 64):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def __getitem__(self, key):
+        val = super().__getitem__(key)
+        self.move_to_end(key)
+        return val
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        self.move_to_end(key)
+        while len(self) > self.maxsize:
+            self.popitem(last=False)
 
 
 def _graph_weights_args(gspec, params):
@@ -82,7 +113,7 @@ class Network:
         self._out_node: Optional[str] = None
         self._train_edge: tuple = ()
         self._compiled = None  # (order, step_fn cache key data)
-        self._step_cache: Dict[tuple, Callable] = {}
+        self._step_cache: Dict[tuple, Callable] = _LRUCache()
         self._fb_store: Dict[str, jnp.ndarray] = {}  # prev-step feedback outputs
 
     # ------------------------------------------------------------- container
@@ -103,21 +134,21 @@ class Network:
 
     @property
     def n_out(self) -> int:
-        try:
-            if self._out_node is None:
-                self.compile()
-            return self[self._out_node]["n_out"]
-        except (KeyError, ValueError):
-            return 0
+        """Output width of the network's unique output node.  An uncompilable
+        graph raises the compile error rather than reporting width 0
+        (reference semantics, /root/reference/rectipy/network.py:439-460)."""
+        if self._out_node is None:
+            self.compile()
+        return self[self._out_node]["n_out"]
 
     @property
     def n_in(self) -> int:
-        try:
-            if self._in_node is None:
-                self.compile()
-            return self[self._in_node]["n_in"]
-        except (KeyError, ValueError):
-            return 0
+        """Input width of the network's unique input node.  Raises on an
+        uncompilable graph (reference semantics,
+        /root/reference/rectipy/network.py:439-460)."""
+        if self._in_node is None:
+            self.compile()
+        return self[self._in_node]["n_in"]
 
     @property
     def nodes(self):
@@ -1069,19 +1100,38 @@ class Network:
                 else:
                     n.reset()
 
+    @staticmethod
+    def _scalar_key(value):
+        """A by-VALUE key component for an optimizer/loss kwarg, or None when
+        the value is not a plain scalar/str/bool (repr of e.g. a large numpy
+        array elides content and could collide across configs -- such configs
+        are simply not cached)."""
+        if value is None or isinstance(value, (bool, int, float, str)):
+            return (type(value).__name__, value)
+        if isinstance(value, (tuple, list)):
+            parts = tuple(Network._scalar_key(v) for v in value)
+            return None if any(p is None for p in parts) else ("seq", parts)
+        return None
+
     def _train_prog_key(self, optimizer, loss, optimizer_kwargs, loss_kwargs):
         """Cache-key component for the jitted training programs: the
         optimizer/loss CONFIG baked into their closures.  The learning rate
         is NOT part of the key -- get_optimizer injects it into opt_state
         (optax.inject_hyperparams), so one compiled program serves every lr.
-        Non-string (callable) configs return None = no caching."""
+        Non-string (callable) configs, or kwargs holding anything other than
+        scalars/strings/tuples of scalars, return None = no caching."""
         if not (isinstance(optimizer, str) and isinstance(loss, str)):
             return None
-        try:
-            return (optimizer, repr(sorted((optimizer_kwargs or {}).items())),
-                    loss, repr(sorted((loss_kwargs or {}).items())))
-        except TypeError:
-            return None
+        parts = []
+        for kw in (optimizer_kwargs, loss_kwargs):
+            items = []
+            for k in sorted(kw or {}):
+                vk = self._scalar_key((kw or {})[k])
+                if vk is None:
+                    return None
+                items.append((k, vk))
+            parts.append(tuple(items))
+        return (optimizer, parts[0], loss, parts[1])
 
     def fit_bptt(self, inputs, targets, optimizer: str = "sgd", optimizer_kwargs: dict = None,
                  loss: str = "mse", loss_kwargs: dict = None, lr: float = 1e-3,
@@ -1954,11 +2004,15 @@ class Network:
         else:
             @jax.jit
             def scan_all(state0, params, W, fb_arg, hp, inputs, targets):
+              # hyperparameters and accumulators stay float32 even for a
+              # low-precision readout: smoothing constants like epsilon=0.99
+              # lose ~17% of (1 - epsilon) when rounded to bfloat16, so the
+              # traces are carried in f32 and only W is stored in w_dtype
               lr, epsilon, delta, decay = hp
-              err_bar0 = jnp.zeros(W.shape[0], dtype=w_dtype)
-              elig0 = jnp.zeros(W.shape[1], dtype=w_dtype)
+              err_bar0 = jnp.zeros(W.shape[0], dtype=jnp.float32)
+              elig0 = jnp.zeros(W.shape[1], dtype=jnp.float32)
               rec_out0 = jnp.zeros((n_rec, n_out), dtype=w_dtype)
-              rec_loss0 = jnp.zeros((n_rec,), dtype=w_dtype)
+              rec_loss0 = jnp.zeros((n_rec,), dtype=jnp.float32)
 
               def body(carry, xt):
                   state, W, err_bar, elig, rec_out, rec_loss, rec_i = carry
@@ -1970,9 +2024,9 @@ class Network:
                   if use_fb:
                       x_t = x_t + (fb_arg @ err_bar.astype(self.dtype))
                   state, out, taps = step(state, p, x_t)
-                  err = y_t.astype(w_dtype) - taps[tgt_node].astype(w_dtype)
+                  err = y_t.astype(jnp.float32) - taps[tgt_node].astype(jnp.float32)
                   err_bar = epsilon * err_bar + (1.0 - epsilon) * err
-                  elig = delta * elig + (1.0 - delta) * taps[src].astype(w_dtype)
+                  elig = delta * elig + (1.0 - delta) * taps[src].astype(jnp.float32)
                   do_upd = (step_idx % update_steps) == 0
                   gate = jnp.where(do_upd, lr, 0.0)
                   # `decay` L2-regularizes the online rule: without it the delta
@@ -1982,7 +2036,8 @@ class Network:
                   upd = jnp.outer(err_bar, elig)
                   if normalize:  # NLMS: step size relative to eligibility energy
                       upd = upd / (1e-8 + elig @ elig)
-                  W = W * (1.0 - gate * decay) + gate * upd
+                  W = (W.astype(jnp.float32) * (1.0 - gate * decay)
+                       + gate * upd).astype(w_dtype)
                   loss = err @ err
                   do_rec = (step_idx % sampling_steps) == 0
                   idx = jnp.minimum(rec_i, max(n_rec - 1, 0))
@@ -2002,7 +2057,7 @@ class Network:
 
         t0 = perf_counter()
         fb_arg = fb if use_fb else jnp.zeros((), dtype=self.dtype)
-        hp = jnp.asarray([lr, epsilon, delta, decay], dtype=w_dtype)
+        hp = jnp.asarray([lr, epsilon, delta, decay], dtype=jnp.float32)
         stateT, W, rec_out, rec_loss = scan_all(state0, params, edge.params["weights"],
                                                 fb_arg, hp, inputs, targets)
         edge.params["weights"] = W

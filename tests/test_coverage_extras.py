@@ -208,3 +208,92 @@ def test_fit_eprop_program_cached_across_fits():
     B.fit_eprop(inp2, tgt2, update_steps=1, verbose=False)
     np.testing.assert_allclose(wA, np.asarray(B.get_edge("rnn", "out").weights),
                                rtol=1e-12)
+
+
+def test_n_in_n_out_raise_on_uncompilable_graph():
+    """An uncompilable graph must raise the compile error from n_in/n_out
+    access, not silently report width 0 (reference raises,
+    /root/reference/rectipy/network.py:439-460)."""
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_func_node("a", 3, activation_function="identity")
+    net.add_func_node("b", 3, activation_function="identity")
+    # two nodes with no edges: neither the input nor the output node is unique
+    with pytest.raises(ValueError, match="input node"):
+        _ = net.n_in
+    with pytest.raises(ValueError, match="input node"):
+        _ = net.n_out
+    # a compilable graph reports real widths
+    net.add_edge("a", "b")
+    assert net.n_in == 3 and net.n_out == 3
+
+
+def test_train_prog_key_rejects_non_scalar_kwargs():
+    """Training-program cache keys are built from VALUES, never reprs: any
+    non-scalar optimizer/loss kwarg disables caching instead of risking a
+    repr collision (e.g. numpy arrays elide content beyond 1000 elements)."""
+    net = _net(3)
+    k1 = net._train_prog_key("adam", "mse", {"b1": 0.9}, None)
+    k2 = net._train_prog_key("adam", "mse", {"b1": 0.95}, None)
+    assert k1 is not None and k2 is not None and k1 != k2
+    # tuple-of-scalars is allowed and keyed by value
+    k3 = net._train_prog_key("adam", "mse", {"betas": (0.9, 0.999)}, None)
+    assert k3 is not None
+    # non-scalar values (arrays, dicts, callables) disable caching
+    assert net._train_prog_key("adam", "mse", {"w": np.ones(2000)}, None) is None
+    assert net._train_prog_key("adam", "mse", None, {"fn": lambda x: x}) is None
+    assert net._train_prog_key(lambda p: p, "mse", None, None) is None
+    # bool/int distinction does not collide (True == 1 hashes equal)
+    assert net._train_prog_key("adam", "mse", {"x": True}, None) != \
+        net._train_prog_key("adam", "mse", {"x": 1}, None)
+
+
+def test_step_cache_is_bounded_lru():
+    """The per-network program cache is a bounded LRU: sweeping configs
+    cannot grow host memory without bound (ADVICE r3)."""
+    from rectipy_tpu.network import _LRUCache
+
+    c = _LRUCache(maxsize=3)
+    for i in range(5):
+        c[("k", i)] = i
+    assert len(c) == 3
+    assert ("k", 0) not in c and ("k", 1) not in c
+    # access refreshes recency
+    _ = c[("k", 2)]
+    c[("k", 5)] = 5
+    assert ("k", 2) in c and ("k", 3) not in c
+    # the network uses it
+    net = _net(3)
+    assert isinstance(net._step_cache, _LRUCache)
+
+
+def test_eprop_hyperparams_keep_f32_precision_with_bf16_readout():
+    """With a bfloat16 readout, the smoothing constants must not be
+    quantized to bf16 (epsilon=0.99 -> 0.98828 shifts 1-epsilon by ~17%):
+    the traces are carried in f32 (ADVICE r3)."""
+    n, m, T = 6, 2, 30
+    rng = np.random.default_rng(7)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    Wout0 = rng.random((m, n)) * 0.1
+    inp = rng.normal(size=(T, n)).astype(np.float32)
+    tgt = (rng.normal(size=(T, m)) * 0.1).astype(np.float32)
+
+    def build(dtype):
+        net = Network(1e-2, dtype=jnp.float32)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+        net.add_func_node("out", m, activation_function="identity")
+        net.add_edge("rnn", "out", weights=jnp.asarray(Wout0, dtype=dtype),
+                     train="eprop")
+        return net
+
+    A = build(jnp.float32)
+    B = build(jnp.bfloat16)
+    A.fit_eprop(inp, tgt, epsilon=0.99, delta=0.9, update_steps=1, verbose=False)
+    B.fit_eprop(inp, tgt, epsilon=0.99, delta=0.9, update_steps=1, verbose=False)
+    wA = np.asarray(A.get_edge("rnn", "out").weights, dtype=np.float64)
+    wB = np.asarray(B.get_edge("rnn", "out").weights.astype(jnp.float32),
+                    dtype=np.float64)
+    # bf16 storage rounds W, but the trajectory must track f32 closely --
+    # with bf16-quantized hyperparameters the update path itself is wrong
+    assert np.corrcoef(wA.ravel(), wB.ravel())[0, 1] > 0.99
