@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .expr import CONSTANTS, evaluate, free_symbols, parse, split_equation
-from .parser import NodeTemplate, OperatorTemplate, TemplateError
+from .parser import NodeTemplate, OperatorTemplate, TemplateError, _strip_node_prefix
 
 
 @dataclass
@@ -138,11 +138,21 @@ def lower(
     if isinstance(node, CircuitTemplate):
         # prebuilt circuit: extract size, primary coupling, and overrides
         circuit = node
+        if circuit.heterogeneous:
+            raise TemplateError(
+                f"Circuit {circuit.name!r} mixes node templates with different "
+                "equations and cannot lower to one vector field. Pass it to "
+                "Network.add_diffeq_node, which auto-expands it into one "
+                "Network node per template group wired with inter-group edges "
+                "(or build the separate Network nodes yourself with add_edge)."
+            )
         node = circuit.node_template
         n = n or circuit.n
         if circuit.edges and weights is None:
-            source_var, target_var, weights = circuit.edges[0]
-            extra = [(sv, tv, w) for sv, tv, w in circuit.edges[1:]]
+            sv0, tv0, weights = circuit.edges[0]
+            source_var, target_var = _strip_node_prefix(sv0), _strip_node_prefix(tv0)
+            extra = [(_strip_node_prefix(sv), _strip_node_prefix(tv), w)
+                     for sv, tv, w in circuit.edges[1:]]
             edges = list(edges or []) + extra
         if circuit.node_vars:
             merged = dict(circuit.node_vars)

@@ -195,11 +195,47 @@ def load_template(path: str) -> Union[OperatorTemplate, NodeTemplate]:
 
 
 @dataclass
+class CircuitGroup:
+    """One structurally-homogeneous population inside a CircuitTemplate:
+    every member node shares the same operator equations, so the group
+    lowers to ONE vectorized Network node.  ``indices`` are the members'
+    global neuron indices (insertion order), ``node_vars`` the merged
+    per-member parameter overrides (``{op/var: (n_group,) array}``)."""
+
+    name: str
+    template: "NodeTemplate"
+    indices: "object"  # np.ndarray of global indices
+    node_vars: dict
+
+    @property
+    def n(self) -> int:
+        return len(self.indices)
+
+    def owns(self, qualified_var: str) -> bool:
+        """True iff this group's template declares ``op/var``."""
+        parts = _strip_node_prefix(qualified_var).split("/")
+        if len(parts) != 2:
+            return False
+        op_name, var = parts
+        return any(op.name == op_name and var in op.variables
+                   for op in self.template.operators)
+
+
+@dataclass
 class CircuitTemplate:
     """API-compat shim for PyRates' CircuitTemplate as the reference uses it
     (/root/reference/rectipy/nodes.py:241-252): N identical node copies plus
     edges added from a weight matrix.  The lowering stays symbolic -- the node
     count and edge matrices are extracted, never unrolled.
+
+    Beyond the reference (which only ever replicates ONE template): nodes may
+    be heterogeneous.  PARAMETER heterogeneity (same equations, different
+    variable defaults) merges into per-neuron override arrays within one
+    vectorized node.  EQUATION heterogeneity groups the nodes by operator
+    structure; such circuits cannot lower to one vector field (``lower()``
+    raises) but ``Network.add_diffeq_node`` auto-expands them into one
+    Network node per group wired with inter-group edges -- trained at the
+    same deferred-gradient roofline by the graph trajectory.
     """
 
     name: str
@@ -208,54 +244,85 @@ class CircuitTemplate:
     def __post_init__(self):
         if not self.nodes:
             raise TemplateError("CircuitTemplate requires at least one node")
+        import numpy as _np
+
         tlist = list(self.nodes.values())  # insertion order = neuron index
-        first = tlist[0]
-        self.node_vars: dict = {}
-        if any(t is not first for t in tlist[1:]):
-            # heterogeneous node templates: PARAMETER heterogeneity (same
-            # operator structure/equations, different variable defaults) is
-            # merged symbolically -- each differing default becomes an (N,)
-            # per-neuron override array, so the population still lowers as
-            # ONE vectorized node.  Circuits mixing different EQUATIONS
-            # cannot share a vector field; express them as separate Network
-            # nodes wired with add_edge (the multi-population graph
-            # trajectory trains those at the same deferred-gradient
-            # roofline).  PyRates analog: per-node parameter values on
-            # replicated templates (/root/reference/rectipy/nodes.py:241-252
-            # only ever replicates one template).
-            def sig(t: NodeTemplate):
-                return tuple(
-                    (op.name, tuple(op.equations),
-                     tuple(sorted((v, s.role) for v, s in op.variables.items())))
-                    for op in t.operators)
 
-            ref_sig = sig(first)
-            if any(sig(t) != ref_sig for t in tlist[1:]):
-                raise TemplateError(
-                    "CircuitTemplate lowering requires all nodes to share one "
-                    "operator structure (same equations). Parameter-heterogeneous "
-                    "circuits (same equations, different variable defaults) merge "
-                    "automatically; circuits mixing different model equations must "
-                    "be built as separate Network nodes connected with add_edge."
-                )
-            import numpy as _np
+        def sig(t: NodeTemplate):
+            return tuple(
+                (op.name, tuple(op.equations),
+                 tuple(sorted((v, s.role) for v, s in op.variables.items())))
+                for op in t.operators)
 
+        sigs = [sig(t) for t in tlist]
+        order: list = []
+        for s in sigs:
+            if s not in order:
+                order.append(s)
+        self.groups: List[CircuitGroup] = []
+        used_names: set = set()
+        for s in order:
+            idx = _np.asarray([i for i, x in enumerate(sigs) if x == s])
+            members = [tlist[i] for i in idx]
+            first = members[0]
+            # merge per-member parameter heterogeneity inside the group:
+            # each differing default becomes an (n_group,) override array
+            gvars: dict = {}
             for oi, op in enumerate(first.operators):
                 for vname in op.variables:
-                    vals = [t.operators[oi].variables[vname].default for t in tlist]
+                    vals = [m.operators[oi].variables[vname].default for m in members]
                     if any(v != vals[0] for v in vals[1:]):
-                        self.node_vars[f"{op.name}/{vname}"] = _np.asarray(
-                            vals, dtype=float)
-        self.node_template: NodeTemplate = first
-        self.n: int = len(self.nodes)
+                        gvars[f"{op.name}/{vname}"] = _np.asarray(vals, dtype=float)
+            gname = first.name or f"group{len(self.groups)}"
+            while gname in used_names:
+                gname = f"{gname}_{len(self.groups)}"
+            used_names.add(gname)
+            self.groups.append(CircuitGroup(name=gname, template=first,
+                                            indices=idx, node_vars=gvars))
+        names = list(self.nodes)
+        self._member_group: Dict[str, CircuitGroup] = {
+            names[i]: g for g in self.groups for i in g.indices}
+        self.heterogeneous: bool = len(self.groups) > 1
+        # homogeneous-circuit surface (node_template/node_vars) kept for the
+        # single-group lowering path and API compatibility
+        self.node_template: Optional[NodeTemplate] = (
+            None if self.heterogeneous else self.groups[0].template)
+        self.node_vars: dict = {} if self.heterogeneous else dict(self.groups[0].node_vars)
+        self.n: int = len(tlist)
         self.edges: list = []  # (source_var, target_var, weight matrix)
+
+    def owner_group(self, qualified_var: str) -> CircuitGroup:
+        """The unique group whose template declares ``op/var``."""
+        owners = [g for g in self.groups if g.owns(qualified_var)]
+        if len(owners) != 1:
+            raise TemplateError(
+                f"Variable {qualified_var!r} is declared by "
+                f"{[g.name for g in owners] or 'no'} groups of circuit "
+                f"{self.name!r}; it must belong to exactly one node template. "
+                "Qualify it with a member node name ('<node>/<op>/<var>') to "
+                "disambiguate."
+            )
+        return owners[0]
+
+    def resolve_group(self, var: str):
+        """Resolve a possibly node-qualified variable to ``(group,
+        'op/var')``.  ``'p3/li_op/r_in'`` resolves via member node 'p3';
+        a bare ``'op/var'`` must be declared by exactly one group."""
+        parts = var.split("/")
+        if len(parts) >= 3 and parts[0] in self._member_group:
+            return self._member_group[parts[0]], "/".join(parts[-2:])
+        qvar = _strip_node_prefix(var)
+        return self.owner_group(qvar), qvar
 
     def add_edges_from_matrix(self, source_var: str, target_var: str,
                               source_nodes: list = None, weight=None, **kwargs):
         """Record an all-to-all coupling realized by ``weight`` (rows = targets)."""
         del source_nodes, kwargs
-        self.edges.append((_strip_node_prefix(source_var),
-                           _strip_node_prefix(target_var), weight))
+        # raw var strings are kept: heterogeneous circuits may need the
+        # node-name qualification ('p3/li_op/r_in') to resolve which group a
+        # variable lives on when several groups share an op/var name; the
+        # homogeneous lowering strips prefixes at consumption
+        self.edges.append((source_var, target_var, weight))
 
     def update_var(self, node_vars: dict = None, **kwargs):
         del kwargs

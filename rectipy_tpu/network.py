@@ -255,6 +255,19 @@ class Network:
         if reset_var is None and "spike_def" in kwargs:
             reset_var = kwargs.pop("spike_def")
 
+        from .dsl.parser import CircuitTemplate
+
+        if isinstance(node, CircuitTemplate) and node.heterogeneous:
+            # circuits mixing different model equations cannot share one
+            # vector field: auto-expand into one Network node per template
+            # group, wired with inter-group Linear edges (beyond-reference;
+            # PyRates circuits in the reference only replicate one template)
+            return self._add_circuit_nodes(
+                label, node, input_var=input_var, output_var=output_var,
+                spike_var=spike_var, reset_var=reset_var, reset=reset, op=op,
+                train_params=train_params, weights=weights,
+                source_var=source_var, target_var=target_var, **kwargs)
+
         var_dict = {"svar": source_var, "tvar": target_var, "in_ext": input_var,
                     "out": output_var, "spike": spike_var, "reset": reset_var}
         if "record_vars" in kwargs:
@@ -298,6 +311,180 @@ class Network:
         node_instance = NodeClass.from_pyrates(*args, **kwargs)
         self.add_node(label, node=node_instance, node_type="diff_eq", op=op)
         return node_instance
+
+    def _add_circuit_nodes(self, label: str, circuit, input_var: str, output_var: str,
+                           spike_var=None, reset_var=None, reset: bool = True,
+                           op: str = None, train_params: list = None,
+                           weights=None, source_var: str = None, target_var: str = None,
+                           **kwargs) -> RateNet:
+        """Expand a heterogeneous-equation CircuitTemplate into one Network
+        node per structurally-homogeneous group, wired with inter-group
+        Linear edges built from the circuit's weight-matrix blocks.
+
+        Semantics: for each circuit edge ``(source_var, target_var, W)`` the
+        block ``W[targets_of_group_i, sources_of_group_j]`` becomes either
+        the group's own recurrent coupling (i == j) or a Network edge
+        ``label.group_j -> label.group_i`` delivering into group i's
+        ``target_var`` (the group node is built with that variable as its
+        input channel).  External input drives the root group's
+        ``input_var``; the circuit output is the sink group's
+        ``output_var``.  Returns the output group's node instance.
+        Beyond-reference (see CircuitTemplate docstring).
+        """
+        from .dsl.parser import TemplateError, _strip_node_prefix
+
+        if op is not None:
+            raise TemplateError(
+                "The `op` shorthand is not supported for heterogeneous "
+                "circuits (each group has its own operators); qualify "
+                "variables as 'op/var'.")
+        if weights is not None or source_var is not None or target_var is not None:
+            raise TemplateError(
+                "weights/source_var/target_var are not supported together "
+                "with a heterogeneous CircuitTemplate; declare every "
+                "coupling on the circuit via add_edges_from_matrix.")
+        if "record_vars" in kwargs:
+            raise TemplateError(
+                "record_vars on add_diffeq_node is not supported for "
+                "heterogeneous circuits; record at run() time with "
+                "record_vars=[('<label>.<group>', '<var>', reduce)] on the "
+                "expanded node labels.")
+        node_vars = kwargs.pop("node_vars", kwargs.pop("node_values", None)) or {}
+        groups = list(circuit.groups)
+        gid = {id(g): k for k, g in enumerate(groups)}
+        n_total = circuit.n
+
+        # classify circuit edges into intra-group couplings and inter-group
+        # Network edges; validate that the full matrices only populate the
+        # (owner-target x owner-source) block.  Edge vars may carry a member
+        # node-name prefix ('p3/li_op/r_in') when an op/var name exists on
+        # several groups.
+        intra = {k: [] for k in range(len(groups))}
+        inter = []  # (src_gidx, tgt_gidx, tv, block)
+        for sv_raw, tv_raw, W in circuit.edges:
+            gs, sv = circuit.resolve_group(sv_raw)
+            gt, tv = circuit.resolve_group(tv_raw)
+            W = np.asarray(W)
+            if W.shape != (n_total, n_total):
+                raise TemplateError(
+                    f"Circuit edge {sv!r}->{tv!r} weight matrix has shape "
+                    f"{W.shape}; expected ({n_total}, {n_total}) over the "
+                    f"full circuit index space.")
+            block = W[np.ix_(gt.indices, gs.indices)]
+            outside = W.copy()
+            outside[np.ix_(gt.indices, gs.indices)] = 0.0
+            if np.any(outside != 0.0):
+                raise TemplateError(
+                    f"Circuit edge {sv!r}->{tv!r}: weight entries outside the "
+                    f"[{gt.name} targets x {gs.name} sources] block are "
+                    f"nonzero but {sv!r}/{tv!r} only exist on those groups.")
+            if gs is gt:
+                intra[gid[id(gs)]].append((sv, tv, block))
+            else:
+                inter.append((gid[id(gs)], gid[id(gt)], sv, tv, block))
+
+        # per-group input/output channels
+        gi, input_var = circuit.resolve_group(input_var)
+        go, output_var = circuit.resolve_group(output_var)
+        g_in, g_out = gid[id(gi)], gid[id(go)]
+        in_chan = {g_in: input_var}
+        for si, ti, _sv, tv, _ in inter:
+            if in_chan.setdefault(ti, tv) != tv:
+                raise TemplateError(
+                    f"Group {groups[ti].name!r} receives input at both "
+                    f"{in_chan[ti]!r} and {tv!r}; a Network node has one "
+                    "input channel -- give the group a single target "
+                    "variable (or build the nodes by hand).")
+        out_chan = {g_out: output_var}
+        for si, ti, sv, _tv, _ in inter:
+            if out_chan.setdefault(si, sv) != sv:
+                raise TemplateError(
+                    f"Group {groups[si].name!r} feeds edges from both "
+                    f"{out_chan[si]!r} and {sv!r}; a Network node has one "
+                    "output channel.")
+        for k, g in enumerate(groups):
+            if k not in in_chan:
+                raise TemplateError(
+                    f"Group {g.name!r} receives neither the external input "
+                    f"({input_var!r}) nor any inter-group edge; the expanded "
+                    "Network would have two input nodes. Drive it or couple "
+                    "into it.")
+            if k not in out_chan:
+                raise TemplateError(
+                    f"Group {g.name!r} neither provides the circuit output "
+                    f"({output_var!r}) nor feeds any inter-group edge; the "
+                    "expanded Network would have two output nodes.")
+        if g_in in {ti for _, ti, _, _, _ in inter}:
+            raise TemplateError(
+                f"The externally-driven group {groups[g_in].name!r} also "
+                "receives inter-group coupling; that needs two input "
+                "channels on one node. Re-root the circuit or build the "
+                "nodes by hand (FeedbackNetwork covers cyclic topologies).")
+        # inter-group topology must be a DAG (cycles need FeedbackNetwork's
+        # one-step-delayed edges)
+        import networkx as nx
+
+        gg = nx.DiGraph()
+        gg.add_nodes_from(range(len(groups)))
+        gg.add_edges_from((si, ti) for si, ti, _, _, _ in inter)
+        if not nx.is_directed_acyclic_graph(gg):
+            raise TemplateError(
+                "The circuit's inter-group coupling is cyclic; express the "
+                "cycle with FeedbackNetwork.add_edge(..., feedback=True) "
+                "between hand-built nodes (one-step-delayed recurrence).")
+
+        def _slice_overrides(g, src: dict) -> dict:
+            out = {}
+            for key, val in src.items():
+                qkey = _strip_node_prefix(key)
+                if not g.owns(qkey):
+                    continue
+                arr = np.asarray(val)
+                if arr.ndim >= 1 and arr.shape[0] == n_total and g.n != n_total:
+                    out[f"all/{qkey}"] = arr[g.indices]
+                else:
+                    out[f"all/{qkey}"] = val
+            return out
+
+        labels = {}
+        built = {}
+        for k, g in enumerate(groups):
+            glabel = f"{label}.{g.name}"
+            labels[k] = glabel
+            gvars = _slice_overrides(g, g.node_vars)
+            gvars.update(_slice_overrides(g, circuit.node_vars))  # update_var()
+            gvars.update(_slice_overrides(g, node_vars))
+            couplings = intra[k]
+            gw = gsv = gtv = None
+            extra = None
+            if couplings:
+                gsv, gtv, gw = couplings[0]
+                extra = [(sv2, tv2, w2) for sv2, tv2, w2 in couplings[1:]] or None
+            gkwargs = dict(kwargs)
+            if extra:
+                gkwargs["edges"] = list(gkwargs.get("edges") or []) + extra
+            gkwargs["N"] = g.n
+            gtrain = None
+            if train_params:
+                gtrain = [p for p in train_params
+                          if p == "weights" and couplings
+                          or (p != "weights" and g.owns(_strip_node_prefix(p)))]
+                gtrain = gtrain or None
+            spike_kw = {}
+            g_spike = spike_var if (spike_var and g.owns(_strip_node_prefix(spike_var))) else None
+            if g_spike:
+                spike_kw = {"spike_var": g_spike, "reset_var": reset_var,
+                            "reset": reset}
+            built[k] = self.add_diffeq_node(
+                glabel, g.template, input_var=in_chan[k], output_var=out_chan[k],
+                weights=gw, source_var=gsv, target_var=gtv,
+                train_params=gtrain, node_vars=gvars or None, **spike_kw,
+                **gkwargs)
+        for si, ti, _sv, _tv, block in inter:
+            self.add_edge(labels[si], labels[ti], weights=jnp.asarray(
+                block, dtype=self.dtype))
+        self._invalidate()
+        return built[g_out]
 
     def add_func_node(self, label: str, n: int, activation_function: str, **kwargs) -> InstantNode:
         """Add a stateless activation node: tanh/sigmoid/softmax/softmin/

@@ -831,7 +831,104 @@ def test_circuit_template_parameter_heterogeneous_nodes():
     np.testing.assert_allclose(o1, o2, atol=1e-12)
     assert np.std(o1[-1]) > 1e-6, "heterogeneous etas had no effect"
 
-    # different EQUATIONS cannot share a vector field -> loud guidance
+    # different EQUATIONS cannot share a vector field: construction groups
+    # them (auto-expansion path, tested below), direct lowering raises
+    from rectipy_tpu.dsl.lower import lower
+
     other = NodeTemplate.from_yaml("neuron_model_templates.spiking_neurons.qif.qif")
-    with pytest.raises(TemplateError, match="separate Network nodes"):
-        CircuitTemplate("bad", {"a": base, "b": other})
+    mixed = CircuitTemplate("mixed", {"a": base, "b": other})
+    assert mixed.heterogeneous and len(mixed.groups) == 2
+    with pytest.raises(TemplateError, match="add_diffeq_node"):
+        lower(mixed)
+
+
+def test_circuit_template_heterogeneous_equations_auto_expand():
+    """A CircuitTemplate mixing node templates with DIFFERENT equations
+    auto-expands inside add_diffeq_node into one Network node per template
+    group, wired with inter-group Linear edges -- and golden-matches the
+    equivalent hand-built two-node Network (VERDICT r3 item 9; the reference
+    only ever replicates one template, /root/reference/rectipy/nodes.py:241)."""
+    from rectipy_tpu import CircuitTemplate, NodeTemplate
+    from rectipy_tpu.dsl.parser import OperatorTemplate, TemplateError, VarSpec
+
+    SIG = "neuron_model_templates.rate_neurons.leaky_integrator.sigmoid"
+    n_t, n_s = 4, 3
+    n = n_t + n_s
+    rng = np.random.default_rng(47)
+    base = NodeTemplate.from_yaml(TANH)
+    sig_t = NodeTemplate.from_yaml(SIG)
+
+    def variant(eta):  # per-member parameter heterogeneity INSIDE the group
+        ops = []
+        for op in base.operators:
+            variables = dict(op.variables)
+            if "eta" in variables:
+                variables["eta"] = VarSpec(variables["eta"].role, float(eta))
+            ops.append(OperatorTemplate(op.name, list(op.equations), variables))
+        return NodeTemplate(base.name, ops)
+
+    etas = np.linspace(-0.5, 0.5, n_t)
+    nodes = {f"t{i}": variant(e) for i, e in enumerate(etas)}
+    nodes.update({f"s{i}": sig_t for i in range(n_s)})
+    circ = CircuitTemplate("mix", nodes)
+    assert circ.heterogeneous and [g.n for g in circ.groups] == [n_t, n_s]
+
+    # intra-tanh recurrence + tanh->sigmoid feedforward, both declared on the
+    # FULL (n, n) circuit index space (tanh members 0..3, sigmoid 4..6)
+    W_tt = rng.normal(size=(n_t, n_t)) * 0.4
+    W_st = rng.normal(size=(n_s, n_t)) * 0.7
+    W_full_tt = np.zeros((n, n))
+    W_full_tt[:n_t, :n_t] = W_tt
+    W_full_st = np.zeros((n, n))
+    W_full_st[n_t:, :n_t] = W_st
+    # li_op/r_in exists on BOTH groups -> target must be node-qualified
+    circ.add_edges_from_matrix(source_var="tanh_op/r", target_var="t0/li_op/r_in",
+                               weight=W_full_tt)
+    circ.add_edges_from_matrix(source_var="tanh_op/r", target_var="s0/li_op/r_in",
+                               weight=W_full_st)
+    taus = np.linspace(8.0, 14.0, n)  # circuit-wide override, sliced per group
+
+    net1 = Network(1e-2, dtype=jnp.float64)
+    out_node = net1.add_diffeq_node(
+        "c", node=circ, input_var="t0/li_op/I_ext", output_var="sigmoid_op/r",
+        node_vars={"all/li_op/tau": taus})
+    assert sorted(net1.nodes) == ["c.sigmoid", "c.tanh"]
+    assert out_node is net1.get_node("c.sigmoid")
+
+    net2 = Network(1e-2, dtype=jnp.float64)
+    net2.add_diffeq_node("tanh", TANH, weights=W_tt, input_var="li_op/I_ext",
+                         output_var="tanh_op/r", source_var="tanh_op/r",
+                         target_var="li_op/r_in",
+                         node_vars={"all/li_op/eta": etas,
+                                    "all/li_op/tau": taus[:n_t]})
+    net2.add_diffeq_node("sig", SIG, N=n_s, input_var="li_op/r_in",
+                         output_var="sigmoid_op/r",
+                         node_vars={"all/li_op/tau": taus[n_t:]})
+    net2.add_edge("tanh", "sig", weights=W_st)
+
+    inp = rng.normal(size=(25, n_t))
+    o1 = net1.run(inp, verbose=False).to_numpy("out")
+    o2 = net2.run(inp, verbose=False).to_numpy("out")
+    assert o1.shape == (25, n_s)
+    np.testing.assert_allclose(o1, o2, atol=1e-12)
+    assert np.std(o1[-1]) > 1e-8, "coupled dynamics collapsed"
+
+    # ambiguous bare var (both groups declare li_op/r_in) -> loud guidance
+    circ2 = CircuitTemplate("amb", dict(nodes))
+    circ2.add_edges_from_matrix(source_var="tanh_op/r", target_var="li_op/r_in",
+                                weight=W_full_tt)
+    net3 = Network(1e-2, dtype=jnp.float64)
+    with pytest.raises(TemplateError, match="exactly one node template"):
+        net3.add_diffeq_node("c", node=circ2, input_var="t0/li_op/I_ext",
+                             output_var="sigmoid_op/r")
+
+    # weight mass outside the owner block -> loud error
+    circ3 = CircuitTemplate("leak", dict(nodes))
+    W_bad = W_full_st.copy()
+    W_bad[0, n_t:] = 1.0  # sigmoid->tanh entries on a tanh->sigmoid edge
+    circ3.add_edges_from_matrix(source_var="tanh_op/r", target_var="s0/li_op/r_in",
+                                weight=W_bad)
+    net4 = Network(1e-2, dtype=jnp.float64)
+    with pytest.raises(TemplateError, match="outside"):
+        net4.add_diffeq_node("c", node=circ3, input_var="t0/li_op/I_ext",
+                             output_var="sigmoid_op/r")
