@@ -386,11 +386,15 @@ def bench_spiking_bptt_torch(ctx):
     thresh, v_reset = ctx["thresh"], ctx["v_reset"]
     slope = 100.0 / abs(thresh - v_reset)
     # torch-CPU epoch is extrapolated from a short run; per-step cost is
-    # linear (one dense matvec + elementwise), so 20 steps estimate the
-    # epoch as well as 50 while bounding the phase's wall-clock (this
-    # container's CPU throughput varies 6x run-to-run; 30 steps took up to
-    # ~400 s under the slow regime)
-    torch_T = int(os.environ.get("BENCH_BPTT_TORCH_T", 20))
+    # linear (one dense matvec + elementwise), so a handful of steps
+    # estimates the epoch as well as 50 while bounding the phase's
+    # wall-clock.  Like the headline baseline, CPU contention is one-sided
+    # (it can only inflate the torch time and our ratio), so the scaled part
+    # is measured TWICE at half length and the FASTEST sample extrapolates
+    # (round-4 observed a 2.9x inflated single sample -> 65554x; the honest
+    # figure is ~22-25,000x).
+    torch_T = int(os.environ.get("BENCH_BPTT_TORCH_T", 10))
+    attempts = int(os.environ.get("BENCH_BPTT_TORCH_ATTEMPTS", 2))
 
     class Spike(torch.autograd.Function):
         @staticmethod
@@ -403,33 +407,39 @@ def bench_spiking_bptt_torch(ctx):
             (z,) = ctx_.saved_tensors
             return g / (1.0 + slope * torch.abs(z)) ** 2
 
-    Wt = torch.tensor(ctx["W"], dtype=torch.float64, requires_grad=True)
     eta_t = torch.tensor(ctx["etas"])
     inp_t = torch.tensor(ctx["inp"])
-    opt = torch.optim.Adam([Wt], lr=1e-4)
-    t0 = _t.perf_counter()
-    v = torch.full((n,), -2.0, dtype=torch.float64)
-    s = torch.zeros(n, dtype=torch.float64)
-    preds = []
-    for step in range(torch_T):
-        spikes = Spike.apply(v - thresh)
-        reset = spikes.detach()
-        preds.append(s)
-        dv = (v * v + eta_t + inp_t[step]) + Wt @ s
-        ds = -s + spikes / dt
-        v_new = v + dt * dv
-        s = s + dt * ds
-        v = v_new * (1.0 - reset) + reset * v_reset
-    loss = torch.mean((torch.stack(preds) - torch.tensor(ctx["tgt"][:torch_T])) ** 2)
-    opt.zero_grad()
-    loss.backward()
-    t_scaled = _t.perf_counter() - t0  # forward+loss+backward: linear in steps
-    opt.step()  # one (N,N) adam step: FIXED per epoch, must not be scaled
-    t_fixed = _t.perf_counter() - t0 - t_scaled
+    t_scaled = float("inf")
+    t_fixed = 0.0
+    for _ in range(attempts):
+        Wt = torch.tensor(ctx["W"], dtype=torch.float64, requires_grad=True)
+        opt = torch.optim.Adam([Wt], lr=1e-4)
+        t0 = _t.perf_counter()
+        v = torch.full((n,), -2.0, dtype=torch.float64)
+        s = torch.zeros(n, dtype=torch.float64)
+        preds = []
+        for step in range(torch_T):
+            spikes = Spike.apply(v - thresh)
+            reset = spikes.detach()
+            preds.append(s)
+            dv = (v * v + eta_t + inp_t[step]) + Wt @ s
+            ds = -s + spikes / dt
+            v_new = v + dt * dv
+            s = s + dt * ds
+            v = v_new * (1.0 - reset) + reset * v_reset
+        loss = torch.mean((torch.stack(preds) - torch.tensor(ctx["tgt"][:torch_T])) ** 2)
+        opt.zero_grad()
+        loss.backward()
+        t1 = _t.perf_counter()  # forward+loss+backward: linear in steps
+        opt.step()  # one (N,N) adam step: FIXED per epoch, must not be scaled
+        if t1 - t0 < t_scaled:
+            t_scaled = t1 - t0
+            t_fixed = _t.perf_counter() - t1
     torch_epoch = t_scaled * (T / torch_T) + t_fixed
     ours_epoch = ctx["ours_epoch"]
     log(f"[qif-bptt torch-cpu] {torch_epoch * 1e3:.1f} ms/epoch (extrapolated from "
-        f"{torch_T} steps) -> ours is {torch_epoch / ours_epoch:.1f}x faster "
+        f"fastest of {attempts}x{torch_T} steps) -> ours is "
+        f"{torch_epoch / ours_epoch:.1f}x faster "
         f"({T * n / torch_epoch:.3e} trained neuron-updates/s)")
     return torch_epoch / ours_epoch
 
