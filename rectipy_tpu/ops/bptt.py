@@ -489,11 +489,13 @@ def _make_heun_traj(p):
                 return y_new, (out, y, srcs1, srcs2, s1, s2)
 
             yT, (outs, ys, srcs1_t, srcs2_t, s1_t, s2_t) = jax.lax.scan(body, y0, xs)
-            return (yT, outs), (weights, args, xs, ys, srcs1_t, srcs2_t, s1_t, s2_t)
+            # wp rides along as a residual: re-prepping in the backward would
+            # re-run the (N, N) cast/quantization a second time per epoch
+            return (yT, outs), (weights, wp, args, xs, ys, srcs1_t, srcs2_t,
+                                s1_t, s2_t)
 
         def traj_bwd(res, cots):
-            weights, args, xs, ys, srcs1_t, srcs2_t, s1_t, s2_t = res
-            wp = _prep_all(weights)
+            weights, wp, args, xs, ys, srcs1_t, srcs2_t, s1_t, s2_t = res
             cot_yT, cot_outs = cots
             diff_args, aux_args = _split_args(args)
             d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
@@ -645,11 +647,10 @@ def _make_euler_traj(p, remat_steps: int = 0):
 
             yT, (outs_c, y_starts) = jax.lax.scan(chunk, y0, xs_c)
             outs = outs_c.reshape(T, *outs_c.shape[2:])
-            return (yT, outs), (weights, args, xs, y_starts)
+            return (yT, outs), (weights, wp, args, xs, y_starts)
 
         def traj_bwd(res, cots):
-            weights, args, xs, y_starts = res
-            wp = _prep_all(weights)
+            weights, wp, args, xs, y_starts = res
             cot_yT, cot_outs = cots
             diff_args, aux_args = _split_args(args)
             d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
@@ -700,11 +701,12 @@ def _make_euler_traj(p, remat_steps: int = 0):
             return _fwd_step(wp, args, y, x, with_residuals=True)
 
         yT, (outs, ys, srcs_t, s_ins_t) = _scan(body, y0, xs)
-        return (yT, outs), (weights, args, xs, ys, srcs_t, s_ins_t)
+        # wp rides along as a residual: re-prepping in the backward would
+        # re-run the (N, N) cast/quantization a second time per epoch
+        return (yT, outs), (weights, wp, args, xs, ys, srcs_t, s_ins_t)
 
     def traj_bwd(res, cots):
-        weights, args, xs, ys, srcs_t, s_ins_t = res
-        wp = _prep_all(weights)
+        weights, wp, args, xs, ys, srcs_t, s_ins_t = res
         cot_yT, cot_outs = cots
         diff_args, aux_args = _split_args(args)
         d_args0 = jax.tree.map(jnp.zeros_like, diff_args)

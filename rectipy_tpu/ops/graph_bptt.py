@@ -541,7 +541,9 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
             return C_new, (out, C, tuple(srcs), tuple(svals))
 
         CT, (outs, Ys, srcs_t, svals_t) = jax.lax.scan(body, C0, xs)
-        return (CT, outs), (weights, args, xs, Ys, srcs_t, svals_t)
+        # wp rides along as a residual: re-prepping in the backward would
+        # re-run the per-stage masking + cast/quantization a second time
+        return (CT, outs), (weights, wp, args, xs, Ys, srcs_t, svals_t)
 
     def _make_bwd_body(wp, diff_args, aux_args):
         """Reverse-sweep step shared by the full and chunked backwards."""
@@ -580,8 +582,7 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
         return body
 
     def traj_bwd(res, cots):
-        weights, args, xs, Ys, srcs_t, svals_t = res
-        wp = _prep_all(weights, args)
+        weights, wp, args, xs, Ys, srcs_t, svals_t = res
         cot_YT, cot_outs = cots
         diff_args, aux_args = _split_nested(args)
         d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
@@ -635,11 +636,10 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
 
             CT, (outs_c, C_starts) = jax.lax.scan(chunk, C0, xs_c)
             outs = outs_c.reshape(T, *outs_c.shape[2:])
-            return (CT, outs), (weights, args, xs, C_starts)
+            return (CT, outs), (weights, wp, args, xs, C_starts)
 
         def traj_bwd_ck(res, cots):
-            weights, args, xs, C_starts = res
-            wp = _prep_all(weights, args)
+            weights, wp, args, xs, C_starts = res
             cot_CT, cot_outs = cots
             diff_args, aux_args = _split_nested(args)
             d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
