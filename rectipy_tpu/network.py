@@ -1298,7 +1298,10 @@ class Network:
         if isinstance(value, (tuple, list)):
             parts = tuple(Network._scalar_key(v) for v in value)
             return None if any(p is None for p in parts) else ("seq", parts)
-        return None
+        try:  # dtype-like kwargs (e.g. adam mu_dtype=jnp.bfloat16) key by name
+            return ("dtype", np.dtype(value).name)
+        except TypeError:
+            return None
 
     def _train_prog_key(self, optimizer, loss, optimizer_kwargs, loss_kwargs):
         """Cache-key component for the jitted training programs: the

@@ -245,6 +245,12 @@ def test_train_prog_key_rejects_non_scalar_kwargs():
     # bool/int distinction does not collide (True == 1 hashes equal)
     assert net._train_prog_key("adam", "mse", {"x": True}, None) != \
         net._train_prog_key("adam", "mse", {"x": 1}, None)
+    # dtype-like kwargs (adam mu_dtype=jnp.bfloat16) key by canonical name,
+    # so low-precision-moment fits still reuse one cached program
+    kd1 = net._train_prog_key("adam", "mse", {"mu_dtype": jnp.bfloat16}, None)
+    kd2 = net._train_prog_key("adam", "mse", {"mu_dtype": np.float32}, None)
+    assert kd1 is not None and kd2 is not None and kd1 != kd2
+    assert kd1 == net._train_prog_key("adam", "mse", {"mu_dtype": jnp.bfloat16}, None)
 
 
 def test_step_cache_is_bounded_lru():
