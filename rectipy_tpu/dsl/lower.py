@@ -324,14 +324,19 @@ def lower(
             # the block-column index table rides along as an int32 arg
             if int8_coupling:
                 # symmetric per-output-row int8, like the dense path: each
-                # global output row i = r*bs + i_local gets its own scale
-                blocks = np.asarray(W.blocks, dtype=np.float64)
-                row_max = np.maximum(np.abs(blocks).max(axis=(1, 3)), 1e-30)
-                scale = row_max / 127.0  # (n_br, bs)
-                Wq = np.clip(np.round(blocks / scale[:, None, :, None]),
-                             -127, 127).astype(np.int8)
-                args[wkey] = jnp.asarray(Wq)
-                args[wkey + "__scale"] = jnp.asarray(scale, dtype=jnp.float32)
+                # global output row i = r*bs + i_local gets its own scale.
+                # Quantized ON DEVICE: numpy's round() ufunc on this class of
+                # host measures ~1.4 us/element (141 s for a dense 10k x 10k
+                # master!) while staging the f32 tensor and quantizing on the
+                # accelerator costs ~1 s total; the f32 staging buffer is
+                # dropped right after.
+                from ..ops.quant import quantize_blocks
+
+                b32 = jnp.asarray(np.asarray(W.blocks, dtype=np.float32))
+                wq, scale = jax.jit(quantize_blocks)(b32)
+                del b32
+                args[wkey] = wq
+                args[wkey + "__scale"] = scale
                 keys.append(wkey + "__scale")
                 w_scales[wkey] = args[wkey + "__scale"]
             else:
@@ -345,12 +350,16 @@ def lower(
             # HBM traffic again vs bf16; the dynamic activation scale costs
             # one O(N) reduction per step.
             _check_int8_fan_in(int(np.shape(W)[1]), wkey)
-            W = np.asarray(W, dtype=np.float64)
-            row_max = np.maximum(np.abs(W).max(axis=1), 1e-30)
-            scale = row_max / 127.0
-            Wq = np.clip(np.round(W / scale[:, None]), -127, 127).astype(np.int8)
-            args[wkey] = jnp.asarray(Wq)
-            args[wkey + "__scale"] = jnp.asarray(scale, dtype=jnp.float32)
+            # quantized ON DEVICE (see the block-sparse branch above: numpy's
+            # round() on a (10k, 10k) master costs minutes on this host class;
+            # ship f32, quantize in ~ms, drop the f32 staging buffer)
+            from ..ops.quant import quantize_rows
+
+            W32 = jnp.asarray(np.asarray(W, dtype=np.float32))
+            wq, scale = jax.jit(quantize_rows)(W32)
+            del W32
+            args[wkey] = wq
+            args[wkey + "__scale"] = scale
             keys.extend([wkey, wkey + "__scale"])
             w_scales[wkey] = args[wkey + "__scale"]
         else:
