@@ -1394,11 +1394,22 @@ class Network:
                 )
             prog_key = self._train_prog_key(optimizer, loss, optimizer_kwargs,
                                              loss_kwargs)
+            # plain adam (only b1/b2/eps overrides) qualifies for the fused
+            # adam + requantize tail on int8_master chain fits
+            fused_opt_cfg = None
+            okw = dict(optimizer_kwargs or {})
+            if optimizer == "adam" and set(okw) <= {"b1", "b2", "eps"}:
+                try:
+                    fused_opt_cfg = {k: float(okw.get(k, d)) for k, d in
+                                     (("b1", 0.9), ("b2", 0.999), ("eps", 1e-8))}
+                except (TypeError, ValueError):
+                    fused_opt_cfg = None  # schedule/array kwargs: optax path
             train, losses = self._bptt_epochs(step, loss_fn, opt, train, frozen, opt_state,
                                               state0, inputs, targets, sampling_steps, verbose,
                                               remat_steps=remat_steps,
                                               fused_bptt=kwargs.pop("fused_bptt", "auto"),
-                                              mesh=mesh, prog_key=prog_key)
+                                              mesh=mesh, prog_key=prog_key,
+                                              fused_opt_cfg=fused_opt_cfg)
             obs.save("epoch_loss", losses)
             obs.save("epochs", np.arange(len(losses)))
         else:
@@ -1480,15 +1491,27 @@ class Network:
         return label, apply_prefix, apply_suffix
 
     def _build_epoch_programs(self, step, loss_fn, opt, fused_bptt, rk,
-                              remat_steps, sampling_steps):
+                              remat_steps, sampling_steps, fused_opt_cfg=None,
+                              train_paths=()):
         """Build the jitted epoch-mode training programs:
-        ``(update, update_chunk, pack)`` where ``pack(state0)`` extracts the
-        initial-state argument the programs expect.  Deferred-gradient fast
-        paths: chain networks train through the single-population custom-VJP
-        trajectory (ops/bptt.py, preferred -- pre/post stages hoist OUT of
-        the scan entirely); general DAGs of populations fall through to the
-        multi-stage graph trajectory (ops/graph_bptt.py); everything else
-        uses plain autodiff."""
+        ``(update, update_chunk, pack, init_opt)`` where ``pack(state0)``
+        extracts the initial-state argument the programs expect and
+        ``init_opt`` (or None) converts the optax opt_state into the fused
+        optimizer carry.  Deferred-gradient fast paths: chain networks train
+        through the single-population custom-VJP trajectory (ops/bptt.py,
+        preferred -- pre/post stages hoist OUT of the scan entirely);
+        general DAGs of populations fall through to the multi-stage graph
+        trajectory (ops/graph_bptt.py); everything else uses plain autodiff.
+
+        ``fused_opt_cfg`` (a ``{'b1','b2','eps'}`` dict when the fit uses
+        plain adam, else None) enables the fused adam + requantize tail for
+        a trained single dense int8_master coupling: the adam update and the
+        next epoch's row quantization run as ONE pass over the (N, N)
+        arrays (ops/fused_opt.py), and the produced ``(wq, scale)`` rides
+        the optimizer-state carry into the next epoch's trajectory -- the
+        per-epoch `quantize_rows` prep disappears from the epoch program.
+        Update sequence is bit-compatible with the unfused path (same
+        master -> same quantization; adam formulas mirror optax.adam)."""
         combine = self._combine
         order = self._compiled["order"]
         traj = None
@@ -1525,6 +1548,12 @@ class Network:
         if traj is not None:
             def pack(state0, label=label):
                 return state0["nodes"][label]
+
+            fused = self._build_fused_adam_programs(
+                label, traj_wkeys, apply_prefix, apply_suffix, loss_fn,
+                _downsample, pack, fused_opt_cfg, rk, train_paths)
+            if fused is not None:
+                return fused
 
             def epoch_loss(train, frozen, y0, inp, tgt):
                 params = combine(train, frozen)
@@ -1604,11 +1633,134 @@ class Network:
                 body, (train, opt_state), None, length=C)
             return train, opt_state, lvals
 
-        return update, update_chunk, pack
+        return update, update_chunk, pack, None
+
+    def _build_fused_adam_programs(self, label, traj_wkeys, apply_prefix,
+                                   apply_suffix, loss_fn, _downsample, pack,
+                                   fused_opt_cfg, rk, train_paths):
+        """The fused adam + requantize epoch programs (see
+        _build_epoch_programs docstring), or None when ineligible.
+        Eligibility: plain-adam fit (``fused_opt_cfg`` given), no remat, a
+        single dense 2-D int8_master coupling that IS trained, Euler chain.
+        The ``(wq, scale)`` quantization pair rides INSIDE the optimizer
+        state ``(count, mu, nu, lr, wp)`` so the caller's threading of
+        ``opt_state`` through update calls needs no changes."""
+        if fused_opt_cfg is None or rk != 0 or len(traj_wkeys) != 1:
+            return None
+        import os
+
+        if os.environ.get("RECTIPY_FUSED_ADAM", "auto") == "off":
+            return None
+        wkey = traj_wkeys[0]
+        wpath = f"nodes/{label}/{wkey}"
+        if wpath not in train_paths:
+            return None  # frozen coupling: nothing for adam to requantize
+        node = self.get_node(label)
+        vf = getattr(node, "_vf", None)
+        if (vf is None or vf.coupling_cast != "int8"
+                or node._args[wkey].ndim != 2):
+            return None
+        try:
+            from .ops.bptt import make_coupled_traj_prepped
+
+            traj_p, _, preps = make_coupled_traj_prepped(node)
+        except ValueError:
+            return None
+        from .ops.fused_opt import adam_requant
+
+        prep_w = preps[0]
+        combine = self._combine
+        b1 = float(fused_opt_cfg.get("b1", 0.9))
+        b2 = float(fused_opt_cfg.get("b2", 0.999))
+        eps = float(fused_opt_cfg.get("eps", 1e-8))
+
+        def epoch_loss_p(train, frozen, wp, y0, inp, tgt):
+            params = combine(train, frozen)
+            nargs = params["nodes"][label]
+            W = {wkey: nargs[wkey]}
+            rest = {k: v for k, v in nargs.items() if k not in traj_wkeys}
+            xs = apply_prefix(params, inp) if apply_prefix is not None else inp
+            _, outs = traj_p((wp,), W, rest, y0, xs)
+            if apply_suffix is not None:
+                outs = apply_suffix(params, outs)
+            return loss_fn(_downsample(outs), tgt)
+
+        def _set_in(tree, path, val):
+            if not path:
+                return val
+            out = dict(tree)
+            out[path[0]] = _set_in(tree[path[0]], path[1:], val)
+            return out
+
+        leaf_path = ("nodes", label, wkey)
+
+        def apply_f(grads, osf, train):
+            count, mu0, nu0, lr, _wp = osf
+            count = count + 1
+            cf = count.astype(jnp.float32)
+            bc1 = 1.0 - b1 ** cf
+            bc2 = 1.0 - b2 ** cf
+            # the coupling leaf: one fused pass producing next epoch's
+            # quantization alongside the update (Pallas on TPU)
+            Wm = train["nodes"][label][wkey]
+            gW = grads["nodes"][label][wkey]
+            mW = mu0["nodes"][label][wkey]
+            nW = nu0["nodes"][label][wkey]
+            W2, m2, n2, wq, scale = adam_requant(
+                Wm, mW, nW, gW, bc1, bc2, lr, b1=b1, b2=b2, eps=eps)
+            # every non-coupling leaf: exact optax.adam formulas (the
+            # coupling leaf's duplicate here is dead code XLA eliminates,
+            # overridden just below)
+            mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g, mu0, grads)
+            nu = jax.tree.map(lambda v, g: b2 * v + (1.0 - b2) * (g * g),
+                              nu0, grads)
+            train = jax.tree.map(
+                lambda w, m, v: w - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps),
+                train, mu, nu)
+            train = _set_in(train, leaf_path, W2)
+            mu = _set_in(mu, leaf_path, m2)
+            nu = _set_in(nu, leaf_path, n2)
+            return train, (count, mu, nu, lr, (wq, scale))
+
+        @jax.jit
+        def update(train, frozen, osf, y0p, inp, tgt):
+            lval, grads = jax.value_and_grad(epoch_loss_p)(
+                train, frozen, osf[4], y0p, inp, tgt)
+            train, osf = apply_f(grads, osf, train)
+            return train, osf, lval
+
+        C = _EPOCH_SCAN_CHUNK
+
+        @jax.jit
+        def update_chunk(train, frozen, osf, y0p, inp, tgt):
+            def body(carry, _):
+                tr, os_ = carry
+                lval, grads = jax.value_and_grad(epoch_loss_p)(
+                    tr, frozen, os_[4], y0p, inp, tgt)
+                tr, os_ = apply_f(grads, os_, tr)
+                return (tr, os_), lval
+
+            (train, osf), lvals = jax.lax.scan(
+                body, (train, osf), None, length=C)
+            return train, osf, lvals
+
+        @jax.jit
+        def init_opt(train, opt_state):
+            # lr from the optax inject_hyperparams state (a traced VALUE, so
+            # lr sweeps keep reusing these programs); fresh adam moments;
+            # the initial quantization pair from the current master
+            lr = jnp.asarray(opt_state.hyperparams["learning_rate"])
+            mu = jax.tree.map(jnp.zeros_like, train)
+            nu = jax.tree.map(jnp.zeros_like, train)
+            wp = prep_w(train["nodes"][label][wkey])
+            return (jnp.zeros((), jnp.int32), mu, nu, lr, wp)
+
+        return update, update_chunk, pack, init_opt
 
     def _bptt_epochs(self, step, loss_fn, opt, train, frozen, opt_state, state0,
                      inputs, targets, sampling_steps, verbose, remat_steps: int = 0,
-                     fused_bptt="auto", mesh=None, prog_key=None):
+                     fused_bptt="auto", mesh=None, prog_key=None,
+                     fused_opt_cfg=None):
 
         # a remat request composes with the CHAIN trajectory (chunked
         # checkpointing inside the custom VJP, Euler only, T % K == 0);
@@ -1626,17 +1778,33 @@ class Network:
         # cached).  Everything value-like (trainable/frozen params, initial
         # state) is an ARGUMENT of the cached programs, never a closure
         # constant; the key covers everything baked into the closures.
+        # the fused adam + requant path needs the trained-leaf structure
+        # (which leaves adam updates) and is built only for unsharded fits
+        from jax.tree_util import tree_flatten_with_path
+
+        train_paths = tuple(sorted(
+            "/".join(str(getattr(k, "key", k)) for k in path)
+            for path, _ in tree_flatten_with_path(train)[0]))
+        if mesh is not None:
+            fused_opt_cfg = None  # GSPMD path: keep the pure-optax programs
         cache_key = None
         if prog_key is not None:
             cache_key = ("bptt_epochs", prog_key, T0, sampling_steps, rk,
-                         str(fused_bptt), remat_steps, self._step_versions())
+                         str(fused_bptt), remat_steps, self._step_versions(),
+                         fused_opt_cfg is not None, train_paths)
         built = self._step_cache.get(cache_key) if cache_key is not None else None
         if built is None:
             built = self._build_epoch_programs(step, loss_fn, opt, fused_bptt,
-                                               rk, remat_steps, sampling_steps)
+                                               rk, remat_steps, sampling_steps,
+                                               fused_opt_cfg=fused_opt_cfg,
+                                               train_paths=train_paths)
             if cache_key is not None:
                 self._step_cache[cache_key] = built
-        update, update_chunk, pack = built
+        update, update_chunk, pack, init_opt = built
+        if init_opt is not None:
+            # fused carry (count, mu, nu, lr, (wq, scale)) replaces the optax
+            # state; the initial quantization pair preps ONCE per fit here
+            opt_state = init_opt(train, opt_state)
         y0p = pack(state0)
         C = _EPOCH_SCAN_CHUNK
 

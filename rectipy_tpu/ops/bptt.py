@@ -57,7 +57,7 @@ from typing import Callable, Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["make_coupled_traj"]
+__all__ = ["make_coupled_traj", "make_coupled_traj_prepped"]
 
 
 def _make_matvec(cast: str | None):
@@ -721,3 +721,124 @@ def _make_euler_traj(p, remat_steps: int = 0):
 
     traj.defvjp(traj_fwd, traj_bwd)
     return traj, wkeys
+
+
+def make_coupled_traj_prepped(node):
+    """Like :func:`make_coupled_traj` but the coupling-precision prep
+    (cast / int8 quantization of each master) is HOISTED OUT of the
+    trajectory: ``traj_p(wp, weights, args, y0, xs)`` consumes the prepped
+    representations directly while gradients still attach to the f32
+    masters in ``weights`` (the custom VJP computes the same deferred
+    ``dW = Delta^T @ Src`` contraction; the forward never reads ``weights``).
+
+    Used by the fused-adam training path (network._build_epoch_programs +
+    ops/fused_opt.py): the optimizer update requantizes the master it just
+    produced in the SAME fused pass, and the resulting ``(wq, scale)`` pair
+    rides the epoch-scan carry into the next epoch -- removing the ~4 ms
+    per-epoch `quantize_rows` from the N=10k epoch program entirely.
+    Bit-identical to the unfused sequence (same master -> same prep).
+
+    Euler only, no remat (callers fall back to the standard trajectory).
+    Returns ``(traj_p, wkeys, preps)`` where ``preps[i](W)`` builds the
+    initial prepped representation for ``wkeys[i]``.
+    """
+    p = _node_pieces(node)
+    if p.heun:
+        raise ValueError("prepped-coupling BPTT is Euler-only")
+    traj_p = _make_euler_traj_prepped(p)
+    return traj_p, p.wkeys, p.preps
+
+
+def _zero_prep_cotangent(wp):
+    """Zero cotangents for a prepped-representation pytree: float0 for
+    integer leaves (int8 tensors), zeros for float leaves (scales)."""
+    import numpy as onp
+
+    def zero(x):
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return onp.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
+
+    return jax.tree.map(zero, wp)
+
+
+def _make_euler_traj_prepped(p):
+    wkeys, src_fn, step_x, mvs, mv_ts, grad_ws = (
+        p.wkeys, p.src_fn, p.step_x, p.mvs, p.mv_ts, p.grad_ws)
+    import os
+
+    U = max(1, int(os.environ.get("RECTIPY_SCAN_UNROLL", "1")))
+
+    def _scan(f, init, xs, reverse=False):
+        return jax.lax.scan(f, init, xs, reverse=reverse, unroll=U)
+
+    def _fwd_step(wp, args, y, x, with_residuals):
+        srcs = src_fn(y, args)
+        s_ins = tuple(mvs[i](wp[i], s) for i, s in enumerate(srcs))
+        y_new, out = step_x(y, s_ins, x, args)
+        if with_residuals:
+            return y_new, (out, y, srcs, s_ins)
+        return y_new, out
+
+    def _make_bwd_body(wp, diff_args, aux_args):
+        def step_x_d(y, s_ins, x, dargs):
+            return step_x(y, s_ins, x, {**aux_args, **dargs})
+
+        def src_fn_d(y, dargs):
+            return src_fn(y, {**aux_args, **dargs})
+
+        def body(carry, per_t):
+            lam, d_args = carry
+            y_t, s_in_t, x_t, cot_out_t = per_t
+            _, vjp_step = jax.vjp(step_x_d, y_t, s_in_t, x_t, diff_args)
+            dy1, d_s_in, d_x, d_args_step = vjp_step((lam, cot_out_t))
+            deltas = d_s_in
+            gsrc = tuple(mv_ts[i](wp[i], d) for i, d in enumerate(deltas))
+            _, vjp_src = jax.vjp(src_fn_d, y_t, diff_args)
+            dy2, d_args_src = vjp_src(gsrc)
+            lam_prev = dy1 + dy2
+            d_args = jax.tree.map(jnp.add, d_args,
+                                  jax.tree.map(jnp.add, d_args_step, d_args_src))
+            return (lam_prev, d_args), (deltas, d_x)
+
+        return body
+
+    def _finish_d_args(d_args, aux_args):
+        import numpy as onp
+
+        d_args_full = dict(d_args)
+        for k, v in aux_args.items():
+            d_args_full[k] = onp.zeros(jnp.shape(v), dtype=jax.dtypes.float0)
+        return d_args_full
+
+    @jax.custom_vjp
+    def traj_p(wp, weights, args, y0, xs):
+        def body(y, x):
+            return _fwd_step(wp, args, y, x, with_residuals=False)
+
+        yT, outs = _scan(body, y0, xs)
+        return yT, outs
+
+    def traj_p_fwd(wp, weights, args, y0, xs):
+        def body(y, x):
+            return _fwd_step(wp, args, y, x, with_residuals=True)
+
+        yT, (outs, ys, srcs_t, s_ins_t) = _scan(body, y0, xs)
+        return (yT, outs), (wp, weights, args, xs, ys, srcs_t, s_ins_t)
+
+    def traj_p_bwd(res, cots):
+        wp, weights, args, xs, ys, srcs_t, s_ins_t = res
+        cot_yT, cot_outs = cots
+        diff_args, aux_args = _split_args(args)
+        d_args0 = jax.tree.map(jnp.zeros_like, diff_args)
+        body = _make_bwd_body(wp, diff_args, aux_args)
+
+        (lam0, d_args), (deltas_t, d_xs) = _scan(
+            body, (cot_yT, d_args0), (ys, s_ins_t, xs, cot_outs), reverse=True)
+        d_weights = {wk: grad_ws[i](deltas_t[i], srcs_t[i]).astype(weights[wk].dtype)
+                     for i, wk in enumerate(wkeys)}
+        return (_zero_prep_cotangent(wp), d_weights,
+                _finish_d_args(d_args, aux_args), lam0, d_xs)
+
+    traj_p.defvjp(traj_p_fwd, traj_p_bwd)
+    return traj_p

@@ -941,3 +941,93 @@ def test_fit_bptt_cached_program_tracks_frozen_param_changes():
     l2_fresh = net2.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-3,
                              verbose=False)["epoch_loss"]
     np.testing.assert_allclose(l2, l2_fresh, rtol=1e-10)
+
+
+def _int8m_qif_net(n, W0, etas):
+    # dt=5e-3 so supercritical neurons cross threshold well inside short
+    # trajectories (a silent population has exactly zero coupling gradients)
+    net = Network(5e-3, dtype=jnp.float64)
+    net.add_diffeq_node("rnn", QIF, weights=W0, input_var="I_ext",
+                        output_var="s", source_var="s", target_var="s_in",
+                        op="qif_op", spike_var="spike", spike_def="v",
+                        spike_threshold=100.0, spike_reset=-100.0,
+                        node_vars={"all/qif_op/eta": etas},
+                        coupling_dtype="int8_master",
+                        train_params=["weights"])
+    return net
+
+
+def test_fused_adam_requant_matches_optax_path(monkeypatch):
+    """The fused adam + requantize epoch programs (ops/fused_opt.py +
+    network._build_fused_adam_programs) must reproduce the optax path:
+    loss curves bit-near (the quantized forward is identical by
+    construction) and final masters equal up to f32 arithmetic-ordering
+    drift (~1 ulp/step, measured)."""
+    n, T, n_ep = 16, 400, 10  # 10 epochs: one 8-chunk + 2 single updates
+    rng = np.random.default_rng(44)
+    W0 = rng.normal(size=(n, n)) / np.sqrt(n)
+    etas = rng.uniform(5.0, 15.0, n)  # supercritical: non-zero coupling grads
+    inp = rng.normal(size=(T, 1)) * 5 + 10
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    runs = {}
+    import rectipy_tpu.ops.fused_opt as fo
+
+    for mode in ("off", "xla"):
+        monkeypatch.setenv("RECTIPY_FUSED_ADAM", mode)
+        monkeypatch.setattr(fo, "FUSED_ADAM_MODE", "auto")
+        net = _int8m_qif_net(n, W0, etas)
+        obs = net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="adam",
+                           lr=1e-3, verbose=False)
+        built = [v for k, v in net._step_cache.items() if k[0] == "bptt_epochs"]
+        engaged = built and built[0][3] is not None
+        assert engaged == (mode != "off"), f"fused path engaged={engaged} for {mode}"
+        runs[mode] = (np.asarray(obs["epoch_loss"]),
+                      np.asarray(net.get_node("rnn")["weights"]))
+
+    l_opt, w_opt = runs["off"]
+    l_fus, w_fus = runs["xla"]
+    assert l_opt[-1] < l_opt[0], "training did not reduce the loss"
+    np.testing.assert_allclose(l_fus, l_opt, rtol=1e-9)
+    np.testing.assert_allclose(w_fus, w_opt, rtol=1e-3, atol=1e-4)
+
+
+def test_fused_adam_eligibility_gates(monkeypatch):
+    """The fused path must NOT engage for non-adam optimizers, unsupported
+    adam kwargs, or a frozen coupling -- and each of those fits still runs."""
+    n, T = 12, 60
+    rng = np.random.default_rng(45)
+    W0 = rng.normal(size=(n, n)) / np.sqrt(n)
+    etas = rng.uniform(5.0, 15.0, n)
+    inp = rng.normal(size=(T, 1))
+    tgt = rng.normal(size=(T, n)) * 0.1
+    monkeypatch.setenv("RECTIPY_FUSED_ADAM", "xla")
+
+    def engaged(net):
+        built = [v for k, v in net._step_cache.items() if k[0] == "bptt_epochs"]
+        return bool(built) and built[0][3] is not None
+
+    # sgd: no fused programs
+    net = _int8m_qif_net(n, W0, etas)
+    net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="sgd", lr=1e-3, verbose=False)
+    assert not engaged(net)
+
+    # adam with an unsupported kwarg (nesterov): optax path
+    net = _int8m_qif_net(n, W0, etas)
+    net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-3,
+                 optimizer_kwargs={"nesterov": True}, verbose=False)
+    assert not engaged(net)
+
+    # adam with supported kwarg overrides: fused, and b1/b2/eps are honored
+    net = _int8m_qif_net(n, W0, etas)
+    obs_f = net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-3,
+                         optimizer_kwargs={"b1": 0.8, "eps": 1e-6},
+                         verbose=False)
+    assert engaged(net)
+    monkeypatch.setenv("RECTIPY_FUSED_ADAM", "off")
+    net2 = _int8m_qif_net(n, W0, etas)
+    obs_o = net2.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-3,
+                          optimizer_kwargs={"b1": 0.8, "eps": 1e-6},
+                          verbose=False)
+    np.testing.assert_allclose(np.asarray(obs_f["epoch_loss"]),
+                               np.asarray(obs_o["epoch_loss"]), rtol=1e-9)
