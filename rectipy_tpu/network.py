@@ -1394,11 +1394,14 @@ class Network:
                 )
             prog_key = self._train_prog_key(optimizer, loss, optimizer_kwargs,
                                              loss_kwargs)
-            # plain adam (only b1/b2/eps overrides) qualifies for the fused
-            # adam + requantize tail on int8_master chain fits
+            # plain adam (only b1/b2/eps overrides, scalar lr) qualifies for
+            # the fused adam + requantize tail on int8_master chain fits; a
+            # callable lr schedule must stay on optax (inject_hyperparams
+            # re-evaluates it per step, the fused carry would freeze it)
             fused_opt_cfg = None
             okw = dict(optimizer_kwargs or {})
-            if optimizer == "adam" and set(okw) <= {"b1", "b2", "eps"}:
+            if (optimizer == "adam" and not callable(lr)
+                    and set(okw) <= {"b1", "b2", "eps"}):
                 try:
                     fused_opt_cfg = {k: float(okw.get(k, d)) for k, d in
                                      (("b1", 0.9), ("b2", 0.999), ("eps", 1e-8))}

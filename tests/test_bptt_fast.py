@@ -1018,6 +1018,14 @@ def test_fused_adam_eligibility_gates(monkeypatch):
                  optimizer_kwargs={"nesterov": True}, verbose=False)
     assert not engaged(net)
 
+    # adam with a callable lr schedule: optax path (inject_hyperparams
+    # re-evaluates the schedule per update; the fused carry would freeze it)
+    net = _int8m_qif_net(n, W0, etas)
+    obs_s = net.fit_bptt([inp] * 3, [tgt] * 3, optimizer="adam",
+                         lr=lambda count: 1e-3 * 0.5 ** count, verbose=False)
+    assert not engaged(net)
+    assert np.isfinite(np.asarray(obs_s["epoch_loss"])).all()
+
     # adam with supported kwarg overrides: fused, and b1/b2/eps are honored
     net = _int8m_qif_net(n, W0, etas)
     obs_f = net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-3,
