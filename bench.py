@@ -444,7 +444,36 @@ def bench_spiking_bptt_torch(ctx):
     return torch_epoch / ours_epoch
 
 
+def _wait_for_backend():
+    """Wait (bounded) for the TPU relay to accept a backend init: the relay
+    goes UNAVAILABLE for minutes after a worker crash and needs ~60s+ to
+    rewarm -- observed init attempts that block 45 min then raise.  Without
+    this, a bench launched into that window records rc!=0 and the round
+    loses its scoreboard."""
+    import jax
+
+    budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", 1800))
+    t0 = time.perf_counter()
+    attempt = 0
+    while True:
+        try:
+            devs = jax.devices()
+            log(f"[backend] up after {time.perf_counter() - t0:.0f}s: {devs}")
+            return
+        except Exception as e:
+            attempt += 1
+            waited = time.perf_counter() - t0
+            if waited > budget:
+                log(f"[backend] still unavailable after {waited:.0f}s "
+                    f"({attempt} attempts); proceeding (will fail naturally)")
+                return
+            log(f"[backend] attempt {attempt} unavailable "
+                f"({type(e).__name__}); retrying in 90s")
+            time.sleep(90)
+
+
 def main():
+    _wait_for_backend()
     rng = np.random.default_rng(0)
     # 10% density random coupling, row-normalized (qif_example.py workload)
     W = np.zeros((N, N), dtype=np.float64)
