@@ -330,10 +330,10 @@ def lower(
                 # master!) while staging the f32 tensor and quantizing on the
                 # accelerator costs ~1 s total; the f32 staging buffer is
                 # dropped right after.
-                from ..ops.quant import quantize_blocks
+                from ..ops.quant import quantize_blocks_jit
 
                 b32 = jnp.asarray(np.asarray(W.blocks, dtype=np.float32))
-                wq, scale = jax.jit(quantize_blocks)(b32)
+                wq, scale = quantize_blocks_jit(b32)
                 del b32
                 args[wkey] = wq
                 args[wkey + "__scale"] = scale
@@ -353,10 +353,10 @@ def lower(
             # quantized ON DEVICE (see the block-sparse branch above: numpy's
             # round() on a (10k, 10k) master costs minutes on this host class;
             # ship f32, quantize in ~ms, drop the f32 staging buffer)
-            from ..ops.quant import quantize_rows
+            from ..ops.quant import quantize_rows_jit
 
             W32 = jnp.asarray(np.asarray(W, dtype=np.float32))
-            wq, scale = jax.jit(quantize_rows)(W32)
+            wq, scale = quantize_rows_jit(W32)
             del W32
             args[wkey] = wq
             args[wkey + "__scale"] = scale

@@ -24,6 +24,7 @@ fan-in summation through ``torch.tensor([...])`` breaking gradients
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 from time import perf_counter
 from typing import Callable, Dict, Iterator, List, Optional, Tuple, Union
@@ -1397,14 +1398,20 @@ class Network:
             # plain adam (only b1/b2/eps overrides, scalar lr) qualifies for
             # the fused adam + requantize tail on int8_master chain fits; a
             # callable lr schedule must stay on optax (inject_hyperparams
-            # re-evaluates it per step, the fused carry would freeze it)
+            # re-evaluates it per step, the fused carry would freeze it).
+            # RECTIPY_FUSED_ADAM is read LIVE here and rides the cfg into
+            # the program cache key, so flipping it between fits rebuilds
+            # instead of silently reusing the other path's cached programs.
             fused_opt_cfg = None
             okw = dict(optimizer_kwargs or {})
+            fused_mode = os.environ.get("RECTIPY_FUSED_ADAM", "auto")
             if (optimizer == "adam" and not callable(lr)
+                    and fused_mode != "off"
                     and set(okw) <= {"b1", "b2", "eps"}):
                 try:
                     fused_opt_cfg = {k: float(okw.get(k, d)) for k, d in
                                      (("b1", 0.9), ("b2", 0.999), ("eps", 1e-8))}
+                    fused_opt_cfg["mode"] = fused_mode
                 except (TypeError, ValueError):
                     fused_opt_cfg = None  # schedule/array kwargs: optax path
             train, losses = self._bptt_epochs(step, loss_fn, opt, train, frozen, opt_state,
@@ -1650,10 +1657,6 @@ class Network:
         ``opt_state`` through update calls needs no changes."""
         if fused_opt_cfg is None or rk != 0 or len(traj_wkeys) != 1:
             return None
-        import os
-
-        if os.environ.get("RECTIPY_FUSED_ADAM", "auto") == "off":
-            return None
         wkey = traj_wkeys[0]
         wpath = f"nodes/{label}/{wkey}"
         if wpath not in train_paths:
@@ -1676,6 +1679,7 @@ class Network:
         b1 = float(fused_opt_cfg.get("b1", 0.9))
         b2 = float(fused_opt_cfg.get("b2", 0.999))
         eps = float(fused_opt_cfg.get("eps", 1e-8))
+        mode = fused_opt_cfg.get("mode", "auto")
 
         def epoch_loss_p(train, frozen, wp, y0, inp, tgt):
             params = combine(train, frozen)
@@ -1710,7 +1714,7 @@ class Network:
             mW = mu0["nodes"][label][wkey]
             nW = nu0["nodes"][label][wkey]
             W2, m2, n2, wq, scale = adam_requant(
-                Wm, mW, nW, gW, bc1, bc2, lr, b1=b1, b2=b2, eps=eps)
+                Wm, mW, nW, gW, bc1, bc2, lr, b1=b1, b2=b2, eps=eps, mode=mode)
             # every non-coupling leaf: exact optax.adam formulas (the
             # coupling leaf's duplicate here is dead code XLA eliminates,
             # overridden just below)
@@ -1792,9 +1796,11 @@ class Network:
             fused_opt_cfg = None  # GSPMD path: keep the pure-optax programs
         cache_key = None
         if prog_key is not None:
+            fused_key = (None if fused_opt_cfg is None
+                         else tuple(sorted(fused_opt_cfg.items())))
             cache_key = ("bptt_epochs", prog_key, T0, sampling_steps, rk,
                          str(fused_bptt), remat_steps, self._step_versions(),
-                         fused_opt_cfg is not None, train_paths)
+                         fused_key, train_paths)
         built = self._step_cache.get(cache_key) if cache_key is not None else None
         if built is None:
             built = self._build_epoch_programs(step, loss_fn, opt, fused_bptt,
@@ -2360,20 +2366,21 @@ class Network:
                      int(sampling_steps), bool(normalize), use_fb,
                      str(w_dtype), self._step_versions())
         cached = self._step_cache.get(cache_key)
+        # hyperparameters and accumulators never drop BELOW float32 even for
+        # a low-precision readout: smoothing constants like epsilon=0.99 lose
+        # ~17% of (1 - epsilon) when rounded to bfloat16.  A float64 readout
+        # keeps f64 traces (promote, don't truncate).
+        acc_dtype = jnp.promote_types(w_dtype, jnp.float32)
         if cached is not None:
             scan_all = cached
         else:
             @jax.jit
             def scan_all(state0, params, W, fb_arg, hp, inputs, targets):
-              # hyperparameters and accumulators stay float32 even for a
-              # low-precision readout: smoothing constants like epsilon=0.99
-              # lose ~17% of (1 - epsilon) when rounded to bfloat16, so the
-              # traces are carried in f32 and only W is stored in w_dtype
               lr, epsilon, delta, decay = hp
-              err_bar0 = jnp.zeros(W.shape[0], dtype=jnp.float32)
-              elig0 = jnp.zeros(W.shape[1], dtype=jnp.float32)
+              err_bar0 = jnp.zeros(W.shape[0], dtype=acc_dtype)
+              elig0 = jnp.zeros(W.shape[1], dtype=acc_dtype)
               rec_out0 = jnp.zeros((n_rec, n_out), dtype=w_dtype)
-              rec_loss0 = jnp.zeros((n_rec,), dtype=jnp.float32)
+              rec_loss0 = jnp.zeros((n_rec,), dtype=acc_dtype)
 
               def body(carry, xt):
                   state, W, err_bar, elig, rec_out, rec_loss, rec_i = carry
@@ -2385,9 +2392,9 @@ class Network:
                   if use_fb:
                       x_t = x_t + (fb_arg @ err_bar.astype(self.dtype))
                   state, out, taps = step(state, p, x_t)
-                  err = y_t.astype(jnp.float32) - taps[tgt_node].astype(jnp.float32)
+                  err = y_t.astype(acc_dtype) - taps[tgt_node].astype(acc_dtype)
                   err_bar = epsilon * err_bar + (1.0 - epsilon) * err
-                  elig = delta * elig + (1.0 - delta) * taps[src].astype(jnp.float32)
+                  elig = delta * elig + (1.0 - delta) * taps[src].astype(acc_dtype)
                   do_upd = (step_idx % update_steps) == 0
                   gate = jnp.where(do_upd, lr, 0.0)
                   # `decay` L2-regularizes the online rule: without it the delta
@@ -2397,7 +2404,7 @@ class Network:
                   upd = jnp.outer(err_bar, elig)
                   if normalize:  # NLMS: step size relative to eligibility energy
                       upd = upd / (1e-8 + elig @ elig)
-                  W = (W.astype(jnp.float32) * (1.0 - gate * decay)
+                  W = (W.astype(acc_dtype) * (1.0 - gate * decay)
                        + gate * upd).astype(w_dtype)
                   loss = err @ err
                   do_rec = (step_idx % sampling_steps) == 0
@@ -2418,7 +2425,7 @@ class Network:
 
         t0 = perf_counter()
         fb_arg = fb if use_fb else jnp.zeros((), dtype=self.dtype)
-        hp = jnp.asarray([lr, epsilon, delta, decay], dtype=jnp.float32)
+        hp = jnp.asarray([lr, epsilon, delta, decay], dtype=acc_dtype)
         stateT, W, rec_out, rec_loss = scan_all(state0, params, edge.params["weights"],
                                                 fb_arg, hp, inputs, targets)
         edge.params["weights"] = W

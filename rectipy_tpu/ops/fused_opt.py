@@ -47,9 +47,12 @@ import jax.numpy as jnp
 
 __all__ = ["adam_requant", "adam_requant_xla", "adam_leaf", "FUSED_ADAM_MODE"]
 
-# selected at import time: 'pallas' (TPU default), 'xla', or 'off' (the 'off'
-# gate is honored by network._build_epoch_programs, not here)
-FUSED_ADAM_MODE = os.environ.get("RECTIPY_FUSED_ADAM", "auto")
+# module default when neither the call site nor the environment picks a mode:
+# 'auto' = Pallas on TPU, jnp elsewhere.  adam_requant re-reads
+# RECTIPY_FUSED_ADAM LIVE on every call (trace), so flipping the env var
+# mid-session changes dispatch; the 'off' gate is honored by
+# network.fit_bptt (which also keys its program cache on the mode).
+FUSED_ADAM_MODE = "auto"
 
 
 def adam_leaf(w, m, v, g, bc1, bc2, lr, b1, b2, eps):
@@ -64,12 +67,13 @@ def adam_leaf(w, m, v, g, bc1, bc2, lr, b1, b2, eps):
 
 def adam_requant_xla(w, m, v, g, bc1, bc2, lr, *, b1, b2, eps):
     """jnp reference: adam step on the f32 master + per-row int8
-    requantization of the result (ops.quant.quantize_rows numerics)."""
+    requantization of the result.  Calls ops.quant.quantize_rows itself so
+    the fused training path can never drift from the quantization the
+    trajectory prep and inference prep use."""
+    from .quant import quantize_rows
+
     w, m, v = adam_leaf(w, m, v, g, bc1, bc2, lr, b1, b2, eps)
-    amax = jnp.max(jnp.abs(w), axis=1)
-    scale = (jnp.maximum(amax, 1e-30) / 127.0).astype(jnp.float32)
-    wq = jnp.clip(jnp.round(w / scale[:, None].astype(w.dtype)),
-                  -127, 127).astype(jnp.int8)
+    wq, scale = quantize_rows(w)
     return w, m, v, wq, scale
 
 
@@ -139,11 +143,16 @@ def _build_pallas(n_rows: int, n_cols: int, dtype, *, b1, b2, eps,
     return run
 
 
-def adam_requant(w, m, v, g, bc1, bc2, lr, *, b1, b2, eps):
+def adam_requant(w, m, v, g, bc1, bc2, lr, *, b1, b2, eps, mode=None):
     """Dispatch: the Pallas single-pass kernel on TPU, the jnp reference
-    elsewhere (or when RECTIPY_FUSED_ADAM=xla).  Same outputs either way:
-    ``(w', m', v', wq, scale)`` with ``scale`` shaped ``(n_rows,)``."""
-    mode = FUSED_ADAM_MODE
+    elsewhere (or when the mode is 'xla').  Same outputs either way:
+    ``(w', m', v', wq, scale)`` with ``scale`` shaped ``(n_rows,)``.
+
+    ``mode`` resolution: explicit argument (the training-path caller threads
+    its cache-keyed mode through) > live ``RECTIPY_FUSED_ADAM`` env var >
+    module default ``FUSED_ADAM_MODE``."""
+    if mode is None:
+        mode = os.environ.get("RECTIPY_FUSED_ADAM", FUSED_ADAM_MODE)
     use_pallas = mode in ("auto", "pallas")
     if use_pallas:
         try:

@@ -152,6 +152,14 @@ def quantize_blocks(blocks):
     return bq, scale
 
 
+# module-level jitted wrappers: dsl/lower.py quantizes each master ON DEVICE
+# at network build time; a fresh jax.jit per build would retrace+recompile
+# the quantization program for every Network (remote compiles run 4-472 s
+# under congestion).  One wrapper per function = one compile per shape.
+quantize_rows_jit = jax.jit(quantize_rows)
+quantize_blocks_jit = jax.jit(quantize_blocks)
+
+
 def block_int8_mv(wp, cols, src):
     """Forward block contraction from the prepped ``(bq, scale)`` pair:
     gather int8 source blocks, int8 x int8 einsum with int32 accumulation,

@@ -971,11 +971,8 @@ def test_fused_adam_requant_matches_optax_path(monkeypatch):
     tgt = rng.normal(size=(T, n)) * 0.1
 
     runs = {}
-    import rectipy_tpu.ops.fused_opt as fo
-
     for mode in ("off", "xla"):
         monkeypatch.setenv("RECTIPY_FUSED_ADAM", mode)
-        monkeypatch.setattr(fo, "FUSED_ADAM_MODE", "auto")
         net = _int8m_qif_net(n, W0, etas)
         obs = net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="adam",
                            lr=1e-3, verbose=False)
@@ -1025,6 +1022,20 @@ def test_fused_adam_eligibility_gates(monkeypatch):
                          lr=lambda count: 1e-3 * 0.5 ** count, verbose=False)
     assert not engaged(net)
     assert np.isfinite(np.asarray(obs_s["epoch_loss"])).all()
+
+    # the kill switch works on a WARM program cache: flipping
+    # RECTIPY_FUSED_ADAM between fits on the same network rebuilds (the mode
+    # rides the cache key) instead of silently reusing the other path
+    net = _int8m_qif_net(n, W0, etas)
+    net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-3, verbose=False)
+    assert engaged(net)
+    monkeypatch.setenv("RECTIPY_FUSED_ADAM", "off")
+    obs_off = net.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-3,
+                           verbose=False)
+    built = [v for k, v in net._step_cache.items() if k[0] == "bptt_epochs"]
+    assert any(b[3] is None for b in built), "off-mode fit did not rebuild"
+    assert np.isfinite(np.asarray(obs_off["epoch_loss"])).all()
+    monkeypatch.setenv("RECTIPY_FUSED_ADAM", "xla")
 
     # adam with supported kwarg overrides: fused, and b1/b2/eps are honored
     net = _int8m_qif_net(n, W0, etas)
