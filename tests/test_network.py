@@ -720,6 +720,32 @@ def test_bptt_step_mode_global_sampling_grid():
     np.testing.assert_allclose(obs.to_numpy("out"), ref_out[steps], atol=1e-10)
 
 
+def test_fit_eprop_float64_accumulator_precision():
+    """A float64 network must run the eprop traces in f64, not f32: with
+    epsilon = 1 - 1e-9 the error trace's update factor (1 - epsilon) = 1e-9
+    underflows to exactly 0 in f32 (epsilon rounds to 1.0f), freezing err_bar
+    at zero and hence the readout weights; in f64 the weights must move."""
+    n, m, k = 8, 2, 1
+    rng = np.random.default_rng(21)
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_func_node("inp", m, activation_function="identity")
+    net.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)) * 0.3,
+                        input_var="li_op/I_ext", output_var="tanh_op/r",
+                        source_var="tanh_op/r", target_var="li_op/r_in")
+    net.add_edge("inp", "rnn", weights=rng.normal(size=(n, m)))
+    net.add_func_node("out", k, activation_function="identity")
+    net.add_edge("rnn", "out", train="eprop")
+    W0 = np.asarray(net.get_edge("rnn", "out").params["weights"]).copy()
+    T = 200
+    inp = rng.normal(size=(T, m))
+    tgt = rng.normal(size=(T, k))
+    net.fit_eprop(inp, tgt, epsilon=1.0 - 1e-9, delta=0.5, lr=1e6,
+                  decay=0.0, update_steps=1, verbose=False)
+    W1 = np.asarray(net.get_edge("rnn", "out").params["weights"])
+    assert np.abs(W1 - W0).max() > 0, (
+        "f64 eprop trace was truncated to f32 (err_bar frozen at zero)")
+
+
 def test_fit_eprop_nlms_step_size_robustness():
     """normalize=True (NLMS) divides the delta update by the eligibility
     energy, making lr a relaxation factor in (0, 2) instead of a quantity
