@@ -39,6 +39,7 @@ reference analog (torch trains in f32).
 
 from __future__ import annotations
 
+import functools
 import os
 from functools import partial
 
@@ -143,6 +144,25 @@ def _build_pallas(n_rows: int, n_cols: int, dtype, *, b1, b2, eps,
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _pallas_shape_ok(n_rows: int, n_cols: int, dtype_str: str) -> bool:
+    """One eager probe per (shape, dtype) per process: build and RUN the
+    kernel on zeros.  'auto' mode falls back to the jnp path when Mosaic
+    rejects the kernel (compile error, scoped-VMEM OOM at this shape, …)
+    instead of crashing the enclosing training program -- a benchmark or a
+    user fit must never die to an optional fast path."""
+    try:
+        dtype = jnp.dtype(dtype_str)
+        run = _build_pallas(n_rows, n_cols, dtype, b1=0.9, b2=0.999, eps=1e-8)
+        z = jnp.zeros((n_rows, n_cols), dtype)
+        out = run(z, z, z, z, jnp.float32(1.0), jnp.float32(1.0),
+                  jnp.float32(0.0))
+        jax.block_until_ready(out)
+        return True
+    except Exception:
+        return False
+
+
 def adam_requant(w, m, v, g, bc1, bc2, lr, *, b1, b2, eps, mode=None):
     """Dispatch: the Pallas single-pass kernel on TPU, the jnp reference
     elsewhere (or when the mode is 'xla').  Same outputs either way:
@@ -154,13 +174,13 @@ def adam_requant(w, m, v, g, bc1, bc2, lr, *, b1, b2, eps, mode=None):
     if mode is None:
         mode = os.environ.get("RECTIPY_FUSED_ADAM", FUSED_ADAM_MODE)
     use_pallas = mode in ("auto", "pallas")
-    if use_pallas:
+    if use_pallas and mode == "auto":
         try:
             on_tpu = jax.default_backend() not in ("cpu",)
         except Exception:  # pragma: no cover - backend probing never raises
             on_tpu = False
-        if mode == "auto" and not on_tpu:
-            use_pallas = False
+        use_pallas = on_tpu and _pallas_shape_ok(
+            int(w.shape[0]), int(w.shape[1]), str(w.dtype))
     if use_pallas:
         try:
             run = _build_pallas(w.shape[0], w.shape[1], w.dtype,
