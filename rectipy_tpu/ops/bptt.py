@@ -142,27 +142,37 @@ def _make_sparse_matvec(cast: str | None, cols):
     # var after a trajectory is built has no effect); the transposed table is
     # only constructed when the gather variant is actually selected
     bwd_mode = os.environ.get("RECTIPY_SPARSE_BWD", "scatter")
-    rows_T = slot_T = mask_T = None
+    rows_T = slot_T = mask_T = M_onehot = None
     if bwd_mode == "gather":
         from .quant import _transposed_block_table
 
         rows_T, slot_T, mask_T = _transposed_block_table(onp.asarray(cols))
+    elif bwd_mode == "onehot":
+        from .quant import _onehot_col_matrix
+
+        M_onehot = _onehot_col_matrix(onp.asarray(cols))
 
     def mv_t(w, delta):
         """A^T @ delta for a SQUARE block-sparse A (recurrent coupling).
         'scatter' (default): contract in forward layout and scatter-add the
         small (n_br, cb, bs) contributions -- ONE pass over the tiles.
+        'onehot': the same contraction, but the column-block reduction is a
+        matmul against a constant one-hot membership matrix (no scatter).
         'gather': gather each source block's incoming tiles via the
         transposed structure -- XLA materializes a copy of the whole tile
         tensor per step, measured 5x slower at N=100k (5985 vs 1169
-        ms/epoch).  Both are gradient-identical; RECTIPY_SPARSE_BWD
+        ms/epoch).  All are gradient-identical; RECTIPY_SPARSE_BWD
         overrides."""
         n_br, cb, bs, _ = w.shape
         d_blk = delta.reshape(n_br, bs)
-        if bwd_mode == "scatter":
+        if bwd_mode != "gather":
             contrib = jnp.einsum("rcij,ri->rcj", maybe(w, w), maybe(d_blk, w),
                                  preferred_element_type=jnp.float32)
-            out = jnp.zeros((n_br, bs), dtype=jnp.float32).at[cols].add(contrib)
+            if bwd_mode == "onehot":
+                out = jnp.einsum("kj,kq->qj", contrib.reshape(n_br * cb, bs),
+                                 M_onehot)
+            else:
+                out = jnp.zeros((n_br, bs), dtype=jnp.float32).at[cols].add(contrib)
             return out.reshape(-1).astype(delta.dtype)
         G = w[rows_T, slot_T]              # (n_bc, cb_t, bs, bs)
         D = d_blk[rows_T] * mask_T[..., None].astype(d_blk.dtype)

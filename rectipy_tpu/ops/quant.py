@@ -175,6 +175,19 @@ def block_int8_mv(wp, cols, src):
     return out.reshape(n_br * bs).astype(src.dtype)
 
 
+def _onehot_col_matrix(cols_np):
+    """One-hot column-block membership matrix M of shape (n_br*cb, n_br):
+    M[r*cb + slot, cols[r, slot]] = 1.  Turns the backward scatter-add over
+    column blocks into a single MXU matmul (scatter is serialized on TPU;
+    a matmul against a constant one-hot streams at full bandwidth)."""
+    import numpy as onp
+
+    n_br, cb = cols_np.shape
+    M = onp.zeros((n_br * cb, n_br), dtype=onp.float32)
+    M[onp.arange(n_br * cb), onp.asarray(cols_np).ravel()] = 1.0
+    return jnp.asarray(M)
+
+
 def _transposed_block_table(cols_np):
     """Transposed block structure for the gather backward: for each column
     block c, the (row-block, slot) pairs with cols[r, slot] == c, padded to
@@ -215,27 +228,36 @@ def make_block_int8_ops(cols_np):
     import os
 
     bwd_mode = os.environ.get("RECTIPY_SPARSE_BWD", "scatter")
-    rows_T = slot_T = mask_T = None
+    rows_T = slot_T = mask_T = M_onehot = None
     if bwd_mode == "gather":
         rows_T, slot_T, mask_T = _transposed_block_table(cols_np)
+    elif bwd_mode == "onehot":
+        M_onehot = _onehot_col_matrix(cols_np)
 
     def mv_t(wp, delta):
         """A^T @ delta: per-row scales fold into delta BEFORE the dynamic
         quantization.  'scatter' (default): int8 contraction in forward tile
         layout, small f32 scatter-add (one pass over the tiles -- the gather
         variant copies the whole tile tensor per step, 5x slower at N=100k,
-        same finding as the bf16 path in ops/bptt.py)."""
+        same finding as the bf16 path in ops/bptt.py).  'onehot': same
+        contraction, but the column-block reduction is a matmul against the
+        constant one-hot membership matrix instead of a scatter-add."""
         bq, scale = wp
         n_br_, cb_, bs, _ = bq.shape
         d_blk = delta.reshape(n_br_, bs)
         v = scale.astype(delta.dtype) * d_blk
         vq, vs = quant_vec(v)
-        if bwd_mode == "scatter":
+        if bwd_mode != "gather":
             vq_blk = vq.reshape(n_br_, bs)
             contrib = jnp.einsum("rcij,ri->rcj", bq, vq_blk,
                                  preferred_element_type=jnp.int32)
-            out = jnp.zeros((n_br_, bs), dtype=jnp.float32).at[cols].add(
-                contrib.astype(jnp.float32))
+            if bwd_mode == "onehot":
+                out = jnp.einsum("kj,kq->qj",
+                                 contrib.reshape(n_br_ * cb_, bs).astype(jnp.float32),
+                                 M_onehot)
+            else:
+                out = jnp.zeros((n_br_, bs), dtype=jnp.float32).at[cols].add(
+                    contrib.astype(jnp.float32))
             return (out * vs).reshape(-1).astype(delta.dtype)
         G = bq[rows_T, slot_T]                    # (n_bc, cb_t, bs, bs) int8
         D = vq[rows_T] * mask_T[..., None].astype(jnp.int8)

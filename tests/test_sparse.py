@@ -152,3 +152,54 @@ def test_sparse_bf16_master_casts_matvec():
     assert o32.max() > 0
     corr = np.corrcoef(o32.ravel(), o16.ravel())[0, 1]
     assert corr > 0.999, f"bf16 sparse trajectory diverged: corr={corr}"
+
+
+@pytest.mark.parametrize("mode", ["scatter", "gather", "onehot"])
+def test_transposed_matvec_modes_match_dense(mode, monkeypatch):
+    """All RECTIPY_SPARSE_BWD modes of the transposed block contraction
+    (A^T @ delta) must match the densified oracle, for both the bf16/f32
+    path (ops/bptt._make_sparse_matvec) and the int8_master path
+    (ops/quant.make_block_int8_ops).  The env var is read at BUILD time."""
+    monkeypatch.setenv("RECTIPY_SPARSE_BWD", mode)
+    n, fan_in, bs = 128, 24, 16
+    A = block_random_connectivity(n, n, fan_in, block_size=bs, seed=5)
+    Wd = A.to_dense().astype(np.float64)
+    rng = np.random.default_rng(6)
+    delta = rng.normal(size=n)
+    oracle = Wd.T @ delta
+
+    from rectipy_tpu.ops.bptt import _make_sparse_matvec
+
+    cols = jnp.asarray(A.cols, dtype=jnp.int32)
+    mv_t = _make_sparse_matvec(None, cols)[2]
+    got = np.asarray(mv_t(jnp.asarray(A.blocks, dtype=jnp.float64),
+                          jnp.asarray(delta)))
+    # the block contraction accumulates in f32 by design
+    # (preferred_element_type), so the oracle comparison is f32-tight
+    np.testing.assert_allclose(got, oracle, rtol=3e-5, atol=1e-7)
+
+    from rectipy_tpu.ops.quant import make_block_int8_ops, quantize_blocks
+
+    prep, mv, mv_t_q, grad_w = make_block_int8_ops(np.asarray(A.cols))
+    wp = quantize_blocks(jnp.asarray(A.blocks, dtype=jnp.float32))
+    got_q = np.asarray(mv_t_q(wp, jnp.asarray(delta, dtype=jnp.float32)))
+    # int8 path: compare against the dequantized dense oracle (quantization
+    # error dominates; the MODE must not add error beyond f32 ordering)
+    bq, scale = wp
+    n_br = A.cols.shape[0]
+    Wq = np.zeros((n, n), dtype=np.float64)
+    for r in range(n_br):
+        for j, c in enumerate(np.asarray(A.cols)[r]):
+            Wq[r*bs:(r+1)*bs, c*bs:(c+1)*bs] += (
+                np.asarray(bq)[r, j].astype(np.float64)
+                * np.asarray(scale)[r][:, None])
+    from rectipy_tpu.ops.quant import quant_vec
+    v = np.asarray(scale).reshape(n_br, bs) * delta.reshape(n_br, bs)
+    vq, vs = quant_vec(jnp.asarray(v.reshape(-1), dtype=jnp.float32))
+    # reconstruct the exact quantized oracle: sum_r bq[r]^T vq[r] * vs
+    Bq = np.zeros((n, n))
+    for r in range(n_br):
+        for j, c in enumerate(np.asarray(A.cols)[r]):
+            Bq[r*bs:(r+1)*bs, c*bs:(c+1)*bs] += np.asarray(bq)[r, j].astype(np.float64)
+    oracle_q = (Bq.T @ np.asarray(vq).astype(np.float64)) * float(vs)
+    np.testing.assert_allclose(got_q, oracle_q, rtol=1e-5, atol=1e-5)
