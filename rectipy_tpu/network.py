@@ -1359,6 +1359,12 @@ class Network:
         edges use the stage-graph trajectory (ops/graph_bptt.py).  ``True``
         forces a fast path (raising if unsupported), ``False`` disables.
         Gradients match plain autodiff to 1e-9 (f64).
+
+        Plain-adam epoch fits of a single trained dense ``int8_master``
+        coupling additionally fuse the optimizer tail (adam update + next
+        epoch's per-row requantization) into one pass over the ``(N, N)``
+        arrays (ops/fused_opt.py; Pallas on TPU).  Loss curves are identical
+        to the optax sequence; ``RECTIPY_FUSED_ADAM=off`` disables.
         """
         self.compile()
         loss_fn = get_loss_function(loss, loss_kwargs=loss_kwargs)
