@@ -57,20 +57,25 @@ for nm, a, b in zip(names, outs_p, outs_x):
         print(f"  {nm}: max|d| {d:.3e}", flush=True)
         assert d < 1e-5, (nm, d)
 lap("NUMERIC PARITY OK")
-# timing of the fused tail alone (pallas vs xla), amortized over 20 calls
+# timing of the fused tail alone (pallas vs xla).  CRITICAL: chain the
+# inputs call-to-call and sync with a host fetch -- jax.block_until_ready
+# does not block on the axon relay, and the relay can dedup identical
+# program+input executions (both measured; see CLAUDE.md).
 for tag, mode in (("pallas", "pallas"), ("xla", "xla")):
     fo.FUSED_ADAM_MODE = mode
     f = jax.jit(lambda *a: fo.adam_requant(*a, b1=0.9, b2=0.999, eps=1e-8))
-    o = f(W, m, v, g, bc1, bc2, lr); jax.block_until_ready(o)
+    o = f(W, m, v, g, bc1, bc2, lr); np.asarray(o[4])
     best = float("inf")
     for _ in range(3):
+        Wc, mc, vc, gc = W, m, v, g
         t0 = time.perf_counter()
         for _ in range(10):
-            o = f(W, m, v, g, bc1, bc2, lr)
-        jax.block_until_ready(o)
+            Wc, mc, vc, _wq, sc = f(Wc, mc, vc, gc, bc1, bc2, lr)
+            gc = mc  # rotate so inputs differ every call
+        np.asarray(sc)  # explicit fetch = the only reliable sync
         best = min(best, (time.perf_counter() - t0) / 10)
-    lap(f"[tail {tag}] {best*1e3:.2f} ms/call ({2.9/best/1024:.0f} GB/s eff)")
-del W, g, m, v, outs_p, outs_x, o
+    lap(f"[tail {tag}] {best*1e3:.2f} ms/call ({2.9/best:.0f} GB/s eff)")
+del W, g, m, v, outs_p, outs_x, o, Wc, mc, vc, gc
 
 # ---- 2. epoch timing per mode
 from rectipy_tpu import Network

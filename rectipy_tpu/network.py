@@ -1361,10 +1361,14 @@ class Network:
         Gradients match plain autodiff to 1e-9 (f64).
 
         Plain-adam epoch fits of a single trained dense ``int8_master``
-        coupling additionally fuse the optimizer tail (adam update + next
-        epoch's per-row requantization) into one pass over the ``(N, N)``
-        arrays (ops/fused_opt.py; Pallas on TPU).  Loss curves are identical
-        to the optax sequence; ``RECTIPY_FUSED_ADAM=off`` disables.
+        coupling can additionally fuse the optimizer tail (adam update +
+        next epoch's per-row requantization) into one pass over the
+        ``(N, N)`` arrays via ``RECTIPY_FUSED_ADAM=pallas|xla``
+        (ops/fused_opt.py).  Loss curves are identical to the optax
+        sequence, but the path is OFF by default: paired on-chip A/B
+        (benchmarks/ab_fused_adam.py) measured it slower end-to-end than
+        the split schedule, which XLA already fuses inside the epoch
+        program.
         """
         self.compile()
         loss_fn = get_loss_function(loss, loss_kwargs=loss_kwargs)
@@ -1408,11 +1412,21 @@ class Network:
             # RECTIPY_FUSED_ADAM is read LIVE here and rides the cfg into
             # the program cache key, so flipping it between fits rebuilds
             # instead of silently reusing the other path's cached programs.
+            # Default is OFF: paired on-chip A/B (benchmarks/ab_fused_adam.py,
+            # v5e 2026-08-18) measured the fused epoch SLOWER than the split
+            # schedule (pallas 99.1 ms vs split 92.5 ms; xla-fused 94.0) --
+            # XLA already fuses the adam update with next epoch's
+            # quantize_rows inside the chunk-scan program (the split tail
+            # measures 7.6 ms in one jit, not the 12.8 ms two-kernel anatomy
+            # the fusion was designed against), and threading (wq, scale)
+            # through the carry costs more than the ~0.5 ms the Pallas
+            # kernel saves standalone.  'pallas'/'xla' remain as explicit
+            # experimental opt-ins.
             fused_opt_cfg = None
             okw = dict(optimizer_kwargs or {})
-            fused_mode = os.environ.get("RECTIPY_FUSED_ADAM", "auto")
+            fused_mode = os.environ.get("RECTIPY_FUSED_ADAM", "off")
             if (optimizer == "adam" and not callable(lr)
-                    and fused_mode != "off"
+                    and fused_mode not in ("off", "auto")
                     and set(okw) <= {"b1", "b2", "eps"}):
                 try:
                     fused_opt_cfg = {k: float(okw.get(k, d)) for k, d in

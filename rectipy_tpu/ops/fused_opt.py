@@ -1,14 +1,21 @@
 """Fused Adam + int8 requantization for the quantized-master training path.
 
-The measured anatomy of a trained N=10k/T=500 int8_master epoch on v5e
-(see NOTES_NEXT_ROUND.md) is: forward+backward int8 scan passes ~79.6 ms
-(speed of light -- one pass over W each way), dW contraction ~3.5 ms,
-per-epoch requantization of the f32 master ~4.0 ms, and the optax adam
-update on the (N, N) master ~8.8 ms.  The adam + requant tail is pure
-elementwise + row-reduction streaming of the same (N, N) arrays, but XLA
-schedules it as multiple kernels (optax's update tree materializes, the
-quantize re-reads the updated master): measured ~320 GB/s effective against
-an ~820 GB/s HBM peak.
+EXPERIMENTAL and OFF BY DEFAULT -- kept because the kernel is correct and
+the negative result is instructive.  The design-time premise was that the
+epoch's optimizer tail (optax adam on the (N, N) master + next epoch's
+quantize_rows) streamed the arrays through multiple kernels at ~320 GB/s
+(~12.8 ms of a 92.9 ms N=10k epoch).  On-chip measurement (v5e,
+2026-08-18; benchmarks/ab_fused_adam.py + the chained-input tail probe)
+showed that premise was a profiling artifact of SEPARATE dispatches:
+inside the chunk-scan epoch program XLA already fuses the adam formulas
+with the following quantize_rows -- the split tail is 7.62 ms in one jit
+vs 7.14 ms for this Pallas kernel (both ~390-410 GB/s; the 3.5 ms
+bytes/820 GB/s floor is not reachable for this access pattern on this
+chip).  End-to-end, threading (wq, scale) through the optimizer-state
+carry costs ~1.4 ms/epoch and embedding the Pallas call in the big
+program another ~5 ms, so the fused epoch measures SLOWER than the split
+schedule (pallas 99.1 ms, xla-fused 94.0 ms vs split 92.5 ms, paired
+round-robin A/B).  Enable explicitly with RECTIPY_FUSED_ADAM=pallas|xla.
 
 This module fuses the whole tail into ONE pass over the arrays:
 
