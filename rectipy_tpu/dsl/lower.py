@@ -91,6 +91,25 @@ def _int8_matvec_jvp(primals, tangents):
     return _int8_matvec(w_q, x), w_q.astype(jnp.float32) @ dx
 
 
+@jax.custom_jvp
+def _int4_matvec(w_q4, x):
+    """int4 x int8 matvec with int32 accumulation; ``w_q4`` already cast to
+    int4 (by prep, outside the scan), ``x`` STE-rounded to [-127, 127]."""
+    acc = jax.lax.dot_general(
+        w_q4, x.astype(jnp.int8),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32)
+
+
+@_int4_matvec.defjvp
+def _int4_matvec_jvp(primals, tangents):
+    w_q4, x = primals
+    _, dx = tangents
+    return _int4_matvec(w_q4, x), w_q4.astype(jnp.float32) @ dx
+
+
 def _qualify(name: str, ops: List[OperatorTemplate]) -> str:
     """Resolve a possibly-bare variable name to ``op/var``."""
     if name is None:
@@ -291,11 +310,19 @@ def lower(
     # 'int8_master': float master weights, per-row int8 requantization hoisted
     # out of the scan, int8 x int8 matvec with STE gradients (ops/quant.py)
     master_int8 = str(coupling_dtype) == "int8_master"
-    w_dtype = dtype if (master_bf16 or master_int8) else (coupling_dtype or dtype)
+    # 'int4_master' / frozen int4: one notch below int8 -- weights in [-7, 7]
+    # (stored as int8 carriers at rest; int4 cannot cross jit/staging
+    # boundaries on the axon relay), cast to int4 by prep INSIDE the program,
+    # int4 x int8 matvec on the MXU (ops/quant.py int4 section)
+    master_int4 = str(coupling_dtype) == "int4_master"
+    int4_coupling = str(coupling_dtype) in ("int4", str(jnp.int4))
+    w_dtype = (dtype if (master_bf16 or master_int8 or master_int4
+                         or int4_coupling) else (coupling_dtype or dtype))
     int8_coupling = w_dtype == jnp.int8
     w_scales: Dict[str, jnp.ndarray] = {}
     block_q_mv: Dict[str, Callable] = {}  # int8_master block-sparse matvecs
-    master_dense_keys: List[str] = []  # int8_master dense couplings (prep_args)
+    master_dense_keys: List[str] = []  # int8/int4_master dense couplings (prep_args)
+    int4_frozen_keys: List[str] = []  # frozen int4 couplings (prep_args cast)
 
     def _check_int8_fan_in(n_in: int, wkey: str):
         # int8 x int8 accumulates in int32: worst case 127*127*n_in per output
@@ -307,7 +334,21 @@ def lower(
                 f"{INT8_DOT_MAX_FAN_IN}, which can overflow the int32 "
                 f"accumulator in the worst case. Use a block-sparse coupling "
                 f"(fan-in bounded per row) or bfloat16/float32 at this size.")
+    def _check_int4_fan_in(n_in: int, wkey: str):
+        from ..ops.quant import INT4_DOT_MAX_FAN_IN
+
+        if n_in >= INT4_DOT_MAX_FAN_IN:
+            raise ValueError(
+                f"Dense int4 coupling {wkey!r} has fan-in {n_in} >= "
+                f"{INT4_DOT_MAX_FAN_IN}, which can overflow the int32 "
+                f"accumulator in the worst case.")
+
     for _, _, W, wkey in all_edges:
+        if hasattr(W, "blocks") and (master_int4 or int4_coupling):
+            raise NotImplementedError(
+                "int4 coupling is dense-only; use 'int8_master'/'int8' for "
+                "block-sparse couplings (their fan-in is already bounded per "
+                "row, so the int8 weight stream is the proven fast path).")
         if hasattr(W, "blocks") and master_int8:
             # int8_master blocks: float master blocks + a build-time STE
             # quantized matvec (the block structure is concrete here, so the
@@ -362,9 +403,27 @@ def lower(
             args[wkey + "__scale"] = scale
             keys.extend([wkey, wkey + "__scale"])
             w_scales[wkey] = args[wkey + "__scale"]
+        elif int4_coupling:
+            # frozen int4: per-row [-7, 7] quantization, int8 CARRIER at rest
+            # (int4 cannot cross staging boundaries on the axon relay); the
+            # int4 cast happens in prep_args, inside the program
+            _check_int4_fan_in(int(np.shape(W)[1]), wkey)
+            from ..ops.quant import quantize_rows_i4_jit
+
+            W32 = jnp.asarray(np.asarray(W, dtype=np.float32))
+            wq, scale = quantize_rows_i4_jit(W32)
+            del W32
+            args[wkey] = wq
+            args[wkey + "__scale"] = scale
+            keys.extend([wkey, wkey + "__scale"])
+            w_scales[wkey] = args[wkey + "__scale"]
+            int4_frozen_keys.append(wkey)
         else:
             if master_int8:
                 _check_int8_fan_in(int(np.shape(W)[1]), wkey)
+                master_dense_keys.append(wkey)
+            elif master_int4:
+                _check_int4_fan_in(int(np.shape(W)[1]), wkey)
                 master_dense_keys.append(wkey)
             args[wkey] = jnp.asarray(W, dtype=w_dtype)
             keys.append(wkey)
@@ -390,8 +449,54 @@ def lower(
             for wk in _block_keys:
                 a[wk + "__q"], a[wk + "__qs"] = quantize_blocks(a[wk])
             return a
+    elif master_int4 and master_dense_keys:
+
+        def prep_args(a: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+            from ..ops.quant import _i4_prep
+
+            a = dict(a)
+            for wk in master_dense_keys:
+                a[wk + "__q"], a[wk + "__qs"] = _i4_prep(a[wk])
+            return a
+    elif int4_frozen_keys:
+        _i4_keys = list(int4_frozen_keys)
+
+        def prep_args(a: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+            # loop-invariant int8-carrier -> int4 cast, hoisted out of the
+            # scan (LICM does not reliably hoist precision transforms)
+            a = dict(a)
+            for wk in _i4_keys:
+                a[wk + "__q4"] = a[wk].astype(jnp.int4)
+            return a
+
+    int4_frozen = frozenset(int4_frozen_keys)
 
     def _coupling_matvec(w, src, a=None, wkey=None):
+        if (master_int4 and a is not None and wkey is not None
+                and wkey + "__q" in a):
+            # prepped int4_master path (inference scans)
+            from ..ops.quant import _mv4_prepped
+
+            wp = (a[wkey + "__q"], a[wkey + "__qs"])
+            return _mv4_prepped(wp, src).astype(src.dtype)
+        if master_int4 and w.ndim == 2 and wkey not in int4_frozen:
+            # plain-autodiff training fallback: per-step STE custom VJP
+            from ..ops.quant import int4_master_matvec
+
+            return int4_master_matvec(w, src).astype(src.dtype)
+        if wkey in int4_frozen:
+            # frozen int4: STE-round activations to int8, int4 x int8 dot.
+            # Prefer the prepped int4 cast; fall back to an in-body cast
+            # (correct, just slower) if prep was not applied.
+            w4 = (a[wkey + "__q4"] if a is not None and wkey + "__q4" in a
+                  else w.astype(jnp.int4))
+            s_max = jnp.maximum(jnp.max(jnp.abs(src)), 1e-30)
+            s_scale = jax.lax.stop_gradient(s_max / 127.0)
+            scaled = src / s_scale
+            rounded = scaled + jax.lax.stop_gradient(
+                jnp.clip(jnp.round(scaled), -127, 127) - scaled)
+            return (_int4_matvec(w4, rounded) * a[wkey + "__scale"]
+                    * s_scale).astype(src.dtype)
         if (master_int8 and a is not None and wkey is not None
                 and wkey + "__q" in a):
             # prepped int8_master path (inference scans): int8 matvec from
@@ -732,6 +837,8 @@ def lower(
         state_order=list(state_order),
         make_tile_reader=make_tile_reader,
         couplings=[(esv, etv, wkey) for esv, etv, _, wkey in all_edges],
-        coupling_cast="bf16" if master_bf16 else ("int8" if master_int8 else None),
+        coupling_cast=("bf16" if master_bf16 else
+                       ("int8" if master_int8 else
+                        ("int4" if master_int4 else None))),
         prep_args=prep_args,
     )

@@ -257,9 +257,10 @@ class RateNet:
                 val = self._args.get(k)
                 if hasattr(val, "dtype") and val.dtype == jnp.int8:
                     raise ValueError(
-                        f"Parameter {k!r} is stored int8-quantized (coupling_dtype='int8') "
-                        f"and cannot be trained directly; train with float32/bfloat16 "
-                        f"coupling instead."
+                        f"Parameter {k!r} is stored frozen-quantized "
+                        f"(coupling_dtype='int8' or 'int4') and cannot be "
+                        f"trained directly; train with float32/bfloat16 or an "
+                        f"'int8_master'/'int4_master' coupling instead."
                     )
 
         self._jit_step = None
@@ -334,7 +335,8 @@ class RateNet:
         extra_edges = kwargs.pop("edges", None)
         coupling_dtype = kwargs.pop("coupling_dtype", None)
         if coupling_dtype is not None and str(coupling_dtype) not in (
-                "bfloat16_master", "bf16_master", "int8_master"):
+                "bfloat16_master", "bf16_master", "int8_master",
+                "int4_master", "int4", str(jnp.int4)):
             coupling_dtype = resolve_dtype(coupling_dtype)
 
         vf = lower(

@@ -71,6 +71,10 @@ def _make_matvec(cast: str | None):
         from .quant import int8_master_ops
 
         return int8_master_ops()
+    if cast == "int4":  # int4_master quantized training (ops/quant.py)
+        from .quant import int4_master_ops
+
+        return int4_master_ops()
 
     def prep(w):
         if cast == "bf16" and w.dtype not in (jnp.bfloat16, jnp.float16):
@@ -268,8 +272,11 @@ def _node_pieces(node):
         raise ValueError("Deferred-gradient BPTT requires at least one coupling matrix")
     for wk in wkeys:
         if node._args[wk].dtype == jnp.int8:
-            raise ValueError("frozen int8 coupling is inference-only; train with "
-                             "float32, bfloat16_master, or int8_master coupling")
+            # frozen int8 AND frozen int4 both store int8 carriers at rest
+            raise ValueError("frozen quantized (int8/int4) coupling is "
+                             "inference-only; train with float32, "
+                             "bfloat16_master, int8_master, or int4_master "
+                             "coupling")
     # allow_global=True: the trajectories evaluate readers on the FULL
     # population, so mean()/sum() reduction templates (e.g. iku mean-field
     # recovery) are admitted -- the reductions compute true population values

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["quantize_rows", "quant_vec", "int8_dot", "int8_dot_t",
-           "int8_master_matvec", "int8_master_ops"]
+           "int8_master_matvec", "int8_master_ops",
+           "quantize_rows_i4", "int4_master_matvec", "int4_master_ops"]
 
 
 def quantize_rows(w):
@@ -136,6 +137,97 @@ def _imm_bwd(res, g):
 
 
 int8_master_matvec.defvjp(_imm_fwd, _imm_bwd)
+
+
+# -------------------------------------------------------------------- int4
+# One notch below int8: weights quantized per output row to [-7, 7], the
+# matvec runs int4 x int8 on the MXU (native on v5e+) with int32
+# accumulation, activations keep the int8 dynamic-scale STE.  Halves the
+# per-step weight-stream bytes again -- measured 1.4x over int8 at N=10k on
+# v5e (CLAUDE.md table).  Two representation rules:
+#
+#   * AT REST the quantized weights are stored as **int8 holding [-7, 7]**:
+#     int4 arrays cannot cross jit/staging boundaries on the axon relay
+#     client (RecursionError on transfer, measured), and an int8 carrier is
+#     portable everywhere.
+#   * The int8 -> int4 cast is loop-invariant weight prep, so it MUST run in
+#     ``prep`` outside the scan body (the same LICM rule as the int8_master
+#     requantization): the trajectories and network._prep_params evaluate it
+#     once per program call.
+#
+# Overflow bound: 7 * 127 * fan_in < 2^31.
+INT4_DOT_MAX_FAN_IN = (2**31 - 1) // (7 * 127)  # 2_415_919
+
+
+def quantize_rows_i4(w):
+    """Symmetric per-output-row quantization to [-7, 7], int8 carrier."""
+    amax = jnp.max(jnp.abs(w), axis=1)
+    scale = (jnp.maximum(amax, 1e-30) / 7.0).astype(jnp.float32)
+    wq = jnp.clip(jnp.round(w / scale[:, None].astype(w.dtype)),
+                  -7, 7).astype(jnp.int8)
+    return wq, scale
+
+
+def _i4_prep(w):
+    """int4_master prep: f32 master -> (int4 weights, per-row scale)."""
+    wq, scale = quantize_rows_i4(w)
+    return wq.astype(jnp.int4), scale
+
+
+def int4_dot(wq4, xq):
+    """(n_out, n_in) int4 @ (n_in,) int8 -> f32 (int32 accumulation)."""
+    return jax.lax.dot_general(
+        wq4, xq, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+
+
+def int4_dot_t(wq4, vq):
+    """W_q^T @ v_q without materializing the transpose."""
+    return jax.lax.dot_general(
+        wq4, vq, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+
+
+def _mv4_prepped(wp, src):
+    wq4, ws = wp
+    xq, xs = quant_vec(src)
+    return (int4_dot(wq4, xq) * ws * xs).astype(src.dtype)
+
+
+def _mv4_t_prepped(wp, delta):
+    wq4, ws = wp
+    v = ws.astype(delta.dtype) * delta
+    vq, vs = quant_vec(v)
+    return (int4_dot_t(wq4, vq) * vs).astype(delta.dtype)
+
+
+def int4_master_ops():
+    """(prep, mv, mv_t, grad_w) for the deferred-gradient trajectories --
+    the int4 counterpart of :func:`int8_master_ops` (same STE scheme, same
+    full-precision master gradient)."""
+    return _i4_prep, _mv4_prepped, _mv4_t_prepped, _grad_w
+
+
+@jax.custom_vjp
+def int4_master_matvec(w, src):
+    """STE quantized matvec for the plain autodiff path (int4 counterpart
+    of :func:`int8_master_matvec`)."""
+    return _mv4_prepped(_i4_prep(w), src)
+
+
+def _i4m_fwd(w, src):
+    return _mv4_prepped(_i4_prep(w), src), (w, src)
+
+
+def _i4m_bwd(res, g):
+    w, src = res
+    dw = jnp.outer(g, src).astype(w.dtype)
+    return dw, _mv4_t_prepped(_i4_prep(w), g)
+
+
+int4_master_matvec.defvjp(_i4m_fwd, _i4m_bwd)
+
+quantize_rows_i4_jit = jax.jit(quantize_rows_i4)
 
 
 # ---------------------------------------------------------------- block-sparse

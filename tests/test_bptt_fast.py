@@ -1050,3 +1050,100 @@ def test_fused_adam_eligibility_gates(monkeypatch):
                           verbose=False)
     np.testing.assert_allclose(np.asarray(obs_f["epoch_loss"]),
                                np.asarray(obs_o["epoch_loss"]), rtol=1e-9)
+
+
+def test_int4_master_traj_forward_and_grad_parity():
+    """coupling_dtype='int4_master': the deferred trajectory's quantized
+    forward is bit-identical to the composed step, trajectories correlate
+    >0.99 with the f32 network, and deferred gradients match plain autodiff
+    THROUGH THE SAME quantized forward (both STE).  Mirror of the
+    int8_master test one notch down (ops/quant.py int4 section)."""
+    n, T = 12, 300
+    rng = np.random.default_rng(34)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    xs_np = rng.normal(size=(T, n))
+
+    def build(cd):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"],
+                            coupling_dtype=cd)
+        net.compile()
+        return net
+
+    out_q = build("int4_master").run(xs_np, verbose=False).to_numpy("out")
+    out_f = build(None).run(xs_np, verbose=False).to_numpy("out")
+    c = np.corrcoef(out_q.ravel(), out_f.ravel())[0, 1]
+    assert c > 0.99, f"int4_master trajectory decorrelated from f32: {c}"
+
+    net = build("int4_master")
+    node = net.get_node("rnn")
+    traj, wkeys = make_coupled_traj(node)
+    step = net.make_step()
+    params = net.parameters_pytree()
+    nargs = params["nodes"]["rnn"]
+    y0 = net.init_state()["nodes"]["rnn"]
+    xs = jnp.asarray(xs_np)
+    tgt = jnp.asarray(rng.normal(size=(T, n)))
+    Wd = {k: nargs[k] for k in wkeys}
+    rest = {k: v for k, v in nargs.items() if k not in wkeys}
+    assert all(np.asarray(Wd[k]).dtype == np.float64 for k in wkeys), \
+        "int4_master must store float master weights"
+
+    def run_std(Wm, y0_, xs_):
+        p = {"nodes": {"rnn": {**nargs, **Wm}}, "edges": {}}
+        st0 = {"nodes": {"rnn": y0_}, "edges": {}}
+
+        def body(st, x):
+            st, out, _ = step(st, p, x)
+            return st, out
+
+        stT, outs = jax.lax.scan(body, st0, xs_)
+        return stT["nodes"]["rnn"], outs
+
+    _, outs_std = run_std(Wd, y0, xs)
+    _, outs_fast = traj(Wd, rest, y0, xs)
+    np.testing.assert_array_equal(np.asarray(outs_fast), np.asarray(outs_std))
+
+    def loss_std(Wm):
+        _, outs = run_std(Wm, y0, xs)
+        return jnp.mean((outs - tgt) ** 2)
+
+    def loss_fast(Wm):
+        _, outs = traj(Wm, rest, y0, xs)
+        return jnp.mean((outs - tgt) ** 2)
+
+    g_std = jax.grad(loss_std)(Wd)
+    g_fast = jax.grad(loss_fast)(Wd)
+    for wk in wkeys:
+        a, b = np.asarray(g_std[wk]), np.asarray(g_fast[wk])
+        assert np.abs(a).max() > 0
+        np.testing.assert_allclose(b, a, atol=2e-5 * np.abs(a).max())
+
+
+def test_fit_bptt_int4_master_trains():
+    """End-to-end: fit_bptt with int4_master coupling reduces the loss, the
+    fused and plain paths agree, and the trained master moves."""
+    n, T = 10, 150
+    rng = np.random.default_rng(35)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.2
+
+    def fit(fused):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"],
+                            coupling_dtype="int4_master")
+        obs = net.fit_bptt([inp] * 10, [tgt] * 10, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        return np.asarray(obs["epoch_loss"]), np.asarray(net.get_node("rnn")["weights"])
+
+    l_fast, w_fast = fit(True)
+    l_std, w_std = fit(False)
+    np.testing.assert_allclose(l_fast, l_std, rtol=1e-7)
+    np.testing.assert_allclose(w_fast, w_std, rtol=1e-4, atol=1e-8)
+    assert l_fast[-1] < l_fast[0], "int4_master training did not reduce the loss"
+    assert np.abs(w_fast - W0).max() > 1e-5, "master weights did not move"
