@@ -30,6 +30,8 @@ for a in range(40):
         lap(f"backend: {jax.devices()}"); break
     except Exception as e:
         lap(f"unavailable ({type(e).__name__}); sleep 120"); time.sleep(120)
+else:
+    sys.exit("relay never came back")
 
 from rectipy_tpu import Network
 

@@ -39,7 +39,7 @@ v = jnp.asarray(np.abs(rng.normal(size=(n, n))), dtype=jnp.float32) * 1e-6
 jax.block_until_ready(v); lap("g/m/v staged")
 bc1, bc2, lr = jnp.float32(0.1), jnp.float32(0.001), jnp.float32(1e-4)
 
-fo.FUSED_ADAM_MODE = "pallas"
+os.environ["RECTIPY_FUSED_ADAM"] = "pallas"  # env wins over FUSED_ADAM_MODE
 outs_p = jax.jit(lambda *a: fo.adam_requant(*a, b1=0.9, b2=0.999, eps=1e-8))(W, m, v, g, bc1, bc2, lr)
 outs_p = [np.asarray(x) for x in outs_p]
 lap("pallas ran")
@@ -62,12 +62,17 @@ lap("NUMERIC PARITY OK")
 # does not block on the axon relay, and the relay can dedup identical
 # program+input executions (both measured; see CLAUDE.md).
 for tag, mode in (("pallas", "pallas"), ("xla", "xla")):
-    fo.FUSED_ADAM_MODE = mode
+    # set the ENV var: adam_requant resolves env over the module default,
+    # so a stray exported RECTIPY_FUSED_ADAM would otherwise silently win
+    # and both iterations would time the same kernel under two labels
+    os.environ["RECTIPY_FUSED_ADAM"] = mode
     f = jax.jit(lambda *a: fo.adam_requant(*a, b1=0.9, b2=0.999, eps=1e-8))
     o = f(W, m, v, g, bc1, bc2, lr); np.asarray(o[4])
     best = float("inf")
+    # the chain CONTINUES across repeats: resetting to (W, m, v, g) would
+    # replay an identical call sequence the relay can dedup
+    Wc, mc, vc, gc = W, m, v, g
     for _ in range(3):
-        Wc, mc, vc, gc = W, m, v, g
         t0 = time.perf_counter()
         for _ in range(10):
             Wc, mc, vc, _wq, sc = f(Wc, mc, vc, gc, bc1, bc2, lr)

@@ -141,10 +141,13 @@ int8_master_matvec.defvjp(_imm_fwd, _imm_bwd)
 
 # -------------------------------------------------------------------- int4
 # One notch below int8: weights quantized per output row to [-7, 7], the
-# matvec runs int4 x int8 on the MXU (native on v5e+) with int32
-# accumulation, activations keep the int8 dynamic-scale STE.  Halves the
-# per-step weight-stream bytes again -- measured 1.4x over int8 at N=10k on
-# v5e (CLAUDE.md table).  Two representation rules:
+# matvec runs int4 x int8 on the MXU with int32 accumulation, activations
+# keep the int8 dynamic-scale STE.  NOMINALLY halves the per-step
+# weight-stream bytes, but measured PERF-NEUTRAL on the current toolchain
+# (0.83x vs int8 at N=10k, 1.01x at N=14k -- XLA:TPU does not exploit the
+# packing; benchmarks/int4_inference.py): this is a numerics /
+# quantization-robustness option, not a speed option.  Two representation
+# rules:
 #
 #   * AT REST the quantized weights are stored as **int8 holding [-7, 7]**:
 #     int4 arrays cannot cross jit/staging boundaries on the axon relay
@@ -156,7 +159,7 @@ int8_master_matvec.defvjp(_imm_fwd, _imm_bwd)
 #     once per program call.
 #
 # Overflow bound: 7 * 127 * fan_in < 2^31.
-INT4_DOT_MAX_FAN_IN = (2**31 - 1) // (7 * 127)  # 2_415_919
+INT4_DOT_MAX_FAN_IN = (2**31 - 1) // (7 * 127)  # 2_415_617
 
 
 def quantize_rows_i4(w):
