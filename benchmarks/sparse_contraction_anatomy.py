@@ -38,13 +38,21 @@ jax.block_until_ready((bq, scale, src, delta))
 lap("staged")
 
 def timeit(name, f, *args, reps=50):
-    o = f(*args); jax.block_until_ready(o)
+    # CAVEAT (CLAUDE.md): jax.block_until_ready does not block on the axon
+    # relay and identical program+input executions can be deduped, so these
+    # micro timings are LOWER BOUNDS at best.  The host fetch below forces
+    # the last dispatch; repeated identical calls before it may dedup.
+    # Decision-grade comparisons must come from interleaved fit_bptt A/Bs
+    # (benchmarks/ab_sparse_bwd.py) whose wall-clock includes a host fetch
+    # per fit -- that A/B measured scatter == onehot (357 ms/epoch both) at
+    # N=100352 despite whatever these micro numbers say.
+    o = f(*args); np.asarray(jax.tree.leaves(o)[0].ravel()[:8])
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(reps):
             o = f(*args)
-        jax.block_until_ready(o)
+        np.asarray(jax.tree.leaves(o)[0].ravel()[:8])  # host-fetch sync
         best = min(best, (time.perf_counter()-t0)/reps)
     lap(f"  {name}: {best*1e6:.0f} us")
     return best
