@@ -12,7 +12,9 @@ Usage::
 
     ckpt = TrainCheckpointer("/path/ckpts")    # rolling training snapshots
     ckpt.save(step, train=train, opt_state=opt_state, state=state)
-    step, pieces = ckpt.restore_latest()
+    # restore needs a structure template (same pytree shape as was saved):
+    step, pieces = ckpt.restore_latest(
+        {"train": train, "opt_state": opt_state, "state": state})
 """
 
 from __future__ import annotations

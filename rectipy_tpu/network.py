@@ -181,7 +181,7 @@ class Network:
         try:
             n = self.get_node(node)
         except KeyError:
-            raise KeyError(f"Variable {var} was not found on node {node}.")
+            raise KeyError(f"Node {node!r} does not exist in the network.")
         var = self._relabel_var(var)
         try:
             n.set_param(var, val)
@@ -1434,12 +1434,45 @@ class Network:
                     fused_opt_cfg["mode"] = fused_mode
                 except (TypeError, ValueError):
                     fused_opt_cfg = None  # schedule/array kwargs: optax path
-            train, losses = self._bptt_epochs(step, loss_fn, opt, train, frozen, opt_state,
-                                              state0, inputs, targets, sampling_steps, verbose,
-                                              remat_steps=remat_steps,
-                                              fused_bptt=kwargs.pop("fused_bptt", "auto"),
-                                              mesh=mesh, prog_key=prog_key,
-                                              fused_opt_cfg=fused_opt_cfg)
+            fused_bptt = kwargs.pop("fused_bptt", "auto")
+
+            def epochs(tr, os_, ins, tgts):
+                return self._bptt_epochs(step, loss_fn, opt, tr, frozen, os_,
+                                         state0, ins, tgts, sampling_steps,
+                                         verbose, remat_steps=remat_steps,
+                                         fused_bptt=fused_bptt, mesh=mesh,
+                                         prog_key=prog_key,
+                                         fused_opt_cfg=fused_opt_cfg)
+
+            # Reference parity: _bptt_epochs returns the LAST epoch's run
+            # Observer (out/steps/record_vars with the weights after K-1
+            # updates), /root/reference/rectipy/network.py:983-1014.  The
+            # recording forward costs an extra pass over the last epoch, so
+            # it runs only when recording is EXPLICITLY requested -- the
+            # default epoch fit stays pure training programs (the documented
+            # deviation: obs holds only epoch_loss/epochs then).
+            rec_requested = bool(obs_kwargs.get("record_vars")) or bool(
+                obs_kwargs.get("record_output", False))
+            if rec_requested and len(inputs) >= 1:
+                head_in, head_tgt = list(inputs[:-1]), list(targets[:-1])
+                losses = []
+                if head_in:
+                    train, opt_state, losses = epochs(train, opt_state,
+                                                      head_in, head_tgt)
+                # the recorded forward sees the weights after K-1 updates,
+                # exactly the forward the reference's last-epoch run records
+                self._write_back(params=self._combine(train, frozen))
+                run_kw = {k: v for k, v in obs_kwargs.items()
+                          if k in ("record_output", "record_vars")}
+                obs = self.run(inputs[-1], sampling_steps=sampling_steps,
+                               verbose=False, mesh=mesh, **run_kw)
+                self._write_back(state=state0)  # reference resets per epoch
+                train, opt_state, last = epochs(train, opt_state,
+                                                [inputs[-1]], [targets[-1]])
+                losses = list(losses) + list(last)
+            else:
+                train, opt_state, losses = epochs(train, opt_state,
+                                                  inputs, targets)
             obs.save("epoch_loss", losses)
             obs.save("epochs", np.arange(len(losses)))
         else:
@@ -1830,9 +1863,12 @@ class Network:
             if cache_key is not None:
                 self._step_cache[cache_key] = built
         update, update_chunk, pack, init_opt = built
-        if init_opt is not None:
+        if init_opt is not None and hasattr(opt_state, "hyperparams"):
             # fused carry (count, mu, nu, lr, (wq, scale)) replaces the optax
-            # state; the initial quantization pair preps ONCE per fit here
+            # state; the initial quantization pair preps ONCE per fit here.
+            # An opt_state WITHOUT .hyperparams is already a fused carry from
+            # a previous _bptt_epochs call (the recording-parity path splits
+            # one fit into two calls) -- pass it through untouched.
             opt_state = init_opt(train, opt_state)
         y0p = pack(state0)
         C = _EPOCH_SCAN_CHUNK
@@ -1892,7 +1928,7 @@ class Network:
                     loss_parts.append(lval[None] if jnp.ndim(lval) == 0 else lval)
             if loss_parts:
                 losses = [float(x) for x in np.asarray(jnp.concatenate(loss_parts))]
-            return train, losses
+            return train, opt_state, losses
 
         for epoch in range(n_epochs):
             inp = stage(inputs[epoch])
@@ -1908,7 +1944,7 @@ class Network:
                 print("")
         if losses:
             losses = [float(x) for x in np.asarray(jnp.stack(losses))]
-        return train, losses
+        return train, opt_state, losses
 
     def _bptt_steps(self, step, loss_fn, opt, train, frozen, opt_state, state0,
                     inputs, targets, update_steps, sampling_steps, obs=None,
@@ -2523,6 +2559,17 @@ class FeedbackNetwork(Network):
             return super().get_edge(source, target)
         except KeyError:
             return self._fb_graph[source][target]["edge"]
+
+    def pop_edge(self, source: str, target: str):
+        # after compile() feedback edges live in _fb_graph, not self.graph --
+        # the base remove_edge would raise NetworkXError for them
+        if (self._fb_graph is not None and not self.graph.has_edge(source, target)
+                and self._fb_graph.has_edge(source, target)):
+            edge = self._fb_graph[source][target]["edge"]
+            self._fb_graph.remove_edge(source, target)
+            self._invalidate()
+            return edge
+        return super().pop_edge(source, target)
 
     def get_node(self, node: str):
         try:

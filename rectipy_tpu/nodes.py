@@ -485,7 +485,13 @@ class RateNet:
 
     def set_param(self, param: str, val):
         """Set the value of a node parameter (reference:
-        /root/reference/rectipy/nodes.py:213-230)."""
+        /root/reference/rectipy/nodes.py:213-230).
+
+        With a fused Pallas step attached the kernel reads its own padded /
+        baked copies of the parameters: per-neuron params and couplings are
+        refreshed here transparently; SCALAR params are compile-time
+        constants of the kernel and raise (rebuild the node to change them
+        -- silently keeping the stale value would corrupt the simulation)."""
         try:
             key = self._param_map[param]
         except KeyError:
@@ -493,6 +499,45 @@ class RateNet:
         if isinstance(val, (np.ndarray, jnp.ndarray, list, tuple)):
             val = jnp.asarray(np.asarray(val), dtype=self.dtype)
         self._args[key] = val
+        if getattr(self, "_fused_attached", False):
+            self._refresh_fused_param(key)
+
+    def _refresh_fused_param(self, key: str):
+        """Propagate a parameter update into the attached fused kernel's
+        padded copies (ops/kernels.py / ops/generic_fused.py attach both
+        store ``_fused_pad_cfg``)."""
+        cfg = getattr(self, "_fused_pad_cfg", None)
+        if cfg is None:  # older attach without refresh support: be loud
+            raise ValueError(
+                f"Parameter {key!r} is baked into the attached fused kernel "
+                f"and cannot be refreshed; rebuild the node.")
+        n, n_pad = cfg["n"], cfg["n_pad"]
+        row_key = f"__row_{key}__"
+        if row_key in self._args:  # generic fused per-neuron row
+            pad_val = 0.0 if key in cfg.get("input_vars", ()) else 1.0
+            self._args[row_key] = jnp.pad(
+                jnp.broadcast_to(jnp.asarray(self._args[key], jnp.float32),
+                                 (n,)), (0, n_pad - n),
+                constant_values=pad_val).reshape(1, n_pad)
+            return
+        if key == cfg.get("eta_key") and "__eta_pad__" in self._args:
+            self._args["__eta_pad__"] = jnp.pad(
+                jnp.broadcast_to(self._args[key], (n,)).astype(self.dtype),
+                (0, n_pad - n))
+            return
+        if key in cfg.get("wkeys", ()):  # coupling matrix: re-pad
+            from .ops.kernels import pad_coupling
+
+            c = list(cfg["wkeys"]).index(key)
+            pad_key = "__wt_pad__" if "__wt_pad__" in self._args else f"__wt_pad_{c}__"
+            self._args[pad_key] = pad_coupling(
+                np.asarray(self._args[key], dtype=np.float32),
+                tile=cfg["tile"], weights_dtype=cfg["weights_dtype"])
+            return
+        raise ValueError(
+            f"Parameter {key!r} is a scalar baked into the attached fused "
+            f"kernel at attach time; rebuild the node (fresh add_diffeq_node "
+            f"+ attach) to change it.")
 
     def set_state(self, y):
         """Functional state setter used by the Network scan drivers."""

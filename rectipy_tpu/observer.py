@@ -84,7 +84,9 @@ class Observer:
         data = {}
         for c in columns:
             vals = [np.asarray(v) for v in self._recordings[c]]
-            data[str(c)] = [v if v.ndim == 0 else v for v in vals]
+            # 0-d arrays (reduced vars, losses) become Python scalars so the
+            # DataFrame columns hold numbers, not numpy 0-d objects
+            data[str(c)] = [v.item() if v.ndim == 0 else v for v in vals]
         index = np.asarray(self._recordings["steps"], dtype=float) * self._dt
         return DataFrame(index=index, data=data)
 

@@ -19,8 +19,10 @@ fused path's win is ~30x faster compilation).
 
 Design (same shape as the QIF kernel): grid ``(j, k)`` over output and
 contraction tiles, matvec accumulating in VMEM scratch on the MXU, tile_func
-tail once per output tile. Scalar parameters are baked at attach time
-(re-attach after ``set_param``); per-neuron parameters stream as row blocks.
+tail once per output tile. Scalar parameters are baked at attach time —
+``set_param`` on one raises with guidance (rebuild the node to change it);
+per-neuron parameters and couplings stream as padded row blocks that
+``set_param`` refreshes transparently.
 The node state is re-laid-out into padded contiguous blocks (state stays
 padded across the whole scan; see attach_fused_qif_step).
 
@@ -363,4 +365,12 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
     node.make_step = (lambda: fused_step_heun) if heun_mode else (lambda: fused_step)
     node._jit_step = None  # invalidate the eager-forward cache (old step, old layout)
     node._step_version = getattr(node, "_step_version", 0) + 1
+    # set_param refresh support (nodes.RateNet._refresh_fused_param):
+    # per-neuron rows and couplings re-pad transparently; scalars are baked
+    # into the kernel and set_param raises for them
+    node._fused_pad_cfg = {
+        "tile": tile, "weights_dtype": weights_dtype, "n": n, "n_pad": n_pad,
+        "wkeys": [wk for _, _, wk in couplings],
+        "input_vars": frozenset(vf.input_vars),
+    }
     node._fused_attached = True

@@ -246,7 +246,12 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
         of (stage, path) pairs; the last stage is the edge's output."""
         ek = _ekey(u, nname)
         w = e.params["weights"]
-        wprep, mv, mv_t, grad_w = _edge_ops(w)
+        # contraction ops dispatch on the EFFECTIVE weight: LinearMasked's
+        # w * mask is always 2-D (the mask is (n_out, n_in) by construction)
+        # even when w holds 1-D diagonal gains, matching make_step's
+        # (w * mask) @ x semantics
+        wprep, mv, mv_t, grad_w = _edge_ops(
+            e.params["mask"] if type(e) is LinearMasked else w)
         out = []
 
         if type(e) is LinearMemoryFilter:
@@ -314,11 +319,16 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
 
         mask_path = None
         if type(e) is LinearMasked:
+            diag_w = w.ndim == 1  # eff[i, j] = w[j] * m[i, j]
+
             def eff(wv, args, ek=ek):
                 return wv * args["edges"][ek]["mask"]
 
-            def deff(dE, wv, args, ek=ek):
-                return dE * args["edges"][ek]["mask"]
+            def deff(dE, wv, args, ek=ek, diag=diag_w):
+                d = dE * args["edges"][ek]["mask"]
+                # 1-D gains: reduce the 2-D effective-weight cotangent back
+                # to the per-source axis (d eff[i,j] / d w[j] = m[i,j])
+                return d.sum(axis=0) if diag else d
 
             # the mask multiply runs in _prep_all, OUTSIDE the differentiated
             # region, so its cotangent must be emitted explicitly from the

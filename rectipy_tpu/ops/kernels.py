@@ -262,4 +262,10 @@ def attach_fused_qif_step(node, tile: int = 512, weights_dtype=None,
     node._jit_step = None  # invalidate the eager-forward cache (old step, old layout)
     node._step_version = getattr(node, "_step_version", 0) + 1
     node._fused_unpad = unpad_y  # for tooling that needs the logical state
+    # set_param refresh support (nodes.RateNet._refresh_fused_param): eta
+    # and the coupling re-pad transparently; the other scalars are baked
+    # into the kernel and set_param raises for them
+    node._fused_pad_cfg = {"tile": tile, "weights_dtype": weights_dtype,
+                           "n": n, "n_pad": n_pad, "wkeys": ["weights"],
+                           "eta_key": eta_key}
     node._fused_attached = True

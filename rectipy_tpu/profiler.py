@@ -21,13 +21,29 @@ import jax
 __all__ = ["PhaseTimer", "trace", "annotate"]
 
 
+class _Phase:
+    """Handle yielded by :meth:`PhaseTimer.phase` -- assign the device
+    result to ``.result`` inside the block so the timer can synchronize on
+    it at exit (a ``result=`` argument to ``phase()`` cannot work: the
+    result does not exist when the context is entered)."""
+
+    __slots__ = ("result",)
+
+    def __init__(self):
+        self.result = None
+
+
 class PhaseTimer:
     """Accumulating named phase timer.
 
     >>> timer = PhaseTimer()
-    >>> with timer.phase("integrate"):
-    ...     out = run(...)          # device work
+    >>> with timer.phase("integrate") as ph:
+    ...     ph.result = run(...)    # device work; timer syncs on ph.result
     >>> timer.report()
+
+    Without assigning ``ph.result`` the recorded time is dispatch-only under
+    JAX async dispatch (Network.run/fit_* synchronize internally, so timing
+    those needs no handle).
     """
 
     def __init__(self, sync: bool = True):
@@ -36,13 +52,14 @@ class PhaseTimer:
         self.counts: Dict[str, int] = {}
 
     @contextlib.contextmanager
-    def phase(self, name: str, result=None):
+    def phase(self, name: str):
+        ph = _Phase()
         t0 = time.perf_counter()
         try:
-            yield
+            yield ph
         finally:
-            if self.sync and result is not None:
-                jax.block_until_ready(result)
+            if self.sync and ph.result is not None:
+                jax.block_until_ready(ph.result)
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

@@ -123,7 +123,9 @@ def random_connectivity(
     if use_native:
         from .native import sample_fixed_fanin
 
-        seed = int(np.random.default_rng().integers(2 ** 62)) if rng is None else 0
+        # a user rng seeds the native sampler deterministically from its
+        # stream (backend='native' + rng must NOT silently pin one seed)
+        seed = int((rng or np.random.default_rng()).integers(2 ** 62))
         cols = sample_fixed_fanin(n, m, n_conns, seed=seed)
     else:
         rng = rng or np.random.default_rng()

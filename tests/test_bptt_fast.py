@@ -1147,3 +1147,70 @@ def test_fit_bptt_int4_master_trains():
     np.testing.assert_allclose(w_fast, w_std, rtol=1e-4, atol=1e-8)
     assert l_fast[-1] < l_fast[0], "int4_master training did not reduce the loss"
     assert np.abs(w_fast - W0).max() > 1e-5, "master weights did not move"
+
+
+def test_fit_bptt_epoch_mode_records_last_epoch_run():
+    """Reference parity (/root/reference/rectipy/network.py:983-1014): when
+    recording is requested, the Observer returned by an epoch-mode fit holds
+    the LAST epoch's run recordings -- the forward with the weights after
+    K-1 updates, from the initial state -- plus the full epoch_loss history.
+    Recording is opt-in here (the reference always records; the extra
+    forward pass is not free), so the default fit's Observer holds only
+    epoch_loss/epochs."""
+    n, T, K = 8, 120, 5
+    rng = np.random.default_rng(36)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.2
+
+    def build():
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        return net
+
+    # default: training-only programs, no trajectory recordings
+    net0 = build()
+    obs0 = net0.fit_bptt([inp] * K, [tgt] * K, optimizer="adam", lr=1e-2,
+                         verbose=False)
+    assert len(np.asarray(obs0["epoch_loss"])) == K
+    assert obs0.to_numpy("out").size == 0
+
+    # recording fit: losses identical to an unrecorded fit of the same
+    # config, final weights too (sampling_steps > 1: the loss compares the
+    # downsampled recordings against a (T//s, n) target, as the reference
+    # does with stacked obs["out"])
+    s_steps = 3
+    tgt_ds = tgt[::s_steps]
+    net0b = build()
+    obs0b = net0b.fit_bptt([inp] * K, [tgt_ds] * K, optimizer="adam", lr=1e-2,
+                           verbose=False, sampling_steps=s_steps)
+    net1 = build()
+    obs1 = net1.fit_bptt([inp] * K, [tgt_ds] * K, optimizer="adam", lr=1e-2,
+                         verbose=False, record_output=True,
+                         record_vars=[("rnn", "v", True)], sampling_steps=s_steps)
+    np.testing.assert_allclose(np.asarray(obs1["epoch_loss"]),
+                               np.asarray(obs0b["epoch_loss"]), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(net1.get_node("rnn")["weights"]),
+                               np.asarray(net0b.get_node("rnn")["weights"]),
+                               rtol=1e-9)
+
+    # the recordings are the last epoch's forward: train K-1 epochs on a
+    # fresh network, then run() -- must match exactly
+    net2 = build()
+    net2.fit_bptt([inp] * (K - 1), [tgt_ds] * (K - 1), optimizer="adam",
+                  lr=1e-2, verbose=False, sampling_steps=s_steps)
+    ref = net2.run(inp, sampling_steps=s_steps, verbose=False,
+                   record_vars=[("rnn", "v", True)])
+    np.testing.assert_allclose(obs1.to_numpy("out"), ref.to_numpy("out"),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(obs1.to_numpy(("rnn", "v")),
+                               ref.to_numpy(("rnn", "v")), rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(obs1["steps"]),
+                                  np.asarray(ref["steps"]))
+
+    # the recording fit leaves the network state reset (reference resets to
+    # y0 after every epoch) and the TRAINED weights written back
+    np.testing.assert_allclose(np.asarray(net1.state["rnn"]),
+                               np.asarray(build().state["rnn"]), atol=1e-12)

@@ -303,3 +303,67 @@ def test_eprop_hyperparams_keep_f32_precision_with_bf16_readout():
     # bf16 storage rounds W, but the trajectory must track f32 closely --
     # with bf16-quantized hyperparameters the update path itself is wrong
     assert np.corrcoef(wA.ravel(), wB.ravel())[0, 1] > 0.99
+
+
+def test_feedback_pop_edge_after_compile():
+    """Feedback edges move into _fb_graph at compile(); pop_edge must still
+    find and remove them (regression: NetworkXError 'edge not in graph')."""
+    from rectipy_tpu import FeedbackNetwork
+
+    n = 4
+    net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+    for lbl in ("a", "b"):
+        net.add_diffeq_node(lbl, TANH, weights=np.zeros((n, n)),
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in")
+    net.add_edge("a", "b", weights=np.eye(n))
+    net.add_edge("b", "a", weights=np.eye(n) * 0.5, feedback=True)
+    net.compile()
+    edge = net.pop_edge("b", "a")
+    assert edge is not None
+    with pytest.raises(KeyError):
+        net.get_edge("b", "a")
+    # the pruned network recompiles and runs as a pure feedforward chain
+    obs = net.run(np.zeros((5, n)), verbose=False)
+    assert obs.to_numpy("out").shape[0] == 5
+    # feedforward edges still pop through the base path
+    assert net.pop_edge("a", "b") is not None
+
+
+def test_set_var_missing_node_message():
+    net = _net(3)
+    with pytest.raises(KeyError, match="does not exist"):
+        net.set_var("typo_node", "v", 1.0)
+    with pytest.raises(KeyError, match="was not found"):
+        net.set_var("rnn", "typo_var", 1.0)
+
+
+def test_native_random_connectivity_honors_rng():
+    """backend='native' must derive its seed from a provided rng
+    (regression: the seed was silently pinned to 0, making every
+    'independently seeded' reservoir byte-identical)."""
+    pytest.importorskip("rectipy_tpu.native")
+    from rectipy_tpu.utility import random_connectivity
+
+    try:
+        A = random_connectivity(32, 32, 0.25, rng=np.random.default_rng(1),
+                                backend="native")
+        B = random_connectivity(32, 32, 0.25, rng=np.random.default_rng(2),
+                                backend="native")
+        A2 = random_connectivity(32, 32, 0.25, rng=np.random.default_rng(1),
+                                 backend="native")
+    except (OSError, RuntimeError) as e:  # no compiled sampler in this env
+        pytest.skip(f"native sampler unavailable: {e}")
+    assert not np.array_equal(A, B), "different rngs produced identical connectivity"
+    np.testing.assert_array_equal(A, A2)  # same rng stream -> deterministic
+
+
+def test_phase_timer_syncs_on_result_handle():
+    timer = PhaseTimer()
+    with timer.phase("work") as ph:
+        ph.result = jnp.sum(jnp.ones(64))
+    assert timer.counts["work"] == 1
+    # without a handle the phase still records (dispatch-only time)
+    with timer.phase("nohandle"):
+        _ = jnp.ones(3)
+    assert timer.counts["nohandle"] == 1

@@ -261,3 +261,46 @@ def test_generic_fused_tanh_algebraic_source():
         return net
 
     _run_both(build, T=300, seed=5, atol=5e-4)
+
+
+def test_generic_fused_set_param_refresh():
+    """set_param after attach: per-neuron params and couplings refresh the
+    kernel's padded copies transparently; BAKED scalars raise with guidance
+    (regression: they silently kept the stale attach-time value)."""
+    n, T = 48, 100
+    rng = np.random.default_rng(9)
+    W = np.abs(rng.normal(size=(n, n))) * 0.05
+    tau = rng.uniform(10.0, 15.0, size=n)
+    tau2 = rng.uniform(10.0, 15.0, size=n)
+    W2 = np.abs(rng.normal(size=(n, n))) * 0.05
+    inp = rng.normal(size=(T, n)).astype(np.float32)
+
+    def build(tau_v, W_v, fused):
+        net = Network(1e-2, dtype=jnp.float32)
+        net.add_diffeq_node("lif", LIF, weights=W_v, source_var="s",
+                            target_var="s_in", input_var="I_ext",
+                            output_var="s", op="lif_op", spike_var="spike",
+                            reset_var="v", dtype=jnp.float32,
+                            spike_threshold=10.0, spike_reset=-10.0,
+                            node_vars={"eta": 10.0, "tau": tau_v, "tau_s": 5.0})
+        net.compile()
+        if fused:
+            attach_generic_fused_step(net.get_node("lif"), tile=128,
+                                      interpret=True)
+        return net
+
+    # update a per-neuron param + the coupling AFTER attach; the fused run
+    # must match a fresh fused network built with the new values
+    net = build(tau, W, fused=True)
+    node = net.get_node("lif")
+    node.set_param("tau", tau2)
+    node.set_param("weights", W2)
+    out = net.run(inp, verbose=False).to_numpy("out")
+    ref = build(tau2, W2, fused=True).run(inp, verbose=False).to_numpy("out")
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    # a baked scalar raises instead of silently running stale
+    with pytest.raises(ValueError, match="baked"):
+        node.set_param("tau_s", 2.0)
+    # the unfused path still allows it
+    build(tau, W, fused=False).get_node("lif").set_param("tau_s", 2.0)

@@ -707,3 +707,40 @@ def test_fit_bptt_graph_remat_matches_full():
     np.testing.assert_allclose(w1_c, w1_f, rtol=1e-6, atol=1e-10)
     np.testing.assert_allclose(we_c, we_f, rtol=1e-6, atol=1e-10)
     assert l_f[-1] < l_f[0]
+
+
+def test_graph_bptt_diagonal_masked_edge_matches_plain():
+    """A LinearMasked edge with 1-D diagonal gains: the effective weight
+    w * mask is 2-D (make_step's (w*mask) @ x semantics), so the deferred
+    stage must use the matmul contraction and reduce the weight cotangent
+    back to the per-source axis.  Regression: this configuration crashed
+    while tracing the fused update program ('Cannot broadcast to shape with
+    fewer dimensions')."""
+    n, T, K = 6, 80, 4
+    rng = np.random.default_rng(37)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    gains = rng.uniform(0.5, 1.5, n)
+    mask = (rng.random((n, n)) < 0.6).astype(float)
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.2
+
+    def fit(fused):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("a", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        net.add_diffeq_node("b", TANH, weights=W0 * 0.5,
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in")
+        net.add_edge("a", "b", weights=gains, mask=mask, train="gd")
+        obs = net.fit_bptt(inp, tgt, optimizer="adam", lr=1e-2,
+                           update_steps=20, verbose=False, fused_bptt=fused)
+        return (np.asarray(obs["loss"]),
+                np.asarray(net.get_edge("a", "b").params["weights"]))
+
+    l_f, w_f = fit(True)
+    l_p, w_p = fit(False)
+    assert w_f.ndim == 1, "diagonal gains must stay 1-D through training"
+    np.testing.assert_allclose(l_f, l_p, rtol=1e-8)
+    np.testing.assert_allclose(w_f, w_p, rtol=1e-6, atol=1e-10)
+    assert np.abs(w_f - gains).max() > 1e-6, "masked diagonal edge did not train"
