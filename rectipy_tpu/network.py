@@ -1501,6 +1501,198 @@ class Network:
             print(f"Finished optimization after {perf_counter() - t0} s.")
         return obs
 
+    def fit_bptt_batch(self, inputs, targets, n_epochs: int = 1,
+                       batch_size: int = None, optimizer: str = "adam",
+                       optimizer_kwargs: dict = None, loss: str = "mse",
+                       loss_kwargs: dict = None, lr: float = 1e-3,
+                       sampling_steps: int = 1, shuffle: bool = True,
+                       seed: int = 0, verbose: bool = True,
+                       **kwargs) -> Observer:
+        """Minibatch BPTT over a batch of independent trials.
+
+        ``inputs``: ``(B, T, m)`` -- B independent trials, each starting
+        from the network's current state.  ``targets``: ``(B, R, n_out)``
+        with ``R = T // sampling_steps``.  Every optimizer update takes the
+        gradient of the MEAN loss over one minibatch of ``batch_size``
+        trials (default: all B, i.e. full-batch gradient descent);
+        ``n_epochs`` passes over the data, reshuffling trial order each
+        epoch when ``shuffle`` (device-side permutation gather, seeded by
+        ``seed``).
+
+        No reference analog (the reference's epoch mode trains ONE trial
+        per update, /root/reference/rectipy/network.py:603-707) -- this is
+        the TPU-native ensemble trainer: the vmapped trajectory turns every
+        per-step coupling matvec into a ``(batch, N) x (N, N)`` matmul on
+        the MXU, and a whole epoch (scan over minibatches) or a chunk of
+        epochs runs as ONE device program.  Composes with the deferred-
+        gradient trajectories (``fused_bptt='auto'``), ``remat_steps``, and
+        ``mesh=`` (population sharding; the batch is replicated).
+
+        Returns an Observer with ``epoch_loss`` (mean over minibatches,
+        one per epoch), ``train_loss`` (one per update), and ``epochs``.
+        The network's trained parameters are written back; its state is
+        left unchanged (trials would disagree).
+        """
+        self.compile()
+        loss_fn = get_loss_function(loss, loss_kwargs=loss_kwargs)
+        opt = get_optimizer(optimizer, lr, optimizer_kwargs=optimizer_kwargs)
+        obs = Observer(dt=self.dt, **retrieve_from_dict(["record_loss"], kwargs))
+
+        paths = self.trainable_paths()
+        if not paths:
+            raise ValueError("No trainable parameters in the network; pass `train_params` "
+                             "to add_diffeq_node or train='gd' to add_edge.")
+        inputs = np.asarray(inputs)
+        targets = np.asarray(targets)
+        if inputs.ndim != 3:
+            raise ValueError(f"fit_bptt_batch expects (B, T, m) inputs, got {inputs.shape}")
+        if targets.shape[0] != inputs.shape[0]:
+            raise ValueError(
+                "Wrong dimensions of input and target output. Please make sure that "
+                "`inputs` and `targets` agree in the first dimension (trials)."
+            )
+        B, T = int(inputs.shape[0]), int(inputs.shape[1])
+        mb = B if batch_size is None else int(batch_size)
+        if mb < 1 or B % mb:
+            raise ValueError(f"batch_size={mb} must divide the number of trials B={B}")
+        n_mb = B // mb
+
+        mesh = kwargs.pop("mesh", None)
+        params = self.parameters_pytree()
+        state0 = self.init_state()
+        if mesh is not None:
+            params = self._mesh_place(params, mesh)
+            state0 = self._mesh_place(state0, mesh)
+        train, frozen = self._partition(params, paths)
+        opt_state = opt.init(train)
+        step = self.make_step()
+
+        remat_steps = int(kwargs.pop("remat_steps", 0))
+        rk = remat_steps if (remat_steps > 1 and T % remat_steps == 0) else 0
+        fused_bptt = kwargs.pop("fused_bptt", "auto")
+        if remat_steps > 1 and rk == 0 and fused_bptt == "auto":
+            fused_bptt = False  # non-divisible T: plain path handles remat
+        shuffled = bool(shuffle) and n_mb > 1  # full-batch: order is moot
+
+        prog_key = self._train_prog_key(optimizer, loss, optimizer_kwargs,
+                                        loss_kwargs)
+        cache_key = None
+        if prog_key is not None:
+            cache_key = ("bptt_batch", prog_key, sampling_steps, rk,
+                         str(fused_bptt), remat_steps, self._step_versions(),
+                         n_mb, mb, shuffled)
+        built = self._step_cache.get(cache_key) if cache_key is not None else None
+        if built is None:
+            built = self._build_batch_programs(step, loss_fn, opt, fused_bptt,
+                                               rk, remat_steps, sampling_steps,
+                                               n_mb, mb, shuffled)
+            if cache_key is not None:
+                self._step_cache[cache_key] = built
+        fit_single, fit_chunk, pack = built
+        y0p = pack(state0)
+
+        def place(x, dtype):
+            arr = jnp.asarray(x, dtype=dtype)
+            return (self._mesh_replicate(arr, mesh) if mesh is not None
+                    else jax.device_put(arr))
+
+        inp = place(inputs, self.dtype)
+        tgt = place(targets, self.dtype)
+        E = int(n_epochs)
+        if shuffled:
+            rng = np.random.default_rng(seed)
+            perms = np.stack([rng.permutation(B) for _ in range(E)])
+        else:
+            perms = np.broadcast_to(np.arange(B), (E, B))
+        perms = place(np.ascontiguousarray(perms), jnp.int32)
+
+        t0 = perf_counter()
+        loss_parts = []
+        C = _EPOCH_SCAN_CHUNK
+        if verbose:
+            for epoch in range(E):
+                train, opt_state, lvals = fit_single(train, frozen, opt_state,
+                                                     y0p, inp, tgt, perms[epoch])
+                loss_parts.append(lvals)
+                print(f"Progress: {epoch + 1}/{E} training epochs finished.")
+                print(f"Epoch loss: {float(jnp.mean(lvals))}.")
+                print("")
+        else:
+            e = 0
+            while E - e >= C:
+                train, opt_state, lvals = fit_chunk(train, frozen, opt_state,
+                                                    y0p, inp, tgt, perms[e:e + C])
+                loss_parts.append(lvals.reshape(-1))
+                e += C
+            for epoch in range(e, E):
+                train, opt_state, lvals = fit_single(train, frozen, opt_state,
+                                                     y0p, inp, tgt, perms[epoch])
+                loss_parts.append(lvals)
+        # losses stay on device through the loop; one fetch here
+        losses = np.asarray(jnp.concatenate(loss_parts)) if loss_parts else np.zeros(0)
+        obs.save("train_loss", list(losses))
+        obs.save("epoch_loss", list(losses.reshape(E, n_mb).mean(axis=1)) if E else [])
+        obs.save("epochs", np.arange(E))
+        self._write_back(params=self._combine(train, frozen))
+        if verbose:
+            print(f"Finished optimization after {perf_counter() - t0} s.")
+        return obs
+
+    def _build_batch_programs(self, step, loss_fn, opt, fused_bptt, rk,
+                              remat_steps, sampling_steps, n_mb, mb,
+                              shuffled):
+        """Jitted batched-trial training programs for
+        :meth:`fit_bptt_batch`: ``(fit_single, fit_chunk, pack)``.  Each
+        update takes the mean loss over ``mb`` trials by vmapping the
+        per-trial trajectory loss (per-step coupling matvecs batch into
+        ``(mb, N) x (N, N)`` MXU matmuls); ``fit_single`` scans the
+        ``n_mb`` minibatches of one epoch in one dispatch, ``fit_chunk``
+        scans ``_EPOCH_SCAN_CHUNK`` whole epochs (with their trial
+        permutations) in one.  ``shuffled``/``n_mb``/``mb`` are baked
+        (covered by the fit_bptt_batch cache key)."""
+        epoch_loss, pack, _ = self._build_epoch_loss(
+            step, loss_fn, fused_bptt, rk, remat_steps, sampling_steps)
+
+        def batch_loss(train, frozen, y0p, inp, tgt):
+            per_trial = jax.vmap(
+                lambda i, t: epoch_loss(train, frozen, y0p, i, t))
+            return jnp.mean(per_trial(inp, tgt))
+
+        def _epoch(train, opt_state, frozen, y0p, inp, tgt, perm):
+            if shuffled:
+                inp = jnp.take(inp, perm, axis=0)
+                tgt = jnp.take(tgt, perm, axis=0)
+            inp = inp.reshape((n_mb, mb) + inp.shape[1:])
+            tgt = tgt.reshape((n_mb, mb) + tgt.shape[1:])
+
+            def body(carry, it):
+                tr, os_ = carry
+                lval, grads = jax.value_and_grad(batch_loss)(tr, frozen, y0p,
+                                                             it[0], it[1])
+                updates, os_ = opt.update(grads, os_, tr)
+                return (optax.apply_updates(tr, updates), os_), lval
+
+            (train, opt_state), lvals = jax.lax.scan(
+                body, (train, opt_state), (inp, tgt))
+            return train, opt_state, lvals
+
+        @jax.jit
+        def fit_single(train, frozen, opt_state, y0p, inp, tgt, perm):
+            return _epoch(train, opt_state, frozen, y0p, inp, tgt, perm)
+
+        @jax.jit
+        def fit_chunk(train, frozen, opt_state, y0p, inp, tgt, perms):
+            def ep(carry, perm):
+                tr, os_ = carry
+                tr, os_, lvals = _epoch(tr, os_, frozen, y0p, inp, tgt, perm)
+                return (tr, os_), lvals
+
+            (train, opt_state), lvals = jax.lax.scan(
+                ep, (train, opt_state), perms)
+            return train, opt_state, lvals
+
+        return fit_single, fit_chunk, pack
+
     def _chain_decompose(self):
         """Decompose a chain network ``[instants...] -> diffeq -> [instants...]``
         (stateless Linear/LinearMasked edges only) into
@@ -1553,28 +1745,20 @@ class Network:
 
         return label, apply_prefix, apply_suffix
 
-    def _build_epoch_programs(self, step, loss_fn, opt, fused_bptt, rk,
-                              remat_steps, sampling_steps, fused_opt_cfg=None,
-                              train_paths=()):
-        """Build the jitted epoch-mode training programs:
-        ``(update, update_chunk, pack, init_opt)`` where ``pack(state0)``
-        extracts the initial-state argument the programs expect and
-        ``init_opt`` (or None) converts the optax opt_state into the fused
-        optimizer carry.  Deferred-gradient fast paths: chain networks train
-        through the single-population custom-VJP trajectory (ops/bptt.py,
-        preferred -- pre/post stages hoist OUT of the scan entirely);
-        general DAGs of populations fall through to the multi-stage graph
-        trajectory (ops/graph_bptt.py); everything else uses plain autodiff.
-
-        ``fused_opt_cfg`` (a ``{'b1','b2','eps'}`` dict when the fit uses
-        plain adam, else None) enables the fused adam + requantize tail for
-        a trained single dense int8_master coupling: the adam update and the
-        next epoch's row quantization run as ONE pass over the (N, N)
-        arrays (ops/fused_opt.py), and the produced ``(wq, scale)`` rides
-        the optimizer-state carry into the next epoch's trajectory -- the
-        per-epoch `quantize_rows` prep disappears from the epoch program.
-        Update sequence is bit-compatible with the unfused path (same
-        master -> same quantization; adam formulas mirror optax.adam)."""
+    def _build_epoch_loss(self, step, loss_fn, fused_bptt, rk, remat_steps,
+                          sampling_steps):
+        """Build the per-trajectory loss ``epoch_loss(train, frozen, y0p,
+        inp, tgt)`` and its initial-state packer ``pack(state0)``; shared by
+        the epoch-mode programs (:meth:`_build_epoch_programs`) and the
+        batched-trial programs (:meth:`_build_batch_programs`).  Returns
+        ``(epoch_loss, pack, chain_ctx)`` where ``chain_ctx`` (a dict, or
+        None off the chain-trajectory path) carries what the fused-adam
+        specialization needs.  Deferred-gradient fast paths: chain networks
+        train through the single-population custom-VJP trajectory
+        (ops/bptt.py, preferred -- pre/post stages hoist OUT of the scan
+        entirely); general DAGs of populations fall through to the
+        multi-stage graph trajectory (ops/graph_bptt.py); everything else
+        uses plain autodiff."""
         combine = self._combine
         order = self._compiled["order"]
         traj = None
@@ -1608,15 +1792,15 @@ class Network:
                 outs = outs.reshape(n_keep, sampling_steps, -1).mean(axis=1)
             return outs
 
+        chain_ctx = None
         if traj is not None:
             def pack(state0, label=label):
                 return state0["nodes"][label]
 
-            fused = self._build_fused_adam_programs(
-                label, traj_wkeys, apply_prefix, apply_suffix, loss_fn,
-                _downsample, pack, fused_opt_cfg, rk, train_paths)
-            if fused is not None:
-                return fused
+            chain_ctx = {"label": label, "wkeys": traj_wkeys,
+                         "apply_prefix": apply_prefix,
+                         "apply_suffix": apply_suffix,
+                         "downsample": _downsample}
 
             def epoch_loss(train, frozen, y0, inp, tgt):
                 params = combine(train, frozen)
@@ -1668,6 +1852,37 @@ class Network:
                 else:
                     _, outs = jax.lax.scan(body, state0, inp)
                 return loss_fn(_downsample(outs), tgt)
+
+        return epoch_loss, pack, chain_ctx
+
+    def _build_epoch_programs(self, step, loss_fn, opt, fused_bptt, rk,
+                              remat_steps, sampling_steps, fused_opt_cfg=None,
+                              train_paths=()):
+        """Build the jitted epoch-mode training programs:
+        ``(update, update_chunk, pack, init_opt)`` where ``pack(state0)``
+        extracts the initial-state argument the programs expect and
+        ``init_opt`` (or None) converts the optax opt_state into the fused
+        optimizer carry.  Loss/trajectory construction lives in
+        :meth:`_build_epoch_loss`.
+
+        ``fused_opt_cfg`` (a ``{'b1','b2','eps'}`` dict when the fit uses
+        plain adam, else None) enables the fused adam + requantize tail for
+        a trained single dense int8_master coupling: the adam update and the
+        next epoch's row quantization run as ONE pass over the (N, N)
+        arrays (ops/fused_opt.py), and the produced ``(wq, scale)`` rides
+        the optimizer-state carry into the next epoch's trajectory -- the
+        per-epoch `quantize_rows` prep disappears from the epoch program.
+        Update sequence is bit-compatible with the unfused path (same
+        master -> same quantization; adam formulas mirror optax.adam)."""
+        epoch_loss, pack, chain_ctx = self._build_epoch_loss(
+            step, loss_fn, fused_bptt, rk, remat_steps, sampling_steps)
+        if chain_ctx is not None:
+            fused = self._build_fused_adam_programs(
+                chain_ctx["label"], chain_ctx["wkeys"],
+                chain_ctx["apply_prefix"], chain_ctx["apply_suffix"], loss_fn,
+                chain_ctx["downsample"], pack, fused_opt_cfg, rk, train_paths)
+            if fused is not None:
+                return fused
 
         @jax.jit
         def update(train, frozen, opt_state, y0p, inp, tgt):
