@@ -1542,16 +1542,24 @@ class Network:
         if not paths:
             raise ValueError("No trainable parameters in the network; pass `train_params` "
                              "to add_diffeq_node or train='gd' to add_edge.")
-        inputs = np.asarray(inputs)
-        targets = np.asarray(targets)
-        if inputs.ndim != 3:
-            raise ValueError(f"fit_bptt_batch expects (B, T, m) inputs, got {inputs.shape}")
-        if targets.shape[0] != inputs.shape[0]:
+        # device jnp arrays pass through UNTOUCHED (they are immutable):
+        # coercing them via np.asarray would round-trip (B, T, m) to host
+        # and re-stage it over the tunnel EVERY fit -- measured ~74 ms/epoch
+        # per trial at N=10k (the whole batch-amortization win).  Host
+        # numpy/list inputs still stage per fit by design (mutable).
+        if not isinstance(inputs, jnp.ndarray):
+            inputs = np.asarray(inputs)
+        if not isinstance(targets, jnp.ndarray):
+            targets = np.asarray(targets)
+        ishape, tshape = np.shape(inputs), np.shape(targets)
+        if len(ishape) != 3:
+            raise ValueError(f"fit_bptt_batch expects (B, T, m) inputs, got {ishape}")
+        if tshape[0] != ishape[0]:
             raise ValueError(
                 "Wrong dimensions of input and target output. Please make sure that "
                 "`inputs` and `targets` agree in the first dimension (trials)."
             )
-        B, T = int(inputs.shape[0]), int(inputs.shape[1])
+        B, T = int(ishape[0]), int(ishape[1])
         mb = B if batch_size is None else int(batch_size)
         if mb < 1 or B % mb:
             raise ValueError(f"batch_size={mb} must divide the number of trials B={B}")
