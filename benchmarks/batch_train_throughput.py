@@ -48,6 +48,8 @@ T = int(os.environ.get("STEPS", 500))
 DT = 5e-3
 COUPLING = os.environ.get("COUPLING", "int8_master")
 N_EP = int(os.environ.get("N_EP", 16))
+REMAT = int(os.environ.get("REMAT", 0))  # remat_steps: trade a recomputed
+# forward for O(T/k + k) residual memory -- lets B grow past the HBM cap
 rng = np.random.default_rng(2)
 W = (rng.random((N, N)) < 0.1) * (1.0 / (0.1 * N))
 etas = -5.0 + np.tan((np.pi / 2) * (2.0 * np.arange(1, N + 1) - N - 1) / (N + 1))
@@ -69,15 +71,16 @@ for B in (int(x) for x in os.environ.get("BATCHES", "1,4,8,16").split(",")):
         rng.normal(size=(B, T, N)), dtype=jnp.float32))
     jax.block_until_ready((ins, tgt))
     lap(f"[B={B:3d}] staged 2x{ins.nbytes / 2**20:.0f} MB trial arrays")
+    kw = {"remat_steps": REMAT} if REMAT else {}
     t0 = time.perf_counter()
     net.fit_bptt_batch(ins, tgt, n_epochs=N_EP, optimizer="adam", lr=1e-4,
-                       verbose=False)
+                       verbose=False, **kw)
     warm = time.perf_counter() - t0
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         obs = net.fit_bptt_batch(ins, tgt, n_epochs=N_EP, optimizer="adam",
-                                 lr=1e-4, verbose=False)
+                                 lr=1e-4, verbose=False, **kw)
         best = min(best, (time.perf_counter() - t0) / N_EP)
     el = np.asarray(obs["epoch_loss"])
     assert np.all(np.isfinite(el))
