@@ -1526,7 +1526,9 @@ class Network:
         the MXU, and a whole epoch (scan over minibatches) or a chunk of
         epochs runs as ONE device program.  Composes with the deferred-
         gradient trajectories (``fused_bptt='auto'``), ``remat_steps``, and
-        ``mesh=`` (population sharding; the batch is replicated).
+        ``mesh=`` (dp x mp: the population shards over the mesh's 'model'
+        axis; trials shard over 'data' whenever ``batch_size`` divides it,
+        else they run replicated).
 
         Returns an Observer with ``epoch_loss`` (mean over minibatches,
         one per epoch), ``train_loss`` (one per update), and ``epochs``.
@@ -1599,13 +1601,37 @@ class Network:
         fit_single, fit_chunk, pack = built
         y0p = pack(state0)
 
-        def place(x, dtype):
-            arr = jnp.asarray(x, dtype=dtype)
-            return (self._mesh_replicate(arr, mesh) if mesh is not None
-                    else jax.device_put(arr))
+        # dp x mp: trials shard over the mesh's 'data' axis when every
+        # minibatch stays shard-aligned (mb % n_data == 0); the population
+        # shards over 'model' via the placed params/state.  GSPMD lays the
+        # collectives (incl. the shuffle's permutation gather).
+        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+        batch_spec = None
+        if n_data > 1:
+            if mb % n_data == 0:
+                from jax.sharding import PartitionSpec
 
-        inp = place(inputs, self.dtype)
-        tgt = place(targets, self.dtype)
+                batch_spec = PartitionSpec("data", None, None)
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"fit_bptt_batch: batch_size {mb} does not divide the "
+                    f"mesh's 'data' axis ({n_data}); trials run REPLICATED "
+                    f"(no data parallelism).", stacklevel=2)
+
+        def place(x, dtype, spec=None):
+            arr = jnp.asarray(x, dtype=dtype)
+            if mesh is None:
+                return jax.device_put(arr)
+            if spec is None:
+                return self._mesh_replicate(arr, mesh)
+            from jax.sharding import NamedSharding
+
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+
+        inp = place(inputs, self.dtype, batch_spec)
+        tgt = place(targets, self.dtype, batch_spec)
         E = int(n_epochs)
         if shuffled:
             rng = np.random.default_rng(seed)

@@ -195,9 +195,11 @@ def test_batch_validation_errors():
         frozen.fit_bptt_batch(ins, tgts, verbose=False)
 
 
-def test_batch_mesh_matches_single_device():
-    """fit_bptt_batch(mesh=): population-sharded batched training must
-    reproduce the unsharded update sequence."""
+@pytest.mark.parametrize("data", [1, 2])
+def test_batch_mesh_matches_single_device(data):
+    """fit_bptt_batch(mesh=): population-sharded (and, with a 'data' axis,
+    trial-sharded) batched training must reproduce the unsharded update
+    sequence."""
     from rectipy_tpu.parallel import make_mesh
 
     rng = np.random.default_rng(11)
@@ -217,7 +219,8 @@ def test_batch_mesh_matches_single_device():
 
     a = build()
     a.fit_bptt_batch(ins, tgts, n_epochs=3, batch_size=2, optimizer="adam",
-                     lr=1e-2, seed=5, verbose=False, mesh=make_mesh(4))
+                     lr=1e-2, seed=5, verbose=False,
+                     mesh=make_mesh(4, data=data))
     b = build()
     b.fit_bptt_batch(ins, tgts, n_epochs=3, batch_size=2, optimizer="adam",
                      lr=1e-2, seed=5, verbose=False)
