@@ -373,6 +373,58 @@ def bench_spiking_bptt_ours():
     return T * n / ours_epoch, ctx
 
 
+def bench_ensemble_bptt(ctx):
+    """Ensemble-training secondary: fit_bptt_batch on the north-star QIF
+    workload with B=32 trials per adam update (the vmapped deferred
+    trajectory batches the coupling contractions into (B, N) x (N, N) MXU
+    matmuls).  Measured 1.10e9 aggregate trained nu/s = ~20x the
+    single-trial trained metric on one chip (PARITY.md §6;
+    benchmarks/batch_train_throughput.py has the full B curve).  Runs dead
+    last under the normal budget: it can only cost itself."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from rectipy_tpu import Network
+
+    n, T, dt = ctx["n"], ctx["T"], ctx["dt"]
+    B = int(os.environ.get("BENCH_ENSEMBLE_B", 32))
+    n_ep = 8  # one on-device epoch-scan chunk
+    net = Network(dt)
+    net.add_diffeq_node("qif", "rectipy_tpu.models.spiking_neurons.qif.qif",
+                        weights=ctx["W"], source_var="s", target_var="s_in",
+                        input_var="I_ext", output_var="s", op="qif_op",
+                        spike_var="spike", spike_def="v",
+                        spike_threshold=ctx["thresh"], spike_reset=ctx["v_reset"],
+                        node_vars={"all/qif_op/eta": ctx["etas"]},
+                        coupling_dtype=os.environ.get("BENCH_BPTT_COUPLING",
+                                                      "int8_master"),
+                        train_params=["weights"])
+    rng = np.random.default_rng(7)
+    t0 = _t.perf_counter()
+    ins = jax.device_put(jnp.asarray(rng.normal(size=(B, T, n)), jnp.float32))
+    tgt = jax.device_put(jnp.asarray(rng.normal(size=(B, T, n)), jnp.float32))
+    jax.block_until_ready((ins, tgt))
+    log(f"[ensemble-bptt] staged 2x{ins.nbytes / 2 ** 20:.0f} MB trial arrays "
+        f"in {_t.perf_counter() - t0:.1f}s")
+    t0 = _t.perf_counter()
+    net.fit_bptt_batch(ins, tgt, n_epochs=n_ep, optimizer="adam", lr=1e-4,
+                       verbose=False)
+    warm = _t.perf_counter() - t0
+    ours_epoch = float("inf")
+    for _ in range(2):
+        t0 = _t.perf_counter()
+        net.fit_bptt_batch(ins, tgt, n_epochs=n_ep, optimizer="adam", lr=1e-4,
+                           verbose=False)
+        ours_epoch = min(ours_epoch, (_t.perf_counter() - t0) / n_ep)
+    agg = B * T * n / ours_epoch
+    log(f"[ensemble-bptt] warmup {warm:.1f}s; {ours_epoch * 1e3:.1f} ms/epoch "
+        f"at B={B} -> {agg:.3e} aggregate trained neuron-updates/s "
+        f"({agg / (T * n / ctx['ours_epoch']):.1f}x the single-trial trained metric)")
+    return agg, B
+
+
 def bench_spiking_bptt_torch(ctx):
     """North-star metric, TORCH side: reference execution model (per-step
     Python loop over torch-CPU ops with autograd through surrogate spikes).
@@ -545,6 +597,18 @@ def main():
         else:
             log(f"[qif-bptt torch] skipped: {_elapsed():.0f}s elapsed > "
                 f"{NORTHSTAR_BUDGET_S:.0f}s north-star budget")
+        # ensemble-training secondary dead last (TPU-only, no torch phase
+        # left to contaminate): fit_bptt_batch at B=32 on the same workload
+        if os.environ.get("BENCH_ENSEMBLE", "1") == "1" and _elapsed() < BUDGET_S:
+            try:
+                agg, ens_b = bench_ensemble_bptt(qif_ctx)
+                result[f"ensemble_trained_nu_per_s_B{ens_b}"] = round(agg, 1)
+                print(json.dumps(result), flush=True)
+            except Exception as e:
+                log(f"[ensemble-bptt] secondary benchmark failed: {e}")
+        elif os.environ.get("BENCH_ENSEMBLE", "1") == "1":
+            log(f"[ensemble-bptt] skipped: {_elapsed():.0f}s elapsed > "
+                f"{BUDGET_S:.0f}s budget")
     log(f"[bench] total wall-clock {_elapsed():.0f}s")
 
 
