@@ -1181,11 +1181,20 @@ class Network:
         (and shards over the 'data' mesh axis; see rectipy_tpu.parallel).
         The network state is left unchanged (trials would disagree).
 
+        ``batch_vars`` (optional): ``{(node, var): values}`` sweeps node
+        PARAMETERS across the trials -- ``values`` is ``(B,)`` (one scalar
+        per trial) or ``(B, n)`` (per-neuron per trial); every trial ``b``
+        integrates with its own ``values[b]``.  The TPU-native bifurcation
+        / parameter-sweep workload: one vmapped program evaluates the whole
+        sweep (couplings sweep too -- precision prep runs per trial inside
+        the program).
+
         All B trials run in ONE vmapped scan (a single XLA program; batched
         matvecs become matmuls on the MXU).  Falls back to a per-trial loop
         only for T == 1, where the windowed scan doesn't apply.
         """
         mesh = kwargs.pop("mesh", None)
+        batch_vars = kwargs.pop("batch_vars", None)
         inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
         if inputs.ndim != 3:
             raise ValueError(f"run_batch expects (B, T, m) inputs, got {inputs.shape}")
@@ -1194,6 +1203,31 @@ class Network:
         state0 = self.init_state()
         params = self.parameters_pytree()
         B, T = int(inputs.shape[0]), int(inputs.shape[1])
+        p_axes = None
+        if batch_vars:
+            p_axes = jax.tree.map(lambda _: None, params)
+            swept = []
+            for (nlabel, var), vals in batch_vars.items():
+                node = self.get_node(nlabel)
+                var_r = self._relabel_var(var)
+                try:
+                    key = node._param_map[var_r]
+                except (AttributeError, KeyError):
+                    raise KeyError(f"batch_vars: {var!r} is not a parameter "
+                                   f"of node {nlabel!r}.")
+                cur = jnp.asarray(params["nodes"][nlabel][key])
+                vals = jnp.asarray(np.asarray(vals), dtype=cur.dtype)
+                if vals.shape[0] != B:
+                    raise ValueError(
+                        f"batch_vars[{(nlabel, var)}]: leading dimension "
+                        f"{vals.shape[0]} != batch size {B}")
+                params["nodes"][nlabel][key] = vals
+                p_axes["nodes"][nlabel][key] = 0
+                swept.append((nlabel, key))
+            swept = tuple(sorted(swept))
+            if mesh is not None:
+                raise ValueError("batch_vars does not compose with mesh= yet; "
+                                 "run the parameter sweep unsharded.")
         if mesh is not None:
             # dp x mp in one call: trials shard over the mesh's 'data' axis,
             # the population over 'model' (same placement rules as run(mesh=));
@@ -1221,8 +1255,14 @@ class Network:
         if T <= 1:  # degenerate horizon: loop trials through the generic path
             outs_all, vars_all, steps_host = [], None, None
             for b in range(B):
+                pb = params
+                if batch_vars:  # per-trial parameter overrides
+                    pb = {**params,
+                          "nodes": {n: dict(s) for n, s in params["nodes"].items()}}
+                    for nlabel, key in swept:
+                        pb["nodes"][nlabel][key] = params["nodes"][nlabel][key][b]
                 _, steps_host, rec_out, rec_vars = self._run_scan(
-                    state0, params, inputs[b], sampling_steps, cutoff, T, obs)
+                    state0, pb, inputs[b], sampling_steps, cutoff, T, obs)
                 outs_all.append(rec_out)
                 if vars_all is None:
                     vars_all = {k: [] for k in rec_vars}
@@ -1239,14 +1279,23 @@ class Network:
 
         s = int(sampling_steps)
         rec_steps_all = [t for t in range(T) if t % s == 0]
+        # the scan builder probes shapes with ONE trial's params (batched
+        # sweep leaves sliced to trial 0); the vmap axes carry the sweep
+        params0 = params
+        if batch_vars:
+            params0 = {**params,
+                       "nodes": {n: dict(sb) for n, sb in params["nodes"].items()}}
+            for nlabel, key in swept:
+                params0["nodes"][nlabel][key] = params["nodes"][nlabel][key][0]
         scan_fn, rec_info, record_output = self._make_windowed_scan(
-            state0, params, inputs[0, 0], s, cutoff, T, obs)
+            state0, params0, inputs[0, 0], s, cutoff, T, obs)
         cache_key = ("run_batch", B, s, cutoff, T, record_output,
                      self._step_versions(),
-                     tuple((key, reduce) for (key, _, _, reduce) in rec_info))
+                     tuple((key, reduce) for (key, _, _, reduce) in rec_info),
+                     swept if batch_vars else ())
         if cache_key not in self._step_cache:
             self._step_cache[cache_key] = jax.jit(
-                jax.vmap(scan_fn, in_axes=(None, None, 0)))
+                jax.vmap(scan_fn, in_axes=(None, p_axes, 0)))
         _, rec0, recs = self._step_cache[cache_key](state0, params, inputs)
         outs, rec_vars = self._assemble_windowed_records(
             rec0, recs, rec_info, record_output, rec_steps_all, cutoff,
