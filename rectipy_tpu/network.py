@@ -1647,7 +1647,7 @@ class Network:
                                                n_mb, mb, shuffled)
             if cache_key is not None:
                 self._step_cache[cache_key] = built
-        fit_single, fit_chunk, pack = built
+        fit_single, fit_chunk, pack = built[:3]
         y0p = pack(state0)
 
         # dp x mp: trials shard over the mesh's 'data' axis when every
@@ -1721,6 +1721,191 @@ class Network:
             print(f"Finished optimization after {perf_counter() - t0} s.")
         return obs
 
+    def fit_bptt_multistart(self, inputs, targets, n_starts: int = 8,
+                            start_inits: dict = None, init_scale: float = 0.1,
+                            n_epochs: int = 1, batch_size: int = None,
+                            optimizer: str = "adam", optimizer_kwargs: dict = None,
+                            loss: str = "mse", loss_kwargs: dict = None,
+                            lr: float = 1e-3, sampling_steps: int = 1,
+                            shuffle: bool = True, seed: int = 0,
+                            verbose: bool = True, **kwargs) -> Observer:
+        """Multi-start BPTT: train ``n_starts`` independently-initialized
+        copies of the network SIMULTANEOUSLY on the same trial batch, then
+        keep the best.
+
+        The standard methodology for fitting neural models with non-convex
+        losses (escape local minima by restarting) -- on TPU the M
+        optimizations advance in lockstep as one vmapped program (each
+        trainable leaf gains a leading model axis; the staged trials are
+        shared), so M starts cost far less than M sequential fits.  No
+        reference analog.
+
+        ``inputs``/``targets``/``batch_size``/``shuffle`` as in
+        :meth:`fit_bptt_batch`.  Start initializations: ``start_inits`` maps
+        ``(node, param)`` (or an exact trainable path ``(kind, label, key)``)
+        to an ``(n_starts, ...)`` array of initial values; any trainable
+        leaf NOT listed starts at its current value for start 0 and at
+        gaussian perturbations ``leaf + init_scale * std(leaf) * eps`` for
+        the rest (seeded by ``seed``).
+
+        Returns an Observer with ``epoch_loss`` (the winning start's curve),
+        ``start_epoch_loss`` (per-epoch per-start), ``start_final_loss``,
+        and ``best_start``.  The winning start's parameters are written back
+        to the network.
+        """
+        self.compile()
+        loss_fn = get_loss_function(loss, loss_kwargs=loss_kwargs)
+        opt = get_optimizer(optimizer, lr, optimizer_kwargs=optimizer_kwargs)
+        obs = Observer(dt=self.dt, **retrieve_from_dict(["record_loss"], kwargs))
+        if kwargs.pop("mesh", None) is not None:
+            raise ValueError("fit_bptt_multistart does not compose with "
+                             "mesh= yet; run the multi-start fit unsharded.")
+
+        paths = self.trainable_paths()
+        if not paths:
+            raise ValueError("No trainable parameters in the network; pass `train_params` "
+                             "to add_diffeq_node or train='gd' to add_edge.")
+        M = int(n_starts)
+        if M < 1:
+            raise ValueError(f"n_starts={M} must be >= 1")
+        if not isinstance(inputs, jnp.ndarray):
+            inputs = np.asarray(inputs)
+        if not isinstance(targets, jnp.ndarray):
+            targets = np.asarray(targets)
+        ishape, tshape = np.shape(inputs), np.shape(targets)
+        if len(ishape) != 3:
+            raise ValueError(f"fit_bptt_multistart expects (B, T, m) inputs, got {ishape}")
+        if tshape[0] != ishape[0]:
+            raise ValueError(
+                "Wrong dimensions of input and target output. Please make sure that "
+                "`inputs` and `targets` agree in the first dimension (trials)."
+            )
+        B, T = int(ishape[0]), int(ishape[1])
+        mb = B if batch_size is None else int(batch_size)
+        if mb < 1 or B % mb:
+            raise ValueError(f"batch_size={mb} must divide the number of trials B={B}")
+        n_mb = B // mb
+
+        params = self.parameters_pytree()
+        train, frozen = self._partition(params, paths)
+        # resolve start_inits keys to exact trainable paths
+        inits = {}
+        for k, vals in (start_inits or {}).items():
+            if len(k) == 3 and k[0] in ("nodes", "edges"):
+                path = tuple(k)
+            else:
+                nlabel, var = k
+                node = self.get_node(nlabel)
+                try:
+                    path = ("nodes", nlabel, node._param_map[self._relabel_var(var)])
+                except (AttributeError, KeyError):
+                    raise KeyError(f"start_inits: {var!r} is not a parameter "
+                                   f"of node {nlabel!r}.")
+            if path not in paths:
+                raise KeyError(f"start_inits: {path} is not a trainable path "
+                               f"(trainable: {paths}).")
+            inits[path] = vals
+        init_rng = np.random.default_rng(seed + 1)
+
+        def stack_leaf(kind, label, key, leaf):
+            leaf = jnp.asarray(leaf)
+            given = inits.get((kind, label, key))
+            if given is not None:
+                given = jnp.asarray(np.asarray(given), dtype=leaf.dtype)
+                if given.shape != (M,) + leaf.shape:
+                    raise ValueError(
+                        f"start_inits[{(kind, label, key)}]: expected shape "
+                        f"{(M,) + leaf.shape}, got {given.shape}")
+                return given
+            scale = float(np.std(np.asarray(leaf, dtype=np.float64))) or 1.0
+            eps = init_rng.standard_normal((M,) + leaf.shape)
+            eps[0] = 0.0  # start 0 is the unperturbed current network
+            return leaf[None] + jnp.asarray(init_scale * scale * eps,
+                                            dtype=leaf.dtype)
+
+        train_M = {kind: {label: {key: stack_leaf(kind, label, key, leaf)
+                                  for key, leaf in sub.items()}
+                          for label, sub in d.items()}
+                   for kind, d in train.items()}
+        opt_state = jax.vmap(opt.init)(train_M)
+        state0 = self.init_state()
+        step = self.make_step()
+
+        remat_steps = int(kwargs.pop("remat_steps", 0))
+        rk = remat_steps if (remat_steps > 1 and T % remat_steps == 0) else 0
+        fused_bptt = kwargs.pop("fused_bptt", "auto")
+        if remat_steps > 1 and rk == 0 and fused_bptt == "auto":
+            fused_bptt = False
+        shuffled = bool(shuffle) and n_mb > 1
+
+        prog_key = self._train_prog_key(optimizer, loss, optimizer_kwargs,
+                                        loss_kwargs)
+        cache_key = None
+        if prog_key is not None:
+            cache_key = ("bptt_batch", prog_key, sampling_steps, rk,
+                         str(fused_bptt), remat_steps, self._step_versions(),
+                         n_mb, mb, shuffled)
+        built = self._step_cache.get(cache_key) if cache_key is not None else None
+        if built is None:
+            built = self._build_batch_programs(step, loss_fn, opt, fused_bptt,
+                                               rk, remat_steps, sampling_steps,
+                                               n_mb, mb, shuffled)
+            if cache_key is not None:
+                self._step_cache[cache_key] = built
+        _, _, pack, fit_single_ms, fit_chunk_ms = built
+        y0p = pack(state0)
+
+        inp = jax.device_put(jnp.asarray(inputs, dtype=self.dtype))
+        tgt = jax.device_put(jnp.asarray(targets, dtype=self.dtype))
+        E = int(n_epochs)
+        if shuffled:
+            rng = np.random.default_rng(seed)
+            perms = np.stack([rng.permutation(B) for _ in range(E)])
+        else:
+            perms = np.broadcast_to(np.arange(B), (E, B))
+        perms = jax.device_put(jnp.asarray(np.ascontiguousarray(perms), jnp.int32))
+
+        t0 = perf_counter()
+        loss_parts = []
+        C = _EPOCH_SCAN_CHUNK
+        if verbose:
+            for epoch in range(E):
+                train_M, opt_state, lv = fit_single_ms(train_M, frozen, opt_state,
+                                                       y0p, inp, tgt, perms[epoch])
+                loss_parts.append(lv[None])  # (1, M, n_mb)
+                lv_ep = np.asarray(jnp.mean(lv, axis=1))
+                print(f"Progress: {epoch + 1}/{E} training epochs finished.")
+                print(f"Best-start epoch loss: {float(lv_ep.min())} "
+                      f"(start {int(lv_ep.argmin())}).")
+                print("")
+        else:
+            e = 0
+            while E - e >= C:
+                train_M, opt_state, lv = fit_chunk_ms(train_M, frozen, opt_state,
+                                                      y0p, inp, tgt, perms[e:e + C])
+                loss_parts.append(lv)  # (C, M, n_mb)
+                e += C
+            for epoch in range(e, E):
+                train_M, opt_state, lv = fit_single_ms(train_M, frozen, opt_state,
+                                                       y0p, inp, tgt, perms[epoch])
+                loss_parts.append(lv[None])
+        losses = (np.asarray(jnp.concatenate(loss_parts, axis=0))
+                  if loss_parts else np.zeros((0, M, 1)))
+        per_epoch = losses.mean(axis=2)  # (E, M)
+        final = per_epoch[-1] if E else np.zeros(M)
+        best = int(np.argmin(final)) if E else 0
+        obs.save("epoch_loss", list(per_epoch[:, best]))
+        obs.save("start_epoch_loss", [per_epoch[ep] for ep in range(len(per_epoch))])
+        obs.save("start_final_loss", list(final))
+        obs.save("best_start", [best])
+        obs.save("epochs", np.arange(E))
+        train_best = jax.tree.map(lambda l: l[best], train_M)
+        self._write_back(params=self._combine(train_best, frozen))
+        if verbose:
+            print(f"Finished optimization after {perf_counter() - t0} s "
+                  f"(best start: {best}).")
+        return obs
+
     def _build_batch_programs(self, step, loss_fn, opt, fused_bptt, rk,
                               remat_steps, sampling_steps, n_mb, mb,
                               shuffled):
@@ -1774,7 +1959,27 @@ class Network:
                 ep, (train, opt_state), perms)
             return train, opt_state, lvals
 
-        return fit_single, fit_chunk, pack
+        # multi-start (fit_bptt_multistart): the SAME epoch body vmapped
+        # over a leading model axis on (train, opt_state) -- M independent
+        # optimizations advance in lockstep, sharing the staged data
+        vep = jax.vmap(_epoch, in_axes=(0, 0, None, None, None, None, None))
+
+        @jax.jit
+        def fit_single_ms(train, frozen, opt_state, y0p, inp, tgt, perm):
+            return vep(train, opt_state, frozen, y0p, inp, tgt, perm)
+
+        @jax.jit
+        def fit_chunk_ms(train, frozen, opt_state, y0p, inp, tgt, perms):
+            def ep(carry, perm):
+                tr, os_ = carry
+                tr, os_, lvals = vep(tr, os_, frozen, y0p, inp, tgt, perm)
+                return (tr, os_), lvals
+
+            (train, opt_state), lvals = jax.lax.scan(
+                ep, (train, opt_state), perms)
+            return train, opt_state, lvals  # (C, M, n_mb)
+
+        return fit_single, fit_chunk, pack, fit_single_ms, fit_chunk_ms
 
     def _chain_decompose(self):
         """Decompose a chain network ``[instants...] -> diffeq -> [instants...]``
