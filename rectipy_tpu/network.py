@@ -1752,14 +1752,18 @@ class Network:
         ``start_epoch_loss`` (per-epoch per-start), ``start_final_loss``,
         and ``best_start``.  The winning start's parameters are written back
         to the network.
+
+        ``mesh=`` (mp x ensemble-parallel): the STARTS shard over the
+        mesh's 'data' axis (each device group advances M/n_data independent
+        optimizations; requires ``n_starts % n_data == 0``, else starts run
+        replicated with a warning) and the population shards over 'model';
+        the staged trial arrays replicate.
         """
         self.compile()
         loss_fn = get_loss_function(loss, loss_kwargs=loss_kwargs)
         opt = get_optimizer(optimizer, lr, optimizer_kwargs=optimizer_kwargs)
         obs = Observer(dt=self.dt, **retrieve_from_dict(["record_loss"], kwargs))
-        if kwargs.pop("mesh", None) is not None:
-            raise ValueError("fit_bptt_multistart does not compose with "
-                             "mesh= yet; run the multi-start fit unsharded.")
+        mesh = kwargs.pop("mesh", None)
 
         paths = self.trainable_paths()
         if not paths:
@@ -1787,7 +1791,18 @@ class Network:
         n_mb = B // mb
 
         params = self.parameters_pytree()
+        if mesh is not None:
+            params = self._mesh_place(params, mesh)
         train, frozen = self._partition(params, paths)
+        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+        shard_starts = n_data > 1 and M % n_data == 0
+        if n_data > 1 and not shard_starts:
+            import warnings
+
+            warnings.warn(
+                f"fit_bptt_multistart: n_starts {M} does not divide the "
+                f"mesh's 'data' axis ({n_data}); starts run REPLICATED "
+                f"(no ensemble parallelism).", stacklevel=2)
         # resolve start_inits keys to exact trainable paths
         inits = {}
         for k, vals in (start_inits or {}).items():
@@ -1807,6 +1822,20 @@ class Network:
             inits[path] = vals
         init_rng = np.random.default_rng(seed + 1)
 
+        def place_stacked(stacked, leaf):
+            # leading 'data' (start) axis composed with the leaf's existing
+            # population spec from _mesh_place
+            if mesh is None:
+                return stacked
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            base = (leaf.sharding.spec
+                    if isinstance(getattr(leaf, "sharding", None), NamedSharding)
+                    else PartitionSpec())
+            lead = "data" if shard_starts else None
+            return jax.device_put(
+                stacked, NamedSharding(mesh, PartitionSpec(lead, *base)))
+
         def stack_leaf(kind, label, key, leaf):
             leaf = jnp.asarray(leaf)
             given = inits.get((kind, label, key))
@@ -1816,12 +1845,13 @@ class Network:
                     raise ValueError(
                         f"start_inits[{(kind, label, key)}]: expected shape "
                         f"{(M,) + leaf.shape}, got {given.shape}")
-                return given
+                return place_stacked(given, leaf)
             scale = float(np.std(np.asarray(leaf, dtype=np.float64))) or 1.0
             eps = init_rng.standard_normal((M,) + leaf.shape)
             eps[0] = 0.0  # start 0 is the unperturbed current network
-            return leaf[None] + jnp.asarray(init_scale * scale * eps,
-                                            dtype=leaf.dtype)
+            return place_stacked(
+                leaf[None] + jnp.asarray(init_scale * scale * eps,
+                                         dtype=leaf.dtype), leaf)
 
         train_M = {kind: {label: {key: stack_leaf(kind, label, key, leaf)
                                   for key, leaf in sub.items()}
@@ -1829,6 +1859,8 @@ class Network:
                    for kind, d in train.items()}
         opt_state = jax.vmap(opt.init)(train_M)
         state0 = self.init_state()
+        if mesh is not None:
+            state0 = self._mesh_place(state0, mesh)
         step = self.make_step()
 
         remat_steps = int(kwargs.pop("remat_steps", 0))
@@ -1855,15 +1887,17 @@ class Network:
         _, _, pack, fit_single_ms, fit_chunk_ms = built
         y0p = pack(state0)
 
-        inp = jax.device_put(jnp.asarray(inputs, dtype=self.dtype))
-        tgt = jax.device_put(jnp.asarray(targets, dtype=self.dtype))
+        stage = ((lambda a: self._mesh_replicate(a, mesh))
+                 if mesh is not None else jax.device_put)
+        inp = stage(jnp.asarray(inputs, dtype=self.dtype))
+        tgt = stage(jnp.asarray(targets, dtype=self.dtype))
         E = int(n_epochs)
         if shuffled:
             rng = np.random.default_rng(seed)
             perms = np.stack([rng.permutation(B) for _ in range(E)])
         else:
             perms = np.broadcast_to(np.arange(B), (E, B))
-        perms = jax.device_put(jnp.asarray(np.ascontiguousarray(perms), jnp.int32))
+        perms = stage(jnp.asarray(np.ascontiguousarray(perms), jnp.int32))
 
         t0 = perf_counter()
         loss_parts = []

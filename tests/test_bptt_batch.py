@@ -161,6 +161,60 @@ def test_batch_training_reduces_loss_graph_path():
                                rtol=1e-8, atol=1e-10)
 
 
+def test_batch_blocksparse_deferred_matches_plain():
+    """Ensemble training composes with block-sparse couplings (the N=100k
+    flagship topology at small N): the vmapped deferred (graph) trajectory
+    matches plain autodiff through the same BlockSparseCoupling network,
+    and identical trials reproduce the B=1 fit exactly."""
+    from rectipy_tpu.ops.sparse import block_random_connectivity
+
+    rng = np.random.default_rng(11)
+    n, fan_in, bs = 64, 8, 16
+    A = block_random_connectivity(n, n, fan_in, block_size=bs, seed=3)
+
+    def build():
+        r = np.random.default_rng(11)
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("qif", QIF, weights=A,
+                            input_var="I_ext", output_var="s", source_var="s",
+                            target_var="s_in", op="qif_op", spike_var="spike",
+                            spike_def="v", spike_threshold=100.0,
+                            spike_reset=-100.0,
+                            node_vars={"all/qif_op/eta": 20.0 + r.random(n)},
+                            train_params=["weights"])
+        net.compile()
+        return net
+
+    B, T = 3, 120
+    ins = rng.normal(size=(B, T, n)) * 2.0 + 5.0
+    tgts = rng.normal(size=(B, T, n)) * 0.1
+    a = build()
+    obs_a = a.fit_bptt_batch(ins, tgts, n_epochs=4, optimizer="adam", lr=5e-3,
+                             verbose=False, fused_bptt=True)
+    el = np.asarray(obs_a["epoch_loss"])
+    assert el[-1] < el[0], "batched sparse training did not reduce the loss"
+    b = build()
+    obs_b = b.fit_bptt_batch(ins, tgts, n_epochs=4, optimizer="adam", lr=5e-3,
+                             verbose=False, fused_bptt=False)
+    np.testing.assert_allclose(el, np.asarray(obs_b["epoch_loss"]), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(a.get_node("qif")["weights"]),
+                               np.asarray(b.get_node("qif")["weights"]),
+                               rtol=1e-8, atol=1e-10)
+    assert np.abs(np.asarray(a.get_node("qif")["weights"])
+                  - np.asarray(A.blocks)).max() > 1e-8, "weights did not train"
+    # identical trials == single-trial fit (mean loss over copies)
+    c = build()
+    ins1, tgts1 = ins[:1], tgts[:1]
+    obs_c = c.fit_bptt_batch(np.repeat(ins1, 2, 0), np.repeat(tgts1, 2, 0),
+                             n_epochs=3, optimizer="adam", lr=5e-3,
+                             verbose=False)
+    d = build()
+    obs_d = d.fit_bptt_batch(ins1, tgts1, n_epochs=3, optimizer="adam",
+                             lr=5e-3, verbose=False)
+    np.testing.assert_allclose(np.asarray(obs_c["epoch_loss"]),
+                               np.asarray(obs_d["epoch_loss"]), rtol=1e-12)
+
+
 def test_batch_remat_matches_full():
     rng = np.random.default_rng(9)
     W0 = rng.normal(scale=0.3, size=(6, 6))

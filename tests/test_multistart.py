@@ -119,8 +119,45 @@ def test_multistart_validation():
         net.fit_bptt_multistart(INS, TGTS, n_starts=2,
                                 start_inits={("p", "eta"): np.zeros((2,))},
                                 verbose=False)
+
+def test_multistart_mesh_matches_unsharded():
+    """mesh=(data=2, model=4): starts shard over 'data', population over
+    'model'; losses and the written-back winner match the unsharded fit."""
     from rectipy_tpu.parallel import make_mesh
 
-    with pytest.raises(ValueError, match="mesh"):
-        net.fit_bptt_multistart(INS, TGTS, n_starts=2, mesh=make_mesh(4),
-                                verbose=False)
+    rng = np.random.default_rng(3)
+    M = 4
+    W_inits = rng.normal(scale=0.3, size=(M, N, N))
+    a = _build()
+    obs_a = a.fit_bptt_multistart(INS, TGTS, n_starts=M,
+                                  start_inits={("p", "weights"): W_inits},
+                                  n_epochs=4, optimizer="adam", lr=1e-2,
+                                  verbose=False)
+    b = _build()
+    obs_b = b.fit_bptt_multistart(INS, TGTS, n_starts=M,
+                                  start_inits={("p", "weights"): W_inits},
+                                  n_epochs=4, optimizer="adam", lr=1e-2,
+                                  verbose=False, mesh=make_mesh(8, data=2))
+    np.testing.assert_allclose(np.asarray(obs_b["start_final_loss"]),
+                               np.asarray(obs_a["start_final_loss"]),
+                               rtol=1e-9)
+    assert int(obs_b["best_start"][0]) == int(obs_a["best_start"][0])
+    np.testing.assert_allclose(np.asarray(b.get_var("p", "weights")),
+                               np.asarray(a.get_var("p", "weights")),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_multistart_mesh_indivisible_starts_warns_but_matches():
+    from rectipy_tpu.parallel import make_mesh
+
+    a = _build()
+    obs_a = a.fit_bptt_multistart(INS, TGTS, n_starts=3, n_epochs=2, seed=7,
+                                  optimizer="adam", lr=1e-2, verbose=False)
+    b = _build()
+    with pytest.warns(UserWarning, match="REPLICATED"):
+        obs_b = b.fit_bptt_multistart(INS, TGTS, n_starts=3, n_epochs=2,
+                                      seed=7, optimizer="adam", lr=1e-2,
+                                      verbose=False, mesh=make_mesh(8, data=2))
+    np.testing.assert_allclose(np.asarray(obs_b["start_final_loss"]),
+                               np.asarray(obs_a["start_final_loss"]),
+                               rtol=1e-9)
