@@ -24,7 +24,7 @@ net.add_diffeq_node("qif", "rectipy_tpu.models.spiking_neurons.qif.qif",
                     float_precision="float32")
 
 etas = np.linspace(-10.0, 10.0, B)
-res = net.run_batch(np.zeros((B, T, N), dtype=np.float32),
+res = net.run_batch(np.zeros((B, T, 1), dtype=np.float32),  # (B,T,1) broadcasts; (B,T,N) would stage 5 GB
                     batch_vars={("qif", "eta"): etas},
                     record_output=False, record_vars=[("qif", "s", True)],
                     sampling_steps=100, cutoff=T // 2, verbose=False)

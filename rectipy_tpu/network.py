@@ -96,6 +96,20 @@ def _ekey(u: str, v: str) -> str:
     return f"{u}->{v}"
 
 
+def _best_start(losses) -> int:
+    """Index of the lowest FINITE loss; diverged (NaN/inf) starts never win.
+
+    ``np.argmin`` would return a NaN position (NaN poisons the min
+    reduction), silently selecting a diverged start's parameters in
+    :meth:`Network.fit_bptt_multistart`.  All-non-finite falls back to 0.
+    """
+    losses = np.asarray(losses, dtype=np.float64)
+    finite = np.isfinite(losses)
+    if not finite.any():
+        return 0
+    return int(np.argmin(np.where(finite, losses, np.inf)))
+
+
 def _tree_where(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
@@ -1550,6 +1564,83 @@ class Network:
             print(f"Finished optimization after {perf_counter() - t0} s.")
         return obs
 
+    _CLASS_LOSSES = ("nll", "ce")  # integer class labels: (B, R) targets
+
+    def _batch_fit_setup(self, name, inputs, targets, batch_size, loss,
+                         loss_fn, opt, optimizer, optimizer_kwargs,
+                         loss_kwargs, sampling_steps, shuffle, seed,
+                         n_epochs, kwargs):
+        """Shared setup for the batched-trial trainers
+        (:meth:`fit_bptt_batch` / :meth:`fit_bptt_multistart`): staging
+        pass-through, shape validation, minibatch math, remat/fused
+        resolution, the cached program 5-tuple (the cache key MUST stay
+        byte-identical between the two callers -- they share the programs),
+        and the per-epoch trial permutations (host numpy; callers stage).
+
+        Returns ``(inputs, targets, B, T, n_mb, mb, shuffled, built,
+        perms)``.
+        """
+        # device jnp arrays pass through UNTOUCHED (they are immutable):
+        # coercing them via np.asarray would round-trip (B, T, m) to host
+        # and re-stage it over the tunnel EVERY fit -- measured ~74 ms/epoch
+        # per trial at N=10k (the whole batch-amortization win).  Host
+        # numpy/list inputs still stage per fit by design (mutable).
+        if not isinstance(inputs, jnp.ndarray):
+            inputs = np.asarray(inputs)
+        if not isinstance(targets, jnp.ndarray):
+            targets = np.asarray(targets)
+        ishape, tshape = np.shape(inputs), np.shape(targets)
+        if len(ishape) != 3:
+            raise ValueError(f"{name} expects (B, T, m) inputs, got {ishape}")
+        expect_nd = 2 if loss in self._CLASS_LOSSES else 3
+        if len(tshape) != expect_nd:
+            raise ValueError(
+                f"{name} expects targets of shape "
+                f"{'(B, R) integer class labels' if expect_nd == 2 else '(B, R, n_out)'} "
+                f"for loss={loss!r} (R = T // sampling_steps), got {tshape}")
+        if tshape[0] != ishape[0]:
+            raise ValueError(
+                "Wrong dimensions of input and target output. Please make sure that "
+                "`inputs` and `targets` agree in the first dimension (trials)."
+            )
+        B, T = int(ishape[0]), int(ishape[1])
+        mb = B if batch_size is None else int(batch_size)
+        if mb < 1 or B % mb:
+            raise ValueError(f"batch_size={mb} must divide the number of trials B={B}")
+        n_mb = B // mb
+
+        remat_steps = int(kwargs.pop("remat_steps", 0))
+        rk = remat_steps if (remat_steps > 1 and T % remat_steps == 0) else 0
+        fused_bptt = kwargs.pop("fused_bptt", "auto")
+        if remat_steps > 1 and rk == 0 and fused_bptt == "auto":
+            fused_bptt = False  # non-divisible T: plain path handles remat
+        shuffled = bool(shuffle) and n_mb > 1  # full-batch: order is moot
+
+        prog_key = self._train_prog_key(optimizer, loss, optimizer_kwargs,
+                                        loss_kwargs)
+        cache_key = None
+        if prog_key is not None:
+            cache_key = ("bptt_batch", prog_key, sampling_steps, rk,
+                         str(fused_bptt), remat_steps, self._step_versions(),
+                         n_mb, mb, shuffled)
+        built = self._step_cache.get(cache_key) if cache_key is not None else None
+        if built is None:
+            built = self._build_batch_programs(self.make_step(), loss_fn, opt,
+                                               fused_bptt, rk, remat_steps,
+                                               sampling_steps, n_mb, mb,
+                                               shuffled)
+            if cache_key is not None:
+                self._step_cache[cache_key] = built
+
+        E = int(n_epochs)
+        if shuffled:
+            rng = np.random.default_rng(seed)
+            perms = np.stack([rng.permutation(B) for _ in range(E)])
+        else:
+            perms = np.broadcast_to(np.arange(B), (E, B))
+        return inputs, targets, B, T, n_mb, mb, shuffled, built, \
+            np.ascontiguousarray(perms)
+
     def fit_bptt_batch(self, inputs, targets, n_epochs: int = 1,
                        batch_size: int = None, optimizer: str = "adam",
                        optimizer_kwargs: dict = None, loss: str = "mse",
@@ -1593,30 +1684,13 @@ class Network:
         if not paths:
             raise ValueError("No trainable parameters in the network; pass `train_params` "
                              "to add_diffeq_node or train='gd' to add_edge.")
-        # device jnp arrays pass through UNTOUCHED (they are immutable):
-        # coercing them via np.asarray would round-trip (B, T, m) to host
-        # and re-stage it over the tunnel EVERY fit -- measured ~74 ms/epoch
-        # per trial at N=10k (the whole batch-amortization win).  Host
-        # numpy/list inputs still stage per fit by design (mutable).
-        if not isinstance(inputs, jnp.ndarray):
-            inputs = np.asarray(inputs)
-        if not isinstance(targets, jnp.ndarray):
-            targets = np.asarray(targets)
-        ishape, tshape = np.shape(inputs), np.shape(targets)
-        if len(ishape) != 3:
-            raise ValueError(f"fit_bptt_batch expects (B, T, m) inputs, got {ishape}")
-        if tshape[0] != ishape[0]:
-            raise ValueError(
-                "Wrong dimensions of input and target output. Please make sure that "
-                "`inputs` and `targets` agree in the first dimension (trials)."
-            )
-        B, T = int(ishape[0]), int(ishape[1])
-        mb = B if batch_size is None else int(batch_size)
-        if mb < 1 or B % mb:
-            raise ValueError(f"batch_size={mb} must divide the number of trials B={B}")
-        n_mb = B // mb
-
         mesh = kwargs.pop("mesh", None)
+        inputs, targets, B, T, n_mb, mb, shuffled, built, perms = \
+            self._batch_fit_setup("fit_bptt_batch", inputs, targets,
+                                  batch_size, loss, loss_fn, opt, optimizer,
+                                  optimizer_kwargs, loss_kwargs,
+                                  sampling_steps, shuffle, seed, n_epochs,
+                                  kwargs)
         params = self.parameters_pytree()
         state0 = self.init_state()
         if mesh is not None:
@@ -1624,29 +1698,6 @@ class Network:
             state0 = self._mesh_place(state0, mesh)
         train, frozen = self._partition(params, paths)
         opt_state = opt.init(train)
-        step = self.make_step()
-
-        remat_steps = int(kwargs.pop("remat_steps", 0))
-        rk = remat_steps if (remat_steps > 1 and T % remat_steps == 0) else 0
-        fused_bptt = kwargs.pop("fused_bptt", "auto")
-        if remat_steps > 1 and rk == 0 and fused_bptt == "auto":
-            fused_bptt = False  # non-divisible T: plain path handles remat
-        shuffled = bool(shuffle) and n_mb > 1  # full-batch: order is moot
-
-        prog_key = self._train_prog_key(optimizer, loss, optimizer_kwargs,
-                                        loss_kwargs)
-        cache_key = None
-        if prog_key is not None:
-            cache_key = ("bptt_batch", prog_key, sampling_steps, rk,
-                         str(fused_bptt), remat_steps, self._step_versions(),
-                         n_mb, mb, shuffled)
-        built = self._step_cache.get(cache_key) if cache_key is not None else None
-        if built is None:
-            built = self._build_batch_programs(step, loss_fn, opt, fused_bptt,
-                                               rk, remat_steps, sampling_steps,
-                                               n_mb, mb, shuffled)
-            if cache_key is not None:
-                self._step_cache[cache_key] = built
         fit_single, fit_chunk, pack = built[:3]
         y0p = pack(state0)
 
@@ -1655,39 +1706,30 @@ class Network:
         # shards over 'model' via the placed params/state.  GSPMD lays the
         # collectives (incl. the shuffle's permutation gather).
         n_data = mesh.shape.get("data", 1) if mesh is not None else 1
-        batch_spec = None
-        if n_data > 1:
-            if mb % n_data == 0:
-                from jax.sharding import PartitionSpec
+        shard_trials = n_data > 1 and mb % n_data == 0
+        if n_data > 1 and not shard_trials:
+            import warnings
 
-                batch_spec = PartitionSpec("data", None, None)
-            else:
-                import warnings
+            warnings.warn(
+                f"fit_bptt_batch: batch_size {mb} does not divide the "
+                f"mesh's 'data' axis ({n_data}); trials run REPLICATED "
+                f"(no data parallelism).", stacklevel=2)
 
-                warnings.warn(
-                    f"fit_bptt_batch: batch_size {mb} does not divide the "
-                    f"mesh's 'data' axis ({n_data}); trials run REPLICATED "
-                    f"(no data parallelism).", stacklevel=2)
-
-        def place(x, dtype, spec=None):
+        def place(x, dtype, on_data=False):
             arr = jnp.asarray(x, dtype=dtype)
             if mesh is None:
                 return jax.device_put(arr)
-            if spec is None:
+            if not (on_data and shard_trials):
                 return self._mesh_replicate(arr, mesh)
-            from jax.sharding import NamedSharding
+            from jax.sharding import NamedSharding, PartitionSpec
 
+            spec = PartitionSpec("data", *([None] * (arr.ndim - 1)))
             return jax.device_put(arr, NamedSharding(mesh, spec))
 
-        inp = place(inputs, self.dtype, batch_spec)
-        tgt = place(targets, self.dtype, batch_spec)
+        inp = place(inputs, self.dtype, on_data=True)
+        tgt = place(targets, self.dtype, on_data=True)
         E = int(n_epochs)
-        if shuffled:
-            rng = np.random.default_rng(seed)
-            perms = np.stack([rng.permutation(B) for _ in range(E)])
-        else:
-            perms = np.broadcast_to(np.arange(B), (E, B))
-        perms = place(np.ascontiguousarray(perms), jnp.int32)
+        perms = place(perms, jnp.int32)
 
         t0 = perf_counter()
         loss_parts = []
@@ -1772,24 +1814,12 @@ class Network:
         M = int(n_starts)
         if M < 1:
             raise ValueError(f"n_starts={M} must be >= 1")
-        if not isinstance(inputs, jnp.ndarray):
-            inputs = np.asarray(inputs)
-        if not isinstance(targets, jnp.ndarray):
-            targets = np.asarray(targets)
-        ishape, tshape = np.shape(inputs), np.shape(targets)
-        if len(ishape) != 3:
-            raise ValueError(f"fit_bptt_multistart expects (B, T, m) inputs, got {ishape}")
-        if tshape[0] != ishape[0]:
-            raise ValueError(
-                "Wrong dimensions of input and target output. Please make sure that "
-                "`inputs` and `targets` agree in the first dimension (trials)."
-            )
-        B, T = int(ishape[0]), int(ishape[1])
-        mb = B if batch_size is None else int(batch_size)
-        if mb < 1 or B % mb:
-            raise ValueError(f"batch_size={mb} must divide the number of trials B={B}")
-        n_mb = B // mb
-
+        inputs, targets, B, T, n_mb, mb, shuffled, built, perms = \
+            self._batch_fit_setup("fit_bptt_multistart", inputs, targets,
+                                  batch_size, loss, loss_fn, opt, optimizer,
+                                  optimizer_kwargs, loss_kwargs,
+                                  sampling_steps, shuffle, seed, n_epochs,
+                                  kwargs)
         params = self.parameters_pytree()
         if mesh is not None:
             params = self._mesh_place(params, mesh)
@@ -1847,11 +1877,16 @@ class Network:
                         f"{(M,) + leaf.shape}, got {given.shape}")
                 return place_stacked(given, leaf)
             scale = float(np.std(np.asarray(leaf, dtype=np.float64))) or 1.0
-            eps = init_rng.standard_normal((M,) + leaf.shape)
+            # fill per start in f32: a one-shot standard_normal((M,)+shape)
+            # would transiently hold the full stack in f64 (6.4 GB at
+            # N=10k, M=8); this caps the f64 transient at ONE leaf.
+            eps = np.empty((M,) + leaf.shape, dtype=np.float32)
             eps[0] = 0.0  # start 0 is the unperturbed current network
+            for m in range(1, M):
+                eps[m] = init_rng.standard_normal(leaf.shape)
+            eps *= np.float32(init_scale * scale)
             return place_stacked(
-                leaf[None] + jnp.asarray(init_scale * scale * eps,
-                                         dtype=leaf.dtype), leaf)
+                leaf[None] + jnp.asarray(eps, dtype=leaf.dtype), leaf)
 
         train_M = {kind: {label: {key: stack_leaf(kind, label, key, leaf)
                                   for key, leaf in sub.items()}
@@ -1861,29 +1896,6 @@ class Network:
         state0 = self.init_state()
         if mesh is not None:
             state0 = self._mesh_place(state0, mesh)
-        step = self.make_step()
-
-        remat_steps = int(kwargs.pop("remat_steps", 0))
-        rk = remat_steps if (remat_steps > 1 and T % remat_steps == 0) else 0
-        fused_bptt = kwargs.pop("fused_bptt", "auto")
-        if remat_steps > 1 and rk == 0 and fused_bptt == "auto":
-            fused_bptt = False
-        shuffled = bool(shuffle) and n_mb > 1
-
-        prog_key = self._train_prog_key(optimizer, loss, optimizer_kwargs,
-                                        loss_kwargs)
-        cache_key = None
-        if prog_key is not None:
-            cache_key = ("bptt_batch", prog_key, sampling_steps, rk,
-                         str(fused_bptt), remat_steps, self._step_versions(),
-                         n_mb, mb, shuffled)
-        built = self._step_cache.get(cache_key) if cache_key is not None else None
-        if built is None:
-            built = self._build_batch_programs(step, loss_fn, opt, fused_bptt,
-                                               rk, remat_steps, sampling_steps,
-                                               n_mb, mb, shuffled)
-            if cache_key is not None:
-                self._step_cache[cache_key] = built
         _, _, pack, fit_single_ms, fit_chunk_ms = built
         y0p = pack(state0)
 
@@ -1892,12 +1904,7 @@ class Network:
         inp = stage(jnp.asarray(inputs, dtype=self.dtype))
         tgt = stage(jnp.asarray(targets, dtype=self.dtype))
         E = int(n_epochs)
-        if shuffled:
-            rng = np.random.default_rng(seed)
-            perms = np.stack([rng.permutation(B) for _ in range(E)])
-        else:
-            perms = np.broadcast_to(np.arange(B), (E, B))
-        perms = stage(jnp.asarray(np.ascontiguousarray(perms), jnp.int32))
+        perms = stage(jnp.asarray(perms, jnp.int32))
 
         t0 = perf_counter()
         loss_parts = []
@@ -1908,9 +1915,9 @@ class Network:
                                                        y0p, inp, tgt, perms[epoch])
                 loss_parts.append(lv[None])  # (1, M, n_mb)
                 lv_ep = np.asarray(jnp.mean(lv, axis=1))
+                b = _best_start(lv_ep)
                 print(f"Progress: {epoch + 1}/{E} training epochs finished.")
-                print(f"Best-start epoch loss: {float(lv_ep.min())} "
-                      f"(start {int(lv_ep.argmin())}).")
+                print(f"Best-start epoch loss: {float(lv_ep[b])} (start {b}).")
                 print("")
         else:
             e = 0
@@ -1927,7 +1934,7 @@ class Network:
                   if loss_parts else np.zeros((0, M, 1)))
         per_epoch = losses.mean(axis=2)  # (E, M)
         final = per_epoch[-1] if E else np.zeros(M)
-        best = int(np.argmin(final)) if E else 0
+        best = _best_start(final) if E else 0
         obs.save("epoch_loss", list(per_epoch[:, best]))
         obs.save("start_epoch_loss", [per_epoch[ep] for ep in range(len(per_epoch))])
         obs.save("start_final_loss", list(final))

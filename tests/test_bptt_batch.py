@@ -247,6 +247,12 @@ def test_batch_validation_errors():
                            output_var="tanh_op/r", float_precision="float64")
     with pytest.raises(ValueError, match="No trainable parameters"):
         frozen.fit_bptt_batch(ins, tgts, verbose=False)
+    # elementwise losses demand (B, R, n_out) targets -- a silently
+    # broadcast (B, R) target would train against the wrong signal
+    with pytest.raises(ValueError, match=r"\(B, R, n_out\)"):
+        net.fit_bptt_batch(ins, tgts[:, :, 0], verbose=False)
+    with pytest.raises(ValueError, match=r"\(B, R\) integer class labels"):
+        net.fit_bptt_batch(ins, tgts, loss="ce", verbose=False)
 
 
 @pytest.mark.parametrize("data", [1, 2])

@@ -120,6 +120,35 @@ def test_multistart_validation():
                                 start_inits={("p", "eta"): np.zeros((2,))},
                                 verbose=False)
 
+def test_best_start_ignores_nan_losses():
+    """A diverged (NaN-loss) start must never win the write-back: np.argmin
+    would return the NaN position (NaN poisons the min reduction)."""
+    from rectipy_tpu.network import _best_start
+
+    assert _best_start(np.array([np.nan, 2.0, 1.0])) == 2
+    assert _best_start(np.array([3.0, np.inf, 1.0, np.nan])) == 2
+    assert _best_start(np.array([np.nan, np.nan])) == 0
+    assert _best_start(np.array([0.5, 2.0])) == 0
+
+
+def test_multistart_nan_start_not_written_back():
+    """End-to-end: one start seeded with exploding weights diverges to NaN;
+    the finite start must be selected and written back."""
+    M = 2
+    W_inits = np.stack([W0, np.full_like(W0, np.nan)])  # start 1 is poisoned
+    c = _build()
+    obs = c.fit_bptt_multistart(INS, TGTS, n_starts=M,
+                                start_inits={("p", "weights"): W_inits},
+                                n_epochs=3, optimizer="adam", lr=1e-2,
+                                verbose=False)
+    final = np.asarray(obs["start_final_loss"])
+    assert not np.isfinite(final[1])
+    best = int(obs["best_start"][0])
+    assert best == 0
+    assert np.isfinite(final[best])
+    assert np.isfinite(np.asarray(c.get_var("p", "weights"))).all()
+
+
 def test_multistart_mesh_matches_unsharded():
     """mesh=(data=2, model=4): starts shard over 'data', population over
     'model'; losses and the written-back winner match the unsharded fit."""
