@@ -907,6 +907,51 @@ def test_fit_bptt_lr_sweep_reuses_one_program():
     assert deltas[0] < deltas[1] < deltas[2], f"lr not applied per-fit: {deltas}"
 
 
+def test_fit_bptt_bf16_adam_moments():
+    """optimizer_kwargs={'mu_dtype': 'bfloat16'} keeps adam's first moment in
+    bf16 (halves the mu stream in the optimizer tail) while the update math
+    stays f32 -- loss curve must track the f32-moment fit closely, and the
+    config must participate in the program cache key (no silent reuse of the
+    f32-moment program)."""
+    n, T, E = 8, 40, 6
+    rng = np.random.default_rng(39)
+    W0 = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    losses = {}
+    for kw in (None, {"mu_dtype": "bfloat16"}):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", train_params=["weights"])
+        obs = net.fit_bptt([inp] * E, [tgt] * E, optimizer="adam", lr=1e-2,
+                           optimizer_kwargs=kw, verbose=False)
+        losses[str(kw)] = np.asarray(obs["epoch_loss"])
+        if kw is not None:
+            # the moment leaf really is bf16 in opt_state
+            from rectipy_tpu.train.optimizers import get_optimizer
+
+            opt = get_optimizer("adam", 1e-2, optimizer_kwargs=kw)
+            st = opt.init({"w": jnp.ones((2, 2), jnp.float32)})
+            mus = [l for p, l in jax.tree_util.tree_leaves_with_path(st)
+                   if "mu" in "/".join(str(x) for x in p)]
+            assert mus and all(m.dtype == jnp.bfloat16 for m in mus)
+    a, b = losses["None"], losses[str({"mu_dtype": "bfloat16"})]
+    assert a[-1] < a[0] and b[-1] < b[0]
+    np.testing.assert_allclose(a, b, rtol=1e-3)
+    # distinct cache keys: a net fitted with both configs holds two programs
+    net2 = Network(1e-2, dtype=jnp.float64)
+    net2.add_diffeq_node("rnn", TANH, weights=W0, input_var="li_op/I_ext",
+                         output_var="li_op/v", source_var="tanh_op/r",
+                         target_var="li_op/r_in", train_params=["weights"])
+    net2.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-2, verbose=False)
+    net2.fit_bptt([inp] * 2, [tgt] * 2, optimizer="adam", lr=1e-2,
+                  optimizer_kwargs={"mu_dtype": "bfloat16"}, verbose=False)
+    keys = [k for k in net2._step_cache if k[0] == "bptt_epochs"]
+    assert len(keys) == 2, f"mu_dtype missing from cache key: {len(keys)}"
+
+
 def test_fit_bptt_cached_program_tracks_frozen_param_changes():
     """set_param on a FROZEN (non-trained) parameter between fits must flow
     through the cached program -- frozen params are arguments, not traced
