@@ -56,14 +56,22 @@ _META = "meta.json"
 _FORMAT_VERSION = 1
 
 
-def _serve_fn(net, sampling_steps: int):
+def _serve_fn(net, sampling_steps: int, batch: Optional[int] = None):
     """Pure ``(leaves, inputs(T, m)) -> (leaves', outputs(R, n_out))`` over
     the network's fused step; ``R = T`` for ``sampling_steps == 1``, else
     contiguous ``sampling_steps``-window means (``R = T // sampling_steps``,
-    trailing partial window dropped)."""
+    trailing partial window dropped).  With ``batch=B`` the program is the
+    vmapped ensemble (:meth:`Network.run_batch` semantics): state leaves gain
+    a leading trial axis, params stay shared, inputs/outputs are
+    ``(B, T, m)`` / ``(B, R, n_out)`` and the per-step coupling matvecs batch
+    into MXU matmuls."""
     step = net.make_step()
     params0 = net.parameters_pytree()
     state0 = net.init_state()
+    if batch:
+        state0 = jax.tree.map(
+            lambda l: jnp.broadcast_to(jnp.asarray(l),
+                                       (int(batch),) + jnp.shape(l)), state0)
     treedef = jax.tree.structure((params0, state0))
     s = int(sampling_steps)
 
@@ -71,14 +79,21 @@ def _serve_fn(net, sampling_steps: int):
         params, state = jax.tree.unflatten(treedef, leaves)
         prepped = net._prep_params(params)  # once per call, outside the scan
 
-        def body(st, x):
-            st, out, _ = step(st, prepped, x)
-            return st, out
+        def one(state, inputs):
+            def body(st, x):
+                st, out, _ = step(st, prepped, x)
+                return st, out
 
-        stateT, outs = jax.lax.scan(body, state, inputs)
-        if s > 1:
-            R = outs.shape[0] // s
-            outs = outs[: R * s].reshape(R, s, -1).mean(axis=1)
+            stateT, outs = jax.lax.scan(body, state, inputs)
+            if s > 1:
+                R = outs.shape[0] // s
+                outs = outs[: R * s].reshape(R, s, -1).mean(axis=1)
+            return stateT, outs
+
+        if batch:
+            stateT, outs = jax.vmap(one)(state, inputs)
+        else:
+            stateT, outs = one(state, inputs)
         # ORIGINAL (unprepped) param leaves pass through unchanged; only the
         # state leaves advance -- the carried list keeps one fixed layout
         new_leaves = jax.tree.leaves((params, stateT))
@@ -89,7 +104,7 @@ def _serve_fn(net, sampling_steps: int):
 
 
 def export_network(net, path: str, T: int, sampling_steps: int = 1,
-                   n_in: Optional[int] = None,
+                   n_in: Optional[int] = None, batch: Optional[int] = None,
                    platforms: Optional[Sequence[str]] = None) -> str:
     """Export ``net``'s ``T``-step integration program + a params/state
     snapshot as a self-contained serving bundle at directory ``path``.
@@ -98,7 +113,10 @@ def export_network(net, path: str, T: int, sampling_steps: int = 1,
     current backend only.  The input signature is fixed at ``(T, n_in)`` in
     the network dtype; ``n_in=1`` exports the single-channel common-drive
     idiom (a ``(T, 1)`` input broadcast across the input population, the
-    same broadcast :meth:`Network.run` accepts).
+    same broadcast :meth:`Network.run` accepts).  ``batch=B`` exports the
+    vmapped ``B``-trial ensemble program (:meth:`Network.run_batch`
+    semantics: shared params, per-trial state, ``(B, T, n_in)`` inputs) --
+    one artifact serving a whole ensemble per dispatch.
 
     Returns ``path``.  Reference has no analog (no persistence, no export --
     SURVEY.md §5).
@@ -109,12 +127,15 @@ def export_network(net, path: str, T: int, sampling_steps: int = 1,
     T = int(T)
     if T < 1:
         raise ValueError(f"T={T} must be >= 1")
-    serve, example_leaves = _serve_fn(net, sampling_steps)
+    if batch is not None and int(batch) < 1:
+        raise ValueError(f"batch={batch} must be >= 1")
+    serve, example_leaves = _serve_fn(net, sampling_steps, batch)
     m = int(net.n_in) if n_in is None else int(n_in)
     if m not in (1, int(net.n_in)):
         raise ValueError(f"n_in={m} must be 1 (broadcast) or the input node "
                          f"width {net.n_in}")
-    in_sds = jax.ShapeDtypeStruct((T, m), net.dtype)
+    in_shape = (T, m) if batch is None else (int(batch), T, m)
+    in_sds = jax.ShapeDtypeStruct(in_shape, net.dtype)
     leaf_sds = [jax.ShapeDtypeStruct(jnp.shape(l), jnp.asarray(l).dtype)
                 for l in example_leaves]
     exp = jax_export.export(
@@ -135,6 +156,7 @@ def export_network(net, path: str, T: int, sampling_steps: int = 1,
         "n_in": m,
         "n_out": int(net.n_out),
         "sampling_steps": int(sampling_steps),
+        "batch": int(batch) if batch is not None else None,
         "dt": float(net.dt),
         "dtype": str(np.dtype(net.dtype)),
         "n_leaves": len(example_leaves),
@@ -175,6 +197,8 @@ class ServedNetwork:
         longer horizons, exactly like chained ``Network.run`` windows)."""
         inputs = jnp.asarray(inputs, dtype=self.meta["dtype"])
         expect = (self.meta["T"], self.meta["n_in"])
+        if self.meta.get("batch"):
+            expect = (self.meta["batch"],) + expect
         if inputs.shape != expect:
             raise ValueError(
                 f"ServedNetwork expects inputs of the exported shape {expect} "

@@ -149,6 +149,31 @@ def test_bundle_is_model_definition_free(tmp_path):
     assert "cpu" in meta["platforms"]
 
 
+def test_serving_batched_ensemble(tmp_path):
+    """batch=B exports the vmapped ensemble program (run_batch semantics:
+    shared params, per-trial state); each trial matches the single-trial
+    bundle fed the same input, and per-trial state carries across calls."""
+    B = 3
+    single = load_network(export_network(_rate_net(), str(tmp_path / "s1"),
+                                         T=T, n_in=1))
+    batched = load_network(export_network(_rate_net(), str(tmp_path / "sB"),
+                                          T=T, n_in=1, batch=B))
+    ins = rng0.normal(size=(B, T, 1)).astype(np.float32)
+    got = batched(ins)
+    assert got.shape == (B, T, N)
+    for b in range(B):
+        single.reset()
+        np.testing.assert_allclose(got[b], single(ins[b]), rtol=1e-6, atol=1e-7)
+    # second call: per-trial state carried independently
+    got2 = batched(ins)
+    for b in range(B):
+        single.reset()
+        single(ins[b])
+        np.testing.assert_allclose(got2[b], single(ins[b]), rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="exported shape"):
+        batched(ins[0])
+
+
 def test_serving_vendored_module_no_package(tmp_path):
     """The deployment claim: serving.py loaded STANDALONE (by file path, the
     rectipy_tpu package __init__ never executes) serves the bundle with only
