@@ -1566,6 +1566,47 @@ class Network:
 
     _CLASS_LOSSES = ("nll", "ce")  # integer class labels: (B, R) targets
 
+    def _resolve_batch_vars(self, name, batch_vars, B, params):
+        """Resolve a ``batch_vars`` mapping for the batched-trial trainers to
+        a flat ``{(kind, label, key): (B, ...) device array}`` of per-trial
+        FROZEN-parameter overrides.  Keys are ``(node, var)`` pairs (like
+        :meth:`run_batch`) or exact trainable-style paths
+        ``("nodes"|"edges", label, key)``; values are ``(B,)`` (one scalar
+        per trial) or ``(B,) + leaf.shape``.  Trainable parameters are
+        rejected -- per-trial TRAINED parameters are
+        :meth:`fit_bptt_multistart`'s job (per-start), not a sweep's."""
+        trainable = set(self.trainable_paths())
+        fb = {}
+        for k, vals in (batch_vars or {}).items():
+            if len(k) == 3 and k[0] in ("nodes", "edges"):
+                path = tuple(k)
+            else:
+                nlabel, var = k
+                node = self.get_node(nlabel)
+                try:
+                    path = ("nodes", nlabel, node._param_map[self._relabel_var(var)])
+                except (AttributeError, KeyError):
+                    raise KeyError(f"{name}: batch_vars key {var!r} is not a "
+                                   f"parameter of node {nlabel!r}.")
+            if path in trainable:
+                raise ValueError(
+                    f"{name}: batch_vars path {path} is TRAINABLE; per-trial "
+                    f"sweeps apply to frozen parameters (per-start trainable "
+                    f"inits are fit_bptt_multistart's start_inits).")
+            try:
+                leaf = jnp.asarray(params[path[0]][path[1]][path[2]])
+            except KeyError:
+                raise KeyError(f"{name}: batch_vars path {path} not found.")
+            if not isinstance(vals, jnp.ndarray):  # staging pass-through rule
+                vals = np.asarray(vals)
+            vals = jnp.asarray(vals, dtype=leaf.dtype)
+            if vals.shape not in ((B,), (B,) + leaf.shape):
+                raise ValueError(
+                    f"{name}: batch_vars[{k}] must have shape {(B,)} (scalar "
+                    f"per trial) or {(B,) + leaf.shape}, got {vals.shape}")
+            fb[path] = vals
+        return fb
+
     def _batch_fit_setup(self, name, inputs, targets, batch_size, loss,
                          loss_fn, opt, optimizer, optimizer_kwargs,
                          loss_kwargs, sampling_steps, shuffle, seed,
@@ -1670,6 +1711,16 @@ class Network:
         axis; trials shard over 'data' whenever ``batch_size`` divides it,
         else they run replicated).
 
+        ``batch_vars`` (optional): ``{(node, var): values}`` per-trial
+        FROZEN-parameter overrides, exactly :meth:`run_batch`'s sweep
+        surface (``values`` is ``(B,)`` or ``(B, n)``) -- trial ``b``
+        integrates with its own ``values[b]`` while the TRAINED parameters
+        stay shared across trials.  This is the heterogeneous-condition
+        fitting workload (one coupling matrix trained across per-trial
+        drives / excitabilities / subjects) in a single vmapped program.
+        Swept paths must be frozen (per-start trainable inits are
+        :meth:`fit_bptt_multistart`'s job).
+
         Returns an Observer with ``epoch_loss`` (mean over minibatches,
         one per epoch), ``train_loss`` (one per update), and ``epochs``.
         The network's trained parameters are written back; its state is
@@ -1685,6 +1736,7 @@ class Network:
             raise ValueError("No trainable parameters in the network; pass `train_params` "
                              "to add_diffeq_node or train='gd' to add_edge.")
         mesh = kwargs.pop("mesh", None)
+        batch_vars = kwargs.pop("batch_vars", None)
         inputs, targets, B, T, n_mb, mb, shuffled, built, perms = \
             self._batch_fit_setup("fit_bptt_batch", inputs, targets,
                                   batch_size, loss, loss_fn, opt, optimizer,
@@ -1692,6 +1744,7 @@ class Network:
                                   sampling_steps, shuffle, seed, n_epochs,
                                   kwargs)
         params = self.parameters_pytree()
+        fb = self._resolve_batch_vars("fit_bptt_batch", batch_vars, B, params)
         state0 = self.init_state()
         if mesh is not None:
             params = self._mesh_place(params, mesh)
@@ -1728,6 +1781,7 @@ class Network:
 
         inp = place(inputs, self.dtype, on_data=True)
         tgt = place(targets, self.dtype, on_data=True)
+        fb = {k: place(v, v.dtype, on_data=True) for k, v in fb.items()}
         E = int(n_epochs)
         perms = place(perms, jnp.int32)
 
@@ -1736,8 +1790,9 @@ class Network:
         C = _EPOCH_SCAN_CHUNK
         if verbose:
             for epoch in range(E):
-                train, opt_state, lvals = fit_single(train, frozen, opt_state,
-                                                     y0p, inp, tgt, perms[epoch])
+                train, opt_state, lvals = fit_single(train, frozen, fb,
+                                                     opt_state, y0p, inp, tgt,
+                                                     perms[epoch])
                 loss_parts.append(lvals)
                 print(f"Progress: {epoch + 1}/{E} training epochs finished.")
                 print(f"Epoch loss: {float(jnp.mean(lvals))}.")
@@ -1745,13 +1800,15 @@ class Network:
         else:
             e = 0
             while E - e >= C:
-                train, opt_state, lvals = fit_chunk(train, frozen, opt_state,
-                                                    y0p, inp, tgt, perms[e:e + C])
+                train, opt_state, lvals = fit_chunk(train, frozen, fb,
+                                                    opt_state, y0p, inp, tgt,
+                                                    perms[e:e + C])
                 loss_parts.append(lvals.reshape(-1))
                 e += C
             for epoch in range(e, E):
-                train, opt_state, lvals = fit_single(train, frozen, opt_state,
-                                                     y0p, inp, tgt, perms[epoch])
+                train, opt_state, lvals = fit_single(train, frozen, fb,
+                                                     opt_state, y0p, inp, tgt,
+                                                     perms[epoch])
                 loss_parts.append(lvals)
         # losses stay on device through the loop; one fetch here
         losses = np.asarray(jnp.concatenate(loss_parts)) if loss_parts else np.zeros(0)
@@ -1782,8 +1839,9 @@ class Network:
         shared), so M starts cost far less than M sequential fits.  No
         reference analog.
 
-        ``inputs``/``targets``/``batch_size``/``shuffle`` as in
-        :meth:`fit_bptt_batch`.  Start initializations: ``start_inits`` maps
+        ``inputs``/``targets``/``batch_size``/``shuffle``/``batch_vars`` as
+        in :meth:`fit_bptt_batch` (per-trial frozen overrides are shared by
+        every start).  Start initializations: ``start_inits`` maps
         ``(node, param)`` (or an exact trainable path ``(kind, label, key)``)
         to an ``(n_starts, ...)`` array of initial values; any trainable
         leaf NOT listed starts at its current value for start 0 and at
@@ -1814,6 +1872,7 @@ class Network:
         M = int(n_starts)
         if M < 1:
             raise ValueError(f"n_starts={M} must be >= 1")
+        batch_vars = kwargs.pop("batch_vars", None)
         inputs, targets, B, T, n_mb, mb, shuffled, built, perms = \
             self._batch_fit_setup("fit_bptt_multistart", inputs, targets,
                                   batch_size, loss, loss_fn, opt, optimizer,
@@ -1899,10 +1958,14 @@ class Network:
         _, _, pack, fit_single_ms, fit_chunk_ms = built
         y0p = pack(state0)
 
+        # per-trial frozen overrides replicate: the 'data' axis carries STARTS
+        fb = self._resolve_batch_vars("fit_bptt_multistart", batch_vars, B,
+                                      self.parameters_pytree())
         stage = ((lambda a: self._mesh_replicate(a, mesh))
                  if mesh is not None else jax.device_put)
         inp = stage(jnp.asarray(inputs, dtype=self.dtype))
         tgt = stage(jnp.asarray(targets, dtype=self.dtype))
+        fb = {k: stage(v) for k, v in fb.items()}
         E = int(n_epochs)
         perms = stage(jnp.asarray(perms, jnp.int32))
 
@@ -1911,8 +1974,9 @@ class Network:
         C = _EPOCH_SCAN_CHUNK
         if verbose:
             for epoch in range(E):
-                train_M, opt_state, lv = fit_single_ms(train_M, frozen, opt_state,
-                                                       y0p, inp, tgt, perms[epoch])
+                train_M, opt_state, lv = fit_single_ms(train_M, frozen, fb,
+                                                       opt_state, y0p, inp,
+                                                       tgt, perms[epoch])
                 loss_parts.append(lv[None])  # (1, M, n_mb)
                 lv_ep = np.asarray(jnp.mean(lv, axis=1))
                 b = _best_start(lv_ep)
@@ -1922,13 +1986,15 @@ class Network:
         else:
             e = 0
             while E - e >= C:
-                train_M, opt_state, lv = fit_chunk_ms(train_M, frozen, opt_state,
-                                                      y0p, inp, tgt, perms[e:e + C])
+                train_M, opt_state, lv = fit_chunk_ms(train_M, frozen, fb,
+                                                      opt_state, y0p, inp,
+                                                      tgt, perms[e:e + C])
                 loss_parts.append(lv)  # (C, M, n_mb)
                 e += C
             for epoch in range(e, E):
-                train_M, opt_state, lv = fit_single_ms(train_M, frozen, opt_state,
-                                                       y0p, inp, tgt, perms[epoch])
+                train_M, opt_state, lv = fit_single_ms(train_M, frozen, fb,
+                                                       opt_state, y0p, inp,
+                                                       tgt, perms[epoch])
                 loss_parts.append(lv[None])
         losses = (np.asarray(jnp.concatenate(loss_parts, axis=0))
                   if loss_parts else np.zeros((0, M, 1)))
@@ -1962,38 +2028,53 @@ class Network:
         epoch_loss, pack, _ = self._build_epoch_loss(
             step, loss_fn, fused_bptt, rk, remat_steps, sampling_steps)
 
-        def batch_loss(train, frozen, y0p, inp, tgt):
-            per_trial = jax.vmap(
-                lambda i, t: epoch_loss(train, frozen, y0p, i, t))
-            return jnp.mean(per_trial(inp, tgt))
+        def merged(frozen, f):
+            """Frozen pytree with the per-trial overrides ``f`` (flat
+            ``{(kind, label, key): leaf}``, already sliced to ONE trial under
+            the vmap) spliced in.  Dict surgery at trace time only."""
+            if not f:
+                return frozen
+            fz = {k: {lb: dict(s) for lb, s in d.items()}
+                  for k, d in frozen.items()}
+            for (kind, label, key), v in f.items():
+                fz[kind][label][key] = v
+            return fz
 
-        def _epoch(train, opt_state, frozen, y0p, inp, tgt, perm):
+        def batch_loss(train, frozen, fb, y0p, inp, tgt):
+            per_trial = jax.vmap(
+                lambda f, i, t: epoch_loss(train, merged(frozen, f), y0p, i, t))
+            return jnp.mean(per_trial(fb, inp, tgt))
+
+        def _epoch(train, opt_state, frozen, fb, y0p, inp, tgt, perm):
             if shuffled:
                 inp = jnp.take(inp, perm, axis=0)
                 tgt = jnp.take(tgt, perm, axis=0)
+                fb = {k: jnp.take(v, perm, axis=0) for k, v in fb.items()}
             inp = inp.reshape((n_mb, mb) + inp.shape[1:])
             tgt = tgt.reshape((n_mb, mb) + tgt.shape[1:])
+            fb = {k: v.reshape((n_mb, mb) + v.shape[1:]) for k, v in fb.items()}
 
             def body(carry, it):
                 tr, os_ = carry
-                lval, grads = jax.value_and_grad(batch_loss)(tr, frozen, y0p,
-                                                             it[0], it[1])
+                i_mb, t_mb, f_mb = it
+                lval, grads = jax.value_and_grad(batch_loss)(tr, frozen, f_mb,
+                                                             y0p, i_mb, t_mb)
                 updates, os_ = opt.update(grads, os_, tr)
                 return (optax.apply_updates(tr, updates), os_), lval
 
             (train, opt_state), lvals = jax.lax.scan(
-                body, (train, opt_state), (inp, tgt))
+                body, (train, opt_state), (inp, tgt, fb))
             return train, opt_state, lvals
 
         @jax.jit
-        def fit_single(train, frozen, opt_state, y0p, inp, tgt, perm):
-            return _epoch(train, opt_state, frozen, y0p, inp, tgt, perm)
+        def fit_single(train, frozen, fb, opt_state, y0p, inp, tgt, perm):
+            return _epoch(train, opt_state, frozen, fb, y0p, inp, tgt, perm)
 
         @jax.jit
-        def fit_chunk(train, frozen, opt_state, y0p, inp, tgt, perms):
+        def fit_chunk(train, frozen, fb, opt_state, y0p, inp, tgt, perms):
             def ep(carry, perm):
                 tr, os_ = carry
-                tr, os_, lvals = _epoch(tr, os_, frozen, y0p, inp, tgt, perm)
+                tr, os_, lvals = _epoch(tr, os_, frozen, fb, y0p, inp, tgt, perm)
                 return (tr, os_), lvals
 
             (train, opt_state), lvals = jax.lax.scan(
@@ -2002,18 +2083,20 @@ class Network:
 
         # multi-start (fit_bptt_multistart): the SAME epoch body vmapped
         # over a leading model axis on (train, opt_state) -- M independent
-        # optimizations advance in lockstep, sharing the staged data
-        vep = jax.vmap(_epoch, in_axes=(0, 0, None, None, None, None, None))
+        # optimizations advance in lockstep, sharing the staged data (incl.
+        # any per-trial frozen overrides)
+        vep = jax.vmap(_epoch,
+                       in_axes=(0, 0, None, None, None, None, None, None))
 
         @jax.jit
-        def fit_single_ms(train, frozen, opt_state, y0p, inp, tgt, perm):
-            return vep(train, opt_state, frozen, y0p, inp, tgt, perm)
+        def fit_single_ms(train, frozen, fb, opt_state, y0p, inp, tgt, perm):
+            return vep(train, opt_state, frozen, fb, y0p, inp, tgt, perm)
 
         @jax.jit
-        def fit_chunk_ms(train, frozen, opt_state, y0p, inp, tgt, perms):
+        def fit_chunk_ms(train, frozen, fb, opt_state, y0p, inp, tgt, perms):
             def ep(carry, perm):
                 tr, os_ = carry
-                tr, os_, lvals = vep(tr, os_, frozen, y0p, inp, tgt, perm)
+                tr, os_, lvals = vep(tr, os_, frozen, fb, y0p, inp, tgt, perm)
                 return (tr, os_), lvals
 
             (train, opt_state), lvals = jax.lax.scan(
