@@ -84,4 +84,47 @@ int sample_fixed_fanin(int64_t n, int64_t m, int64_t n_conns, uint64_t seed,
   return 0;
 }
 
+// Block-sparse fixed-fan-in sampling (ops/sparse.py block_random_connectivity
+// fast path).  For every neuron i of block-row r, sample `fan_in` distinct
+// picks from the candidate pool [0, source_blocks*bs) with Floyd's algorithm
+// and write weight `w` into the preallocated
+// (nb_out, source_blocks, bs, bs) float32 block tensor at
+// blocks[r, pick / bs, i, pick % bs].  The numpy construction (argsort of a
+// (bs, cand) random matrix per block-row) costs minutes at N=1e6 on one
+// host core; this is O(nb_out * bs * fan_in) writes at memory speed.
+// scratch must hold 4 * fan_in int64 entries.  Deterministic per seed
+// (splitmix64 keyed per neuron).  Returns 0 on success.
+int sample_block_fanin(int64_t nb_out, int64_t source_blocks, int64_t bs,
+                       int64_t fan_in, uint64_t seed, float w,
+                       float* blocks, int64_t* scratch) {
+  const int64_t cand = source_blocks * bs;
+  if (nb_out <= 0 || source_blocks <= 0 || bs <= 0 || fan_in <= 0 ||
+      fan_in > cand)
+    return 1;
+  const int64_t cap = 4 * fan_in;
+  SmallSet set;
+  for (int64_t r = 0; r < nb_out; ++r) {
+    float* row_blocks = blocks + r * source_blocks * bs * bs;
+    for (int64_t i = 0; i < bs; ++i) {
+      uint64_t state =
+          seed ^ (0xdeadbeefcafef00dULL +
+                  (uint64_t)(r * bs + i) * 0x100000001b3ULL);
+      set.init(scratch, cap);
+      for (int64_t j = cand - fan_in; j < cand; ++j) {
+        int64_t t = (int64_t)bounded(state, (uint64_t)(j + 1));
+        int64_t pick;
+        if (set.insert(t)) {
+          pick = t;
+        } else {
+          set.insert(j);
+          pick = j;
+        }
+        const int64_t c = pick / bs, col = pick % bs;
+        row_blocks[(c * bs + i) * bs + col] = w;
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -102,8 +102,8 @@ def block_sparse_matvec(blocks, cols, s, cast_dtype=None):
 
 def block_random_connectivity(n: int, m: int, fan_in: int, block_size: int = 512,
                               source_blocks: Optional[int] = None, seed: int = 0,
-                              normalize: bool = True,
-                              dtype=np.float32) -> BlockSparseCoupling:
+                              normalize: bool = True, dtype=np.float32,
+                              backend: str = "auto") -> BlockSparseCoupling:
     """Sample fixed-fan-in random connectivity with block-local sources.
 
     Each neuron receives exactly ``fan_in`` distinct connections (weight
@@ -126,6 +126,15 @@ def block_random_connectivity(n: int, m: int, fan_in: int, block_size: int = 512
                      for _ in range(nb_out)]).astype(np.int32)
     blocks = np.zeros((nb_out, source_blocks, block_size, block_size), dtype=dtype)
     w = (1.0 / fan_in) if normalize else 1.0
+    # native fast path: the numpy argsort construction below is
+    # O(nb_out * bs * cand * log(cand)) host time -- minutes at N=1e6 on one
+    # core -- while the C++ Floyd sampler writes each neuron's fan_in picks
+    # directly (native/connectivity.cpp sample_block_fanin).  Different (but
+    # deterministic-per-seed) sample than the numpy path; same contract:
+    # exactly fan_in distinct candidates per neuron, weight w.
+    if backend != "numpy" and dtype == np.float32 and _native_block_fanin(
+            blocks, source_blocks, block_size, fan_in, seed, w):
+        return BlockSparseCoupling(blocks, cols)
     # per neuron: fan_in distinct picks from the candidate pool (argsort
     # construction, vectorized over the whole block-row at once)
     for r in range(nb_out):
@@ -134,3 +143,28 @@ def block_random_connectivity(n: int, m: int, fan_in: int, block_size: int = 512
         i_idx = np.repeat(np.arange(block_size), fan_in)
         blocks[r, c_idx.ravel(), i_idx, j_idx.ravel()] = w
     return BlockSparseCoupling(blocks, cols)
+
+
+def _native_block_fanin(blocks: np.ndarray, source_blocks: int, block_size: int,
+                        fan_in: int, seed: int, w: float) -> bool:
+    """Fill ``blocks`` in place via the C++ sampler; False -> numpy fallback."""
+    import ctypes
+
+    from ..native.build import load_native
+
+    lib = load_native("connectivity")
+    if lib is None or not hasattr(lib, "sample_block_fanin"):
+        return False
+    fn = lib.sample_block_fanin
+    fn.restype = ctypes.c_int
+    fn.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                   ctypes.c_int64, ctypes.c_uint64, ctypes.c_float,
+                   ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64)]
+    if not blocks.flags["C_CONTIGUOUS"]:
+        return False
+    scratch = np.empty(4 * fan_in, dtype=np.int64)
+    rc = fn(blocks.shape[0], source_blocks, block_size, fan_in, seed,
+            ctypes.c_float(w),
+            blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return rc == 0

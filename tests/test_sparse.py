@@ -30,6 +30,26 @@ def test_generator_invariants():
         assert used <= set(int(c) for c in A.cols[r])
 
 
+def test_generator_backends_share_contract():
+    # the C++ Floyd sampler (native/connectivity.cpp sample_block_fanin) and
+    # the numpy argsort construction draw different samples but must satisfy
+    # the same contract: exact fan-in, row normalization, block-local sources,
+    # per-seed determinism.
+    n, fan_in, bs = 256, 24, 32
+    A_auto = block_random_connectivity(n, n, fan_in, block_size=bs, seed=9)
+    A_np = block_random_connectivity(n, n, fan_in, block_size=bs, seed=9,
+                                     backend="numpy")
+    np.testing.assert_array_equal(A_auto.cols, A_np.cols)  # cols sampling shared
+    for A in (A_auto, A_np):
+        W = A.to_dense()
+        np.testing.assert_array_equal((W != 0).sum(axis=1), fan_in)
+        np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-6)
+    again = block_random_connectivity(n, n, fan_in, block_size=bs, seed=9)
+    np.testing.assert_array_equal(A_auto.blocks, again.blocks)
+    other = block_random_connectivity(n, n, fan_in, block_size=bs, seed=10)
+    assert not np.array_equal(A_auto.blocks, other.blocks)
+
+
 def test_matvec_matches_dense():
     n, fan_in, bs = 192, 17, 32
     rng = np.random.default_rng(0)
