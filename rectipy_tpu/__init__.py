@@ -14,6 +14,7 @@ __version__ = "0.2.0"
 
 from .dsl import CircuitTemplate, NodeTemplate, OperatorTemplate, clear_frontend_caches, lower
 from .edges import RLS, Linear, LinearFilter, LinearMasked, LinearMemory, LinearMemoryFilter
+from .inputs import Constant, InputSpec, Noise, Pulse, Sine
 from .network import FeedbackNetwork, Network
 from .nodes import InstantNode, MultiSpikeResetNet, RateNet, SpikeNet, SpikeResetNet
 from .observer import Observer
@@ -47,6 +48,11 @@ __all__ = [
     "block_random_connectivity",
     "SpikeNet",
     "SpikeResetNet",
+    "Constant",
+    "InputSpec",
+    "Noise",
+    "Pulse",
+    "Sine",
     "circular_connectivity",
     "clear_frontend_caches",
     "input_connections",

@@ -1,0 +1,263 @@
+"""On-device input generation: declarative time-series specs evaluated
+INSIDE the integration scan.
+
+The reference feeds every simulation a host-materialized ``(T, m)`` array
+(/root/reference/rectipy/network.py:542-571).  On TPU that array is pure
+host->device traffic -- a (T=200k, N=10k) noise drive is 8 GB over the
+wire and cannot even be materialized for long horizons.  An
+:class:`InputSpec` instead describes the drive as a pure function
+``x_t = f(step_index)`` that the compiled scan evaluates on device: zero
+transfer, zero HBM footprint, identical recording semantics.
+
+``Network.run`` / ``Network.run_batch`` accept a spec anywhere an input
+array is accepted::
+
+    from rectipy_tpu.inputs import Noise, Pulse, Sine
+
+    drive = Pulse(steps, channels=1, t_on=1000, t_off=3000, amp=3.0) \
+          + Noise(steps, channels=N, scale=0.1, seed=7)
+    obs = net.run(drive, sampling_steps=100)
+
+Per-trial noise realizations for ensembles: pass a ``(B,)`` array of seeds
+to :class:`Noise` and hand the spec to ``run_batch`` -- every trial draws
+its own stream from one compiled vmapped program.
+
+Spec parameters (amplitudes, times, scales) are ARGUMENTS of the compiled
+program, not closure constants: re-running with different values reuses
+the compiled scan (only ``steps``/``channels``/structure are in the cache
+key).  ``materialize()`` returns the exact dense array a spec evaluates
+to, for golden tests and for feeding trainers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["InputSpec", "Noise", "Pulse", "Sine", "Constant", "Sum"]
+
+
+def _leaf_sig(tree) -> tuple:
+    return tuple(
+        (np.shape(leaf), np.asarray(leaf).dtype.name if not hasattr(leaf, "dtype")
+         else np.dtype(leaf.dtype).name)
+        for leaf in jax.tree_util.tree_leaves(tree))
+
+
+@dataclass(frozen=True)
+class InputSpec:
+    """Base class: a drive of ``channels`` channels over ``steps`` steps.
+
+    Subclasses implement :meth:`build` returning ``(fn, args, axes, sig)``:
+
+    - ``fn(t_idx, args) -> (channels,)`` -- pure, jit/vmap-safe;
+    - ``args`` -- pytree of parameter arrays (program arguments);
+    - ``axes`` -- vmap in_axes pytree for ``args`` (``0`` on leaves that
+      vary per trial, ``None`` elsewhere; all-None for unbatched specs);
+    - ``sig`` -- hashable structure key (no parameter VALUES).
+    """
+
+    steps: int
+    channels: int = 1
+
+    @property
+    def batch(self) -> Optional[int]:
+        """Leading trial dimension (None for unbatched specs)."""
+        return None
+
+    def build(self, dt: float, dtype) -> Tuple:
+        raise NotImplementedError
+
+    def __array__(self, dtype=None, copy=None):
+        # a spec reaching np.asarray means it was passed where only dense
+        # arrays are understood (the trainers): fail with guidance instead
+        # of silently becoming a 0-d object array
+        raise TypeError(
+            f"{type(self).__name__} is an on-device input spec; run()/run_batch() "
+            "evaluate it inside the scan. For other APIs (trainers), pass "
+            "spec.materialize(dt) instead.")
+
+    def __add__(self, other: "InputSpec") -> "Sum":
+        parts = (self.specs if isinstance(self, Sum) else (self,)) + \
+                (other.specs if isinstance(other, Sum) else (other,))
+        return Sum(specs=parts)
+
+    def materialize(self, dt: float, dtype=np.float32) -> np.ndarray:
+        """Evaluate the spec densely: ``(steps, channels)`` (or
+        ``(B, steps, channels)`` when batched).  Bit-identical to what the
+        scan computes on the same backend."""
+        fn, args, axes, _ = self.build(dt, dtype)
+        t = jnp.arange(self.steps)
+        dense = jax.vmap(fn, in_axes=(0, None))
+        if self.batch is not None:
+            dense = jax.vmap(dense, in_axes=(None, axes))
+        return np.asarray(jax.jit(dense)(t, args))
+
+
+@dataclass(frozen=True)
+class Noise(InputSpec):
+    """I.i.d. noise drawn on device each step: ``mean + scale * z_t`` with
+    ``z_t ~ N(0, 1)`` (``dist='normal'``) or ``U[-1, 1)`` (``'uniform'``).
+
+    ``scale`` / ``mean``: scalars or per-channel ``(channels,)`` arrays.
+    ``seed``: an int, or a ``(B,)`` int array for per-trial streams in
+    ``run_batch``.  The stream is deterministic per (seed, step): chunked
+    runs that restart at step 0 redraw the same noise.
+    """
+
+    scale: object = 1.0
+    mean: object = 0.0
+    seed: object = 0
+    dist: str = "normal"
+
+    @property
+    def batch(self) -> Optional[int]:
+        seeds = np.asarray(self.seed)
+        return None if seeds.ndim == 0 else int(seeds.shape[0])
+
+    def build(self, dt, dtype):
+        if self.dist not in ("normal", "uniform"):
+            raise ValueError(f"Noise dist must be 'normal' or 'uniform', got {self.dist!r}")
+        seeds = np.asarray(self.seed)
+        if seeds.ndim == 0:
+            key = jax.random.PRNGKey(int(seeds))
+            key_axis = None
+        elif seeds.ndim == 1:
+            key = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, dtype=jnp.uint32))
+            key_axis = 0
+        else:
+            raise ValueError(f"Noise seed must be a scalar or (B,) array, got shape {seeds.shape}")
+        args = {"key": key,
+                "scale": jnp.asarray(self.scale, dtype=dtype),
+                "mean": jnp.asarray(self.mean, dtype=dtype)}
+        axes = {"key": key_axis, "scale": None, "mean": None}
+        m, dist = self.channels, self.dist
+
+        def fn(t_idx, a):
+            k = jax.random.fold_in(a["key"], t_idx)
+            if dist == "normal":
+                z = jax.random.normal(k, (m,), dtype=dtype)
+            else:
+                z = jax.random.uniform(k, (m,), dtype=dtype, minval=-1.0, maxval=1.0)
+            return a["mean"] + a["scale"] * z
+
+        sig = ("noise", self.steps, m, dist, self.batch, _leaf_sig(args))
+        return fn, args, axes, sig
+
+
+@dataclass(frozen=True)
+class Pulse(InputSpec):
+    """Rectangular pulse: ``amp`` on ``t_on <= step < t_off``, else 0.
+    ``amp``: scalar or ``(channels,)``."""
+
+    t_on: int = 0
+    t_off: int = -1
+    amp: object = 1.0
+
+    def build(self, dt, dtype):
+        t_off = self.steps if self.t_off < 0 else self.t_off
+        args = {"t_on": jnp.asarray(self.t_on, dtype=jnp.int32),
+                "t_off": jnp.asarray(t_off, dtype=jnp.int32),
+                "amp": jnp.asarray(self.amp, dtype=dtype)}
+        axes = {"t_on": None, "t_off": None, "amp": None}
+        m = self.channels
+
+        def fn(t_idx, a):
+            on = (t_idx >= a["t_on"]) & (t_idx < a["t_off"])
+            return jnp.where(on, a["amp"], jnp.zeros((), dtype=dtype)) * jnp.ones(m, dtype=dtype)
+
+        return fn, args, axes, ("pulse", self.steps, m, _leaf_sig(args))
+
+
+@dataclass(frozen=True)
+class Sine(InputSpec):
+    """``offset + amp * sin(2*pi*freq * t*dt + phase)`` -- ``freq`` in the
+    reciprocal unit of ``dt`` (Hz when dt is in seconds).  ``amp`` /
+    ``freq`` / ``phase`` / ``offset``: scalars or ``(channels,)``."""
+
+    freq: object = 1.0
+    amp: object = 1.0
+    phase: object = 0.0
+    offset: object = 0.0
+
+    def build(self, dt, dtype):
+        args = {"freq": jnp.asarray(self.freq, dtype=dtype),
+                "amp": jnp.asarray(self.amp, dtype=dtype),
+                "phase": jnp.asarray(self.phase, dtype=dtype),
+                "offset": jnp.asarray(self.offset, dtype=dtype)}
+        axes = {k: None for k in args}
+        m, dt_f = self.channels, float(dt)
+
+        def fn(t_idx, a):
+            t = t_idx.astype(dtype) * jnp.asarray(dt_f, dtype=dtype)
+            val = a["offset"] + a["amp"] * jnp.sin(2.0 * jnp.pi * a["freq"] * t + a["phase"])
+            return val * jnp.ones(m, dtype=dtype)
+
+        return fn, args, axes, ("sine", self.steps, m, _leaf_sig(args))
+
+
+@dataclass(frozen=True)
+class Constant(InputSpec):
+    """Constant drive ``value`` (scalar or ``(channels,)``)."""
+
+    value: object = 0.0
+
+    def build(self, dt, dtype):
+        args = {"value": jnp.asarray(self.value, dtype=dtype)}
+
+        def fn(t_idx, a):
+            return a["value"] * jnp.ones(self.channels, dtype=dtype)
+
+        return fn, args, {"value": None}, ("const", self.steps, self.channels,
+                                           _leaf_sig(args))
+
+
+@dataclass(frozen=True)
+class Sum(InputSpec):
+    """Elementwise sum of specs (built by ``spec_a + spec_b``).  All parts
+    must share ``steps``; single-channel parts broadcast to the widest."""
+
+    specs: Tuple[InputSpec, ...] = field(default=())
+    steps: int = 0
+    channels: int = 0
+
+    def __post_init__(self):
+        if not self.specs:
+            raise ValueError("Sum needs at least one spec")
+        steps = {s.steps for s in self.specs}
+        if len(steps) != 1:
+            raise ValueError(f"summed specs disagree on steps: {sorted(steps)}")
+        chans = {s.channels for s in self.specs if s.channels != 1}
+        if len(chans) > 1:
+            raise ValueError(f"summed specs disagree on channels: {sorted(chans)}")
+        object.__setattr__(self, "steps", steps.pop())
+        object.__setattr__(self, "channels", chans.pop() if chans else 1)
+        batches = {s.batch for s in self.specs if s.batch is not None}
+        if len(batches) > 1:
+            raise ValueError(f"summed specs disagree on batch size: {sorted(batches)}")
+
+    @property
+    def batch(self) -> Optional[int]:
+        for s in self.specs:
+            if s.batch is not None:
+                return s.batch
+        return None
+
+    def build(self, dt, dtype):
+        built = [s.build(dt, dtype) for s in self.specs]
+        fns = [b[0] for b in built]
+        args = tuple(b[1] for b in built)
+        axes = tuple(b[2] for b in built)
+        m = self.channels
+
+        def fn(t_idx, a):
+            out = jnp.zeros(m, dtype=dtype)
+            for f, ai in zip(fns, a):
+                out = out + f(t_idx, ai)
+            return out
+
+        return fn, args, axes, ("sum", tuple(b[3] for b in built))

@@ -36,6 +36,7 @@ import optax
 from networkx import DiGraph
 
 from .edges import RLS, Linear, LinearFilter, LinearMasked, LinearMemory, LinearMemoryFilter
+from .inputs import InputSpec
 from .nodes import InstantNode, RateNet, SpikeNet, SpikeResetNet, resolve_dtype
 from .observer import Observer
 from .train import get_loss_function, get_optimizer
@@ -942,19 +943,35 @@ class Network:
         """
         del enable_grad  # gradients are taken functionally by the trainers
         mesh = kwargs.pop("mesh", None)
-        inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
-        if inputs.ndim != 2:
-            raise ValueError(f"`inputs` must be a (T, m) array; got shape {inputs.shape}")
-        steps = int(inputs.shape[0])
+        input_fn = None
+        if isinstance(inputs, InputSpec):
+            # on-device input generation (rectipy_tpu.inputs): the drive is
+            # computed INSIDE the scan -- no (T, m) array is materialized or
+            # transferred.  The spec's parameters ride as program arguments.
+            spec = inputs
+            if spec.batch is not None:
+                raise ValueError(
+                    "run() takes an unbatched input spec; a spec with per-trial "
+                    "parameters (e.g. Noise with (B,) seeds) goes to run_batch().")
+            in_fn, inputs, _, in_sig = spec.build(self.dt, self.dtype)
+            steps = int(spec.steps)
+            n_chan = int(spec.channels)
+            input_fn = (in_fn, in_sig, steps)
+        else:
+            inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
+            if inputs.ndim != 2:
+                raise ValueError(f"`inputs` must be a (T, m) array; got shape {inputs.shape}")
+            steps = int(inputs.shape[0])
+            n_chan = int(inputs.shape[1])
         truncate_steps = int(kwargs.pop("truncate_steps", steps))
 
         self.compile()
         # single-channel inputs broadcast across the input node (the
         # documented common-drive idiom, e.g. a (T, 1) scalar drive onto an
         # N-neuron population; also keeps host->device traffic at (T, 1))
-        if self.n_in and inputs.shape[1] not in (1, self.n_in):
+        if self.n_in and n_chan not in (1, self.n_in):
             raise ValueError(
-                f"`inputs` has {inputs.shape[1]} channels but the network input node "
+                f"`inputs` has {n_chan} channels but the network input node "
                 f"{self._in_node!r} expects {self.n_in} (or 1, broadcast)."
             )
 
@@ -968,9 +985,13 @@ class Network:
         if mesh is not None:
             state0 = self._mesh_place(state0, mesh)
             params = self._mesh_place(params, mesh)
-            inputs = self._mesh_replicate(inputs, mesh)
+            if input_fn is None:
+                inputs = self._mesh_replicate(inputs, mesh)
+            else:  # spec parameters are tiny scalars/keys: replicate each leaf
+                inputs = jax.tree.map(lambda x: self._mesh_replicate(x, mesh), inputs)
         stateT, rec_steps, rec_out, rec_vars = self._run_scan(
-            state0, params, inputs, sampling_steps, cutoff, truncate_steps, obs)
+            state0, params, inputs, sampling_steps, cutoff, truncate_steps, obs,
+            input_fn=input_fn)
         self._write_back(state=stateT)
 
         var_values = {key: vals for key, vals in rec_vars.items()}
@@ -981,8 +1002,13 @@ class Network:
             print(f"Progress: {steps}/{steps} integration steps finished.")
         return obs
 
-    def _run_scan(self, state0, params, inputs, sampling_steps, cutoff, truncate_steps, obs):
+    def _run_scan(self, state0, params, inputs, sampling_steps, cutoff, truncate_steps,
+                  obs, input_fn=None):
         """Jitted integration with recording.
+
+        ``input_fn``: optional ``(fn, sig, steps)`` from an on-device input
+        spec (rectipy_tpu.inputs); ``inputs`` then carries the spec's
+        parameter pytree instead of a (T, m) array.
 
         Fast path (no gradient truncation): a nested window scan -- the inner
         scan advances ``sampling_steps`` Euler steps accumulating the output
@@ -992,17 +1018,23 @@ class Network:
         Falls back to a generic carried-record-buffer scan when
         ``truncate_steps`` is active.
         """
-        steps = int(inputs.shape[0])
+        steps = input_fn[2] if input_fn is not None else int(inputs.shape[0])
         if truncate_steps >= steps and steps > 1 and sampling_steps >= 1:
-            return self._run_scan_windowed(state0, params, inputs, sampling_steps, cutoff, obs)
+            return self._run_scan_windowed(state0, params, inputs, sampling_steps,
+                                           cutoff, obs, input_fn=input_fn)
         return self._run_scan_generic(state0, params, inputs, sampling_steps, cutoff,
-                                      truncate_steps, obs)
+                                      truncate_steps, obs, input_fn=input_fn)
 
     def _make_windowed_scan(self, state0, params, in_aval, sampling_steps, cutoff,
-                            steps, obs):
+                            steps, obs, input_fn=None):
         """Build the pure windowed-record scan function and its record
         metadata.  Shared by :meth:`run` (single trial) and
-        :meth:`run_batch` (vmapped over the trial axis)."""
+        :meth:`run_batch` (vmapped over the trial axis).
+
+        ``input_fn``: on-device input generation (rectipy_tpu.inputs) --
+        the scan's third argument becomes the spec's parameter pytree and
+        each step's drive is computed as ``input_fn(step_idx, args)``
+        inside the scan body (no (T, m) array exists anywhere)."""
         s = int(sampling_steps)
         rec_info = self._resolve_record_vars(obs)
         step = self.make_step()
@@ -1017,7 +1049,11 @@ class Network:
             params = self._prep_params(params)  # once per call, outside the scan
 
             def body(state, xt):
-                x_t, step_idx = xt
+                if input_fn is None:
+                    x_t, step_idx = xt
+                else:
+                    step_idx = xt
+                    x_t = input_fn(step_idx, inputs)
                 state, out, _ = step(state, params, x_t)
                 in_window = step_idx >= cutoff
                 masked = out * in_window if record_output else jnp.zeros((), dtype=dtype)
@@ -1031,12 +1067,11 @@ class Network:
                 return vals
 
             # step 0: its own record window (reference records at step 0)
-            state, (o0, c0) = body(state0, (inputs[0], jnp.asarray(0)))
+            x0 = jnp.asarray(0) if input_fn is not None else (inputs[0], jnp.asarray(0))
+            state, (o0, c0) = body(state0, x0)
             rec0 = (o0 / jnp.maximum(c0, 1) if record_output else None, read_vars(state))
 
             def window(state, xt):
-                inp_w, idx_w = xt
-
                 def inner(carry, xt2):
                     state, acc, cnt = carry
                     state, (o, c) = body(state, xt2)
@@ -1044,22 +1079,30 @@ class Network:
 
                 acc0 = jnp.zeros(n_out if record_output else (), dtype=dtype)
                 (state, acc, cnt), _ = jax.lax.scan(
-                    inner, (state, acc0, jnp.asarray(0, jnp.int32)),
-                    (inp_w, idx_w))
+                    inner, (state, acc0, jnp.asarray(0, jnp.int32)), xt)
                 mean = acc / jnp.maximum(cnt, 1) if record_output else None
                 return state, (mean, read_vars(state))
 
             recs = None
+            idx_w = (1 + jnp.arange(n_win * s)).reshape(n_win, s)
             if n_win:
-                inp_w = inputs[1:1 + n_win * s].reshape(n_win, s, -1)
-                idx_w = (1 + jnp.arange(n_win * s)).reshape(n_win, s)
-                state, recs = jax.lax.scan(window, state, (inp_w, idx_w))
+                if input_fn is None:
+                    inp_w = inputs[1:1 + n_win * s].reshape(n_win, s, -1)
+                    state, recs = jax.lax.scan(window, state, (inp_w, idx_w))
+                else:
+                    state, recs = jax.lax.scan(window, state, idx_w)
             if tail:
-                def tail_body(state, x_t):
+                def tail_body(state, xt):
+                    if input_fn is None:
+                        x_t = xt
+                    else:
+                        x_t = input_fn(xt, inputs)
                     state, _, _ = step(state, params, x_t)
                     return state, None
 
-                state, _ = jax.lax.scan(tail_body, state, inputs[1 + n_win * s:])
+                tail_xs = (inputs[1 + n_win * s:] if input_fn is None
+                           else jnp.arange(1 + n_win * s, steps))
+                state, _ = jax.lax.scan(tail_body, state, tail_xs)
             return state, rec0, recs
 
         return scan_fn, rec_info, record_output
@@ -1086,17 +1129,23 @@ class Network:
             rec_vars[key] = np.compress(keep, np.concatenate(parts, axis=axis), axis=axis)
         return outs, rec_vars
 
-    def _run_scan_windowed(self, state0, params, inputs, sampling_steps, cutoff, obs):
-        steps = int(inputs.shape[0])
+    def _run_scan_windowed(self, state0, params, inputs, sampling_steps, cutoff, obs,
+                           input_fn=None):
+        if input_fn is not None:
+            in_fn, in_sig, steps = input_fn
+            in_aval = jax.eval_shape(lambda a: in_fn(jnp.asarray(0), a), inputs)
+        else:
+            in_fn, in_sig, steps = None, None, int(inputs.shape[0])
+            in_aval = inputs[0]
         s = int(sampling_steps)
         rec_steps_all = [t for t in range(steps) if t % s == 0]
         rec_steps_host = np.asarray([t for t in rec_steps_all if t >= cutoff], dtype=np.int64)
         scan_fn, rec_info, record_output = self._make_windowed_scan(
-            state0, params, inputs[0], s, cutoff, steps, obs)
+            state0, params, in_aval, s, cutoff, steps, obs, input_fn=in_fn)
         # cache the jitted scan per configuration: re-wrapping a fresh closure
         # in jax.jit on every run() forces a full host-side retrace per call
         # (measured ~0.8 s/call at N=10k -- larger than the device time)
-        cache_key = ("run_windowed", s, cutoff, steps, record_output,
+        cache_key = ("run_windowed", s, cutoff, steps, record_output, in_sig,
                      self._step_versions(),
                      tuple((key, reduce) for (key, _, _, reduce) in rec_info))
         if cache_key not in self._step_cache:
@@ -1110,9 +1159,14 @@ class Network:
         return stateT, rec_steps_host, outs, rec_vars
 
     def _run_scan_generic(self, state0, params, inputs, sampling_steps, cutoff,
-                          truncate_steps, obs):
+                          truncate_steps, obs, input_fn=None):
         """Generic carried-record-buffer scan (supports truncate_steps)."""
-        steps = int(inputs.shape[0])
+        if input_fn is not None:
+            in_fn, in_sig, steps = input_fn
+            in_aval = jax.eval_shape(lambda a: in_fn(jnp.asarray(0), a), inputs)
+        else:
+            in_fn, in_sig, steps = None, None, int(inputs.shape[0])
+            in_aval = inputs[0]
         rec_steps_host = np.asarray(
             [s for s in range(steps) if s >= cutoff and s % sampling_steps == 0], dtype=np.int64)
         n_rec = len(rec_steps_host)
@@ -1122,7 +1176,7 @@ class Network:
         # the network-level dtype (edge math) and node dtypes may differ (the
         # reference defaults Network to float32 but nodes to float64); record
         # buffers must match the actual fused-step output type
-        out_aval = jax.eval_shape(lambda s, p, x: step(s, p, x)[1], state0, params, inputs[0])
+        out_aval = jax.eval_shape(lambda s, p, x: step(s, p, x)[1], state0, params, in_aval)
         dtype = out_aval.dtype
         truncating = truncate_steps < steps
 
@@ -1140,7 +1194,11 @@ class Network:
 
             def body(carry, xt):
                 state, buf_sum, buf_cnt, recs, rec_i = carry
-                x_t, step_idx = xt
+                if in_fn is None:
+                    x_t, step_idx = xt
+                else:
+                    step_idx = xt
+                    x_t = in_fn(step_idx, inputs)
                 state, out, _ = step(state, params, x_t)
                 in_window = step_idx >= cutoff
                 buf_sum = jnp.where(in_window, buf_sum + out, buf_sum)
@@ -1168,12 +1226,12 @@ class Network:
 
             init = (state0, jnp.zeros(n_out, dtype=dtype), jnp.asarray(0, dtype=jnp.int32),
                     rec0, jnp.asarray(0, dtype=jnp.int32))
-            (stateT, _, _, recs, _), _ = jax.lax.scan(
-                body, init, (inputs, jnp.arange(steps)))
+            xs = jnp.arange(steps) if in_fn is not None else (inputs, jnp.arange(steps))
+            (stateT, _, _, recs, _), _ = jax.lax.scan(body, init, xs)
             return stateT, recs
 
         cache_key = ("run_generic", sampling_steps, cutoff, steps, truncate_steps,
-                     self._step_versions(),
+                     in_sig, self._step_versions(),
                      tuple((key, reduce) for (key, _, _, reduce) in rec_info))
         if cache_key not in self._step_cache:
             self._step_cache[cache_key] = jax.jit(scan_fn)
@@ -1209,14 +1267,36 @@ class Network:
         """
         mesh = kwargs.pop("mesh", None)
         batch_vars = kwargs.pop("batch_vars", None)
-        inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
-        if inputs.ndim != 3:
-            raise ValueError(f"run_batch expects (B, T, m) inputs, got {inputs.shape}")
+        input_fn, in_axes_tree = None, 0
+        if isinstance(inputs, InputSpec):
+            # on-device drive: per-trial noise realizations (Noise with (B,)
+            # seeds) or one shared drive swept over batch_vars -- either way
+            # no (B, T, m) array is materialized or transferred.
+            spec = inputs
+            in_fn, inputs, in_axes_tree, in_sig = spec.build(self.dt, self.dtype)
+            T = int(spec.steps)
+            B = spec.batch
+            if B is None:
+                if not batch_vars:
+                    raise ValueError(
+                        "run_batch with an unbatched input spec needs batch_vars "
+                        "(or make the spec per-trial, e.g. Noise with (B,) seeds).")
+                B = int(np.shape(next(iter(batch_vars.values())))[0])
+                in_axes_tree = jax.tree.map(lambda _: None, in_axes_tree)
+            if self.n_in and spec.channels not in (1, self.n_in):
+                raise ValueError(
+                    f"input spec has {spec.channels} channels but the network "
+                    f"input node expects {self.n_in} (or 1, broadcast).")
+            input_fn = (in_fn, in_sig, T)
+        else:
+            inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
+            if inputs.ndim != 3:
+                raise ValueError(f"run_batch expects (B, T, m) inputs, got {inputs.shape}")
+            B, T = int(inputs.shape[0]), int(inputs.shape[1])
         self.compile()
         obs = Observer(dt=self.dt, record_loss=kwargs.pop("record_loss", False), **kwargs)
         state0 = self.init_state()
         params = self.parameters_pytree()
-        B, T = int(inputs.shape[0]), int(inputs.shape[1])
         p_axes = None
         if batch_vars:
             p_axes = jax.tree.map(lambda _: None, params)
@@ -1263,7 +1343,20 @@ class Network:
                         f"'data' axis ({n_data}); trials run REPLICATED (no "
                         f"data parallelism). Pad the batch to a multiple of "
                         f"{n_data} to shard it.", stacklevel=2)
-            inputs = jax.device_put(inputs, NamedSharding(mesh, batch_spec))
+            if input_fn is None:
+                inputs = jax.device_put(inputs, NamedSharding(mesh, batch_spec))
+            else:
+                # per-trial spec leaves (axis 0 = trials) shard over 'data';
+                # shared leaves replicate (they are tiny scalars/keys)
+                def _place_leaf(leaf, axis):
+                    spec_p = (PartitionSpec("data", *([None] * (np.ndim(leaf) - 1)))
+                              if axis == 0 and batch_spec != PartitionSpec()
+                              else PartitionSpec())
+                    return jax.device_put(leaf, NamedSharding(mesh, spec_p))
+
+                inputs = jax.tree.map(lambda axis, leaf: _place_leaf(leaf, axis),
+                                      in_axes_tree, inputs,
+                                      is_leaf=lambda x: x is None)
 
         results = {}
         if T <= 1:  # degenerate horizon: loop trials through the generic path
@@ -1275,8 +1368,15 @@ class Network:
                           "nodes": {n: dict(s) for n, s in params["nodes"].items()}}
                     for nlabel, key in swept:
                         pb["nodes"][nlabel][key] = params["nodes"][nlabel][key][b]
+                if input_fn is None:
+                    in_b = inputs[b]
+                else:  # slice per-trial spec leaves; shared leaves pass through
+                    in_b = jax.tree.map(
+                        lambda axis, leaf: leaf[b] if axis == 0 else leaf,
+                        in_axes_tree, inputs, is_leaf=lambda x: x is None)
                 _, steps_host, rec_out, rec_vars = self._run_scan(
-                    state0, pb, inputs[b], sampling_steps, cutoff, T, obs)
+                    state0, pb, in_b, sampling_steps, cutoff, T, obs,
+                    input_fn=input_fn)
                 outs_all.append(rec_out)
                 if vars_all is None:
                     vars_all = {k: [] for k in rec_vars}
@@ -1301,15 +1401,23 @@ class Network:
                        "nodes": {n: dict(sb) for n, sb in params["nodes"].items()}}
             for nlabel, key in swept:
                 params0["nodes"][nlabel][key] = params["nodes"][nlabel][key][0]
+        if input_fn is None:
+            in_aval, in_sig, in_fn_only = inputs[0, 0], None, None
+        else:
+            in_fn_only, in_sig, _ = input_fn
+            in_args0 = jax.tree.map(
+                lambda axis, leaf: leaf[0] if axis == 0 else leaf,
+                in_axes_tree, inputs, is_leaf=lambda x: x is None)
+            in_aval = jax.eval_shape(lambda a: in_fn_only(jnp.asarray(0), a), in_args0)
         scan_fn, rec_info, record_output = self._make_windowed_scan(
-            state0, params0, inputs[0, 0], s, cutoff, T, obs)
-        cache_key = ("run_batch", B, s, cutoff, T, record_output,
+            state0, params0, in_aval, s, cutoff, T, obs, input_fn=in_fn_only)
+        cache_key = ("run_batch", B, s, cutoff, T, record_output, in_sig,
                      self._step_versions(),
                      tuple((key, reduce) for (key, _, _, reduce) in rec_info),
                      swept if batch_vars else ())
         if cache_key not in self._step_cache:
             self._step_cache[cache_key] = jax.jit(
-                jax.vmap(scan_fn, in_axes=(None, p_axes, 0)))
+                jax.vmap(scan_fn, in_axes=(None, p_axes, in_axes_tree)))
         _, rec0, recs = self._step_cache[cache_key](state0, params, inputs)
         outs, rec_vars = self._assemble_windowed_records(
             rec0, recs, rec_info, record_output, rec_steps_all, cutoff,

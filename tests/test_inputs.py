@@ -1,0 +1,168 @@
+"""On-device input specs (rectipy_tpu.inputs): parity vs dense arrays.
+
+The reference only accepts host-materialized (T, m) arrays
+(/root/reference/rectipy/network.py:542-571); specs are the TPU-native
+equivalent (inputs computed inside the scan, zero host->device transfer).
+Every spec must evaluate to exactly what ``materialize()`` returns, and a
+spec-driven run must match the run fed the materialized array.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from rectipy_tpu import Network
+from rectipy_tpu.inputs import Constant, Noise, Pulse, Sine, Sum
+
+LI = "neuron_model_templates.rate_neurons.leaky_integrator.tanh"
+N, T = 24, 200
+DT = 1e-3
+
+
+def _build(train=False):
+    W = np.random.default_rng(0).normal(size=(N, N)) / N
+    net = Network(DT, dtype=jnp.float64)
+    net.add_diffeq_node("t", LI, weights=W, source_var="tanh_op/r",
+                        target_var="li_op/r_in", input_var="li_op/I_ext",
+                        output_var="li_op/v",
+                        train_params=["weights"] if train else None)
+    return net
+
+
+def _spec():
+    return (Pulse(T, channels=N, t_on=20, t_off=150, amp=1.5)
+            + Sine(T, channels=N, freq=3.0, amp=0.5, phase=0.3)
+            + Noise(T, channels=N, scale=0.3, seed=4))
+
+
+def test_materialize_shapes_and_values():
+    dense = _spec().materialize(DT, dtype=np.float64)
+    assert dense.shape == (T, N) and dense.dtype == np.float64
+    # pulse window + sine + noise actually contribute
+    p = Pulse(T, channels=1, t_on=5, t_off=9, amp=2.0).materialize(DT)
+    np.testing.assert_array_equal(p[:5], 0.0)
+    np.testing.assert_array_equal(p[5:9], 2.0)
+    np.testing.assert_array_equal(p[9:], 0.0)
+    c = Constant(T, channels=3, value=np.array([1.0, 2.0, 3.0])).materialize(DT)
+    np.testing.assert_array_equal(c, np.tile([1.0, 2.0, 3.0], (T, 1)))
+    s = Sine(T, channels=1, freq=2.0, amp=1.0).materialize(DT, np.float64)
+    t = np.arange(T) * DT
+    np.testing.assert_allclose(s[:, 0], np.sin(2 * np.pi * 2.0 * t), atol=1e-12)
+    u = Noise(T, channels=2, scale=1.0, seed=1, dist="uniform").materialize(DT)
+    assert (u >= -1.0).all() and (u < 1.0).all()
+
+
+def test_run_windowed_matches_dense():
+    spec = _spec()
+    dense = spec.materialize(DT, dtype=np.float64)
+    o1 = _build().run(spec, sampling_steps=7, cutoff=13, verbose=False,
+                      record_vars=[("t", "v", False)])
+    o2 = _build().run(dense, sampling_steps=7, cutoff=13, verbose=False,
+                      record_vars=[("t", "v", False)])
+    # different XLA programs (in-scan eval vs array read) may fuse float ops
+    # differently: tight tolerance, not bit equality
+    np.testing.assert_allclose(o1.to_numpy("out"), o2.to_numpy("out"),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(o1.to_numpy(("t", "v")), o2.to_numpy(("t", "v")),
+                               rtol=1e-12, atol=1e-14)
+    # same spec twice = the same program and stream = bit-identical
+    o3 = _build().run(spec, sampling_steps=7, cutoff=13, verbose=False)
+    np.testing.assert_array_equal(o3.to_numpy("out"), o1.to_numpy("out"))
+
+
+def test_run_generic_path_matches_dense():
+    spec = _spec()
+    dense = spec.materialize(DT, dtype=np.float64)
+    o1 = _build().run(spec, sampling_steps=7, verbose=False, truncate_steps=40)
+    o2 = _build().run(dense, sampling_steps=7, verbose=False, truncate_steps=40)
+    np.testing.assert_allclose(o1.to_numpy("out"), o2.to_numpy("out"),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_single_channel_broadcast():
+    spec = Pulse(T, channels=1, t_on=10, t_off=60, amp=2.0)
+    o1 = _build().run(spec, sampling_steps=5, verbose=False)
+    o2 = _build().run(spec.materialize(DT, np.float64), sampling_steps=5,
+                      verbose=False)
+    np.testing.assert_allclose(o1.to_numpy("out"), o2.to_numpy("out"),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_run_batch_per_trial_noise():
+    B = 4
+    spec = (Noise(T, channels=N, scale=0.5, seed=np.arange(B))
+            + Pulse(T, channels=N, t_on=20, t_off=150, amp=1.5))
+    res = _build().run_batch(spec, sampling_steps=5, cutoff=10,
+                             record_vars=[("t", "v", True)])
+    assert res["out"].shape[0] == B
+    for b in range(B):
+        sb = (Noise(T, channels=N, scale=0.5, seed=int(b))
+              + Pulse(T, channels=N, t_on=20, t_off=150, amp=1.5))
+        ob = _build().run(sb, sampling_steps=5, cutoff=10, verbose=False,
+                          record_vars=[("t", "v", True)])
+        np.testing.assert_allclose(res["out"][b], ob.to_numpy("out"),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(res[("t", "v")][b], ob.to_numpy(("t", "v")),
+                                   rtol=1e-12, atol=1e-14)
+    assert np.abs(res["out"][0] - res["out"][1]).max() > 1e-6  # distinct streams
+
+
+def test_run_batch_shared_spec_with_batch_vars():
+    etas = np.linspace(-2, 2, 4)
+    spec = Pulse(T, channels=N, t_on=0, t_off=T, amp=1.0)
+    res = _build().run_batch(spec, batch_vars={("t", "li_op/eta"): etas},
+                             sampling_steps=5)
+    dense = np.broadcast_to(spec.materialize(DT, np.float64), (4, T, N)).copy()
+    ref = _build().run_batch(dense, batch_vars={("t", "li_op/eta"): etas},
+                             sampling_steps=5)
+    np.testing.assert_allclose(res["out"], ref["out"], rtol=1e-12, atol=1e-14)
+
+
+def test_run_mesh_matches_single_device():
+    spec = _spec()
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("model",))
+    o1 = _build().run(spec, sampling_steps=7, verbose=False, mesh=mesh)
+    o2 = _build().run(spec, sampling_steps=7, verbose=False)
+    np.testing.assert_allclose(o1.to_numpy("out"), o2.to_numpy("out"),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_run_batch_mesh_data_sharded():
+    B = 4
+    spec = Noise(T, channels=N, scale=0.5, seed=np.arange(B))
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    res = _build().run_batch(spec, sampling_steps=5, mesh=mesh)
+    ref = _build().run_batch(spec, sampling_steps=5)
+    np.testing.assert_allclose(res["out"], ref["out"], rtol=1e-12, atol=1e-14)
+
+
+def test_spec_errors():
+    with pytest.raises(ValueError, match="unbatched"):  # batched spec to run()
+        _build().run(Noise(T, channels=N, seed=np.arange(3)), verbose=False)
+    with pytest.raises(ValueError, match="batch_vars"):  # no B derivable
+        _build().run_batch(Pulse(T, channels=N, amp=1.0))
+    with pytest.raises(ValueError, match="channels"):
+        _build().run(Pulse(T, channels=N + 1, amp=1.0), verbose=False)
+    with pytest.raises(ValueError, match="steps"):
+        Pulse(100, channels=1) + Pulse(200, channels=1)
+    with pytest.raises(ValueError, match="channels"):
+        Pulse(T, channels=2) + Pulse(T, channels=3)
+    with pytest.raises(ValueError, match="batch size"):
+        Noise(T, seed=np.arange(2)) + Noise(T, seed=np.arange(3))
+    with pytest.raises(ValueError, match="dist"):
+        Noise(T, dist="poisson").build(DT, jnp.float64)
+
+
+def test_trainers_reject_specs_with_guidance():
+    net = _build(train=True)
+    with pytest.raises(TypeError, match="materialize"):
+        net.fit_bptt(Pulse(T, channels=N, amp=1.0), np.zeros((T, N)))
+    # and the documented escape hatch works
+    dense = Pulse(T, channels=N, amp=0.1).materialize(DT, np.float64)
+    obs = net.fit_bptt([dense], [np.zeros((T, N))], optimizer="adam", lr=1e-3,
+                       verbose=False)
+    assert np.isfinite(obs["epoch_loss"]).all()
