@@ -14,7 +14,7 @@ __version__ = "0.2.0"
 
 from .dsl import CircuitTemplate, NodeTemplate, OperatorTemplate, clear_frontend_caches, lower
 from .edges import RLS, Linear, LinearFilter, LinearMasked, LinearMemory, LinearMemoryFilter
-from .inputs import Constant, InputSpec, Noise, Pulse, Sine
+from .inputs import Constant, InputSpec, Noise, Poisson, Pulse, Sine
 from .network import FeedbackNetwork, Network
 from .nodes import InstantNode, MultiSpikeResetNet, RateNet, SpikeNet, SpikeResetNet
 from .observer import Observer
@@ -51,6 +51,7 @@ __all__ = [
     "Constant",
     "InputSpec",
     "Noise",
+    "Poisson",
     "Pulse",
     "Sine",
     "circular_connectivity",

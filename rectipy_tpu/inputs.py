@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["InputSpec", "Noise", "Pulse", "Sine", "Constant", "Sum"]
+__all__ = ["InputSpec", "Noise", "Poisson", "Pulse", "Sine", "Constant", "Sum"]
 
 
 def _leaf_sig(tree) -> tuple:
@@ -146,6 +146,52 @@ class Noise(InputSpec):
             return a["mean"] + a["scale"] * z
 
         sig = ("noise", self.steps, m, dist, self.batch, _leaf_sig(args))
+        return fn, args, axes, sig
+
+
+@dataclass(frozen=True)
+class Poisson(InputSpec):
+    """Poisson spike-train drive: each channel emits ``1/dt`` with
+    probability ``rate * dt`` per step (the standard extrinsic spike input
+    for spiking networks; the ``1/dt`` scaling matches how the framework
+    injects intrinsic spikes, /root/reference/rectipy/nodes.py:324).
+
+    ``rate``: scalar or ``(channels,)`` (in 1/time-units of ``dt``).
+    ``amp`` scales the emitted spikes.  ``seed``: int or ``(B,)`` array for
+    per-trial realizations in ``run_batch``.
+    """
+
+    rate: object = 10.0
+    amp: object = 1.0
+    seed: object = 0
+
+    @property
+    def batch(self) -> Optional[int]:
+        seeds = np.asarray(self.seed)
+        return None if seeds.ndim == 0 else int(seeds.shape[0])
+
+    def build(self, dt, dtype):
+        seeds = np.asarray(self.seed)
+        if seeds.ndim == 0:
+            key = jax.random.PRNGKey(int(seeds))
+            key_axis = None
+        elif seeds.ndim == 1:
+            key = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, dtype=jnp.uint32))
+            key_axis = 0
+        else:
+            raise ValueError(f"Poisson seed must be a scalar or (B,) array, got shape {seeds.shape}")
+        args = {"key": key,
+                "p": jnp.asarray(np.asarray(self.rate) * float(dt), dtype=dtype),
+                "amp": jnp.asarray(self.amp, dtype=dtype)}
+        axes = {"key": key_axis, "p": None, "amp": None}
+        m, inv_dt = self.channels, 1.0 / float(dt)
+
+        def fn(t_idx, a):
+            k = jax.random.fold_in(a["key"], t_idx)
+            u = jax.random.uniform(k, (m,), dtype=dtype)
+            return a["amp"] * jnp.asarray(inv_dt, dtype=dtype) * (u < a["p"]).astype(dtype)
+
+        sig = ("poisson", self.steps, m, self.batch, _leaf_sig(args))
         return fn, args, axes, sig
 
 

@@ -14,7 +14,7 @@ import pytest
 from jax.sharding import Mesh
 
 from rectipy_tpu import Network
-from rectipy_tpu.inputs import Constant, Noise, Pulse, Sine, Sum
+from rectipy_tpu.inputs import Constant, Noise, Poisson, Pulse, Sine, Sum
 
 LI = "neuron_model_templates.rate_neurons.leaky_integrator.tanh"
 N, T = 24, 200
@@ -52,6 +52,32 @@ def test_materialize_shapes_and_values():
     np.testing.assert_allclose(s[:, 0], np.sin(2 * np.pi * 2.0 * t), atol=1e-12)
     u = Noise(T, channels=2, scale=1.0, seed=1, dist="uniform").materialize(DT)
     assert (u >= -1.0).all() and (u < 1.0).all()
+
+
+def test_poisson_statistics_and_parity():
+    rate, steps = 40.0, 4000
+    spec = Poisson(steps, channels=8, rate=rate, seed=2)
+    dense = spec.materialize(DT)
+    # events are 0 or 1/dt
+    vals = np.unique(dense)
+    assert set(np.round(vals, 6)) <= {0.0, np.round(1.0 / DT, 6)}
+    # empirical rate ~ rate (Binomial(steps, rate*dt) per channel)
+    emp = (dense > 0).mean(axis=0) / DT
+    assert np.all(np.abs(emp - rate) < 5 * np.sqrt(rate / (steps * DT)))
+    # per-trial realizations differ, same-seed trials match run()'s stream
+    b = Poisson(200, channels=4, rate=rate, seed=np.array([3, 4]))
+    db = b.materialize(DT)
+    assert db.shape == (2, 200, 4)
+    assert np.abs(db[0] - db[1]).max() > 0
+    np.testing.assert_array_equal(db[0], Poisson(200, channels=4, rate=rate,
+                                                 seed=3).materialize(DT))
+    # spec-driven run == dense-driven run
+    o1 = _build().run(Poisson(T, channels=N, rate=rate, seed=5),
+                      sampling_steps=5, verbose=False)
+    o2 = _build().run(Poisson(T, channels=N, rate=rate, seed=5).materialize(DT, np.float64),
+                      sampling_steps=5, verbose=False)
+    np.testing.assert_allclose(o1.to_numpy("out"), o2.to_numpy("out"),
+                               rtol=1e-12, atol=1e-12)
 
 
 def test_run_windowed_matches_dense():
