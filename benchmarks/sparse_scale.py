@@ -6,9 +6,15 @@ NOTES_NEXT_ROUND.md).  The per-step cost model is HBM-streaming the int8
 blocks: bytes/step ~ N * fan_in, so nu/s should be ~flat in N once overheads
 amortize.
 
+SCALE_BATCH=B additionally measures a B-trial `run_batch` parameter sweep
+(per-trial eta offsets via batch_vars, shared on-device Pulse drive): the
+int8 block stream is amortized over the batch -- trials are near-free until
+the MXU saturates, so aggregate nu/s ~ B x single-trial.
+
 Usage:
     SCALE_NS=250880,501760,1000448 SCALE_T=2000 SCALE_REPS=4 \
         python benchmarks/sparse_scale.py
+    SCALE_NS=1000448 SCALE_T=500 SCALE_BATCH=16 python benchmarks/sparse_scale.py
 """
 
 import os
@@ -79,7 +85,32 @@ for N in NS:
         best = wall if best is None else min(best, wall)
         s_mean = obs.to_numpy(("qif", "s"))
         assert np.all(np.isfinite(s_mean)), "non-finite dynamics"
-    gbps = N * fan_in / best / 1e9 * (1 if COUPLING.startswith("int8") else 2)
+    bytes_per_w = 1 if COUPLING.startswith("int8") else 2
+    gbps = N * fan_in * bytes_per_w * T / best / 1e9
     print(f"N={N}: sample {t_sample:.1f}s, first-run {t_first:.1f}s, "
           f"times={['%.2f' % t for t in times]}s -> best {best:.2f}s = "
           f"{T * N / best:.3e} nu/s ({gbps:.0f} GB/s weight stream)", flush=True)
+
+    B = int(os.environ.get("SCALE_BATCH", 0))
+    if B:
+        # B-trial parameter sweep: per-trial excitability offsets, one
+        # vmapped program, zero input transfer (shared on-device drive)
+        sweep = {("qif", "eta"): np.linspace(-1.0, 1.0, B)[:, None] + etas[None, :]}
+        t0 = time.perf_counter()
+        net.run_batch(Pulse(min(T, 100), channels=1, t_on=10, t_off=100, amp=3.0),
+                      batch_vars=sweep, record_output=False, sampling_steps=100,
+                      record_vars=[("qif", "s", True)])
+        t_first_b = time.perf_counter() - t0
+        best_b, times_b = None, []
+        for rep in range(REPS):
+            t0 = time.perf_counter()
+            res = net.run_batch(drive, batch_vars=sweep, record_output=False,
+                                sampling_steps=100, record_vars=[("qif", "s", True)])
+            wall = time.perf_counter() - t0
+            times_b.append(wall)
+            best_b = wall if best_b is None else min(best_b, wall)
+            assert np.all(np.isfinite(res[("qif", "s")]))
+        print(f"N={N} x B={B} sweep: first-run {t_first_b:.1f}s, "
+              f"times={['%.2f' % t for t in times_b]}s -> best {best_b:.2f}s = "
+              f"{B * T * N / best_b:.3e} aggregate nu/s "
+              f"({B * T * N / best_b / (T * N / best):.1f}x single-trial)", flush=True)

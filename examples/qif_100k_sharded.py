@@ -10,6 +10,9 @@ ICI mesh (see tests/test_sparse.py::test_sparse_sharded_run...).
 
 Usage:
     QIF_N=100000 QIF_T=2000 python examples/qif_100k_sharded.py   # real TPU
+    # ONE MILLION neurons on one 16 GB chip (2 GB int8 block stream,
+    # 3.4e8 nu/s measured; the C++ sampler builds the graph in ~60s):
+    QIF_N=1000000 QIF_T=2000 QIF_COUPLING=int8 python examples/qif_100k_sharded.py
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
     QIF_N=2048 QIF_T=200 python examples/qif_100k_sharded.py      # CPU mesh
     # TRAIN the coupling + feedback gains at nominal N (deferred-gradient
