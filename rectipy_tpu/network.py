@@ -943,6 +943,7 @@ class Network:
         """
         del enable_grad  # gradients are taken functionally by the trainers
         mesh = kwargs.pop("mesh", None)
+        spike_info = self._resolve_record_spikes(kwargs.pop("record_spikes", None))
         input_fn = None
         if isinstance(inputs, InputSpec):
             # on-device input generation (rectipy_tpu.inputs): the drive is
@@ -991,7 +992,7 @@ class Network:
                 inputs = jax.tree.map(lambda x: self._mesh_replicate(x, mesh), inputs)
         stateT, rec_steps, rec_out, rec_vars = self._run_scan(
             state0, params, inputs, sampling_steps, cutoff, truncate_steps, obs,
-            input_fn=input_fn)
+            input_fn=input_fn, spike_info=spike_info)
         self._write_back(state=stateT)
 
         var_values = {key: vals for key, vals in rec_vars.items()}
@@ -1003,7 +1004,7 @@ class Network:
         return obs
 
     def _run_scan(self, state0, params, inputs, sampling_steps, cutoff, truncate_steps,
-                  obs, input_fn=None):
+                  obs, input_fn=None, spike_info=()):
         """Jitted integration with recording.
 
         ``input_fn``: optional ``(fn, sig, steps)`` from an on-device input
@@ -1021,12 +1022,29 @@ class Network:
         steps = input_fn[2] if input_fn is not None else int(inputs.shape[0])
         if truncate_steps >= steps and steps > 1 and sampling_steps >= 1:
             return self._run_scan_windowed(state0, params, inputs, sampling_steps,
-                                           cutoff, obs, input_fn=input_fn)
+                                           cutoff, obs, input_fn=input_fn,
+                                           spike_info=spike_info)
         return self._run_scan_generic(state0, params, inputs, sampling_steps, cutoff,
-                                      truncate_steps, obs, input_fn=input_fn)
+                                      truncate_steps, obs, input_fn=input_fn,
+                                      spike_info=spike_info)
+
+    def _resolve_record_spikes(self, labels):
+        """``record_spikes=[node, ...]`` -> ((label, spike_reader), ...).
+        Only spiking nodes (SpikeNet / SpikeResetNet / MultiSpikeResetNet)
+        carry a spike decision to record."""
+        info = []
+        for label in labels or ():
+            node = self.get_node(label)
+            if not hasattr(node, "_make_spike_reader"):
+                raise ValueError(
+                    f"record_spikes: node {label!r} ({type(node).__name__}) is not "
+                    "a spiking node; spike rasters exist for SpikeNet / "
+                    "SpikeResetNet / MultiSpikeResetNet populations.")
+            info.append((label, node._make_spike_reader()))
+        return tuple(info)
 
     def _make_windowed_scan(self, state0, params, in_aval, sampling_steps, cutoff,
-                            steps, obs, input_fn=None):
+                            steps, obs, input_fn=None, spike_info=()):
         """Build the pure windowed-record scan function and its record
         metadata.  Shared by :meth:`run` (single trial) and
         :meth:`run_batch` (vmapped over the trial axis).
@@ -1034,7 +1052,12 @@ class Network:
         ``input_fn``: on-device input generation (rectipy_tpu.inputs) --
         the scan's third argument becomes the spec's parameter pytree and
         each step's drive is computed as ``input_fn(step_idx, args)``
-        inside the scan body (no (T, m) array exists anywhere)."""
+        inside the scan body (no (T, m) array exists anywhere).
+
+        ``spike_info``: ``((label, spike_reader), ...)`` -- accumulates
+        per-neuron spike COUNTS over each record window (raster at
+        sampling resolution; the indicator is recomputed from the
+        pre-update state, exactly the step's own spike decision)."""
         s = int(sampling_steps)
         rec_info = self._resolve_record_vars(obs)
         step = self.make_step()
@@ -1054,10 +1077,15 @@ class Network:
                 else:
                     step_idx = xt
                     x_t = input_fn(step_idx, inputs)
+                # spike decision from the PRE-update state (== the decision
+                # the step itself takes this step)
+                spk = tuple(reader(state["nodes"][label])
+                            for (label, reader) in spike_info)
                 state, out, _ = step(state, params, x_t)
                 in_window = step_idx >= cutoff
                 masked = out * in_window if record_output else jnp.zeros((), dtype=dtype)
-                return state, (masked, in_window.astype(jnp.int32))
+                spk = tuple(v * in_window for v in spk)
+                return state, (masked, in_window.astype(jnp.int32), spk)
 
             def read_vars(state):
                 vals = {}
@@ -1066,22 +1094,27 @@ class Network:
                     vals["var::" + "::".join(key)] = jnp.mean(val) if reduce else val
                 return vals
 
+            spk_zeros = tuple(jnp.zeros_like(reader(state0["nodes"][label]))
+                              for (label, reader) in spike_info)
+
             # step 0: its own record window (reference records at step 0)
             x0 = jnp.asarray(0) if input_fn is not None else (inputs[0], jnp.asarray(0))
-            state, (o0, c0) = body(state0, x0)
-            rec0 = (o0 / jnp.maximum(c0, 1) if record_output else None, read_vars(state))
+            state, (o0, c0, spk0) = body(state0, x0)
+            rec0 = (o0 / jnp.maximum(c0, 1) if record_output else None,
+                    read_vars(state), spk0)
 
             def window(state, xt):
                 def inner(carry, xt2):
-                    state, acc, cnt = carry
-                    state, (o, c) = body(state, xt2)
-                    return (state, acc + o, cnt + c), None
+                    state, acc, cnt, accs = carry
+                    state, (o, c, spk) = body(state, xt2)
+                    accs = tuple(a + v for a, v in zip(accs, spk))
+                    return (state, acc + o, cnt + c, accs), None
 
                 acc0 = jnp.zeros(n_out if record_output else (), dtype=dtype)
-                (state, acc, cnt), _ = jax.lax.scan(
-                    inner, (state, acc0, jnp.asarray(0, jnp.int32)), xt)
+                (state, acc, cnt, accs), _ = jax.lax.scan(
+                    inner, (state, acc0, jnp.asarray(0, jnp.int32), spk_zeros), xt)
                 mean = acc / jnp.maximum(cnt, 1) if record_output else None
-                return state, (mean, read_vars(state))
+                return state, (mean, read_vars(state), accs)
 
             recs = None
             idx_w = (1 + jnp.arange(n_win * s)).reshape(n_win, s)
@@ -1109,7 +1142,7 @@ class Network:
 
     @staticmethod
     def _assemble_windowed_records(rec0, recs, rec_info, record_output, rec_steps_all,
-                                   cutoff, n_out, axis: int = 0):
+                                   cutoff, n_out, axis: int = 0, spike_info=()):
         """Host-side record assembly: step 0 + window ends, filtered by
         cutoff, along record axis ``axis`` (0 single-trial, 1 batched)."""
         keep = np.asarray([t >= cutoff for t in rec_steps_all])
@@ -1127,10 +1160,16 @@ class Network:
             if recs is not None:
                 parts.append(np.asarray(recs[1][k]))
             rec_vars[key] = np.compress(keep, np.concatenate(parts, axis=axis), axis=axis)
+        for i, (label, _) in enumerate(spike_info):
+            parts = [np.expand_dims(np.asarray(rec0[2][i]), axis)]
+            if recs is not None:
+                parts.append(np.asarray(recs[2][i]))
+            counts = np.compress(keep, np.concatenate(parts, axis=axis), axis=axis)
+            rec_vars[(label, "spikes")] = np.rint(counts).astype(np.int32)
         return outs, rec_vars
 
     def _run_scan_windowed(self, state0, params, inputs, sampling_steps, cutoff, obs,
-                           input_fn=None):
+                           input_fn=None, spike_info=()):
         if input_fn is not None:
             in_fn, in_sig, steps = input_fn
             in_aval = jax.eval_shape(lambda a: in_fn(jnp.asarray(0), a), inputs)
@@ -1141,12 +1180,14 @@ class Network:
         rec_steps_all = [t for t in range(steps) if t % s == 0]
         rec_steps_host = np.asarray([t for t in rec_steps_all if t >= cutoff], dtype=np.int64)
         scan_fn, rec_info, record_output = self._make_windowed_scan(
-            state0, params, in_aval, s, cutoff, steps, obs, input_fn=in_fn)
+            state0, params, in_aval, s, cutoff, steps, obs, input_fn=in_fn,
+            spike_info=spike_info)
         # cache the jitted scan per configuration: re-wrapping a fresh closure
         # in jax.jit on every run() forces a full host-side retrace per call
         # (measured ~0.8 s/call at N=10k -- larger than the device time)
         cache_key = ("run_windowed", s, cutoff, steps, record_output, in_sig,
                      self._step_versions(),
+                     tuple(label for (label, _) in spike_info),
                      tuple((key, reduce) for (key, _, _, reduce) in rec_info))
         if cache_key not in self._step_cache:
             self._step_cache[cache_key] = jax.jit(scan_fn)
@@ -1155,11 +1196,12 @@ class Network:
         # Nothing is transferred to host unless actually recorded (the out
         # transfer alone costs ~0.8 s/run over the device tunnel at N=10k).
         outs, rec_vars = self._assemble_windowed_records(
-            rec0, recs, rec_info, record_output, rec_steps_all, cutoff, self.n_out)
+            rec0, recs, rec_info, record_output, rec_steps_all, cutoff, self.n_out,
+            spike_info=spike_info)
         return stateT, rec_steps_host, outs, rec_vars
 
     def _run_scan_generic(self, state0, params, inputs, sampling_steps, cutoff,
-                          truncate_steps, obs, input_fn=None):
+                          truncate_steps, obs, input_fn=None, spike_info=()):
         """Generic carried-record-buffer scan (supports truncate_steps)."""
         if input_fn is not None:
             in_fn, in_sig, steps = input_fn
@@ -1191,16 +1233,24 @@ class Network:
                 shape = () if reduce else probe.shape
                 rec0["var::" + "::".join(key)] = jnp.zeros((n_rec,) + shape, dtype=probe.dtype)
                 var_shapes[key] = shape
+            spk_zeros = {}
+            for (label, reader) in spike_info:
+                probe = reader(state0["nodes"][label])
+                rec0["spk::" + label] = jnp.zeros((n_rec,) + probe.shape, dtype=probe.dtype)
+                spk_zeros[label] = jnp.zeros_like(probe)
 
             def body(carry, xt):
-                state, buf_sum, buf_cnt, recs, rec_i = carry
+                state, buf_sum, buf_cnt, buf_spk, recs, rec_i = carry
                 if in_fn is None:
                     x_t, step_idx = xt
                 else:
                     step_idx = xt
                     x_t = in_fn(step_idx, inputs)
-                state, out, _ = step(state, params, x_t)
                 in_window = step_idx >= cutoff
+                buf_spk = dict(buf_spk)
+                for (label, reader) in spike_info:  # pre-update spike decision
+                    buf_spk[label] = buf_spk[label] + reader(state["nodes"][label]) * in_window
+                state, out, _ = step(state, params, x_t)
                 buf_sum = jnp.where(in_window, buf_sum + out, buf_sum)
                 buf_cnt = jnp.where(in_window, buf_cnt + 1, buf_cnt)
                 do_rec = in_window & (step_idx % sampling_steps == 0)
@@ -1216,22 +1266,29 @@ class Network:
                     rkey = "var::" + "::".join(key)
                     recs[rkey] = recs[rkey].at[idx].set(
                         jnp.where(do_rec, val, recs[rkey][idx]))
+                for (label, _) in spike_info:
+                    rkey = "spk::" + label
+                    recs[rkey] = recs[rkey].at[idx].set(
+                        jnp.where(do_rec, buf_spk[label], recs[rkey][idx]))
+                    buf_spk[label] = jnp.where(do_rec, jnp.zeros_like(buf_spk[label]),
+                                               buf_spk[label])
                 buf_sum = jnp.where(do_rec, jnp.zeros_like(buf_sum), buf_sum)
                 buf_cnt = jnp.where(do_rec, 0, buf_cnt)
                 rec_i = rec_i + do_rec.astype(jnp.int32)
                 if truncating:
                     trunc = (step_idx % truncate_steps) == (truncate_steps - 1)
                     state = _tree_where(trunc, jax.lax.stop_gradient(state), state)
-                return (state, buf_sum, buf_cnt, recs, rec_i), None
+                return (state, buf_sum, buf_cnt, buf_spk, recs, rec_i), None
 
             init = (state0, jnp.zeros(n_out, dtype=dtype), jnp.asarray(0, dtype=jnp.int32),
-                    rec0, jnp.asarray(0, dtype=jnp.int32))
+                    spk_zeros, rec0, jnp.asarray(0, dtype=jnp.int32))
             xs = jnp.arange(steps) if in_fn is not None else (inputs, jnp.arange(steps))
-            (stateT, _, _, recs, _), _ = jax.lax.scan(body, init, xs)
+            (stateT, _, _, _, recs, _), _ = jax.lax.scan(body, init, xs)
             return stateT, recs
 
         cache_key = ("run_generic", sampling_steps, cutoff, steps, truncate_steps,
                      in_sig, self._step_versions(),
+                     tuple(label for (label, _) in spike_info),
                      tuple((key, reduce) for (key, _, _, reduce) in rec_info))
         if cache_key not in self._step_cache:
             self._step_cache[cache_key] = jax.jit(scan_fn)
@@ -1240,6 +1297,9 @@ class Network:
         rec_vars = {}
         for (key, label, reader, reduce) in rec_info:
             rec_vars[key] = np.asarray(recs["var::" + "::".join(key)])
+        for (label, _) in spike_info:
+            rec_vars[(label, "spikes")] = np.rint(
+                np.asarray(recs["spk::" + label])).astype(np.int32)
         return stateT, rec_steps_host, rec_out, rec_vars
 
     def run_batch(self, inputs, sampling_steps: int = 1, cutoff: int = 0,
@@ -1267,6 +1327,7 @@ class Network:
         """
         mesh = kwargs.pop("mesh", None)
         batch_vars = kwargs.pop("batch_vars", None)
+        spike_info = self._resolve_record_spikes(kwargs.pop("record_spikes", None))
         input_fn, in_axes_tree = None, 0
         if isinstance(inputs, InputSpec):
             # on-device drive: per-trial noise realizations (Noise with (B,)
@@ -1376,7 +1437,7 @@ class Network:
                         in_axes_tree, inputs, is_leaf=lambda x: x is None)
                 _, steps_host, rec_out, rec_vars = self._run_scan(
                     state0, pb, in_b, sampling_steps, cutoff, T, obs,
-                    input_fn=input_fn)
+                    input_fn=input_fn, spike_info=spike_info)
                 outs_all.append(rec_out)
                 if vars_all is None:
                     vars_all = {k: [] for k in rec_vars}
@@ -1410,9 +1471,11 @@ class Network:
                 in_axes_tree, inputs, is_leaf=lambda x: x is None)
             in_aval = jax.eval_shape(lambda a: in_fn_only(jnp.asarray(0), a), in_args0)
         scan_fn, rec_info, record_output = self._make_windowed_scan(
-            state0, params0, in_aval, s, cutoff, T, obs, input_fn=in_fn_only)
+            state0, params0, in_aval, s, cutoff, T, obs, input_fn=in_fn_only,
+            spike_info=spike_info)
         cache_key = ("run_batch", B, s, cutoff, T, record_output, in_sig,
                      self._step_versions(),
+                     tuple(label for (label, _) in spike_info),
                      tuple((key, reduce) for (key, _, _, reduce) in rec_info),
                      swept if batch_vars else ())
         if cache_key not in self._step_cache:
@@ -1421,7 +1484,7 @@ class Network:
         _, rec0, recs = self._step_cache[cache_key](state0, params, inputs)
         outs, rec_vars = self._assemble_windowed_records(
             rec0, recs, rec_info, record_output, rec_steps_all, cutoff,
-            self.n_out, axis=1)
+            self.n_out, axis=1, spike_info=spike_info)
         results["steps"] = np.asarray([t for t in rec_steps_all if t >= cutoff],
                                       dtype=np.int64)
         if outs is not None:

@@ -603,6 +603,18 @@ class SpikeNet(RateNet):
 
         return step
 
+    def _make_spike_reader(self) -> Callable:
+        """Per-step spike indicator recomputed from the PRE-update state --
+        exactly the decision ``make_step`` takes (same surrogate forward =
+        heaviside), detached.  Backs ``record_spikes`` raster recording."""
+        spike_fn, thresh = self.spike, self._thresh
+        lo, hi = self._spike_lo, self._spike_hi
+
+        def read(y):
+            return jax.lax.stop_gradient(spike_fn(y[lo:hi] - thresh))
+
+        return read
+
 
 class SpikeResetNet(RateNet):
     """Spiking node with a framework-managed hard reset of the reset-variable
@@ -663,6 +675,17 @@ class SpikeResetNet(RateNet):
 
         return step
 
+    def _make_spike_reader(self) -> Callable:
+        """Spike indicator from the PRE-update reset-variable slice (the
+        exact ``make_step`` decision, detached) -- see SpikeNet."""
+        spike_fn, thresh = self.spike, self._thresh
+        lo, hi = self._reset_lo, self._reset_hi
+
+        def read(y):
+            return jax.lax.stop_gradient(spike_fn(y[lo:hi] - thresh))
+
+        return read
+
 
 class MultiSpikeResetNet(RateNet):
     """Hard spike reset applied to a *list* of state-variable segments
@@ -722,6 +745,17 @@ class MultiSpikeResetNet(RateNet):
             return y_new, reader(y_new, a)
 
         return step
+
+    def _make_spike_reader(self) -> Callable:
+        """Concatenated spike indicators over the reset segments (one block
+        per spike variable, in declaration order), detached."""
+        spike_fn, thresh, segments = self.spike, self._thresh, self._segments
+
+        def read(y):
+            return jax.lax.stop_gradient(jnp.concatenate(
+                [spike_fn(y[lo:hi] - thresh) for lo, hi in segments]))
+
+        return read
 
 
 def _strip_all(name: str) -> str:

@@ -113,8 +113,11 @@ class Observer:
             self._recordings["loss"].extend(np.asarray(losses))
         if var_values:
             for key, vals in var_values.items():
-                if key in self._recordings:
-                    self._recordings[key].extend(np.asarray(vals))
+                if key not in self._recordings:
+                    # keys beyond the record_vars config (e.g. the
+                    # (node, "spikes") raster counts) get their own series
+                    self._recordings[key] = []
+                self._recordings[key].extend(np.asarray(vals))
 
     def save(self, key: str, val: Any):
         """Store an arbitrary object retrievable via ``obs[key]``."""

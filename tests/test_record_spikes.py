@@ -1,0 +1,125 @@
+"""Spike-raster recording (`record_spikes=`): per-window spike counts.
+
+No reference analog -- the reference Observer samples state variables only
+(/root/reference/rectipy/observer.py:79-105); spike events between samples
+are invisible there.  Here the scan accumulates the node's own per-step
+spike decision (recomputed from the pre-update state) into per-window
+counts, so rasters / PSTHs come out of one compiled program.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectipy_tpu import Network
+
+QIF = "rectipy_tpu.models.spiking_neurons.qif.qif_sfa"
+# dt chosen so the suprathreshold QIF period (~pi/sqrt(eta_eff) time units)
+# spans a few dozen steps -- several spikes per neuron inside T
+N, T, DT = 16, 300, 1e-2
+
+
+def _build(reset=True):
+    rng = np.random.default_rng(0)
+    W = rng.normal(size=(N, N)).astype(np.float64) * 0.1 / N
+    etas = 3.0 + np.random.default_rng(1).normal(size=N)
+    net = Network(DT, dtype=jnp.float64)
+    if reset:  # framework-managed hard reset (SpikeResetNet)
+        net.add_diffeq_node(
+            "qif", QIF, weights=W, source_var="s", target_var="s_in",
+            input_var="I_ext", output_var="s", spike_var="spike", spike_def="v",
+            op="qif_sfa_op", spike_threshold=10.0, spike_reset=-10.0,
+            node_vars={"all/qif_sfa_op/eta": etas})
+    else:  # intrinsic in-equation reset (SpikeNet)
+        net.add_diffeq_node(
+            "qif", "rectipy_tpu.models.spiking_neurons.qif.qif_reset", weights=W,
+            source_var="s", target_var="s_in", input_var="I_ext", output_var="s",
+            spike_var="spike", reset_var="reset", reset=False, spike_def="v",
+            op="qif_reset_op", spike_threshold=10.0, spike_reset=-10.0,
+            node_vars={"all/qif_reset_op/eta": etas})
+    return net
+
+
+def _oracle_counts(net, inp, s):
+    """Eager-stepping oracle: spike at step t iff v_pre >= threshold; counts
+    summed into the same windows the scan records (buffer-then-record)."""
+    node = net.get_node("qif")
+    lo, hi = node._reset_lo, node._reset_hi
+    counts, buf = [], np.zeros(hi - lo)
+    for t in range(inp.shape[0]):
+        v_pre = np.asarray(node.y[lo:hi])
+        buf = buf + (v_pre >= 10.0)
+        net.forward(inp[t])
+        if t % s == 0:
+            counts.append(buf)
+            buf = np.zeros(hi - lo)
+    return np.stack(counts)
+
+
+def test_windowed_counts_match_eager_oracle():
+    s = 7
+    inp = np.full((T, N), 15.0)
+    obs = _build().run(inp, sampling_steps=s, verbose=False, record_spikes=["qif"])
+    counts = obs.to_numpy(("qif", "spikes"))
+    assert counts.dtype == np.int32 and counts.shape[1] == N
+    oracle = _oracle_counts(_build(), inp, s)
+    np.testing.assert_array_equal(counts, oracle)
+    assert counts.sum() > 0, "expected spikes in the suprathreshold regime"
+
+
+def test_generic_path_matches_windowed():
+    inp = np.full((T, N), 15.0)
+    o1 = _build().run(inp, sampling_steps=5, verbose=False, record_spikes=["qif"])
+    o2 = _build().run(inp, sampling_steps=5, verbose=False, record_spikes=["qif"],
+                      truncate_steps=50)  # forces the generic scan
+    np.testing.assert_array_equal(o1.to_numpy(("qif", "spikes")),
+                                  o2.to_numpy(("qif", "spikes")))
+
+
+def test_cutoff_and_sampling_alignment():
+    s, cutoff = 10, 95
+    inp = np.full((T, N), 15.0)
+    full = _build().run(inp, sampling_steps=s, verbose=False, record_spikes=["qif"])
+    cut = _build().run(inp, sampling_steps=s, cutoff=cutoff, verbose=False,
+                       record_spikes=["qif"])
+    f, c = full.to_numpy(("qif", "spikes")), cut.to_numpy(("qif", "spikes"))
+    # records at steps >= cutoff survive; the first surviving window may
+    # straddle the cutoff (its pre-cutoff steps are masked out)
+    steps = full.to_numpy("steps")
+    kept = steps >= cutoff
+    np.testing.assert_array_equal(c[1:], f[kept][1:])
+    assert (c[0] <= f[kept][0]).all()  # straddling window: masked subset
+
+
+def test_run_batch_and_total_rate():
+    B, s = 3, 5
+    inp = np.stack([np.full((T, N), a) for a in (12.0, 15.0, 18.0)])
+    res = _build().run_batch(inp, sampling_steps=s, record_spikes=["qif"])
+    counts = res[("qif", "spikes")]
+    assert counts.shape[0] == B and counts.dtype == np.int32
+    for b, a in enumerate((12.0, 15.0, 18.0)):
+        ob = _build().run(inp[b], sampling_steps=s, verbose=False,
+                          record_spikes=["qif"])
+        np.testing.assert_array_equal(counts[b], ob.to_numpy(("qif", "spikes")))
+    # stronger drive -> more spikes (rate increases with input)
+    totals = counts.sum(axis=(1, 2))
+    assert totals[0] < totals[2]
+
+
+def test_intrinsic_reset_spikenet_counts():
+    inp = np.full((T, N), 15.0)
+    net = _build(reset=False)
+    obs = net.run(inp, sampling_steps=5, verbose=False, record_spikes=["qif"])
+    counts = obs.to_numpy(("qif", "spikes"))
+    assert counts.sum() > 0
+
+
+def test_non_spiking_node_raises():
+    net = Network(DT)
+    net.add_diffeq_node("li", "neuron_model_templates.rate_neurons.leaky_integrator.tanh",
+                        weights=np.eye(4), source_var="tanh_op/r",
+                        target_var="li_op/r_in", input_var="li_op/I_ext",
+                        output_var="li_op/v")
+    with pytest.raises(ValueError, match="spiking"):
+        net.run(np.zeros((10, 4)), record_spikes=["li"], verbose=False)
