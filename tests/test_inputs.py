@@ -166,6 +166,35 @@ def test_run_batch_mesh_data_sharded():
     np.testing.assert_allclose(res["out"], ref["out"], rtol=1e-12, atol=1e-14)
 
 
+def test_spec_with_feedback_network():
+    # feedback edges carry previous-step outputs in the scan state; the
+    # spec-mode body must compose with that carry identically to array mode
+    from rectipy_tpu import FeedbackNetwork
+
+    Wa = np.random.default_rng(0).normal(size=(N, N)) / N
+    Wb = np.random.default_rng(1).normal(size=(N, N)) / N
+    Wab = np.random.default_rng(3).normal(size=(N, N)) * 0.5
+    Wfb = np.random.default_rng(2).normal(size=(N, N)) * 0.1
+
+    def build():
+        net = FeedbackNetwork(DT, dtype=jnp.float64)
+        for label, W in (("a", Wa), ("b", Wb)):
+            net.add_diffeq_node(label, LI, weights=W, source_var="tanh_op/r",
+                                target_var="li_op/r_in", input_var="li_op/I_ext",
+                                output_var="li_op/v")
+        net.add_edge("a", "b", weights=Wab)
+        net.add_edge("b", "a", feedback=True, weights=Wfb)
+        return net
+
+    spec = (Pulse(T, channels=N, t_on=10, t_off=100, amp=1.0)
+            + Noise(T, channels=N, scale=0.2, seed=3))
+    o1 = build().run(spec, sampling_steps=5, verbose=False)
+    o2 = build().run(spec.materialize(DT, np.float64), sampling_steps=5, verbose=False)
+    np.testing.assert_allclose(o1.to_numpy("out"), o2.to_numpy("out"),
+                               rtol=1e-12, atol=1e-13)
+    assert np.abs(o1.to_numpy("out")).max() > 1e-3
+
+
 def test_spec_errors():
     with pytest.raises(ValueError, match="unbatched"):  # batched spec to run()
         _build().run(Noise(T, channels=N, seed=np.arange(3)), verbose=False)

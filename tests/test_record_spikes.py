@@ -115,6 +115,18 @@ def test_intrinsic_reset_spikenet_counts():
     assert counts.sum() > 0
 
 
+def test_record_spikes_mesh_matches_single_device():
+    from jax.sharding import Mesh
+
+    inp = np.full((T, N), 15.0)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("model",))
+    om = _build().run(inp, sampling_steps=5, verbose=False,
+                      record_spikes=["qif"], mesh=mesh)
+    o0 = _build().run(inp, sampling_steps=5, verbose=False, record_spikes=["qif"])
+    np.testing.assert_array_equal(om.to_numpy(("qif", "spikes")),
+                                  o0.to_numpy(("qif", "spikes")))
+
+
 def test_non_spiking_node_raises():
     net = Network(DT)
     net.add_diffeq_node("li", "neuron_model_templates.rate_neurons.leaky_integrator.tanh",
