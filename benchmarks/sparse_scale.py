@@ -69,9 +69,11 @@ for N in NS:
     # on-device drive: at N=1e6 a (T, N) array would be 8 GB of transfer
     drive = Pulse(T, channels=1, t_on=T // 4, t_off=T, amp=3.0)
 
+    # warmup MUST execute the exact timed program (steps is part of the
+    # program shape and the run cache key; a short warmup would leave the
+    # full-T compile inside the timed loop)
     t0 = time.perf_counter()
-    obs = net.run(Pulse(min(T, 200), channels=1, t_on=50, t_off=200, amp=3.0),
-                  record_output=False, sampling_steps=100,
+    obs = net.run(drive, record_output=False, sampling_steps=100,
                   record_vars=[("qif", "s", True)], verbose=False)
     t_first = time.perf_counter() - t0
 
@@ -96,10 +98,9 @@ for N in NS:
         # B-trial parameter sweep: per-trial excitability offsets, one
         # vmapped program, zero input transfer (shared on-device drive)
         sweep = {("qif", "eta"): np.linspace(-1.0, 1.0, B)[:, None] + etas[None, :]}
-        t0 = time.perf_counter()
-        net.run_batch(Pulse(min(T, 100), channels=1, t_on=10, t_off=100, amp=3.0),
-                      batch_vars=sweep, record_output=False, sampling_steps=100,
-                      record_vars=[("qif", "s", True)])
+        t0 = time.perf_counter()  # warmup = the exact timed program
+        net.run_batch(drive, batch_vars=sweep, record_output=False,
+                      sampling_steps=100, record_vars=[("qif", "s", True)])
         t_first_b = time.perf_counter() - t0
         best_b, times_b = None, []
         for rep in range(REPS):

@@ -48,6 +48,26 @@ def _leaf_sig(tree) -> tuple:
         for leaf in jax.tree_util.tree_leaves(tree))
 
 
+def _make_key(seed, class_salt: int, salt: int):
+    """Seed -> PRNGKey(s), domain-separated per spec class and per position
+    in a Sum.  Without this, Noise(seed=0) + Poisson(seed=0) (both class
+    defaults) would consume IDENTICAL random bits each step -- every Poisson
+    event would coincide with the same noise draw, silently correlating
+    'independent' sources.  Returns (key, vmap_axis)."""
+    seeds = np.asarray(seed)
+    if seeds.ndim == 0:
+        key = jax.random.PRNGKey(int(seeds))
+        key_axis = None
+    elif seeds.ndim == 1:
+        key = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, dtype=jnp.uint32))
+        key_axis = 0
+    else:
+        raise ValueError(f"seed must be a scalar or (B,) array, got shape {seeds.shape}")
+    sep = np.uint32((class_salt * 0x9e3779b9 + salt) & 0xFFFFFFFF)
+    fold = lambda k: jax.random.fold_in(k, sep)  # noqa: E731
+    return (fold(key) if key_axis is None else jax.vmap(fold)(key)), key_axis
+
+
 @dataclass(frozen=True)
 class InputSpec:
     """Base class: a drive of ``channels`` channels over ``steps`` steps.
@@ -69,7 +89,10 @@ class InputSpec:
         """Leading trial dimension (None for unbatched specs)."""
         return None
 
-    def build(self, dt: float, dtype) -> Tuple:
+    def build(self, dt: float, dtype, salt: int = 0) -> Tuple:
+        """``salt``: position-based stream separation supplied by
+        :class:`Sum` so two same-seed stochastic parts draw independent
+        streams."""
         raise NotImplementedError
 
     def __array__(self, dtype=None, copy=None):
@@ -119,18 +142,10 @@ class Noise(InputSpec):
         seeds = np.asarray(self.seed)
         return None if seeds.ndim == 0 else int(seeds.shape[0])
 
-    def build(self, dt, dtype):
+    def build(self, dt, dtype, salt: int = 0):
         if self.dist not in ("normal", "uniform"):
             raise ValueError(f"Noise dist must be 'normal' or 'uniform', got {self.dist!r}")
-        seeds = np.asarray(self.seed)
-        if seeds.ndim == 0:
-            key = jax.random.PRNGKey(int(seeds))
-            key_axis = None
-        elif seeds.ndim == 1:
-            key = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, dtype=jnp.uint32))
-            key_axis = 0
-        else:
-            raise ValueError(f"Noise seed must be a scalar or (B,) array, got shape {seeds.shape}")
+        key, key_axis = _make_key(self.seed, class_salt=1, salt=salt)
         args = {"key": key,
                 "scale": jnp.asarray(self.scale, dtype=dtype),
                 "mean": jnp.asarray(self.mean, dtype=dtype)}
@@ -170,16 +185,8 @@ class Poisson(InputSpec):
         seeds = np.asarray(self.seed)
         return None if seeds.ndim == 0 else int(seeds.shape[0])
 
-    def build(self, dt, dtype):
-        seeds = np.asarray(self.seed)
-        if seeds.ndim == 0:
-            key = jax.random.PRNGKey(int(seeds))
-            key_axis = None
-        elif seeds.ndim == 1:
-            key = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, dtype=jnp.uint32))
-            key_axis = 0
-        else:
-            raise ValueError(f"Poisson seed must be a scalar or (B,) array, got shape {seeds.shape}")
+    def build(self, dt, dtype, salt: int = 0):
+        key, key_axis = _make_key(self.seed, class_salt=2, salt=salt)
         args = {"key": key,
                 "p": jnp.asarray(np.asarray(self.rate) * float(dt), dtype=dtype),
                 "amp": jnp.asarray(self.amp, dtype=dtype)}
@@ -204,8 +211,14 @@ class Pulse(InputSpec):
     t_off: int = -1
     amp: object = 1.0
 
-    def build(self, dt, dtype):
-        t_off = self.steps if self.t_off < 0 else self.t_off
+    def build(self, dt, dtype, salt: int = 0):
+        if self.t_off < -1 or self.t_on < 0:
+            # only the documented -1 sentinel means "until the end"; any
+            # other negative is almost certainly an arithmetic slip that
+            # would otherwise silently become a full-length drive
+            raise ValueError(f"Pulse bounds must be >= 0 (t_off=-1 = end of run); "
+                             f"got t_on={self.t_on}, t_off={self.t_off}")
+        t_off = self.steps if self.t_off == -1 else self.t_off
         args = {"t_on": jnp.asarray(self.t_on, dtype=jnp.int32),
                 "t_off": jnp.asarray(t_off, dtype=jnp.int32),
                 "amp": jnp.asarray(self.amp, dtype=dtype)}
@@ -230,7 +243,7 @@ class Sine(InputSpec):
     phase: object = 0.0
     offset: object = 0.0
 
-    def build(self, dt, dtype):
+    def build(self, dt, dtype, salt: int = 0):
         args = {"freq": jnp.asarray(self.freq, dtype=dtype),
                 "amp": jnp.asarray(self.amp, dtype=dtype),
                 "phase": jnp.asarray(self.phase, dtype=dtype),
@@ -252,7 +265,7 @@ class Constant(InputSpec):
 
     value: object = 0.0
 
-    def build(self, dt, dtype):
+    def build(self, dt, dtype, salt: int = 0):
         args = {"value": jnp.asarray(self.value, dtype=dtype)}
 
         def fn(t_idx, a):
@@ -293,8 +306,11 @@ class Sum(InputSpec):
                 return s.batch
         return None
 
-    def build(self, dt, dtype):
-        built = [s.build(dt, dtype) for s in self.specs]
+    def build(self, dt, dtype, salt: int = 0):
+        # each part gets a distinct stream salt: two same-seed stochastic
+        # parts (e.g. Noise(seed=0) + Noise(seed=0)) draw independent bits
+        built = [s.build(dt, dtype, salt=salt * 64 + i)
+                 for i, s in enumerate(self.specs)]
         fns = [b[0] for b in built]
         args = tuple(b[1] for b in built)
         axes = tuple(b[2] for b in built)

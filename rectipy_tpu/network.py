@@ -1079,7 +1079,9 @@ class Network:
                     x_t = input_fn(step_idx, inputs)
                 # spike decision from the PRE-update state (== the decision
                 # the step itself takes this step)
-                spk = tuple(reader(state["nodes"][label])
+                # indicators accumulate in f32 regardless of the node dtype
+                # (a bf16 accumulator saturates window counts at 256)
+                spk = tuple(reader(state["nodes"][label]).astype(jnp.float32)
                             for (label, reader) in spike_info)
                 state, out, _ = step(state, params, x_t)
                 in_window = step_idx >= cutoff
@@ -1094,8 +1096,9 @@ class Network:
                     vals["var::" + "::".join(key)] = jnp.mean(val) if reduce else val
                 return vals
 
-            spk_zeros = tuple(jnp.zeros_like(reader(state0["nodes"][label]))
-                              for (label, reader) in spike_info)
+            spk_zeros = tuple(
+                jnp.zeros(np.shape(reader(state0["nodes"][label])), jnp.float32)
+                for (label, reader) in spike_info)
 
             # step 0: its own record window (reference records at step 0)
             x0 = jnp.asarray(0) if input_fn is not None else (inputs[0], jnp.asarray(0))
@@ -1236,8 +1239,10 @@ class Network:
             spk_zeros = {}
             for (label, reader) in spike_info:
                 probe = reader(state0["nodes"][label])
-                rec0["spk::" + label] = jnp.zeros((n_rec,) + probe.shape, dtype=probe.dtype)
-                spk_zeros[label] = jnp.zeros_like(probe)
+                # f32 count accumulation regardless of the node dtype (bf16
+                # would saturate window counts at 256)
+                rec0["spk::" + label] = jnp.zeros((n_rec,) + probe.shape, jnp.float32)
+                spk_zeros[label] = jnp.zeros(probe.shape, jnp.float32)
 
             def body(carry, xt):
                 state, buf_sum, buf_cnt, buf_spk, recs, rec_i = carry
@@ -1249,7 +1254,8 @@ class Network:
                 in_window = step_idx >= cutoff
                 buf_spk = dict(buf_spk)
                 for (label, reader) in spike_info:  # pre-update spike decision
-                    buf_spk[label] = buf_spk[label] + reader(state["nodes"][label]) * in_window
+                    buf_spk[label] = buf_spk[label] + \
+                        reader(state["nodes"][label]).astype(jnp.float32) * in_window
                 state, out, _ = step(state, params, x_t)
                 buf_sum = jnp.where(in_window, buf_sum + out, buf_sum)
                 buf_cnt = jnp.where(in_window, buf_cnt + 1, buf_cnt)

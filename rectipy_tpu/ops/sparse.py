@@ -132,9 +132,11 @@ def block_random_connectivity(n: int, m: int, fan_in: int, block_size: int = 512
     # directly (native/connectivity.cpp sample_block_fanin).  Different (but
     # deterministic-per-seed) sample than the numpy path; same contract:
     # exactly fan_in distinct candidates per neuron, weight w.
-    if backend != "numpy" and dtype == np.float32 and _native_block_fanin(
-            blocks, source_blocks, block_size, fan_in, seed, w):
-        return BlockSparseCoupling(blocks, cols)
+    if backend != "numpy" and dtype == np.float32:
+        from ..native.connectivity import fill_block_fanin
+
+        if fill_block_fanin(blocks, source_blocks, block_size, fan_in, seed, w):
+            return BlockSparseCoupling(blocks, cols)
     # per neuron: fan_in distinct picks from the candidate pool (argsort
     # construction, vectorized over the whole block-row at once)
     for r in range(nb_out):
@@ -145,26 +147,3 @@ def block_random_connectivity(n: int, m: int, fan_in: int, block_size: int = 512
     return BlockSparseCoupling(blocks, cols)
 
 
-def _native_block_fanin(blocks: np.ndarray, source_blocks: int, block_size: int,
-                        fan_in: int, seed: int, w: float) -> bool:
-    """Fill ``blocks`` in place via the C++ sampler; False -> numpy fallback."""
-    import ctypes
-
-    from ..native.build import load_native
-
-    lib = load_native("connectivity")
-    if lib is None or not hasattr(lib, "sample_block_fanin"):
-        return False
-    fn = lib.sample_block_fanin
-    fn.restype = ctypes.c_int
-    fn.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-                   ctypes.c_int64, ctypes.c_uint64, ctypes.c_float,
-                   ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64)]
-    if not blocks.flags["C_CONTIGUOUS"]:
-        return False
-    scratch = np.empty(4 * fan_in, dtype=np.int64)
-    rc = fn(blocks.shape[0], source_blocks, block_size, fan_in, seed,
-            ctypes.c_float(w),
-            blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-    return rc == 0

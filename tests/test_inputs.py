@@ -166,6 +166,39 @@ def test_run_batch_mesh_data_sharded():
     np.testing.assert_allclose(res["out"], ref["out"], rtol=1e-12, atol=1e-14)
 
 
+def test_stochastic_parts_draw_independent_streams():
+    # Noise(seed=0) + Poisson(seed=0) (class defaults) must NOT consume the
+    # same random bits: streams are domain-separated per class and per
+    # position in a Sum
+    steps = 2000
+    noise = Noise(steps, channels=1, scale=1.0, seed=0)
+    pois = Poisson(steps, channels=1, rate=100.0, amp=1.0, seed=0)  # p = 0.1/step
+    both = (pois + noise).materialize(DT, np.float64)
+    events = both[:, 0] > 500.0  # Poisson spikes are 1/dt = 1000 >> noise
+    n_on = both[events, 0] - 1.0 / DT  # the noise draw on spike steps
+    n_off = both[~events, 0]
+    assert events.sum() > 100
+    # independent streams: noise on spike steps is NOT biased (a shared
+    # stream makes every spike coincide with an extreme-negative draw)
+    assert abs(n_on.mean() - n_off.mean()) < 0.2
+    # two same-seed Noise parts must not collapse into one scaled stream
+    double = (Noise(steps, channels=1, scale=1.0, seed=0)
+              + Noise(steps, channels=1, scale=1.0, seed=0)).materialize(DT)
+    single = Noise(steps, channels=1, scale=2.0, seed=0).materialize(DT)
+    assert not np.allclose(double, single)
+    assert abs(double.std() / np.sqrt(2.0) - 1.0) < 0.1  # var adds, not amp
+
+
+def test_pulse_rejects_negative_bounds():
+    with pytest.raises(ValueError, match="Pulse bounds"):
+        Pulse(100, t_on=0, t_off=-10).build(DT, jnp.float64)
+    with pytest.raises(ValueError, match="Pulse bounds"):
+        Pulse(100, t_on=-5, t_off=50).build(DT, jnp.float64)
+    # the documented sentinel still means "until the end"
+    p = Pulse(10, t_on=2, t_off=-1, amp=1.0).materialize(DT)
+    np.testing.assert_array_equal(p[2:, 0], 1.0)
+
+
 def test_spec_with_feedback_network():
     # feedback edges carry previous-step outputs in the scan state; the
     # spec-mode body must compose with that carry identically to array mode
