@@ -83,11 +83,26 @@ class InputSpec:
 
     steps: int
     channels: int = 1
+    # global-time offset: the drive evaluates at (step_index + t0).  Chunked
+    # long runs (the relay needs <=100k-step run() calls; state carries
+    # across calls) continue the drive with spec.shifted(chunk_len) instead
+    # of replaying it from t=0.  Rides as a program argument -- shifting
+    # does not recompile.
+    t0: int = field(default=0, kw_only=True)
 
     @property
     def batch(self) -> Optional[int]:
         """Leading trial dimension (None for unbatched specs)."""
         return None
+
+    def shifted(self, offset: int) -> "InputSpec":
+        """Copy of this spec evaluating at ``step + t0 + offset`` (global
+        time for the next chunk of a chunked run)."""
+        from dataclasses import replace
+
+        if isinstance(self, Sum):
+            return replace(self, specs=tuple(s.shifted(offset) for s in self.specs))
+        return replace(self, t0=self.t0 + int(offset))
 
     def build(self, dt: float, dtype, salt: int = 0) -> Tuple:
         """``salt``: position-based stream separation supplied by
@@ -128,8 +143,9 @@ class Noise(InputSpec):
 
     ``scale`` / ``mean``: scalars or per-channel ``(channels,)`` arrays.
     ``seed``: an int, or a ``(B,)`` int array for per-trial streams in
-    ``run_batch``.  The stream is deterministic per (seed, step): chunked
-    runs that restart at step 0 redraw the same noise.
+    ``run_batch``.  The stream is deterministic per (seed, global step) --
+    for chunked long runs, ``spec.shifted(chunk_len)`` continues the stream
+    in the next chunk instead of redrawing it.
     """
 
     scale: object = 1.0
@@ -148,12 +164,13 @@ class Noise(InputSpec):
         key, key_axis = _make_key(self.seed, class_salt=1, salt=salt)
         args = {"key": key,
                 "scale": jnp.asarray(self.scale, dtype=dtype),
-                "mean": jnp.asarray(self.mean, dtype=dtype)}
-        axes = {"key": key_axis, "scale": None, "mean": None}
+                "mean": jnp.asarray(self.mean, dtype=dtype),
+                "t0": jnp.asarray(self.t0, dtype=jnp.int32)}
+        axes = {"key": key_axis, "scale": None, "mean": None, "t0": None}
         m, dist = self.channels, self.dist
 
         def fn(t_idx, a):
-            k = jax.random.fold_in(a["key"], t_idx)
+            k = jax.random.fold_in(a["key"], t_idx + a["t0"])
             if dist == "normal":
                 z = jax.random.normal(k, (m,), dtype=dtype)
             else:
@@ -189,12 +206,13 @@ class Poisson(InputSpec):
         key, key_axis = _make_key(self.seed, class_salt=2, salt=salt)
         args = {"key": key,
                 "p": jnp.asarray(np.asarray(self.rate) * float(dt), dtype=dtype),
-                "amp": jnp.asarray(self.amp, dtype=dtype)}
-        axes = {"key": key_axis, "p": None, "amp": None}
+                "amp": jnp.asarray(self.amp, dtype=dtype),
+                "t0": jnp.asarray(self.t0, dtype=jnp.int32)}
+        axes = {"key": key_axis, "p": None, "amp": None, "t0": None}
         m, inv_dt = self.channels, 1.0 / float(dt)
 
         def fn(t_idx, a):
-            k = jax.random.fold_in(a["key"], t_idx)
+            k = jax.random.fold_in(a["key"], t_idx + a["t0"])
             u = jax.random.uniform(k, (m,), dtype=dtype)
             return a["amp"] * jnp.asarray(inv_dt, dtype=dtype) * (u < a["p"]).astype(dtype)
 
@@ -218,15 +236,17 @@ class Pulse(InputSpec):
             # would otherwise silently become a full-length drive
             raise ValueError(f"Pulse bounds must be >= 0 (t_off=-1 = end of run); "
                              f"got t_on={self.t_on}, t_off={self.t_off}")
-        t_off = self.steps if self.t_off == -1 else self.t_off
+        t_off = self.steps + self.t0 if self.t_off == -1 else self.t_off
         args = {"t_on": jnp.asarray(self.t_on, dtype=jnp.int32),
                 "t_off": jnp.asarray(t_off, dtype=jnp.int32),
-                "amp": jnp.asarray(self.amp, dtype=dtype)}
-        axes = {"t_on": None, "t_off": None, "amp": None}
+                "amp": jnp.asarray(self.amp, dtype=dtype),
+                "t0": jnp.asarray(self.t0, dtype=jnp.int32)}
+        axes = {"t_on": None, "t_off": None, "amp": None, "t0": None}
         m = self.channels
 
         def fn(t_idx, a):
-            on = (t_idx >= a["t_on"]) & (t_idx < a["t_off"])
+            t = t_idx + a["t0"]
+            on = (t >= a["t_on"]) & (t < a["t_off"])
             return jnp.where(on, a["amp"], jnp.zeros((), dtype=dtype)) * jnp.ones(m, dtype=dtype)
 
         return fn, args, axes, ("pulse", self.steps, m, _leaf_sig(args))
@@ -247,12 +267,13 @@ class Sine(InputSpec):
         args = {"freq": jnp.asarray(self.freq, dtype=dtype),
                 "amp": jnp.asarray(self.amp, dtype=dtype),
                 "phase": jnp.asarray(self.phase, dtype=dtype),
-                "offset": jnp.asarray(self.offset, dtype=dtype)}
+                "offset": jnp.asarray(self.offset, dtype=dtype),
+                "t0": jnp.asarray(self.t0, dtype=jnp.int32)}
         axes = {k: None for k in args}
         m, dt_f = self.channels, float(dt)
 
         def fn(t_idx, a):
-            t = t_idx.astype(dtype) * jnp.asarray(dt_f, dtype=dtype)
+            t = (t_idx + a["t0"]).astype(dtype) * jnp.asarray(dt_f, dtype=dtype)
             val = a["offset"] + a["amp"] * jnp.sin(2.0 * jnp.pi * a["freq"] * t + a["phase"])
             return val * jnp.ones(m, dtype=dtype)
 

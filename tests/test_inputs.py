@@ -189,6 +189,31 @@ def test_stochastic_parts_draw_independent_streams():
     assert abs(double.std() / np.sqrt(2.0) - 1.0) < 0.1  # var adds, not amp
 
 
+def test_shifted_specs_continue_chunked_runs():
+    # state carries across run() calls; shifted specs continue the DRIVE in
+    # global time too, so two chunks == one long run
+    T1 = 100
+    full = (Pulse(T, channels=N, t_on=50, t_off=180, amp=1.0)
+            + Sine(T, channels=N, freq=2.0, amp=0.3)
+            + Noise(T, channels=N, scale=0.4, seed=6))
+    chunk = (Pulse(T1, channels=N, t_on=50, t_off=180, amp=1.0)
+             + Sine(T1, channels=N, freq=2.0, amp=0.3)
+             + Noise(T1, channels=N, scale=0.4, seed=6))
+    # the shifted chunk evaluates at global steps [T1, 2*T1)
+    d_full = full.materialize(DT, np.float64)
+    d_chunks = np.concatenate([chunk.materialize(DT, np.float64),
+                               chunk.shifted(T1).materialize(DT, np.float64)])
+    np.testing.assert_allclose(d_chunks, d_full, rtol=1e-12, atol=1e-14)
+    # end state of the chunked network run == end state of the one-shot run
+    net_a, net_b = _build(), _build()
+    net_a.run(full, sampling_steps=10, verbose=False)
+    net_b.run(chunk, sampling_steps=10, verbose=False)
+    net_b.run(chunk.shifted(T1), sampling_steps=10, verbose=False)
+    ya = np.asarray(net_a.get_node("t").y)
+    yb = np.asarray(net_b.get_node("t").y)
+    np.testing.assert_allclose(yb, ya, rtol=1e-11, atol=1e-13)
+
+
 def test_pulse_rejects_negative_bounds():
     with pytest.raises(ValueError, match="Pulse bounds"):
         Pulse(100, t_on=0, t_off=-10).build(DT, jnp.float64)
