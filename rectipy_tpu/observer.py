@@ -157,6 +157,33 @@ class Observer:
         ax.set_ylabel(f"Node: {y[0]}, variable: {y[-1]}" if isinstance(y, tuple) else y)
         return ax
 
+    def raster(self, node: str, ax=None, **kwargs):
+        """Spike-raster scatter of the ``(node, "spikes")`` counts recorded
+        via ``run(..., record_spikes=[node])``: one dot per (record window,
+        neuron) with at least one spike.  Multi-spike windows render darker
+        (alpha ~ count) when ``shade=True``."""
+        import matplotlib.pyplot as plt
+
+        counts = self.to_numpy((node, "spikes"))
+        steps = np.asarray(self._recordings["steps"], dtype=float) * self._dt
+        if ax is None:
+            subplot_kwargs = {k: kwargs.pop(k) for k in ["figsize"] if k in kwargs}
+            _, ax = plt.subplots(**subplot_kwargs)
+        shade = kwargs.pop("shade", False)
+        kwargs.setdefault("s", 2)
+        kwargs.setdefault("color", "k")
+        t_idx, n_idx = np.nonzero(counts)
+        if shade and counts.size:
+            c = counts[t_idx, n_idx].astype(float)
+            kwargs["alpha"] = None
+            kwargs.setdefault("c", np.minimum(c / max(c.max(), 1.0), 1.0))
+            kwargs.pop("color", None)
+        ax.scatter(steps[t_idx], n_idx, **kwargs)
+        ax.set_xlabel("time")
+        ax.set_ylabel("neuron")
+        ax.set_title(f"Node: {node} spike raster")
+        return ax
+
     def matshow(self, v, ax=None, **kwargs):
         """Heatmap (time x feature) of recorded variable ``v``."""
         import matplotlib.pyplot as plt

@@ -127,6 +127,19 @@ def test_record_spikes_mesh_matches_single_device():
                                   o0.to_numpy(("qif", "spikes")))
 
 
+def test_raster_plot_helper():
+    import matplotlib
+    matplotlib.use("Agg")
+    inp = np.full((T, N), 15.0)
+    obs = _build().run(inp, sampling_steps=5, verbose=False, record_spikes=["qif"])
+    ax = obs.raster("qif")
+    assert len(ax.collections) == 1
+    n_dots = ax.collections[0].get_offsets().shape[0]
+    assert n_dots == (obs.to_numpy(("qif", "spikes")) > 0).sum()
+    ax2 = obs.raster("qif", shade=True)
+    assert len(ax2.collections) == 1
+
+
 def test_non_spiking_node_raises():
     net = Network(DT)
     net.add_diffeq_node("li", "neuron_model_templates.rate_neurons.leaky_integrator.tanh",
