@@ -148,3 +148,36 @@ def test_non_spiking_node_raises():
                         output_var="li_op/v")
     with pytest.raises(ValueError, match="spiking"):
         net.run(np.zeros((10, 4)), record_spikes=["li"], verbose=False)
+
+
+def test_record_spikes_with_fused_pallas_step():
+    """The spike reader works off the state pytree, so raster recording is
+    implementation-agnostic: counts with the fused Pallas step attached must
+    equal the XLA-path counts (identical state trajectory => identical
+    pre-update spike decisions)."""
+    from rectipy_tpu.ops.generic_fused import attach_generic_fused_step
+
+    rng = np.random.default_rng(3)
+    W32 = np.abs(rng.normal(size=(N, N))).astype(np.float32) * 0.02
+    etas32 = (3.0 + np.random.default_rng(1).normal(size=N)).astype(np.float32)
+
+    def build32():
+        net = Network(DT, dtype=jnp.float32)
+        net.add_diffeq_node(
+            "qif", QIF, weights=W32, source_var="s", target_var="s_in",
+            input_var="I_ext", output_var="s", spike_var="spike", spike_def="v",
+            op="qif_sfa_op", spike_threshold=10.0, spike_reset=-10.0,
+            dtype=jnp.float32, node_vars={"all/qif_sfa_op/eta": etas32})
+        net.compile()
+        return net
+
+    inp = np.full((T, N), 15.0, dtype=np.float32)
+    ref = build32().run(inp, sampling_steps=5, verbose=False, record_spikes=["qif"])
+    net = build32()
+    attach_generic_fused_step(net.get_node("qif"), tile=8, interpret=True)
+    fused = net.run(inp, sampling_steps=5, verbose=False, record_spikes=["qif"])
+    cf, cr = fused.to_numpy(("qif", "spikes")), ref.to_numpy(("qif", "spikes"))
+    assert cr.sum() > 0
+    # f32 step-order differences can flip a borderline spike; demand near-
+    # identical rasters rather than bit equality
+    assert (cf != cr).mean() < 0.01
