@@ -43,6 +43,8 @@ def _run(example, env=None, timeout=420):
     ("multichip_sharding.py", {}),
     # Kuramoto synchronization sweep (pairwise sin coupling as two matvecs)
     ("kuramoto_sync.py", {"KUR_N": "64", "KUR_STEPS": "2000"}),
+    # Poisson-driven ensemble with on-device drives + spike rasters
+    ("spike_raster_poisson.py", {"RASTER_N": "64", "RASTER_B": "2"}),
 ])
 def test_example_runs(example, env):
     _run(example, env)
