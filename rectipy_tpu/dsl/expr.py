@@ -184,6 +184,18 @@ def _interp(x, xp, fp):
     return jnp.interp(x, xp, fp)
 
 
+def _exprel(x):
+    """(exp(x) - 1) / x with the removable singularity at 0 filled in.
+
+    Used by conductance-based gate kinetics (Hodgkin-Huxley style
+    ``alpha_m = c / exprel(-(v - v0)/s)`` rational forms), where the naive
+    expression 0/0-NaNs whenever a membrane potential lands exactly on the
+    singular voltage.  The double-``where`` keeps the gradient NaN-free too
+    (the masked-out branch never sees the singular input)."""
+    safe = jnp.where(jnp.abs(x) < 1e-5, 1.0, x)
+    return jnp.where(jnp.abs(x) < 1e-5, 1.0 + x * 0.5, jnp.expm1(safe) / safe)
+
+
 FUNCTIONS: Dict[str, Callable] = {
     "exp": jnp.exp,
     "log": jnp.log,
@@ -216,6 +228,8 @@ FUNCTIONS: Dict[str, Callable] = {
     "floor": jnp.floor,
     "ceil": jnp.ceil,
     "interp": _interp,
+    "expm1": jnp.expm1,
+    "exprel": _exprel,
     "power": jnp.power,
     "pow": jnp.power,
 }

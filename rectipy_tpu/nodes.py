@@ -173,14 +173,18 @@ class RateNet:
         self.dtype = resolve_dtype(dtype)
         self._vf = vf
         kwargs.pop("device", None)  # accepted for API parity; placement is XLA's job
-        # integration scheme: 'euler' (reference semantics) or 'heun' (RK2,
-        # O(dt^2); RateNet only -- the spiking wrappers require the Euler
-        # update/reset interleaving the reference defines)
+        # integration scheme: 'euler' (reference semantics), 'heun' (RK2,
+        # O(dt^2)) or 'rk4' (classic Runge-Kutta, O(dt^4); lets stiff
+        # conductance-based models like Hodgkin-Huxley run at ~10x the Euler
+        # dt).  RateNet only -- the spiking wrappers require the Euler
+        # update/reset interleaving the reference defines.
         self.integrator = str(kwargs.pop("integrator", "euler"))
-        if self.integrator not in ("euler", "heun"):
-            raise ValueError(f"Unknown integrator {self.integrator!r}; use 'euler' or 'heun'")
+        if self.integrator not in ("euler", "heun", "rk4"):
+            raise ValueError(
+                f"Unknown integrator {self.integrator!r}; use 'euler', 'heun' or 'rk4'")
         if self.integrator != "euler" and type(self).__name__ != "RateNet":
-            raise ValueError("integrator='heun' is only supported on RateNet nodes")
+            raise ValueError(
+                f"integrator={self.integrator!r} is only supported on RateNet nodes")
 
         if isinstance(rnn_args, (tuple, list)):
             # reference-style raw mode: args[0] is the initial state, the rest
@@ -405,6 +409,19 @@ class RateNet:
                 k1 = func(0.0, y, a)
                 k2 = func(0.0, y + dt * k1, a)
                 return y + (dt * 0.5) * (k1 + k2), out
+
+            return step
+
+        if self.integrator == "rk4":
+            def step(y, args, x):
+                a = dict(args)
+                a[inp_key] = x
+                out = reader(y, a)
+                k1 = func(0.0, y, a)
+                k2 = func(0.0, y + (dt * 0.5) * k1, a)
+                k3 = func(0.0, y + (dt * 0.5) * k2, a)
+                k4 = func(0.0, y + dt * k3, a)
+                return y + (dt / 6.0) * (k1 + 2.0 * (k2 + k3) + k4), out
 
             return step
 

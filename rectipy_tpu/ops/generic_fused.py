@@ -66,7 +66,12 @@ def attach_generic_fused_step(node, tile: int = 512, weights_dtype=None,
     cls_name = type(node).__name__
     if cls_name not in ("RateNet", "SpikeResetNet", "SpikeNet", "MultiSpikeResetNet"):
         raise ValueError(f"Generic fused step does not support {cls_name} nodes")
-    heun_mode = getattr(node, "integrator", "euler") == "heun"
+    integrator = getattr(node, "integrator", "euler")
+    if integrator not in ("euler", "heun"):
+        raise ValueError(
+            f"Generic fused step does not support integrator={integrator!r} "
+            "(rk4 runs on the XLA path)")
+    heun_mode = integrator == "heun"
     if heun_mode and cls_name != "RateNet":
         # nodes.py enforces this at construction already; guard the seam too
         raise ValueError("integrator='heun' is only supported on RateNet nodes")

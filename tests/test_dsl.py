@@ -50,6 +50,27 @@ def test_functions_and_mean():
     np.testing.assert_allclose(out, [-1.0, 0.0, 1.0])
 
 
+def test_exprel_safe_value_and_gradient():
+    """exprel(x) = (exp(x)-1)/x with the x=0 singularity filled in; value and
+    gradient are finite and correct on AND around the singular point (the
+    Hodgkin-Huxley gate-rate use case)."""
+    import jax
+
+    ast = parse("exprel(x)")
+    # away from 0: plain (exp(x)-1)/x
+    for x in (-3.0, -0.5, 0.5, 2.0):
+        assert float(evaluate(ast, {"x": jnp.asarray(x)})) == pytest.approx(
+            float(np.expm1(x) / x), rel=1e-12)
+    # at 0: the limit, exactly 1
+    assert float(evaluate(ast, {"x": jnp.asarray(0.0)})) == pytest.approx(1.0)
+    # gradient at 0 is 1/2 and NaN-free (double-where)
+    g = jax.grad(lambda x: evaluate(ast, {"x": x}))(jnp.asarray(0.0))
+    assert float(g) == pytest.approx(0.5, abs=1e-6)
+    # vectorized with a singular entry in the middle
+    v = np.asarray(evaluate(ast, {"x": jnp.asarray([-1.0, 0.0, 1.0])}))
+    np.testing.assert_allclose(v, [np.expm1(-1.0) / -1.0, 1.0, np.expm1(1.0)], rtol=1e-6)
+
+
 def test_free_symbols():
     assert free_symbols(parse("(v^2 + eta + I_ext)/tau + k*s_in")) == {
         "v", "eta", "I_ext", "tau", "k", "s_in",

@@ -173,3 +173,134 @@ def test_jansen_rit_vector_field_oracle_and_alpha_rhythm():
     freqs = np.fft.rfftfreq(len(late), d=1e-4 * 20)
     f_dom = freqs[np.argmax(sp)]
     assert 4.0 < f_dom < 16.0, f"dominant frequency {f_dom:.1f} Hz outside alpha-ish band"
+
+
+def test_adex_fires_and_adapts():
+    """AdEx (Brette-Gerstner 2005 regular-spiking defaults): a supra-rheobase
+    step current makes the population fire; the adaptation current w ratchets
+    up with every spike so inter-spike intervals lengthen (spike-frequency
+    adaptation); the clamped exponential keeps everything finite."""
+    n = 3
+    net = Network(1e-2, dtype=jnp.float64)  # dt in ms
+    net.add_diffeq_node("adex", "rectipy_tpu.models.spiking_neurons.adex.adex",
+                        weights=np.zeros((n, n)), source_var="s", target_var="s_in",
+                        input_var="I_ext", output_var="s", spike_var="spike",
+                        reset_var="v", spike_threshold=0.0, spike_reset=-70.6)
+    T = 50_000  # 500 ms
+    obs = net.run(np.full((T, n), 700.0), sampling_steps=100, verbose=False,
+                  record_vars=[("adex", "w", False), ("adex", "v", False)],
+                  record_spikes=["adex"])
+    s = obs.to_numpy("out")
+    w = obs.to_numpy(("adex", "w"))
+    v = obs.to_numpy(("adex", "v"))
+    counts = obs.to_numpy(("adex", "spikes"))  # (records, n) per-window counts
+    assert np.all(np.isfinite(s)) and np.all(np.isfinite(w)) and np.all(np.isfinite(v))
+    assert counts.sum() > 3 * n, "AdEx at 700 pA should fire repeatedly"
+    assert w.max() > 50.0, "adaptation current never charged"
+    # spike-frequency adaptation: later spikes are sparser than the onset burst
+    half = counts.shape[0] // 2
+    assert counts[:half, 0].sum() > counts[half:, 0].sum(), \
+        "expected adapting (decelerating) spike train"
+    # sub-threshold clamp never engages: v stays near-physiological between spikes
+    assert v.min() > -90.0
+
+
+def test_adex_below_rheobase_is_silent():
+    n = 2
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("adex", "rectipy_tpu.models.spiking_neurons.adex.adex",
+                        weights=np.zeros((n, n)), source_var="s", target_var="s_in",
+                        input_var="I_ext", output_var="s", spike_var="spike",
+                        reset_var="v", spike_threshold=0.0, spike_reset=-70.6)
+    obs = net.run(np.full((20_000, n), 300.0), sampling_steps=100, verbose=False,
+                  record_spikes=["adex"])
+    assert obs.to_numpy(("adex", "spikes")).sum() == 0, \
+        "300 pA is below the BG-RS rheobase (~500 pA); no spikes expected"
+
+
+def test_hh_vector_field_oracle():
+    """Hodgkin-Huxley gate kinetics and currents against a hand-written
+    numpy oracle (classic -65 mV-rest squid-axon parameterization)."""
+    n = 5
+    vf = lower("rectipy_tpu.models.spiking_neurons.hodgkin_huxley.hh",
+               n=n, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    v = rng.uniform(-80.0, 20.0, size=n)
+    m = rng.uniform(0.05, 0.95, size=n)
+    h = rng.uniform(0.05, 0.95, size=n)
+    ng = rng.uniform(0.05, 0.95, size=n)
+    s = rng.uniform(0.0, 0.5, size=n)
+    vm = vf.var_map
+    y = np.zeros(vf.n * 5)
+    for name, arr in (("v", v), ("m", m), ("h", h), ("n", ng), ("s", s)):
+        lo, hi = vm[name]
+        y[lo:hi] = arr
+    dy = np.asarray(vf.func(0.0, jnp.asarray(y), vf.args))
+
+    a_m = 0.1 * (v + 40.0) / (1.0 - np.exp(-(v + 40.0) / 10.0))
+    b_m = 4.0 * np.exp(-(v + 65.0) / 18.0)
+    a_h = 0.07 * np.exp(-(v + 65.0) / 20.0)
+    b_h = 1.0 / (1.0 + np.exp(-(v + 35.0) / 10.0))
+    a_n = 0.01 * (v + 55.0) / (1.0 - np.exp(-(v + 55.0) / 10.0))
+    b_n = 0.125 * np.exp(-(v + 65.0) / 80.0)
+    dv = (-120.0 * m ** 3 * h * (v - 50.0) - 36.0 * ng ** 4 * (v + 77.0)
+          - 0.3 * (v + 54.387)) / 1.0
+    dm = a_m * (1.0 - m) - b_m * m
+    dh = a_h * (1.0 - h) - b_h * h
+    dn = a_n * (1.0 - ng) - b_n * ng
+    ds = 12.0 * (1.0 - s) / (1.0 + np.exp(-v / 2.0)) - s / 10.0
+    for name, expect in (("v", dv), ("m", dm), ("h", dh), ("n", dn), ("s", ds)):
+        lo, hi = vm[name]
+        np.testing.assert_allclose(dy[lo:hi], expect, rtol=1e-9,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_hh_singular_gate_voltages_are_finite():
+    """v exactly on the alpha_m / alpha_n singular voltages (-40, -55 mV)
+    yields finite derivatives AND finite gradients (exprel double-where)."""
+    import jax
+
+    vf = lower("rectipy_tpu.models.spiking_neurons.hodgkin_huxley.hh",
+               n=2, dtype=jnp.float64)
+    vm = vf.var_map
+    y = np.zeros(vf.n * 5)
+    lo, hi = vm["v"]
+    y[lo:hi] = [-40.0, -55.0]  # exactly singular
+    for name, val in (("m", 0.05), ("h", 0.6), ("n", 0.3), ("s", 0.1)):
+        a, b = vm[name]
+        y[a:b] = val
+    dy = np.asarray(vf.func(0.0, jnp.asarray(y), vf.args))
+    assert np.all(np.isfinite(dy))
+    # limits: alpha_m(-40) = 1.0, alpha_n(-55) = 0.1
+    lo_m, _ = vm["m"]
+    a_m_at_40 = dy[lo_m] / (1.0 - 0.05) + (4.0 * np.exp(-25.0 / 18.0)) * 0.05 / (1.0 - 0.05)
+    np.testing.assert_allclose(a_m_at_40, 1.0, rtol=1e-9)
+    g = jax.grad(lambda yy: jnp.sum(vf.func(0.0, yy, vf.args)))(jnp.asarray(y))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_hh_spikes_rk4_matches_fine_euler():
+    """HH under a 10 uA/cm^2 step fires tonically; RK4 at dt=0.02 ms tracks
+    a 10x-finer Euler reference (same spike count, sub-mV sampled-v error
+    outside spike edges)."""
+    n = 2
+    T_ms = 60.0
+
+    def run(integrator, dt):
+        net = Network(dt, dtype=jnp.float64)
+        net.add_diffeq_node("hh", "rectipy_tpu.models.spiking_neurons.hodgkin_huxley.hh",
+                            weights=np.zeros((n, n)), source_var="s", target_var="s_in",
+                            input_var="I_ext", output_var="s", integrator=integrator)
+        steps = int(round(T_ms / dt))
+        samp = int(round(0.5 / dt))  # one record every 0.5 ms
+        obs = net.run(np.full((steps, n), 10.0), sampling_steps=samp, verbose=False,
+                      record_vars=[("hh", "v", False)])
+        return obs.to_numpy(("hh", "v"))[:, 0]
+
+    v_rk4 = run("rk4", 0.02)
+    v_ref = run("euler", 0.002)
+    assert np.all(np.isfinite(v_rk4))
+    spikes_rk4 = int(np.sum((v_rk4[1:] > 0) & (v_rk4[:-1] <= 0)))
+    spikes_ref = int(np.sum((v_ref[1:] > 0) & (v_ref[:-1] <= 0)))
+    assert spikes_rk4 >= 3, "HH at 10 uA/cm^2 should fire tonically"
+    assert spikes_rk4 == spikes_ref
