@@ -34,7 +34,8 @@ import numpy as np
 
 from .nodes import resolve_dtype
 
-__all__ = ["Linear", "LinearMasked", "LinearMemory", "LinearFilter", "LinearMemoryFilter", "RLS"]
+__all__ = ["Linear", "LinearMasked", "LinearMemory", "LinearFilter", "LinearMemoryFilter", "RLS",
+           "STDP"]
 
 
 def _as_array(x, dtype):
@@ -348,3 +349,115 @@ class RLS(Linear):
         self.params["weights"] = W
         self.params["P"] = P
         self.loss = loss
+
+
+class STDP(Linear):
+    """Spike-timing-dependent plasticity edge: online, unsupervised, local.
+
+    Beyond-reference component (the reference's online trainers are RLS,
+    /root/reference/rectipy/network.py:786, and the unimplemented e-prop
+    stub, network.py:858-896; it ships no Hebbian/local plasticity rule).
+    Pair-based all-to-all trace STDP (Morrison, Diesmann & Gerstner 2008,
+    Biol Cybern 98:459), per integration step:
+
+        x_pre  <- x_pre  * exp(-dt/tau_plus)           # decay FIRST
+        x_post <- x_post * exp(-dt/tau_minus)
+        pot = a_plus  * outer(spk_post, x_pre)         # pre-before-post: LTP
+        dep = a_minus * outer(x_post, spk_pre)         # post-before-pre: LTD
+        W <- clip(W + pot - dep, w_min, w_max)         # hard bounds (default)
+        W <- W + pot*(w_max - W) - dep*(W - w_min)     # soft_bounds=True
+        x_pre += spk_pre;  x_post += spk_post          # current spikes join
+                                                       # AFTER use: zero-lag
+                                                       # pairs do not interact
+
+    ``tau_plus``/``tau_minus`` are in the network's time units (the decay is
+    ``exp(-dt/tau)`` per step).  1-D (diagonal) weights are supported for
+    population-scale self-edges: the outer products become elementwise
+    products and everything is O(N).
+
+    During simulation the edge is a plain linear projection; traces and
+    weight updates are driven by :meth:`Network.fit_stdp`'s scan (W and the
+    traces ride the carry), exactly like the RLS edge's (W, P).  The traces
+    persist in ``params`` so chunked ``fit_stdp`` calls continue plasticity
+    seamlessly.
+    """
+
+    _tensors = ["weights"]
+
+    def __init__(self, n_in: int, n_out: int, weights=None, dtype=jnp.float64,
+                 tau_plus: float = 20.0, tau_minus: float = 20.0,
+                 a_plus: float = 0.005, a_minus: float = 0.00525,
+                 w_min: float = 0.0, w_max: float = 1.0, soft_bounds: bool = False,
+                 rng: Optional[np.random.Generator] = None, **kwargs):
+        if tau_plus <= 0 or tau_minus <= 0:
+            raise ValueError("STDP time constants tau_plus/tau_minus must be positive.")
+        if a_plus < 0 or a_minus < 0:
+            raise ValueError("STDP amplitudes a_plus/a_minus must be non-negative.")
+        if not w_max > w_min:
+            raise ValueError("STDP weight bounds require w_max > w_min.")
+        if weights is None:
+            # uniform within bounds (zeros would make a_plus the only escape
+            # from the w_min boundary; mid-range random is the standard init)
+            rng = rng or np.random.default_rng()
+            weights = rng.uniform(w_min, w_max, size=(n_out, n_in))
+        super().__init__(n_in, n_out, weights=weights, dtype=dtype, detach=True)
+        self.params["weights"] = jnp.clip(self.params["weights"], w_min, w_max)
+        self.tau_plus = float(tau_plus)
+        self.tau_minus = float(tau_minus)
+        self.a_plus = float(a_plus)
+        self.a_minus = float(a_minus)
+        self.w_min = float(w_min)
+        self.w_max = float(w_max)
+        self.soft_bounds = bool(soft_bounds)
+        self.params["x_pre"] = jnp.zeros(n_in, dtype=self.dtype)
+        self.params["x_post"] = jnp.zeros(n_out, dtype=self.dtype)
+        self.train_keys = []  # not gradient-trainable: local rule outside autograd
+
+    @property
+    def x_pre(self):
+        return self.params["x_pre"]
+
+    @property
+    def x_post(self):
+        return self.params["x_post"]
+
+    def update_fn(self, dt: float) -> Callable:
+        """Pure per-step update:
+        ``(W, x_pre, x_post, spk_pre, spk_post) -> (W', x_pre', x_post')``.
+        Used as a scan carry by :meth:`Network.fit_stdp`; spikes are {0,1}
+        indicator vectors."""
+        d_p = float(np.exp(-dt / self.tau_plus))
+        d_m = float(np.exp(-dt / self.tau_minus))
+        a_p, a_m = self.a_plus, self.a_minus
+        w_lo, w_hi = self.w_min, self.w_max
+        soft = self.soft_bounds
+        diagonal = self.params["weights"].ndim == 1
+
+        def pair(u, v):
+            return u * v if diagonal else jnp.outer(u, v)
+
+        def update(W, x_pre, x_post, spk_pre, spk_post):
+            x_pre = x_pre * d_p
+            x_post = x_post * d_m
+            pot = a_p * pair(spk_post, x_pre)
+            dep = a_m * pair(x_post, spk_pre)
+            if soft:
+                W = W + pot * (w_hi - W) - dep * (W - w_lo)
+            else:
+                W = W + pot - dep
+            W = jnp.clip(W, w_lo, w_hi)
+            return W, x_pre + spk_pre, x_post + spk_post
+
+        return update
+
+    def update(self, spk_pre, spk_post, dt: float) -> None:
+        """Eager one-step update (reference-style object API; the scan path
+        in Network.fit_stdp is the performant one)."""
+        spk_pre = jnp.asarray(spk_pre, dtype=self.dtype)
+        spk_post = jnp.asarray(spk_post, dtype=self.dtype)
+        W, x_pre, x_post = self.update_fn(float(dt))(
+            self.params["weights"], self.params["x_pre"], self.params["x_post"],
+            spk_pre, spk_post)
+        self.params["weights"] = W
+        self.params["x_pre"] = x_pre
+        self.params["x_post"] = x_post

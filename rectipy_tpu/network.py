@@ -35,7 +35,8 @@ import numpy as np
 import optax
 from networkx import DiGraph
 
-from .edges import RLS, Linear, LinearFilter, LinearMasked, LinearMemory, LinearMemoryFilter
+from .edges import (RLS, STDP, Linear, LinearFilter, LinearMasked, LinearMemory,
+                    LinearMemoryFilter)
 from .inputs import InputSpec
 from .nodes import InstantNode, RateNet, SpikeNet, SpikeResetNet, resolve_dtype
 from .observer import Observer
@@ -515,7 +516,9 @@ class Network:
         """Add a linear edge.  Class dispatch on kwargs mirrors the reference
         (/root/reference/rectipy/network.py:372-380): `mask` -> LinearMasked,
         `delays` (+`filter_weights`) -> LinearMemory(Filter), `filter_weights`
-        -> LinearFilter, else Linear.  ``train`` in {None, 'gd', 'rls'}."""
+        -> LinearFilter, else Linear.  ``train`` in {None, 'gd', 'rls',
+        'eprop', 'stdp'} ('eprop' and 'stdp' are beyond-reference online
+        rules; see fit_eprop / fit_stdp)."""
         edge_attrs = dict(edge_attrs or {})
         kwargs.pop("dtype", None)
         if "mask" in kwargs:
@@ -542,6 +545,16 @@ class Network:
             trainable = False
             edge = LinEdge(**{k: v for k, v in kwargs.items()
                               if k in ("n_in", "n_out", "weights", "dtype")}, detach=True)
+            self._train_edge = (source, target)
+        elif train == "stdp":
+            kwargs.pop("detach", None)
+            # local plasticity outside autograd (like the RLS edge); the
+            # pre/post spike trains drive the updates in fit_stdp's scan
+            trainable = False
+            edge = STDP(**{k: v for k, v in kwargs.items()
+                           if k in ("n_in", "n_out", "weights", "dtype", "tau_plus",
+                                    "tau_minus", "a_plus", "a_minus", "w_min", "w_max",
+                                    "soft_bounds", "rng")})
             self._train_edge = (source, target)
         elif train == "rls":
             kwargs.pop("detach", None)
@@ -3133,6 +3146,164 @@ class Network:
         if record:
             obs.record_batch(rec_steps_host, outputs=rec_out, losses=rec_loss)
         return stateT, loss
+
+    def fit_stdp(self, inputs, sampling_steps: int = 100, verbose: bool = True,
+                 **kwargs) -> Observer:
+        """Online spike-timing-dependent plasticity on the edge added with
+        ``add_edge(..., train='stdp')``.
+
+        Beyond-reference trainer: the reference's online rules are RLS
+        (/root/reference/rectipy/network.py:786) and the NotImplementedError
+        e-prop stub (network.py:858-896); it ships no local Hebbian
+        plasticity.  Unsupervised (no targets): both endpoint nodes must be
+        spiking populations, and the pre-/post-synaptic spike indicators fed
+        to the pair rule are each step's OWN spike decisions (the exact
+        pre-update surrogate-forward indicators ``record_spikes`` records).
+        The weights and both eligibility traces ride the scan carry (one
+        fused on-device program, like fit_rls's (W, P)); traces persist on
+        the edge so chunked calls continue plasticity seamlessly.
+
+        ``inputs``: a ``(T, m)`` array or an on-device
+        :class:`rectipy_tpu.inputs.InputSpec` (e.g. ``Poisson`` drive --
+        nothing is materialized or transferred).
+
+        Records the usual output windows; per-window weight statistics are
+        saved under ``"w_mean"`` / ``"w_min"`` / ``"w_max"`` (plus
+        ``"w_steps"``), and the final weights live on the edge.
+        """
+        if not self._train_edge:
+            raise ValueError("No STDP-trainable edge in the network; add one with "
+                             "add_edge(..., train='stdp').")
+        self.compile()
+        src, tgt_node = self._train_edge
+        edge = self.get_edge(src, tgt_node)
+        if not isinstance(edge, STDP):
+            raise ValueError(
+                f"fit_stdp: the registered train edge {src!r} -> {tgt_node!r} is a "
+                f"{type(edge).__name__}, not an STDP edge; add it with "
+                "add_edge(..., train='stdp').")
+        for label in (src, tgt_node):
+            node = self.get_node(label)
+            if not hasattr(node, "_make_spike_reader"):
+                raise ValueError(
+                    f"fit_stdp: node {label!r} ({type(node).__name__}) is not a "
+                    "spiking node; STDP needs pre- and post-synaptic spike trains "
+                    "(SpikeNet / SpikeResetNet / MultiSpikeResetNet populations).")
+        mesh = kwargs.pop("mesh", None)
+        obs_kwargs = retrieve_from_dict(["record_output", "record_loss", "record_vars"],
+                                        kwargs)
+        obs = Observer(dt=self.dt, **obs_kwargs)
+        t0 = perf_counter()
+
+        ekey = _ekey(src, tgt_node)
+        pre_read = self.get_node(src)._make_spike_reader()
+        post_read = self.get_node(tgt_node)._make_spike_reader()
+        update = edge.update_fn(self.dt)
+        w_dtype = edge.params["weights"].dtype
+        step = self.make_step()
+        params = self.parameters_pytree()
+        state0 = self.init_state()
+
+        input_fn = None
+        in_sig = ()
+        if isinstance(inputs, InputSpec):
+            spec = inputs
+            if spec.batch is not None:
+                raise ValueError("fit_stdp takes an unbatched input spec; per-trial "
+                                 "parameters have no meaning for a single scan.")
+            in_fn, inputs, _, in_sig = spec.build(self.dt, self.dtype)
+            steps = int(spec.steps)
+            n_chan = int(spec.channels)
+            input_fn = in_fn
+        else:
+            # staging rule: device arrays of the right dtype pass through
+            # untouched (np.asarray would silently round-trip them to host)
+            if not (isinstance(inputs, jnp.ndarray) and inputs.dtype == self.dtype
+                    and inputs.ndim == 2):
+                inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
+            if inputs.ndim != 2:
+                raise ValueError(f"`inputs` must be a (T, m) array; got shape {inputs.shape}")
+            steps = int(inputs.shape[0])
+            n_chan = int(inputs.shape[1])
+        if self.n_in and n_chan not in (1, self.n_in):
+            raise ValueError(
+                f"`inputs` has {n_chan} channels but the network input node "
+                f"{self._in_node!r} expects {self.n_in} (or 1, broadcast).")
+
+        if mesh is not None:
+            state0 = self._mesh_place(state0, mesh)
+            params = self._mesh_place(params, mesh)
+            if input_fn is None:
+                inputs = self._mesh_replicate(inputs, mesh)
+            else:
+                inputs = jax.tree.map(lambda x: self._mesh_replicate(x, mesh), inputs)
+
+        rec_steps_host = np.arange(0, steps, sampling_steps)
+        n_rec = len(rec_steps_host)
+        n_out = self.n_out
+        in_aval = (jax.eval_shape(lambda a: input_fn(0, a), inputs) if input_fn is not None
+                   else jax.eval_shape(lambda x: x[0], inputs))
+        out_aval = jax.eval_shape(lambda s, p, x: step(s, p, x)[1], state0, params, in_aval)
+
+        def scan_all(state0, params, W, x_pre, x_post, inputs):
+            rec_out0 = jnp.zeros((n_rec, n_out), dtype=out_aval.dtype)
+            rec_w0 = jnp.zeros((n_rec, 3), dtype=w_dtype)
+
+            def body(carry, xt):
+                state, W, x_pre, x_post, rec_out, rec_w, rec_i = carry
+                if input_fn is None:
+                    x_t, step_idx = xt
+                else:
+                    step_idx = xt
+                    x_t = input_fn(step_idx, inputs)
+                # this step's own spike decisions (pre-update state)
+                spk_pre = pre_read(state["nodes"][src]).astype(w_dtype)
+                spk_post = post_read(state["nodes"][tgt_node]).astype(w_dtype)
+                p = dict(params)
+                p["edges"] = dict(params["edges"])
+                p["edges"][ekey] = dict(params["edges"][ekey])
+                p["edges"][ekey]["weights"] = W
+                state, out, _ = step(state, p, x_t)
+                W, x_pre, x_post = update(W, x_pre, x_post, spk_pre, spk_post)
+                do_rec = (step_idx % sampling_steps) == 0
+                idx = jnp.minimum(rec_i, max(n_rec - 1, 0))
+                rec_out = rec_out.at[idx].set(jnp.where(do_rec, out, rec_out[idx]))
+                w_stats = jnp.stack([W.mean(), W.min(), W.max()]).astype(w_dtype)
+                rec_w = rec_w.at[idx].set(jnp.where(do_rec, w_stats, rec_w[idx]))
+                rec_i = rec_i + do_rec.astype(jnp.int32)
+                return (state, W, x_pre, x_post, rec_out, rec_w, rec_i), None
+
+            xs = (jnp.arange(steps) if input_fn is not None
+                  else (inputs, jnp.arange(steps)))
+            init = (state0, W, x_pre, x_post, rec_out0, rec_w0,
+                    jnp.asarray(0, dtype=jnp.int32))
+            (stateT, W, x_pre, x_post, rec_out, rec_w, _), _ = jax.lax.scan(
+                body, init, xs)
+            return stateT, W, x_pre, x_post, rec_out, rec_w
+
+        cache_key = ("stdp_scan", ekey, str(w_dtype), edge.tau_plus, edge.tau_minus,
+                     edge.a_plus, edge.a_minus, edge.w_min, edge.w_max,
+                     edge.soft_bounds, sampling_steps, steps, n_rec, in_sig,
+                     self._step_versions())
+        if cache_key not in self._step_cache:
+            self._step_cache[cache_key] = jax.jit(scan_all)
+        stateT, W, x_pre, x_post, rec_out, rec_w = self._step_cache[cache_key](
+            state0, params, edge.params["weights"], edge.params["x_pre"],
+            edge.params["x_post"], inputs)
+        edge.params["weights"] = W
+        edge.params["x_pre"] = x_pre
+        edge.params["x_post"] = x_post
+        self._write_back(state=stateT)
+        obs.record_batch(rec_steps_host, outputs=rec_out,
+                         losses=np.zeros(n_rec) if obs.record_loss else None)
+        rec_w = np.asarray(rec_w)
+        obs.save("w_steps", rec_steps_host)
+        obs.save("w_mean", rec_w[:, 0])
+        obs.save("w_min", rec_w[:, 1])
+        obs.save("w_max", rec_w[:, 2])
+        if verbose:
+            print(f"Finished STDP optimization after {perf_counter() - t0} s.")
+        return obs
 
     def fit_eprop(self, inputs, targets, feedback_weights: np.ndarray = None,
                   epsilon: float = 0.99, delta: float = 0.9, update_steps: int = 1,

@@ -45,6 +45,8 @@ def _run(example, env=None, timeout=420):
     ("kuramoto_sync.py", {"KUR_N": "64", "KUR_STEPS": "2000"}),
     # Poisson-driven ensemble with on-device drives + spike rasters
     ("spike_raster_poisson.py", {"RASTER_N": "64", "RASTER_B": "2"}),
+    # recurrent STDP plasticity (fit_stdp on a feedback self-edge)
+    ("stdp_plasticity.py", {"STDP_N": "32", "STDP_T": "2000"}),
 ])
 def test_example_runs(example, env):
     _run(example, env)

@@ -384,6 +384,40 @@ def test_public_fit_rls_and_eprop_mesh_match_single_device():
         np.testing.assert_allclose(w2, w1, rtol=1e-9, atol=1e-12)
 
 
+def test_public_fit_stdp_mesh_matches_single_device():
+    """fit_stdp with mesh= produces the same plastic weights as
+    single-device (f64)."""
+    n, T = 8, 200
+    LIF = "neuron_model_templates.spiking_neurons.lif.lif"
+    rng = np.random.default_rng(21)
+    w0 = rng.uniform(0.2, 0.8, size=(n, n))
+    inp = (rng.random((T, n)) < 0.1) * 40.0
+
+    def build():
+        net = Network(0.1, dtype=jnp.float64)
+        net.add_func_node("inp", n, activation_function="identity")
+        for label in ("pre", "post"):
+            net.add_diffeq_node(label, LIF, weights=np.zeros((n, n)), source_var="s",
+                                target_var="s_in", input_var="I_ext", output_var="s",
+                                op="lif_op", spike_var="spike", reset_var="v",
+                                spike_threshold=1.0, spike_reset=0.0)
+        net.add_edge("inp", "pre", weights=np.eye(n))
+        net.add_edge("inp", "post", weights=0.5 * np.eye(n))
+        net.add_edge("pre", "post", train="stdp", weights=w0, tau_plus=2.0,
+                     tau_minus=2.0, a_plus=0.05, a_minus=0.04, w_min=0.0, w_max=1.0)
+        net.compile()
+        return net
+
+    mesh = make_mesh(8, data=1)
+    net1, net2 = build(), build()
+    net1.fit_stdp(inp, sampling_steps=20, verbose=False)
+    net2.fit_stdp(inp, sampling_steps=20, verbose=False, mesh=mesh)
+    w1 = np.asarray(net1.get_edge("pre", "post").params["weights"])
+    w2 = np.asarray(net2.get_edge("pre", "post").params["weights"])
+    assert np.abs(w1 - w0).max() > 1e-5, "STDP did not move the weights"
+    np.testing.assert_allclose(w2, w1, rtol=1e-9, atol=1e-12)
+
+
 def test_public_fit_bptt_mesh_graph_trajectory_matches_single_device():
     """fit_bptt(mesh=) on a MULTI-POPULATION FeedbackNetwork (the graph
     deferred-gradient trajectory, ops/graph_bptt.py): sharded training must

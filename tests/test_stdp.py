@@ -1,0 +1,330 @@
+"""STDP edge + Network.fit_stdp (beyond-reference online plasticity).
+
+The reference ships no local plasticity rule (its online trainers are RLS,
+/root/reference/rectipy/network.py:786, and the NotImplementedError e-prop
+stub, network.py:858-896); the STDP edge follows the same architecture as
+the RLS edge (pure update_fn, W in the trainer's scan carry).
+
+Covered here:
+- update_fn vs an independent numpy oracle of the documented pair rule
+  (causal pairing -> a_plus * exp(-dt*delta/tau_plus), anti-causal ->
+  depression; zero-lag pairs inert; bounds; soft bounds; diagonal form)
+- fit_stdp scan == eager Python loop over make_step + update_fn (exact)
+- end-to-end pair protocol through spiking populations (causal potentiates,
+  anti-causal depresses)
+- chunked fit_stdp calls == one long call (traces/W/state persist)
+- on-device InputSpec drive == its materialized dense equivalent
+- add_edge dispatch and error cases
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectipy_tpu import FeedbackNetwork, Network, Poisson
+from rectipy_tpu.edges import STDP
+
+LIF = "neuron_model_templates.spiking_neurons.lif.lif"
+QIF = "neuron_model_templates.spiking_neurons.qif.qif"
+
+
+# ---------------------------------------------------------------- unit level
+
+def _numpy_stdp(W, spk_pre, spk_post, dt, tau_plus, tau_minus, a_plus, a_minus,
+                w_min, w_max, soft=False):
+    """Independent oracle of the documented rule (decay first, zero-lag pairs
+    do not interact, bounds last)."""
+    W = np.array(W, dtype=np.float64)
+    x_pre = np.zeros(W.shape[-1] if W.ndim == 2 else W.shape[0])
+    x_post = np.zeros(W.shape[0])
+    for sp, so in zip(spk_pre, spk_post):
+        x_pre *= np.exp(-dt / tau_plus)
+        x_post *= np.exp(-dt / tau_minus)
+        if W.ndim == 2:
+            pot = a_plus * np.outer(so, x_pre)
+            dep = a_minus * np.outer(x_post, sp)
+        else:
+            pot = a_plus * so * x_pre
+            dep = a_minus * x_post * sp
+        if soft:
+            W = W + pot * (w_max - W) - dep * (W - w_min)
+        else:
+            W = W + pot - dep
+        W = np.clip(W, w_min, w_max)
+        x_pre += sp
+        x_post += so
+    return W, x_pre, x_post
+
+
+def test_update_fn_matches_numpy_oracle():
+    rng = np.random.default_rng(3)
+    n_in, n_out, T, dt = 4, 3, 60, 0.5
+    cfg = dict(tau_plus=7.0, tau_minus=11.0, a_plus=0.04, a_minus=0.03,
+               w_min=0.0, w_max=1.0)
+    spk_pre = (rng.random((T, n_in)) < 0.15).astype(float)
+    spk_post = (rng.random((T, n_out)) < 0.15).astype(float)
+    for soft in (False, True):
+        edge = STDP(n_in, n_out, weights=np.full((n_out, n_in), 0.5),
+                    dtype=jnp.float64, soft_bounds=soft, **cfg)
+        upd = edge.update_fn(dt)
+        W, xp, xs = edge.params["weights"], edge.params["x_pre"], edge.params["x_post"]
+        for t in range(T):
+            W, xp, xs = upd(W, xp, xs, jnp.asarray(spk_pre[t]), jnp.asarray(spk_post[t]))
+        W_ref, xp_ref, xs_ref = _numpy_stdp(
+            np.full((n_out, n_in), 0.5), spk_pre, spk_post, dt, soft=soft, **cfg)
+        np.testing.assert_allclose(np.asarray(W), W_ref, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(xp), xp_ref, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(xs), xs_ref, rtol=1e-12)
+
+
+def test_update_fn_pair_timing_closed_form():
+    """Single causal pair (pre at step 2, post at step 2+delta):
+    dW = +a_plus * exp(-dt*delta/tau_plus); anti-causal: -a_minus * exp(...);
+    zero-lag pairs do not interact (spikes join the traces AFTER use)."""
+    dt, delta = 0.5, 6
+    cfg = dict(tau_plus=8.0, tau_minus=5.0, a_plus=0.02, a_minus=0.015,
+               w_min=-1.0, w_max=1.0)
+    T = 20
+
+    def run(pre_step, post_step):
+        spk_pre = np.zeros((T, 1))
+        spk_post = np.zeros((T, 1))
+        spk_pre[pre_step, 0] = 1.0
+        spk_post[post_step, 0] = 1.0
+        edge = STDP(1, 1, weights=np.zeros((1, 1)), dtype=jnp.float64, **cfg)
+        upd = edge.update_fn(dt)
+        W, xp, xs = edge.params["weights"], edge.params["x_pre"], edge.params["x_post"]
+        for t in range(T):
+            W, xp, xs = upd(W, xp, xs, jnp.asarray(spk_pre[t]), jnp.asarray(spk_post[t]))
+        return float(W[0, 0])
+
+    assert run(2, 2 + delta) == pytest.approx(
+        cfg["a_plus"] * np.exp(-dt * delta / cfg["tau_plus"]), rel=1e-12)
+    assert run(2 + delta, 2) == pytest.approx(
+        -cfg["a_minus"] * np.exp(-dt * delta / cfg["tau_minus"]), rel=1e-12)
+    assert run(4, 4) == 0.0  # zero-lag
+
+
+def test_update_fn_diagonal_matches_numpy():
+    rng = np.random.default_rng(9)
+    n, T, dt = 5, 40, 0.2
+    cfg = dict(tau_plus=4.0, tau_minus=6.0, a_plus=0.05, a_minus=0.04,
+               w_min=0.0, w_max=2.0)
+    spk_pre = (rng.random((T, n)) < 0.2).astype(float)
+    spk_post = (rng.random((T, n)) < 0.2).astype(float)
+    w0 = rng.uniform(0.2, 1.8, size=n)
+    edge = STDP(n, n, weights=w0, dtype=jnp.float64, **cfg)
+    assert edge.params["weights"].ndim == 1
+    upd = edge.update_fn(dt)
+    W, xp, xs = edge.params["weights"], edge.params["x_pre"], edge.params["x_post"]
+    for t in range(T):
+        W, xp, xs = upd(W, xp, xs, jnp.asarray(spk_pre[t]), jnp.asarray(spk_post[t]))
+    W_ref, _, _ = _numpy_stdp(w0, spk_pre, spk_post, dt, **cfg)
+    np.testing.assert_allclose(np.asarray(W), W_ref, rtol=1e-12)
+
+
+def test_stdp_constructor_validation():
+    with pytest.raises(ValueError):
+        STDP(2, 2, tau_plus=0.0)
+    with pytest.raises(ValueError):
+        STDP(2, 2, a_plus=-0.1)
+    with pytest.raises(ValueError):
+        STDP(2, 2, w_min=1.0, w_max=0.0)
+    # default init: uniform within bounds, clipped
+    edge = STDP(3, 4, w_min=0.1, w_max=0.9, rng=np.random.default_rng(0))
+    W = np.asarray(edge.params["weights"])
+    assert W.shape == (4, 3) and W.min() >= 0.1 and W.max() <= 0.9
+    # eager update API moves the weight
+    edge.update(np.ones(3), np.zeros(4), dt=0.1)  # pre spikes charge x_pre
+    edge.update(np.zeros(3), np.ones(4), dt=0.1)  # post spikes -> potentiation
+    assert np.asarray(edge.params["weights"]).mean() > W.mean()
+
+
+# ------------------------------------------------------------ network level
+
+def _pair_net(dt=0.1, a_plus=0.05, a_minus=0.05, w0=0.2):
+    """inp(identity, 2ch) -> {pre, post} single-LIF populations; STDP edge
+    pre -> post.  Channel 0 pulses drive pre, channel 1 post."""
+    net = Network(dt, dtype=jnp.float64)
+    net.add_func_node("inp", 2, activation_function="identity")
+    for label, sel in (("pre", [[1.0, 0.0]]), ("post", [[0.0, 1.0]])):
+        net.add_diffeq_node(label, LIF, weights=np.zeros((1, 1)), source_var="s",
+                            target_var="s_in", input_var="I_ext", output_var="s",
+                            op="lif_op", spike_var="spike", reset_var="v",
+                            spike_threshold=1.0, spike_reset=0.0)
+        net.add_edge("inp", label, weights=np.array(sel))
+    net.add_edge("pre", "post", train="stdp", weights=np.full((1, 1), w0),
+                 tau_plus=2.0, tau_minus=2.0, a_plus=a_plus, a_minus=a_minus,
+                 w_min=0.0, w_max=1.0)
+    return net
+
+
+def _pulse_train(T, steps, channel, amp=50.0):
+    x = np.zeros((T, 2))
+    x[list(steps), channel] = amp
+    return x
+
+
+def test_fit_stdp_pair_protocol_end_to_end():
+    """Repeated causal pairings (pre fires ~0.5 time-units before post)
+    potentiate the STDP edge; anti-causal pairings depress it."""
+    T, dt = 400, 0.1
+    pre_steps = np.arange(20, 380, 40)
+
+    def final_w(lead_channel_first):
+        net = _pair_net(dt)
+        if lead_channel_first:
+            x = _pulse_train(T, pre_steps, 0) + _pulse_train(T, pre_steps + 5, 1)
+        else:
+            x = _pulse_train(T, pre_steps, 1) + _pulse_train(T, pre_steps + 5, 0)
+        obs = net.fit_stdp(x, sampling_steps=50, verbose=False)
+        w_mean = np.asarray(obs["w_mean"])
+        assert np.all(np.isfinite(w_mean))
+        return float(np.asarray(net.get_edge("pre", "post").params["weights"])[0, 0])
+
+    w_causal = final_w(True)
+    w_anti = final_w(False)
+    assert w_causal > 0.2 + 1e-4, f"causal pairing should potentiate; got {w_causal}"
+    assert w_anti < 0.2 - 1e-4, f"anti-causal pairing should depress; got {w_anti}"
+
+
+def test_fit_stdp_scan_matches_eager_loop():
+    """The fused fit_stdp scan == an eager Python loop over make_step and
+    update_fn (exact, f64) -- same final W, traces, and network state."""
+    T, dt = 150, 0.1
+    rng = np.random.default_rng(5)
+    x = (rng.random((T, 2)) < 0.08) * 40.0
+
+    net = _pair_net(dt)
+    edge = net.get_edge("pre", "post")
+    step = net.make_step()
+    state = net.init_state()
+    params = net.parameters_pytree()
+    upd = edge.update_fn(dt)
+    pre_read = net.get_node("pre")._make_spike_reader()
+    post_read = net.get_node("post")._make_spike_reader()
+    W = edge.params["weights"]
+    xp, xs = edge.params["x_pre"], edge.params["x_post"]
+    for t in range(T):
+        spk_pre = pre_read(state["nodes"]["pre"]).astype(W.dtype)
+        spk_post = post_read(state["nodes"]["post"]).astype(W.dtype)
+        p = {"nodes": params["nodes"],
+             "edges": {**params["edges"], "pre->post": {**params["edges"]["pre->post"],
+                                                        "weights": W}}}
+        state, _, _ = step(state, p, jnp.asarray(x[t]))
+        W, xp, xs = upd(W, xp, xs, spk_pre, spk_post)
+
+    net2 = _pair_net(dt)
+    net2.fit_stdp(x, sampling_steps=50, verbose=False)
+    edge2 = net2.get_edge("pre", "post")
+    np.testing.assert_allclose(np.asarray(edge2.params["weights"]), np.asarray(W),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(edge2.params["x_pre"]), np.asarray(xp),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(edge2.params["x_post"]), np.asarray(xs),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(net2.get_node("post").y),
+                               np.asarray(state["nodes"]["post"]), rtol=1e-12)
+
+
+def test_fit_stdp_chunked_equals_single_call():
+    """Two consecutive fit_stdp calls == one call over the concatenated
+    inputs: W, both traces, and the network state all persist."""
+    T, dt = 200, 0.1
+    rng = np.random.default_rng(11)
+    x = (rng.random((T, 2)) < 0.1) * 40.0
+
+    net_a = _pair_net(dt)
+    net_a.fit_stdp(x, sampling_steps=20, verbose=False)
+
+    net_b = _pair_net(dt)
+    net_b.fit_stdp(x[:T // 2], sampling_steps=20, verbose=False)
+    net_b.fit_stdp(x[T // 2:], sampling_steps=20, verbose=False)
+
+    for key in ("weights", "x_pre", "x_post"):
+        np.testing.assert_allclose(
+            np.asarray(net_b.get_edge("pre", "post").params[key]),
+            np.asarray(net_a.get_edge("pre", "post").params[key]), rtol=1e-12,
+            err_msg=f"{key} diverged across chunked calls")
+
+
+def test_fit_stdp_recurrent_feedback_edge_and_bounds():
+    """FeedbackNetwork: a QIF population with a plastic recurrent self-edge
+    (feedback=True, train='stdp').  Soft bounds keep every weight strictly
+    inside [w_min, w_max]; plasticity actually moves the weights."""
+    n, T, dt = 6, 800, 1e-3
+    rng = np.random.default_rng(2)
+    net = FeedbackNetwork(dt, dtype=jnp.float64)
+    net.add_diffeq_node("qif", QIF, weights=np.zeros((n, n)), source_var="s",
+                        target_var="s_in", input_var="I_ext", output_var="s",
+                        spike_var="spike", reset_var="v", spike_threshold=1e2,
+                        spike_reset=-1e2, node_vars={"eta": 20.0})
+    w0 = rng.uniform(0.3, 0.7, size=(n, n))
+    net.add_edge("qif", "qif", feedback=True, train="stdp", weights=w0,
+                 tau_plus=5e-3, tau_minus=5e-3, a_plus=0.05, a_minus=0.02,
+                 w_min=0.0, w_max=1.0, soft_bounds=True)
+    x = rng.normal(0.0, 5.0, size=(T, n))
+    obs = net.fit_stdp(x, sampling_steps=100, verbose=False)
+    W = np.asarray(net.get_edge("qif", "qif").params["weights"])
+    assert np.all(np.isfinite(W))
+    assert W.min() > 0.0 and W.max() < 1.0, "soft bounds must stay strictly inside"
+    assert np.abs(W - np.clip(w0, 0, 1)).max() > 1e-4, "weights never moved"
+    w_mean = np.asarray(obs["w_mean"])
+    assert len(w_mean) == T // 100 and np.all(np.isfinite(w_mean))
+
+
+def test_fit_stdp_input_spec_matches_materialized():
+    """An on-device Poisson drive == its materialize(dt) dense equivalent."""
+    n, T, dt = 4, 300, 1e-3
+    net_spec = FeedbackNetwork(dt, dtype=jnp.float64)
+    net_dense = FeedbackNetwork(dt, dtype=jnp.float64)
+    for net in (net_spec, net_dense):
+        net.add_diffeq_node("qif", QIF, weights=np.zeros((n, n)), source_var="s",
+                            target_var="s_in", input_var="I_ext", output_var="s",
+                            spike_var="spike", reset_var="v",
+                            node_vars={"eta": 10.0})
+        net.add_edge("qif", "qif", feedback=True, train="stdp",
+                     weights=np.full((n, n), 0.5), tau_plus=5e-3, tau_minus=5e-3,
+                     a_plus=0.03, a_minus=0.02, w_min=0.0, w_max=1.0)
+    spec = Poisson(steps=T, channels=n, rate=200.0, amp=0.03, seed=7)
+    net_spec.fit_stdp(spec, sampling_steps=100, verbose=False)
+    net_dense.fit_stdp(spec.materialize(dt, dtype=np.float64), sampling_steps=100,
+                       verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(net_spec.get_edge("qif", "qif").params["weights"]),
+        np.asarray(net_dense.get_edge("qif", "qif").params["weights"]), rtol=1e-12)
+
+
+def test_fit_stdp_dispatch_and_errors():
+    dt = 0.1
+    net = _pair_net(dt)
+    assert isinstance(net.get_edge("pre", "post"), STDP)
+    assert net._train_edge == ("pre", "post")
+
+    # no stdp edge registered
+    net2 = Network(dt, dtype=jnp.float64)
+    net2.add_diffeq_node("lif", LIF, weights=np.zeros((2, 2)), source_var="s",
+                         target_var="s_in", input_var="I_ext", output_var="s",
+                         op="lif_op", spike_var="spike", reset_var="v")
+    with pytest.raises(ValueError, match="No STDP-trainable edge"):
+        net2.fit_stdp(np.zeros((10, 2)), verbose=False)
+
+    # registered train edge is not STDP
+    net3 = Network(dt, dtype=jnp.float64)
+    net3.add_diffeq_node("lif", LIF, weights=np.zeros((2, 2)), source_var="s",
+                         target_var="s_in", input_var="I_ext", output_var="s",
+                         op="lif_op", spike_var="spike", reset_var="v")
+    net3.add_func_node("readout", 2, activation_function="identity")
+    net3.add_edge("lif", "readout", train="rls")
+    with pytest.raises(ValueError, match="not an STDP edge"):
+        net3.fit_stdp(np.zeros((10, 2)), verbose=False)
+
+    # non-spiking endpoint
+    net4 = Network(dt, dtype=jnp.float64)
+    net4.add_diffeq_node("lif", LIF, weights=np.zeros((2, 2)), source_var="s",
+                         target_var="s_in", input_var="I_ext", output_var="s",
+                         op="lif_op", spike_var="spike", reset_var="v")
+    net4.add_func_node("readout", 2, activation_function="identity")
+    net4.add_edge("lif", "readout", train="stdp")
+    with pytest.raises(ValueError, match="not a spiking node"):
+        net4.fit_stdp(np.zeros((10, 2)), verbose=False)
