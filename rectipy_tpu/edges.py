@@ -421,32 +421,70 @@ class STDP(Linear):
     def x_post(self):
         return self.params["x_post"]
 
-    def update_fn(self, dt: float) -> Callable:
-        """Pure per-step update:
-        ``(W, x_pre, x_post, spk_pre, spk_post) -> (W', x_pre', x_post')``.
-        Used as a scan carry by :meth:`Network.fit_stdp`; spikes are {0,1}
-        indicator vectors."""
+    def pair_fn(self, dt: float) -> Callable:
+        """Raw pair-rule increments (no bounds):
+        ``(x_pre, x_post, spk_pre, spk_post) -> (pot, dep, x_pre', x_post')``.
+        Traces decay FIRST, are read by the opposite-side spikes, and absorb
+        the current spikes AFTER use (zero-lag pairs do not interact)."""
         d_p = float(np.exp(-dt / self.tau_plus))
         d_m = float(np.exp(-dt / self.tau_minus))
         a_p, a_m = self.a_plus, self.a_minus
-        w_lo, w_hi = self.w_min, self.w_max
-        soft = self.soft_bounds
         diagonal = self.params["weights"].ndim == 1
 
         def pair(u, v):
             return u * v if diagonal else jnp.outer(u, v)
 
-        def update(W, x_pre, x_post, spk_pre, spk_post):
+        def increments(x_pre, x_post, spk_pre, spk_post):
             x_pre = x_pre * d_p
             x_post = x_post * d_m
             pot = a_p * pair(spk_post, x_pre)
             dep = a_m * pair(x_post, spk_pre)
+            return pot, dep, x_pre + spk_pre, x_post + spk_post
+
+        return increments
+
+    def update_fn(self, dt: float) -> Callable:
+        """Pure per-step update:
+        ``(W, x_pre, x_post, spk_pre, spk_post) -> (W', x_pre', x_post')``.
+        Used as a scan carry by :meth:`Network.fit_stdp`; spikes are {0,1}
+        indicator vectors."""
+        increments = self.pair_fn(dt)
+        w_lo, w_hi = self.w_min, self.w_max
+        soft = self.soft_bounds
+
+        def update(W, x_pre, x_post, spk_pre, spk_post):
+            pot, dep, x_pre, x_post = increments(x_pre, x_post, spk_pre, spk_post)
             if soft:
                 W = W + pot * (w_hi - W) - dep * (W - w_lo)
             else:
                 W = W + pot - dep
-            W = jnp.clip(W, w_lo, w_hi)
-            return W, x_pre + spk_pre, x_post + spk_post
+            return jnp.clip(W, w_lo, w_hi), x_pre, x_post
+
+        return update
+
+    def reward_update_fn(self, dt: float, tau_e: float) -> Callable:
+        """Reward-modulated (three-factor) STDP update, the distal-reward
+        rule of Izhikevich 2007 (Cereb Cortex 17:2443): the pair increments
+        charge an eligibility trace instead of the weights, and the weights
+        move only when a reward signal arrives --
+
+            E <- E * exp(-dt/tau_e) + (pot - dep)
+            W <- clip(W + r_t * E, w_min, w_max)
+
+        ``(W, E, x_pre, x_post, spk_pre, spk_post, r) -> (W', E', x', x'')``.
+        Hard bounds only (reward changes sign; headroom scaling is
+        ill-defined)."""
+        if tau_e <= 0:
+            raise ValueError("reward-modulated STDP requires tau_e > 0.")
+        increments = self.pair_fn(dt)
+        d_e = float(np.exp(-dt / tau_e))
+        w_lo, w_hi = self.w_min, self.w_max
+
+        def update(W, E, x_pre, x_post, spk_pre, spk_post, r):
+            pot, dep, x_pre, x_post = increments(x_pre, x_post, spk_pre, spk_post)
+            E = E * d_e + (pot - dep)
+            W = jnp.clip(W + r * E, w_lo, w_hi)
+            return W, E, x_pre, x_post
 
         return update
 

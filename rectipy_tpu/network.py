@@ -3147,8 +3147,8 @@ class Network:
             obs.record_batch(rec_steps_host, outputs=rec_out, losses=rec_loss)
         return stateT, loss
 
-    def fit_stdp(self, inputs, sampling_steps: int = 100, verbose: bool = True,
-                 **kwargs) -> Observer:
+    def fit_stdp(self, inputs, sampling_steps: int = 100, reward=None,
+                 tau_e: float = None, verbose: bool = True, **kwargs) -> Observer:
         """Online spike-timing-dependent plasticity on the edge added with
         ``add_edge(..., train='stdp')``.
 
@@ -3166,6 +3166,14 @@ class Network:
         ``inputs``: a ``(T, m)`` array or an on-device
         :class:`rectipy_tpu.inputs.InputSpec` (e.g. ``Poisson`` drive --
         nothing is materialized or transferred).
+
+        ``reward``: optional ``(T,)`` per-step reward/neuromodulator signal
+        switching to REWARD-MODULATED (three-factor) STDP -- Izhikevich's
+        2007 distal-reward rule: the pair increments charge an eligibility
+        trace ``E`` (decay ``tau_e``, default ``10 * max(tau_plus,
+        tau_minus)``) and the weights move only by ``r_t * E`` (hard
+        bounds).  The eligibility trace persists on the edge
+        (``params['elig']``) so chunked calls continue seamlessly.
 
         Records the usual output windows; per-window weight statistics are
         saved under ``"w_mean"`` / ``"w_min"`` / ``"w_max"`` (plus
@@ -3198,8 +3206,23 @@ class Network:
         ekey = _ekey(src, tgt_node)
         pre_read = self.get_node(src)._make_spike_reader()
         post_read = self.get_node(tgt_node)._make_spike_reader()
-        update = edge.update_fn(self.dt)
         w_dtype = edge.params["weights"].dtype
+        reward_mode = reward is not None
+        if reward_mode:
+            if edge.soft_bounds:
+                raise ValueError(
+                    "reward-modulated STDP uses hard bounds (the reward changes "
+                    "sign); construct the edge with soft_bounds=False.")
+            if tau_e is None:
+                tau_e = 10.0 * max(edge.tau_plus, edge.tau_minus)
+            tau_e = float(tau_e)
+            update = edge.reward_update_fn(self.dt, tau_e)
+            reward = jnp.asarray(np.asarray(reward), dtype=w_dtype).ravel()
+            E0 = edge.params.get("elig")
+            if E0 is None:
+                E0 = jnp.zeros_like(edge.params["weights"])
+        else:
+            update = edge.update_fn(self.dt)
         step = self.make_step()
         params = self.parameters_pytree()
         state0 = self.init_state()
@@ -3229,6 +3252,10 @@ class Network:
             raise ValueError(
                 f"`inputs` has {n_chan} channels but the network input node "
                 f"{self._in_node!r} expects {self.n_in} (or 1, broadcast).")
+        if reward_mode and reward.shape[0] != steps:
+            raise ValueError(
+                f"`reward` must hold one value per step: got {reward.shape[0]} "
+                f"rewards for {steps} steps.")
 
         if mesh is not None:
             state0 = self._mesh_place(state0, mesh)
@@ -3237,6 +3264,8 @@ class Network:
                 inputs = self._mesh_replicate(inputs, mesh)
             else:
                 inputs = jax.tree.map(lambda x: self._mesh_replicate(x, mesh), inputs)
+            if reward_mode:
+                reward = self._mesh_replicate(reward, mesh)
 
         rec_steps_host = np.arange(0, steps, sampling_steps)
         n_rec = len(rec_steps_host)
@@ -3245,16 +3274,22 @@ class Network:
                    else jax.eval_shape(lambda x: x[0], inputs))
         out_aval = jax.eval_shape(lambda s, p, x: step(s, p, x)[1], state0, params, in_aval)
 
-        def scan_all(state0, params, W, x_pre, x_post, inputs):
+        def scan_all(state0, params, W, E, x_pre, x_post, inputs, reward):
             rec_out0 = jnp.zeros((n_rec, n_out), dtype=out_aval.dtype)
             rec_w0 = jnp.zeros((n_rec, 3), dtype=w_dtype)
 
             def body(carry, xt):
-                state, W, x_pre, x_post, rec_out, rec_w, rec_i = carry
+                state, W, E, x_pre, x_post, rec_out, rec_w, rec_i = carry
                 if input_fn is None:
-                    x_t, step_idx = xt
+                    if reward_mode:
+                        x_t, r_t, step_idx = xt
+                    else:
+                        x_t, step_idx = xt
                 else:
-                    step_idx = xt
+                    if reward_mode:
+                        r_t, step_idx = xt
+                    else:
+                        step_idx = xt
                     x_t = input_fn(step_idx, inputs)
                 # this step's own spike decisions (pre-update state)
                 spk_pre = pre_read(state["nodes"][src]).astype(w_dtype)
@@ -3264,35 +3299,48 @@ class Network:
                 p["edges"][ekey] = dict(params["edges"][ekey])
                 p["edges"][ekey]["weights"] = W
                 state, out, _ = step(state, p, x_t)
-                W, x_pre, x_post = update(W, x_pre, x_post, spk_pre, spk_post)
+                if reward_mode:
+                    W, E, x_pre, x_post = update(W, E, x_pre, x_post, spk_pre,
+                                                 spk_post, r_t)
+                else:
+                    W, x_pre, x_post = update(W, x_pre, x_post, spk_pre, spk_post)
                 do_rec = (step_idx % sampling_steps) == 0
                 idx = jnp.minimum(rec_i, max(n_rec - 1, 0))
                 rec_out = rec_out.at[idx].set(jnp.where(do_rec, out, rec_out[idx]))
                 w_stats = jnp.stack([W.mean(), W.min(), W.max()]).astype(w_dtype)
                 rec_w = rec_w.at[idx].set(jnp.where(do_rec, w_stats, rec_w[idx]))
                 rec_i = rec_i + do_rec.astype(jnp.int32)
-                return (state, W, x_pre, x_post, rec_out, rec_w, rec_i), None
+                return (state, W, E, x_pre, x_post, rec_out, rec_w, rec_i), None
 
-            xs = (jnp.arange(steps) if input_fn is not None
-                  else (inputs, jnp.arange(steps)))
-            init = (state0, W, x_pre, x_post, rec_out0, rec_w0,
+            idx_seq = jnp.arange(steps)
+            if input_fn is not None:
+                xs = (reward, idx_seq) if reward_mode else idx_seq
+            else:
+                xs = (inputs, reward, idx_seq) if reward_mode else (inputs, idx_seq)
+            init = (state0, W, E, x_pre, x_post, rec_out0, rec_w0,
                     jnp.asarray(0, dtype=jnp.int32))
-            (stateT, W, x_pre, x_post, rec_out, rec_w, _), _ = jax.lax.scan(
+            (stateT, W, E, x_pre, x_post, rec_out, rec_w, _), _ = jax.lax.scan(
                 body, init, xs)
-            return stateT, W, x_pre, x_post, rec_out, rec_w
+            return stateT, W, E, x_pre, x_post, rec_out, rec_w
 
         cache_key = ("stdp_scan", ekey, str(w_dtype), edge.tau_plus, edge.tau_minus,
                      edge.a_plus, edge.a_minus, edge.w_min, edge.w_max,
                      edge.soft_bounds, sampling_steps, steps, n_rec, in_sig,
+                     reward_mode, tau_e if reward_mode else None,
                      self._step_versions())
         if cache_key not in self._step_cache:
             self._step_cache[cache_key] = jax.jit(scan_all)
-        stateT, W, x_pre, x_post, rec_out, rec_w = self._step_cache[cache_key](
-            state0, params, edge.params["weights"], edge.params["x_pre"],
-            edge.params["x_post"], inputs)
+        if not reward_mode:
+            E0 = jnp.zeros((), dtype=w_dtype)  # unused dummy
+            reward = jnp.zeros((), dtype=w_dtype)
+        stateT, W, E, x_pre, x_post, rec_out, rec_w = self._step_cache[cache_key](
+            state0, params, edge.params["weights"], E0, edge.params["x_pre"],
+            edge.params["x_post"], inputs, reward)
         edge.params["weights"] = W
         edge.params["x_pre"] = x_pre
         edge.params["x_post"] = x_post
+        if reward_mode:
+            edge.params["elig"] = E
         self._write_back(state=stateT)
         obs.record_batch(rec_steps_host, outputs=rec_out,
                          losses=np.zeros(n_rec) if obs.record_loss else None)

@@ -328,3 +328,133 @@ def test_fit_stdp_dispatch_and_errors():
     net4.add_edge("lif", "readout", train="stdp")
     with pytest.raises(ValueError, match="not a spiking node"):
         net4.fit_stdp(np.zeros((10, 2)), verbose=False)
+
+
+# -------------------------------------------------- reward-modulated (R-STDP)
+
+def test_reward_update_fn_matches_numpy_oracle():
+    """Izhikevich 2007 distal-reward rule: E <- E*exp(-dt/tau_e) + (pot-dep);
+    W <- clip(W + r*E) -- vs an independent numpy simulation."""
+    rng = np.random.default_rng(13)
+    n_in, n_out, T, dt, tau_e = 3, 2, 80, 0.5, 15.0
+    cfg = dict(tau_plus=6.0, tau_minus=9.0, a_plus=0.03, a_minus=0.025,
+               w_min=0.0, w_max=1.0)
+    spk_pre = (rng.random((T, n_in)) < 0.2).astype(float)
+    spk_post = (rng.random((T, n_out)) < 0.2).astype(float)
+    r = rng.normal(0.0, 0.5, size=T)
+
+    edge = STDP(n_in, n_out, weights=np.full((n_out, n_in), 0.5),
+                dtype=jnp.float64, **cfg)
+    upd = edge.reward_update_fn(dt, tau_e)
+    W = edge.params["weights"]
+    E = jnp.zeros_like(W)
+    xp, xs = edge.params["x_pre"], edge.params["x_post"]
+    for t in range(T):
+        W, E, xp, xs = upd(W, E, xp, xs, jnp.asarray(spk_pre[t]),
+                           jnp.asarray(spk_post[t]), r[t])
+
+    W_ref = np.full((n_out, n_in), 0.5)
+    E_ref = np.zeros((n_out, n_in))
+    xp_ref = np.zeros(n_in)
+    xs_ref = np.zeros(n_out)
+    for t in range(T):
+        xp_ref *= np.exp(-dt / cfg["tau_plus"])
+        xs_ref *= np.exp(-dt / cfg["tau_minus"])
+        pot = cfg["a_plus"] * np.outer(spk_post[t], xp_ref)
+        dep = cfg["a_minus"] * np.outer(xs_ref, spk_pre[t])
+        E_ref = E_ref * np.exp(-dt / tau_e) + (pot - dep)
+        W_ref = np.clip(W_ref + r[t] * E_ref, cfg["w_min"], cfg["w_max"])
+        xp_ref += spk_pre[t]
+        xs_ref += spk_post[t]
+    np.testing.assert_allclose(np.asarray(W), W_ref, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(E), E_ref, rtol=1e-12)
+
+
+def _rstdp_net(dt=0.1):
+    """inp(3ch) -> pre (2 LIF: channels 0,1) and post (1 LIF: channel 2);
+    R-STDP edge pre -> post."""
+    net = Network(dt, dtype=jnp.float64)
+    net.add_func_node("inp", 3, activation_function="identity")
+    net.add_diffeq_node("pre", LIF, weights=np.zeros((2, 2)), source_var="s",
+                        target_var="s_in", input_var="I_ext", output_var="s",
+                        op="lif_op", spike_var="spike", reset_var="v",
+                        spike_threshold=1.0, spike_reset=0.0)
+    net.add_diffeq_node("post", LIF, weights=np.zeros((1, 1)), source_var="s",
+                        target_var="s_in", input_var="I_ext", output_var="s",
+                        op="lif_op", spike_var="spike", reset_var="v",
+                        spike_threshold=1.0, spike_reset=0.0)
+    net.add_edge("inp", "pre", weights=np.array([[1.0, 0.0, 0.0],
+                                                 [0.0, 1.0, 0.0]]))
+    net.add_edge("inp", "post", weights=np.array([[0.0, 0.0, 1.0]]))
+    net.add_edge("pre", "post", train="stdp", weights=np.full((1, 2), 0.3),
+                 tau_plus=1.0, tau_minus=1.0, a_plus=0.05, a_minus=0.05,
+                 w_min=0.0, w_max=1.0)
+    return net
+
+
+def test_rstdp_distal_reward_credit_assignment():
+    """The paired pre-synapse (pre-1 fires just before post, reward arrives a
+    few steps later) potentiates; the unpaired pre-synapse (pre-2 fires far
+    from post, outside the STDP window but inside the reward epoch) does
+    not -- the eligibility trace assigns delayed credit to the right synapse."""
+    T, dt = 600, 0.1
+    x = np.zeros((T, 3))
+    r = np.zeros(T)
+    for t0 in range(20, 560, 60):
+        x[t0, 0] = 50.0          # pre-1 pulse
+        x[t0 + 4, 2] = 50.0      # post pulse: causal pairing with pre-1
+        x[t0 + 30, 1] = 50.0     # pre-2 pulse: ~3 tau_+ after post's spike
+        r[t0 + 20] = 1.0         # reward 16 steps after the pairing
+
+    net = _rstdp_net(dt)
+    w0 = np.asarray(net.get_edge("pre", "post").params["weights"]).copy()
+    net.fit_stdp(x, reward=r, tau_e=5.0, sampling_steps=100, verbose=False)
+    W = np.asarray(net.get_edge("pre", "post").params["weights"])
+    dw_paired = W[0, 0] - w0[0, 0]
+    dw_unpaired = W[0, 1] - w0[0, 1]
+    assert dw_paired > 1e-4, f"paired synapse should potentiate; got {dw_paired}"
+    assert dw_paired > 5 * abs(dw_unpaired), \
+        f"credit misassigned: paired {dw_paired} vs unpaired {dw_unpaired}"
+    # eligibility trace persisted on the edge
+    assert "elig" in net.get_edge("pre", "post").params
+
+
+def test_rstdp_chunked_equals_single_call():
+    T, dt = 300, 0.1
+    rng = np.random.default_rng(17)
+    x = (rng.random((T, 3)) < 0.1) * 40.0
+    r = rng.normal(0.0, 0.3, size=T)
+
+    net_a = _rstdp_net(dt)
+    net_a.fit_stdp(x, reward=r, tau_e=4.0, sampling_steps=50, verbose=False)
+
+    net_b = _rstdp_net(dt)
+    net_b.fit_stdp(x[:T // 2], reward=r[:T // 2], tau_e=4.0, sampling_steps=50,
+                   verbose=False)
+    net_b.fit_stdp(x[T // 2:], reward=r[T // 2:], tau_e=4.0, sampling_steps=50,
+                   verbose=False)
+    for key in ("weights", "elig", "x_pre", "x_post"):
+        np.testing.assert_allclose(
+            np.asarray(net_b.get_edge("pre", "post").params[key]),
+            np.asarray(net_a.get_edge("pre", "post").params[key]), rtol=1e-12,
+            err_msg=f"{key} diverged across chunked reward calls")
+
+
+def test_rstdp_validation_errors():
+    net = _rstdp_net(0.1)
+    with pytest.raises(ValueError, match="one value per step"):
+        net.fit_stdp(np.zeros((10, 3)), reward=np.zeros(5), verbose=False)
+
+    # soft bounds are incompatible with signed reward
+    net2 = Network(0.1, dtype=jnp.float64)
+    net2.add_func_node("inp", 2, activation_function="identity")
+    for label, sel in (("pre", [[1.0, 0.0]]), ("post", [[0.0, 1.0]])):
+        net2.add_diffeq_node(label, LIF, weights=np.zeros((1, 1)), source_var="s",
+                             target_var="s_in", input_var="I_ext", output_var="s",
+                             op="lif_op", spike_var="spike", reset_var="v")
+        net2.add_edge("inp", label, weights=np.array(sel))
+    net2.add_edge("pre", "post", train="stdp", soft_bounds=True)
+    with pytest.raises(ValueError, match="hard bounds"):
+        net2.fit_stdp(np.zeros((10, 2)), reward=np.zeros(10), verbose=False)
+    with pytest.raises(ValueError, match="tau_e"):
+        STDP(2, 2).reward_update_fn(0.1, tau_e=0.0)
