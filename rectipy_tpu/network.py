@@ -3178,11 +3178,16 @@ class Network:
         Records the usual output windows; per-window weight statistics are
         saved under ``"w_mean"`` / ``"w_min"`` / ``"w_max"`` (plus
         ``"w_steps"``), and the final weights live on the edge.
+        ``record_spikes=[node, ...]`` additionally accumulates per-neuron
+        spike COUNTS over each ``sampling_steps`` window into Observer key
+        ``(node, "spikes")`` -- activity and weight drift co-recorded in the
+        same program (a plasticity experiment's standard readout).
         """
         if not self._train_edge:
             raise ValueError("No STDP-trainable edge in the network; add one with "
                              "add_edge(..., train='stdp').")
         self.compile()
+        spike_info = self._resolve_record_spikes(kwargs.pop("record_spikes", None))
         src, tgt_node = self._train_edge
         edge = self.get_edge(src, tgt_node)
         if not isinstance(edge, STDP):
@@ -3273,13 +3278,19 @@ class Network:
         in_aval = (jax.eval_shape(lambda a: input_fn(0, a), inputs) if input_fn is not None
                    else jax.eval_shape(lambda x: x[0], inputs))
         out_aval = jax.eval_shape(lambda s, p, x: step(s, p, x)[1], state0, params, in_aval)
+        spk_widths = tuple(
+            int(jax.eval_shape(reader, state0["nodes"][label]).shape[0])
+            for (label, reader) in spike_info)
 
         def scan_all(state0, params, W, E, x_pre, x_post, inputs, reward):
             rec_out0 = jnp.zeros((n_rec, n_out), dtype=out_aval.dtype)
             rec_w0 = jnp.zeros((n_rec, 3), dtype=w_dtype)
+            # per-window spike-count accumulators (f32: bf16 saturates at 256)
+            acc0 = tuple(jnp.zeros(w, dtype=jnp.float32) for w in spk_widths)
+            rec_spk0 = tuple(jnp.zeros((n_rec, w), dtype=jnp.float32) for w in spk_widths)
 
             def body(carry, xt):
-                state, W, E, x_pre, x_post, rec_out, rec_w, rec_i = carry
+                state, W, E, x_pre, x_post, rec_out, rec_w, acc, rec_spk, rec_i = carry
                 if input_fn is None:
                     if reward_mode:
                         x_t, r_t, step_idx = xt
@@ -3294,6 +3305,9 @@ class Network:
                 # this step's own spike decisions (pre-update state)
                 spk_pre = pre_read(state["nodes"][src]).astype(w_dtype)
                 spk_post = post_read(state["nodes"][tgt_node]).astype(w_dtype)
+                rec_indicators = tuple(
+                    reader(state["nodes"][label]).astype(jnp.float32)
+                    for (label, reader) in spike_info)
                 p = dict(params)
                 p["edges"] = dict(params["edges"])
                 p["edges"][ekey] = dict(params["edges"][ekey])
@@ -3304,46 +3318,58 @@ class Network:
                                                  spk_post, r_t)
                 else:
                     W, x_pre, x_post = update(W, x_pre, x_post, spk_pre, spk_post)
+                acc = tuple(a + s for a, s in zip(acc, rec_indicators))
                 do_rec = (step_idx % sampling_steps) == 0
                 idx = jnp.minimum(rec_i, max(n_rec - 1, 0))
                 rec_out = rec_out.at[idx].set(jnp.where(do_rec, out, rec_out[idx]))
                 w_stats = jnp.stack([W.mean(), W.min(), W.max()]).astype(w_dtype)
                 rec_w = rec_w.at[idx].set(jnp.where(do_rec, w_stats, rec_w[idx]))
+                # spike counts cover the window ENDING at each record step
+                # (inclusive); the accumulator resets after every write
+                rec_spk = tuple(r.at[idx].set(jnp.where(do_rec, a, r[idx]))
+                                for r, a in zip(rec_spk, acc))
+                acc = tuple(jnp.where(do_rec, jnp.zeros_like(a), a) for a in acc)
                 rec_i = rec_i + do_rec.astype(jnp.int32)
-                return (state, W, E, x_pre, x_post, rec_out, rec_w, rec_i), None
+                return (state, W, E, x_pre, x_post, rec_out, rec_w, acc, rec_spk,
+                        rec_i), None
 
             idx_seq = jnp.arange(steps)
             if input_fn is not None:
                 xs = (reward, idx_seq) if reward_mode else idx_seq
             else:
                 xs = (inputs, reward, idx_seq) if reward_mode else (inputs, idx_seq)
-            init = (state0, W, E, x_pre, x_post, rec_out0, rec_w0,
+            init = (state0, W, E, x_pre, x_post, rec_out0, rec_w0, acc0, rec_spk0,
                     jnp.asarray(0, dtype=jnp.int32))
-            (stateT, W, E, x_pre, x_post, rec_out, rec_w, _), _ = jax.lax.scan(
-                body, init, xs)
-            return stateT, W, E, x_pre, x_post, rec_out, rec_w
+            (stateT, W, E, x_pre, x_post, rec_out, rec_w, _, rec_spk, _), _ = \
+                jax.lax.scan(body, init, xs)
+            return stateT, W, E, x_pre, x_post, rec_out, rec_w, rec_spk
 
         cache_key = ("stdp_scan", ekey, str(w_dtype), edge.tau_plus, edge.tau_minus,
                      edge.a_plus, edge.a_minus, edge.w_min, edge.w_max,
                      edge.soft_bounds, sampling_steps, steps, n_rec, in_sig,
                      reward_mode, tau_e if reward_mode else None,
+                     tuple(label for label, _ in spike_info),
                      self._step_versions())
         if cache_key not in self._step_cache:
             self._step_cache[cache_key] = jax.jit(scan_all)
         if not reward_mode:
             E0 = jnp.zeros((), dtype=w_dtype)  # unused dummy
             reward = jnp.zeros((), dtype=w_dtype)
-        stateT, W, E, x_pre, x_post, rec_out, rec_w = self._step_cache[cache_key](
-            state0, params, edge.params["weights"], E0, edge.params["x_pre"],
-            edge.params["x_post"], inputs, reward)
+        stateT, W, E, x_pre, x_post, rec_out, rec_w, rec_spk = \
+            self._step_cache[cache_key](
+                state0, params, edge.params["weights"], E0, edge.params["x_pre"],
+                edge.params["x_post"], inputs, reward)
         edge.params["weights"] = W
         edge.params["x_pre"] = x_pre
         edge.params["x_post"] = x_post
         if reward_mode:
             edge.params["elig"] = E
         self._write_back(state=stateT)
+        spk_values = {(label, "spikes"): np.rint(np.asarray(counts)).astype(np.int32)
+                      for (label, _), counts in zip(spike_info, rec_spk)}
         obs.record_batch(rec_steps_host, outputs=rec_out,
-                         losses=np.zeros(n_rec) if obs.record_loss else None)
+                         losses=np.zeros(n_rec) if obs.record_loss else None,
+                         var_values=spk_values or None)
         rec_w = np.asarray(rec_w)
         obs.save("w_steps", rec_steps_host)
         obs.save("w_mean", rec_w[:, 0])

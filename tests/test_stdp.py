@@ -205,9 +205,11 @@ def test_fit_stdp_scan_matches_eager_loop():
     post_read = net.get_node("post")._make_spike_reader()
     W = edge.params["weights"]
     xp, xs = edge.params["x_pre"], edge.params["x_post"]
+    spk_log = np.zeros((T, 1))
     for t in range(T):
         spk_pre = pre_read(state["nodes"]["pre"]).astype(W.dtype)
         spk_post = post_read(state["nodes"]["post"]).astype(W.dtype)
+        spk_log[t] = np.asarray(spk_post)
         p = {"nodes": params["nodes"],
              "edges": {**params["edges"], "pre->post": {**params["edges"]["pre->post"],
                                                         "weights": W}}}
@@ -215,7 +217,13 @@ def test_fit_stdp_scan_matches_eager_loop():
         W, xp, xs = upd(W, xp, xs, spk_pre, spk_post)
 
     net2 = _pair_net(dt)
-    net2.fit_stdp(x, sampling_steps=50, verbose=False)
+    obs2 = net2.fit_stdp(x, sampling_steps=50, verbose=False,
+                         record_spikes=["post"])
+    # raster windows END at each record step (inclusive); window 0 = step 0
+    counts = obs2.to_numpy(("post", "spikes"))
+    expected = [spk_log[0].sum()] + [spk_log[1 + 50 * k:51 + 50 * k].sum()
+                                     for k in range(T // 50 - 1)]
+    np.testing.assert_array_equal(counts[:, 0], np.asarray(expected, dtype=np.int32))
     edge2 = net2.get_edge("pre", "post")
     np.testing.assert_allclose(np.asarray(edge2.params["weights"]), np.asarray(W),
                                rtol=1e-12)
