@@ -51,14 +51,16 @@ net.add_edge("qif", "qif", feedback=True, train="stdp", weights=w0,
              tau_plus=20e-3, tau_minus=20e-3, a_plus=5e-3, a_minus=6e-3,
              w_min=0.0, w_max=0.5, soft_bounds=True)
 
-drive = Poisson(T, channels=N, rate=40.0, amp=15.0, seed=3)
+drive = Poisson(CHUNK, channels=N, rate=40.0, amp=15.0, seed=3)
 
 # chunked plasticity: traces, weights and network state persist on the edge,
-# so the second call continues the first bit-exactly (regression-tested)
+# so the second call continues the first bit-exactly (regression-tested);
+# spec.shifted(CHUNK) continues the Poisson stream in global time
 obs1 = net.fit_stdp(drive, sampling_steps=200, verbose=False)
+obs2 = net.fit_stdp(drive.shifted(CHUNK), sampling_steps=200, verbose=False)
 W = np.asarray(net.get_edge("qif", "qif").params["weights"])
 
-w_mean = np.asarray(obs1["w_mean"])
+w_mean = np.concatenate([np.asarray(obs1["w_mean"]), np.asarray(obs2["w_mean"])])
 print(f"STDP on N={N} recurrent QIF, T={T} steps (one fused scan)")
 print(f"w_mean trajectory: {w_mean[0]:.4f} -> {w_mean[-1]:.4f} "
       f"(init {w0.mean():.4f}); bounds [0, 0.5] respected: "
@@ -74,7 +76,9 @@ if os.environ.get("STDP_PLOT", "0") == "1":
     import matplotlib.pyplot as plt
 
     fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(10, 4))
-    ax0.plot(np.asarray(obs1["w_steps"]) * dt, w_mean)
+    w_steps = np.concatenate([np.asarray(obs1["w_steps"]),
+                              np.asarray(obs2["w_steps"]) + CHUNK])
+    ax0.plot(w_steps * dt, w_mean)
     ax0.set_xlabel("time")
     ax0.set_ylabel("mean recurrent weight")
     ax1.hist(W.ravel(), bins=40, range=(0.0, 0.5), color="k")

@@ -3098,13 +3098,22 @@ class Network:
         out_aval = jax.eval_shape(
             lambda s, p, x: step(s, p, x)[1], state0, params, inputs[0])
         w_dtype = rls_edge.params["weights"].dtype
+        # record_vars parity: the reference's _rls records state-variable
+        # snapshots at every record step (network.py:1119)
+        var_info = self._resolve_record_vars(obs) if record else []
+        var_avals = tuple(
+            jax.eval_shape(reader, state0["nodes"][lbl], params["nodes"][lbl])
+            for (_, lbl, reader, _) in var_info)
 
         def scan_all(state0, params, W, P, inputs, targets):
             rec_out0 = jnp.zeros((n_rec, n_out), dtype=out_aval.dtype)
             rec_loss0 = jnp.zeros((n_rec,), dtype=w_dtype)
+            rec_var0 = tuple(
+                jnp.zeros((n_rec,) if reduce else (n_rec,) + av.shape, dtype=av.dtype)
+                for (_, _, _, reduce), av in zip(var_info, var_avals))
 
             def body(carry, xt):
-                state, W, P, loss, rec_out, rec_loss, rec_i = carry
+                state, W, P, loss, rec_out, rec_loss, rec_var, rec_i = carry
                 x_t, y_t, step_idx = xt
                 p = dict(params)
                 p["edges"] = dict(params["edges"])
@@ -3122,21 +3131,28 @@ class Network:
                 idx = jnp.minimum(rec_i, max(n_rec - 1, 0))
                 rec_out = rec_out.at[idx].set(jnp.where(do_rec, out, rec_out[idx]))
                 rec_loss = rec_loss.at[idx].set(jnp.where(do_rec, loss, rec_loss[idx]))
+                new_rec_var = []
+                for r, (key, lbl, reader, reduce) in zip(rec_var, var_info):
+                    val = reader(state["nodes"][lbl], p["nodes"][lbl])
+                    val = val.mean() if reduce else val
+                    new_rec_var.append(r.at[idx].set(jnp.where(do_rec, val, r[idx])))
+                rec_var = tuple(new_rec_var)
                 rec_i = rec_i + do_rec.astype(jnp.int32)
-                return (state, W, P, loss, rec_out, rec_loss, rec_i), None
+                return (state, W, P, loss, rec_out, rec_loss, rec_var, rec_i), None
 
             init = (state0, W, P, jnp.asarray(0.0, dtype=w_dtype), rec_out0, rec_loss0,
-                    jnp.asarray(0, dtype=jnp.int32))
-            (stateT, W, P, loss, rec_out, rec_loss, _), _ = jax.lax.scan(
+                    rec_var0, jnp.asarray(0, dtype=jnp.int32))
+            (stateT, W, P, loss, rec_out, rec_loss, rec_var, _), _ = jax.lax.scan(
                 body, init, (inputs, targets, jnp.arange(steps)))
-            return stateT, W, P, loss, rec_out, rec_loss
+            return stateT, W, P, loss, rec_out, rec_loss, rec_var
 
         cache_key = ("rls_scan", ekey, float(rls_edge.beta), str(w_dtype),
                      update_steps, sampling_steps, steps, n_rec,
+                     tuple(key for key, _, _, _ in var_info),
                      self._step_versions())
         if cache_key not in self._step_cache:
             self._step_cache[cache_key] = jax.jit(scan_all)
-        stateT, W, P, loss, rec_out, rec_loss = self._step_cache[cache_key](
+        stateT, W, P, loss, rec_out, rec_loss, rec_var = self._step_cache[cache_key](
             state0, params, rls_edge.params["weights"], rls_edge.params["P"], inputs, targets)
         rls_edge.params["weights"] = W
         rls_edge.params["P"] = P
@@ -3144,7 +3160,10 @@ class Network:
             rls_edge.loss = float(loss)
         self._write_back(state=stateT)
         if record:
-            obs.record_batch(rec_steps_host, outputs=rec_out, losses=rec_loss)
+            var_values = {key: np.asarray(vals)
+                          for (key, _, _, _), vals in zip(var_info, rec_var)}
+            obs.record_batch(rec_steps_host, outputs=rec_out, losses=rec_loss,
+                             var_values=var_values or None)
         return stateT, loss
 
     def fit_stdp(self, inputs, sampling_steps: int = 100, reward=None,
@@ -3195,13 +3214,21 @@ class Network:
                 f"fit_stdp: the registered train edge {src!r} -> {tgt_node!r} is a "
                 f"{type(edge).__name__}, not an STDP edge; add it with "
                 "add_edge(..., train='stdp').")
-        for label in (src, tgt_node):
+        for label, want in ((src, edge.n_in), (tgt_node, edge.n_out)):
             node = self.get_node(label)
             if not hasattr(node, "_make_spike_reader"):
                 raise ValueError(
                     f"fit_stdp: node {label!r} ({type(node).__name__}) is not a "
                     "spiking node; STDP needs pre- and post-synaptic spike trains "
                     "(SpikeNet / SpikeResetNet / MultiSpikeResetNet populations).")
+            got = int(jax.eval_shape(node._make_spike_reader(), node.y).shape[0])
+            if got != want:
+                # fail here with names rather than as an opaque shape error
+                # inside the jitted scan (e.g. a multi-compartment node whose
+                # concatenated spike segments exceed the edge width)
+                raise ValueError(
+                    f"fit_stdp: node {label!r} emits a {got}-wide spike vector but "
+                    f"the STDP edge {src!r} -> {tgt_node!r} expects {want}.")
         mesh = kwargs.pop("mesh", None)
         obs_kwargs = retrieve_from_dict(["record_output", "record_loss", "record_vars"],
                                         kwargs)
@@ -3222,11 +3249,19 @@ class Network:
                 tau_e = 10.0 * max(edge.tau_plus, edge.tau_minus)
             tau_e = float(tau_e)
             update = edge.reward_update_fn(self.dt, tau_e)
-            reward = jnp.asarray(np.asarray(reward), dtype=w_dtype).ravel()
+            # staging rule: device arrays pass through untouched (np.asarray
+            # would round-trip them to host every call)
+            if not (isinstance(reward, jnp.ndarray) and reward.dtype == w_dtype
+                    and reward.ndim == 1):
+                reward = jnp.asarray(np.asarray(reward), dtype=w_dtype).ravel()
             E0 = edge.params.get("elig")
             if E0 is None:
                 E0 = jnp.zeros_like(edge.params["weights"])
         else:
+            if tau_e is not None:
+                raise ValueError(
+                    "tau_e only applies to reward-modulated STDP; pass the "
+                    "per-step reward= signal as well (or drop tau_e).")
             update = edge.update_fn(self.dt)
         step = self.make_step()
         params = self.parameters_pytree()
@@ -3281,6 +3316,12 @@ class Network:
         spk_widths = tuple(
             int(jax.eval_shape(reader, state0["nodes"][label]).shape[0])
             for (label, reader) in spike_info)
+        # record_vars: post-update state snapshots at record steps (same
+        # semantics as run(), network.py docstring at :932)
+        var_info = self._resolve_record_vars(obs)
+        var_avals = tuple(
+            jax.eval_shape(reader, state0["nodes"][lbl], params["nodes"][lbl])
+            for (_, lbl, reader, _) in var_info)
 
         def scan_all(state0, params, W, E, x_pre, x_post, inputs, reward):
             rec_out0 = jnp.zeros((n_rec, n_out), dtype=out_aval.dtype)
@@ -3288,9 +3329,13 @@ class Network:
             # per-window spike-count accumulators (f32: bf16 saturates at 256)
             acc0 = tuple(jnp.zeros(w, dtype=jnp.float32) for w in spk_widths)
             rec_spk0 = tuple(jnp.zeros((n_rec, w), dtype=jnp.float32) for w in spk_widths)
+            rec_var0 = tuple(
+                jnp.zeros((n_rec,) if reduce else (n_rec,) + av.shape, dtype=av.dtype)
+                for (_, _, _, reduce), av in zip(var_info, var_avals))
 
             def body(carry, xt):
-                state, W, E, x_pre, x_post, rec_out, rec_w, acc, rec_spk, rec_i = carry
+                (state, W, E, x_pre, x_post, rec_out, rec_w, acc, rec_spk,
+                 rec_var, rec_i) = carry
                 if input_fn is None:
                     if reward_mode:
                         x_t, r_t, step_idx = xt
@@ -3322,6 +3367,9 @@ class Network:
                 do_rec = (step_idx % sampling_steps) == 0
                 idx = jnp.minimum(rec_i, max(n_rec - 1, 0))
                 rec_out = rec_out.at[idx].set(jnp.where(do_rec, out, rec_out[idx]))
+                # computed every step, but free: XLA fuses the reductions into
+                # the update's W pass (measured -- the dense benchmark hits the
+                # f32 read+write roofline, benchmarks/stdp_scale.py)
                 w_stats = jnp.stack([W.mean(), W.min(), W.max()]).astype(w_dtype)
                 rec_w = rec_w.at[idx].set(jnp.where(do_rec, w_stats, rec_w[idx]))
                 # spike counts cover the window ENDING at each record step
@@ -3329,9 +3377,15 @@ class Network:
                 rec_spk = tuple(r.at[idx].set(jnp.where(do_rec, a, r[idx]))
                                 for r, a in zip(rec_spk, acc))
                 acc = tuple(jnp.where(do_rec, jnp.zeros_like(a), a) for a in acc)
+                new_rec_var = []
+                for r, (key, lbl, reader, reduce) in zip(rec_var, var_info):
+                    val = reader(state["nodes"][lbl], p["nodes"][lbl])
+                    val = val.mean() if reduce else val
+                    new_rec_var.append(r.at[idx].set(jnp.where(do_rec, val, r[idx])))
+                rec_var = tuple(new_rec_var)
                 rec_i = rec_i + do_rec.astype(jnp.int32)
                 return (state, W, E, x_pre, x_post, rec_out, rec_w, acc, rec_spk,
-                        rec_i), None
+                        rec_var, rec_i), None
 
             idx_seq = jnp.arange(steps)
             if input_fn is not None:
@@ -3339,23 +3393,24 @@ class Network:
             else:
                 xs = (inputs, reward, idx_seq) if reward_mode else (inputs, idx_seq)
             init = (state0, W, E, x_pre, x_post, rec_out0, rec_w0, acc0, rec_spk0,
-                    jnp.asarray(0, dtype=jnp.int32))
-            (stateT, W, E, x_pre, x_post, rec_out, rec_w, _, rec_spk, _), _ = \
-                jax.lax.scan(body, init, xs)
-            return stateT, W, E, x_pre, x_post, rec_out, rec_w, rec_spk
+                    rec_var0, jnp.asarray(0, dtype=jnp.int32))
+            (stateT, W, E, x_pre, x_post, rec_out, rec_w, _, rec_spk, rec_var,
+             _), _ = jax.lax.scan(body, init, xs)
+            return stateT, W, E, x_pre, x_post, rec_out, rec_w, rec_spk, rec_var
 
         cache_key = ("stdp_scan", ekey, str(w_dtype), edge.tau_plus, edge.tau_minus,
                      edge.a_plus, edge.a_minus, edge.w_min, edge.w_max,
                      edge.soft_bounds, sampling_steps, steps, n_rec, in_sig,
                      reward_mode, tau_e if reward_mode else None,
                      tuple(label for label, _ in spike_info),
+                     tuple(key for key, _, _, _ in var_info),
                      self._step_versions())
         if cache_key not in self._step_cache:
             self._step_cache[cache_key] = jax.jit(scan_all)
         if not reward_mode:
             E0 = jnp.zeros((), dtype=w_dtype)  # unused dummy
             reward = jnp.zeros((), dtype=w_dtype)
-        stateT, W, E, x_pre, x_post, rec_out, rec_w, rec_spk = \
+        stateT, W, E, x_pre, x_post, rec_out, rec_w, rec_spk, rec_var = \
             self._step_cache[cache_key](
                 state0, params, edge.params["weights"], E0, edge.params["x_pre"],
                 edge.params["x_post"], inputs, reward)
@@ -3365,11 +3420,13 @@ class Network:
         if reward_mode:
             edge.params["elig"] = E
         self._write_back(state=stateT)
-        spk_values = {(label, "spikes"): np.rint(np.asarray(counts)).astype(np.int32)
+        var_values = {(label, "spikes"): np.rint(np.asarray(counts)).astype(np.int32)
                       for (label, _), counts in zip(spike_info, rec_spk)}
+        for (key, _, _, _), vals in zip(var_info, rec_var):
+            var_values[key] = np.asarray(vals)
         obs.record_batch(rec_steps_host, outputs=rec_out,
                          losses=np.zeros(n_rec) if obs.record_loss else None,
-                         var_values=spk_values or None)
+                         var_values=var_values or None)
         rec_w = np.asarray(rec_w)
         obs.save("w_steps", rec_steps_host)
         obs.save("w_mean", rec_w[:, 0])
@@ -3467,9 +3524,15 @@ class Network:
         # the scalar hyperparameters ride as ARGUMENTS (one program serves
         # every lr/epsilon/delta/decay value -- schedules/sweeps don't leak
         # a compiled program per value); only structure/grids key the cache
+        # record_vars: per-record-step state snapshots, like _rls_scan
+        var_info = self._resolve_record_vars(obs)
+        var_avals = tuple(
+            jax.eval_shape(reader, state0["nodes"][lbl], params["nodes"][lbl])
+            for (_, lbl, reader, _) in var_info)
         cache_key = ("eprop_scan", ekey, steps, int(update_steps),
                      int(sampling_steps), bool(normalize), use_fb,
-                     str(w_dtype), self._step_versions())
+                     str(w_dtype), tuple(key for key, _, _, _ in var_info),
+                     self._step_versions())
         cached = self._step_cache.get(cache_key)
         # hyperparameters and accumulators never drop BELOW float32 even for
         # a low-precision readout: smoothing constants like epsilon=0.99 lose
@@ -3486,9 +3549,12 @@ class Network:
               elig0 = jnp.zeros(W.shape[1], dtype=acc_dtype)
               rec_out0 = jnp.zeros((n_rec, n_out), dtype=w_dtype)
               rec_loss0 = jnp.zeros((n_rec,), dtype=acc_dtype)
+              rec_var0 = tuple(
+                  jnp.zeros((n_rec,) if reduce else (n_rec,) + av.shape, dtype=av.dtype)
+                  for (_, _, _, reduce), av in zip(var_info, var_avals))
 
               def body(carry, xt):
-                  state, W, err_bar, elig, rec_out, rec_loss, rec_i = carry
+                  state, W, err_bar, elig, rec_out, rec_loss, rec_var, rec_i = carry
                   x_t, y_t, step_idx = xt
                   p = dict(params)
                   p["edges"] = dict(params["edges"])
@@ -3517,25 +3583,35 @@ class Network:
                   rec_out = rec_out.at[idx].set(jnp.where(do_rec, out.astype(w_dtype),
                                                           rec_out[idx]))
                   rec_loss = rec_loss.at[idx].set(jnp.where(do_rec, loss, rec_loss[idx]))
+                  new_rec_var = []
+                  for r, (key, lbl, reader, reduce) in zip(rec_var, var_info):
+                      val = reader(state["nodes"][lbl], p["nodes"][lbl])
+                      val = val.mean() if reduce else val
+                      new_rec_var.append(r.at[idx].set(jnp.where(do_rec, val, r[idx])))
+                  rec_var = tuple(new_rec_var)
                   rec_i = rec_i + do_rec.astype(jnp.int32)
-                  return (state, W, err_bar, elig, rec_out, rec_loss, rec_i), None
+                  return (state, W, err_bar, elig, rec_out, rec_loss, rec_var,
+                          rec_i), None
 
-              init = (state0, W, err_bar0, elig0, rec_out0, rec_loss0,
+              init = (state0, W, err_bar0, elig0, rec_out0, rec_loss0, rec_var0,
                       jnp.asarray(0, dtype=jnp.int32))
-              (stateT, W, _, _, rec_out, rec_loss, _), _ = jax.lax.scan(
+              (stateT, W, _, _, rec_out, rec_loss, rec_var, _), _ = jax.lax.scan(
                   body, init, (inputs, targets, jnp.arange(steps)))
-              return stateT, W, rec_out, rec_loss
+              return stateT, W, rec_out, rec_loss, rec_var
 
             self._step_cache[cache_key] = scan_all
 
         t0 = perf_counter()
         fb_arg = fb if use_fb else jnp.zeros((), dtype=self.dtype)
         hp = jnp.asarray([lr, epsilon, delta, decay], dtype=acc_dtype)
-        stateT, W, rec_out, rec_loss = scan_all(state0, params, edge.params["weights"],
-                                                fb_arg, hp, inputs, targets)
+        stateT, W, rec_out, rec_loss, rec_var = scan_all(
+            state0, params, edge.params["weights"], fb_arg, hp, inputs, targets)
         edge.params["weights"] = W
         self._write_back(state=stateT)
-        obs.record_batch(rec_steps_host, outputs=rec_out, losses=rec_loss)
+        var_values = {key: np.asarray(vals)
+                      for (key, _, _, _), vals in zip(var_info, rec_var)}
+        obs.record_batch(rec_steps_host, outputs=rec_out, losses=rec_loss,
+                         var_values=var_values or None)
         if verbose:
             print(f"Finished optimization after {perf_counter() - t0} s.")
         return obs

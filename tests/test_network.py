@@ -325,6 +325,47 @@ def test_fit_rls_online():
     assert float(jnp.sum(jnp.abs(rls_edge.weights))) > 0
 
 
+def test_fit_rls_and_eprop_record_vars_match_run():
+    """record_vars during online training (reference parity:
+    /root/reference/rectipy/network.py:1119 records state snapshots in _rls).
+    The readout edge does not feed back into the reservoir, so the recorded
+    reservoir variable must match a plain run() exactly."""
+    n, m, k, T = 12, 2, 1, 200
+    rng = np.random.default_rng(31)
+    W_res = rng.normal(size=(n, n)) * 0.4
+    W_in = rng.normal(size=(n, m))
+    inp = rng.normal(size=(T, m))
+    target = rng.normal(size=(T, k))
+
+    def build(train):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_func_node("inp", m, activation_function="identity")
+        net.add_diffeq_node("rnn", TANH, weights=W_res, input_var="li_op/I_ext",
+                            output_var="tanh_op/r", source_var="tanh_op/r",
+                            target_var="li_op/r_in")
+        net.add_edge("inp", "rnn", weights=W_in)
+        net.add_func_node("out", k, activation_function="identity")
+        net.add_edge("rnn", "out", train=train)
+        return net
+
+    ref = build("rls").run(inp, sampling_steps=10, verbose=False,
+                           record_vars=[("rnn", "v", False)])
+    v_ref = ref.to_numpy(("rnn", "v"))
+
+    obs_rls = build("rls").fit_rls(inp, target, sampling_steps=10, verbose=False,
+                                   record_vars=[("rnn", "v", False)])
+    np.testing.assert_allclose(obs_rls.to_numpy(("rnn", "v")), v_ref, rtol=1e-12)
+
+    obs_ep = build("eprop").fit_eprop(inp, target, sampling_steps=10, verbose=False,
+                                      lr=1e-3, record_vars=[("rnn", "v", False)])
+    np.testing.assert_allclose(obs_ep.to_numpy(("rnn", "v")), v_ref, rtol=1e-12)
+    # reduced form records the population mean
+    obs_red = build("rls").fit_rls(inp, target, sampling_steps=10, verbose=False,
+                                   record_vars=[("rnn", "v", True)])
+    np.testing.assert_allclose(obs_red.to_numpy(("rnn", "v")), v_ref.mean(axis=1),
+                               rtol=1e-12)
+
+
 def test_test_method():
     n = 8
     rng = np.random.default_rng(9)

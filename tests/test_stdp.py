@@ -206,6 +206,8 @@ def test_fit_stdp_scan_matches_eager_loop():
     W = edge.params["weights"]
     xp, xs = edge.params["x_pre"], edge.params["x_post"]
     spk_log = np.zeros((T, 1))
+    v_log = np.zeros((T, 1))
+    v_lo, v_hi = net.get_node("post")._var_map["v"]
     for t in range(T):
         spk_pre = pre_read(state["nodes"]["pre"]).astype(W.dtype)
         spk_post = post_read(state["nodes"]["post"]).astype(W.dtype)
@@ -215,15 +217,20 @@ def test_fit_stdp_scan_matches_eager_loop():
                                                         "weights": W}}}
         state, _, _ = step(state, p, jnp.asarray(x[t]))
         W, xp, xs = upd(W, xp, xs, spk_pre, spk_post)
+        v_log[t] = np.asarray(state["nodes"]["post"][v_lo:v_hi])
 
     net2 = _pair_net(dt)
     obs2 = net2.fit_stdp(x, sampling_steps=50, verbose=False,
-                         record_spikes=["post"])
+                         record_spikes=["post"],
+                         record_vars=[("post", "v", False)])
     # raster windows END at each record step (inclusive); window 0 = step 0
     counts = obs2.to_numpy(("post", "spikes"))
     expected = [spk_log[0].sum()] + [spk_log[1 + 50 * k:51 + 50 * k].sum()
                                      for k in range(T // 50 - 1)]
     np.testing.assert_array_equal(counts[:, 0], np.asarray(expected, dtype=np.int32))
+    # record_vars: post-update snapshots at the record steps (run() semantics)
+    v_rec = obs2.to_numpy(("post", "v"))
+    np.testing.assert_allclose(v_rec, v_log[np.arange(0, T, 50)], rtol=1e-12)
     edge2 = net2.get_edge("pre", "post")
     np.testing.assert_allclose(np.asarray(edge2.params["weights"]), np.asarray(W),
                                rtol=1e-12)
@@ -466,3 +473,15 @@ def test_rstdp_validation_errors():
         net2.fit_stdp(np.zeros((10, 2)), reward=np.zeros(10), verbose=False)
     with pytest.raises(ValueError, match="tau_e"):
         STDP(2, 2).reward_update_fn(0.1, tau_e=0.0)
+    # tau_e without reward= is a misconfiguration, not silently ignored
+    net3 = _rstdp_net(0.1)
+    with pytest.raises(ValueError, match="tau_e only applies"):
+        net3.fit_stdp(np.zeros((10, 3)), tau_e=5.0, verbose=False)
+    # spike-vector width must match the edge dims (clear error, not a
+    # shape blowup inside the jitted scan)
+    net4 = _rstdp_net(0.1)
+    net4.pop_edge("pre", "post")
+    net4.add_edge("pre", "post", train="stdp", weights=np.full((1, 2), 0.3))
+    net4.get_edge("pre", "post").n_in = 3  # simulate a width mismatch
+    with pytest.raises(ValueError, match="spike vector"):
+        net4.fit_stdp(np.zeros((10, 3)), verbose=False)
