@@ -109,10 +109,24 @@ def restore_pytree(template, path: str):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def _canonicalize_plastic_edges(tree: dict) -> None:
+    """Add the lazily-created STDP eligibility trace to every plastic edge
+    missing it (zeros, exactly the lazy init in Network.fit_stdp) so that
+    snapshot and template structures always match regardless of whether a
+    network has run reward-modulated STDP yet.  In place; host-side numpy
+    only (never materializes device zeros)."""
+    for edge_params in tree.get("params", {}).get("edges", {}).values():
+        if ("x_pre" in edge_params and "x_post" in edge_params
+                and "elig" not in edge_params):
+            w = edge_params["weights"]
+            edge_params["elig"] = np.zeros(np.shape(w), dtype=np.asarray(w).dtype)
+
+
 def save_network(net, path: str) -> None:
     """Snapshot a Network's parameters and state (nodes, edges, feedback)."""
     net.compile()
     payload = {"params": net.parameters_pytree(), "state": net.init_state()}
+    _canonicalize_plastic_edges(payload)
     save_pytree(payload, path)
 
 
@@ -120,8 +134,24 @@ def restore_network(net, path: str) -> None:
     """Restore a snapshot produced by :func:`save_network` into ``net``."""
     net.compile()
     template = {"params": net.parameters_pytree(), "state": net.init_state()}
-    payload = restore_pytree(template, path)
+    _canonicalize_plastic_edges(template)
+    try:
+        payload = restore_pytree(template, path)
+    except (ValueError, KeyError):
+        # snapshot predates eligibility-trace canonicalization: retry with
+        # the raw template
+        template = {"params": net.parameters_pytree(), "state": net.init_state()}
+        payload = restore_pytree(template, path)
     net._write_back(state=payload["state"], params=payload["params"])
+    # an all-zero eligibility trace is identical to the lazy init -- drop it
+    # so a never-reward-trained edge does not carry a dead (n_out, n_in)
+    # zeros array into every program
+    for u, v in list(getattr(net, "graph").edges) + [
+            (u, v) for u, v, _ in net._fb_edge_list()]:
+        edge = net.get_edge(u, v)
+        elig = edge.params.get("elig") if hasattr(edge, "params") else None
+        if elig is not None and not np.any(np.asarray(elig)):
+            del edge.params["elig"]
 
 
 class TrainCheckpointer:

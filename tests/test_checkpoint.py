@@ -61,3 +61,53 @@ def test_restore_missing_raises(tmp_path):
     ckpt = TrainCheckpointer(str(tmp_path / "empty"))
     step, pieces = ckpt.restore_latest({})
     assert step is None and pieces is None
+
+
+def test_plastic_edge_state_roundtrip(tmp_path):
+    """STDP weights, both pair traces, and the R-STDP eligibility trace are
+    part of the network snapshot: plasticity resumes exactly after
+    save/restore."""
+    LIF = "neuron_model_templates.spiking_neurons.lif.lif"
+    rng = np.random.default_rng(5)
+    T = 120
+    x = (rng.random((T, 2)) < 0.1) * 40.0
+    r = rng.normal(0.0, 0.3, size=T)
+
+    def build():
+        net = Network(0.1, dtype=jnp.float64)
+        net.add_func_node("inp", 2, activation_function="identity")
+        for label, sel in (("pre", [[1.0, 0.0]]), ("post", [[0.0, 1.0]])):
+            net.add_diffeq_node(label, LIF, weights=np.zeros((1, 1)), source_var="s",
+                                target_var="s_in", input_var="I_ext", output_var="s",
+                                op="lif_op", spike_var="spike", reset_var="v",
+                                spike_threshold=1.0, spike_reset=0.0)
+            net.add_edge("inp", label, weights=np.array(sel))
+        net.add_edge("pre", "post", train="stdp", weights=np.full((1, 1), 0.3),
+                     tau_plus=1.0, tau_minus=1.0, a_plus=0.05, a_minus=0.05,
+                     w_min=0.0, w_max=1.0)
+        return net
+
+    # train a while (reward mode, so the eligibility trace exists), snapshot
+    net = build()
+    net.fit_stdp(x, reward=r, tau_e=4.0, sampling_steps=30, verbose=False)
+    path = str(tmp_path / "plastic")
+    save_network(net, path)
+    edge = net.get_edge("pre", "post")
+    saved = {k: np.asarray(v) for k, v in edge.params.items()}
+
+    # restoring into a FRESH network reproduces edge params and continues
+    # training identically to the uninterrupted original
+    net2 = build()
+    net2.fit_stdp(x, reward=r, tau_e=4.0, sampling_steps=30, verbose=False)  # warm shape
+    net2 = build()
+    restore_network(net2, path)
+    edge2 = net2.get_edge("pre", "post")
+    for k, v in saved.items():
+        np.testing.assert_allclose(np.asarray(edge2.params[k]), v, rtol=0,
+                                   err_msg=f"edge param {k} did not round-trip")
+
+    net.fit_stdp(x, reward=r, tau_e=4.0, sampling_steps=30, verbose=False)
+    net2.fit_stdp(x, reward=r, tau_e=4.0, sampling_steps=30, verbose=False)
+    np.testing.assert_allclose(np.asarray(net2.get_edge("pre", "post").params["weights"]),
+                               np.asarray(net.get_edge("pre", "post").params["weights"]),
+                               rtol=0)
