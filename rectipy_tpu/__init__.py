@@ -13,7 +13,8 @@ __status__ = "Development"
 __version__ = "0.2.0"
 
 from .dsl import CircuitTemplate, NodeTemplate, OperatorTemplate, clear_frontend_caches, lower
-from .edges import RLS, STDP, Linear, LinearFilter, LinearMasked, LinearMemory, LinearMemoryFilter
+from .edges import (RLS, STDP, Linear, LinearFilter, LinearMasked, LinearMemory,
+                    LinearMemoryFilter, LinearSTP)
 from .inputs import Constant, InputSpec, Noise, Poisson, Pulse, Sine
 from .network import FeedbackNetwork, Network
 from .nodes import InstantNode, MultiSpikeResetNet, RateNet, SpikeNet, SpikeResetNet
@@ -37,6 +38,7 @@ __all__ = [
     "LinearMasked",
     "LinearMemory",
     "LinearMemoryFilter",
+    "LinearSTP",
     "MultiSpikeResetNet",
     "Network",
     "NodeTemplate",

@@ -35,7 +35,7 @@ import numpy as np
 from .nodes import resolve_dtype
 
 __all__ = ["Linear", "LinearMasked", "LinearMemory", "LinearFilter", "LinearMemoryFilter", "RLS",
-           "STDP"]
+           "STDP", "LinearSTP"]
 
 
 def _as_array(x, dtype):
@@ -201,6 +201,9 @@ class LinearMemory(Linear):
     def init_state(self):
         return self._buffer
 
+    def set_state(self, state):
+        self._buffer = state
+
     def make_step(self) -> Callable:
         mask = self._write_mask
 
@@ -244,6 +247,9 @@ class LinearFilter(Linear):
 
     def init_state(self):
         return self._y
+
+    def set_state(self, state):
+        self._y = state
 
     def make_step(self) -> Callable:
         def step(y, params, x):
@@ -289,6 +295,96 @@ class LinearMemoryFilter(LinearMemory):
             return buf, _apply_w(params["weights"], buf[:, 0])
 
         return step
+
+
+class LinearSTP(Linear):
+    """Short-term synaptic plasticity edge (Tsodyks-Markram model).
+
+    Beyond-reference component (the reference edge family,
+    /root/reference/rectipy/edges.py:8-234, has static/delay/filter linear
+    projections only -- no dynamic synapses).  Implements the mean-field
+    Tsodyks-Markram synapse (Tsodyks, Pawelzik & Markram 1998, Neural
+    Comput 10:821): each presynaptic channel carries a utilization variable
+    ``u`` (facilitation) and a resource variable ``x`` (depression) that
+    modulate transmission multiplicatively,
+
+        m       = clip(r * dt, 0, 1)            # spike mass this step
+        u+      = u + U * (1 - u) * m           # facilitation jump
+        drive   = u+ * x * r                    # modulated transmission
+        x-      = x * (1 - u+ * m)              # resource consumption
+        u       <- U + (u+ - U) * exp(-dt/tau_facil)
+        x       <- 1 + (x- - 1) * exp(-dt/tau_depress)
+        y       = W @ drive
+
+    The input ``r`` is presynaptic activity per time unit: a firing rate, a
+    synaptic-activation state variable, or an impulse train with per-spike
+    area 1 (amplitude ``1/dt``) -- ``m = r*dt`` is then the spike mass
+    delivered in the step, and for unit impulses the update reduces exactly
+    to the event-based TM rule.  ``tau_facil=0`` disables facilitation
+    (``u`` pinned at ``U``: the classic depression-only synapse);
+    ``tau_depress=0`` disables depression (``x`` pinned at 1).
+
+    The (u, x) pair rides the network scan carry like the delay/filter edge
+    state, so ``run``/``fit_*`` thread it exactly; it persists across
+    chunked runs and checkpoints (``set_state`` write-back).
+    """
+
+    _tensors = ["weights"]
+
+    def __init__(self, n_in: int, n_out: int, dt: float, weights=None,
+                 dtype=jnp.float64, detach: bool = True, tau_facil: float = 0.0,
+                 tau_depress: float = 0.0, U: float = 0.2, **kwargs):
+        if tau_facil < 0 or tau_depress < 0:
+            raise ValueError("STP time constants tau_facil/tau_depress must be >= 0 "
+                             "(0 disables the corresponding process).")
+        if not 0.0 < U <= 1.0:
+            raise ValueError("STP baseline utilization U must lie in (0, 1].")
+        kwargs.setdefault("train_params", ["weights"])
+        super().__init__(n_in, n_out, weights=weights, dtype=dtype, detach=detach, **kwargs)
+        self.dt = float(dt)
+        self.tau_facil = float(tau_facil)
+        self.tau_depress = float(tau_depress)
+        self.U = float(U)
+        self._u = jnp.full(n_in, self.U, dtype=self.dtype)
+        self._x = jnp.ones(n_in, dtype=self.dtype)
+
+    @property
+    def u(self):
+        return self._u
+
+    @property
+    def x(self):
+        return self._x
+
+    def init_state(self):
+        return (self._u, self._x)
+
+    def set_state(self, state):
+        self._u, self._x = state
+
+    def make_step(self) -> Callable:
+        dt, U = self.dt, self.U
+        facil = self.tau_facil > 0
+        dep = self.tau_depress > 0
+        d_f = float(np.exp(-dt / self.tau_facil)) if facil else 0.0
+        d_d = float(np.exp(-dt / self.tau_depress)) if dep else 0.0
+
+        def step(state, params, r):
+            u, x = state
+            m = jnp.clip(r * dt, 0.0, 1.0)
+            u_plus = u + U * (1.0 - u) * m if facil else u
+            drive = u_plus * x * r
+            x_minus = x * (1.0 - u_plus * m) if dep else x
+            u_new = U + (u_plus - U) * d_f
+            x_new = 1.0 + (x_minus - 1.0) * d_d
+            return (u_new, x_new), _apply_w(params["weights"], drive)
+
+        return step
+
+    def forward(self, x, **kwargs):
+        (self._u, self._x), y = self.make_step()(
+            (self._u, self._x), self.params, jnp.asarray(x, dtype=self.dtype))
+        return y
 
 
 class RLS(Linear):

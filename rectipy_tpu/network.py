@@ -36,7 +36,7 @@ import optax
 from networkx import DiGraph
 
 from .edges import (RLS, STDP, Linear, LinearFilter, LinearMasked, LinearMemory,
-                    LinearMemoryFilter)
+                    LinearMemoryFilter, LinearSTP)
 from .inputs import InputSpec
 from .nodes import InstantNode, RateNet, SpikeNet, SpikeResetNet, resolve_dtype
 from .observer import Observer
@@ -516,17 +516,28 @@ class Network:
         """Add a linear edge.  Class dispatch on kwargs mirrors the reference
         (/root/reference/rectipy/network.py:372-380): `mask` -> LinearMasked,
         `delays` (+`filter_weights`) -> LinearMemory(Filter), `filter_weights`
-        -> LinearFilter, else Linear.  ``train`` in {None, 'gd', 'rls',
-        'eprop', 'stdp'} ('eprop' and 'stdp' are beyond-reference online
-        rules; see fit_eprop / fit_stdp)."""
+        -> LinearFilter, `tau_facil`/`tau_depress` (+ optional `U`) ->
+        LinearSTP (Tsodyks-Markram short-term plasticity, beyond-reference),
+        else Linear.  ``train`` in {None, 'gd', 'rls', 'eprop', 'stdp'}
+        ('eprop' and 'stdp' are beyond-reference online rules; see
+        fit_eprop / fit_stdp)."""
         edge_attrs = dict(edge_attrs or {})
         kwargs.pop("dtype", None)
+        stp_req = {"tau_facil", "tau_depress"} & set(kwargs)
+        if stp_req and ({"mask", "delays", "filter_weights"} & set(kwargs)):
+            raise ValueError(
+                "Short-term plasticity (tau_facil/tau_depress) cannot be combined "
+                "with mask/delays/filter_weights on a single edge; chain two edges "
+                "through an identity func-node instead.")
         if "mask" in kwargs:
             LinEdge = LinearMasked
         elif "delays" in kwargs:
             LinEdge = LinearMemoryFilter if "filter_weights" in kwargs else LinearMemory
         elif "filter_weights" in kwargs:
             LinEdge = LinearFilter
+        elif stp_req:
+            LinEdge = LinearSTP
+            kwargs["dt"] = self.dt
         else:
             LinEdge = Linear
 
@@ -883,10 +894,8 @@ class Network:
                     continue
                 u, v = k.split("->")
                 edge = self.get_edge(u, v)
-                if isinstance(edge, (LinearMemory, LinearMemoryFilter)):
-                    edge._buffer = es
-                elif isinstance(edge, LinearFilter):
-                    edge._y = es
+                if hasattr(edge, "set_state"):
+                    edge.set_state(es)
         if params is not None:
             for n, sub in params["nodes"].items():
                 node = self.get_node(n)
