@@ -3176,7 +3176,9 @@ class Network:
         return stateT, loss
 
     def fit_stdp(self, inputs, sampling_steps: int = 100, reward=None,
-                 tau_e: float = None, verbose: bool = True, **kwargs) -> Observer:
+                 tau_e: float = None, homeostasis_steps: int = None,
+                 homeostasis_target=None, verbose: bool = True,
+                 **kwargs) -> Observer:
         """Online spike-timing-dependent plasticity on the edge added with
         ``add_edge(..., train='stdp')``.
 
@@ -3202,6 +3204,22 @@ class Network:
         tau_minus)``) and the weights move only by ``r_t * E`` (hard
         bounds).  The eligibility trace persists on the edge
         (``params['elig']``) so chunked calls continue seamlessly.
+
+        ``homeostasis_steps``: optional period (in integration steps) of
+        multiplicative synaptic scaling (Turrigiano-style homeostasis, the
+        standard stabilizer of Hebbian drift): every period, each
+        postsynaptic row's above-floor mass is rescaled to
+        ``homeostasis_target`` --
+
+            W_i <- clip(w_min + (W_i - w_min) * target_i / sum(W_i - w_min))
+
+        so the STDP-learned RELATIVE structure survives while total input
+        strength per neuron stays fixed (competitive receptive-field
+        formation instead of runaway potentiation).  ``homeostasis_target``
+        defaults to each row's above-floor sum at the FIRST scaled fit --
+        it is remembered on the edge so chunked calls keep one target;
+        pass it explicitly for full reproducibility across processes.
+        Requires 2-D weights.
 
         Records the usual output windows; per-window weight statistics are
         saved under ``"w_mean"`` / ``"w_min"`` / ``"w_max"`` (plus
@@ -3272,6 +3290,33 @@ class Network:
                     "tau_e only applies to reward-modulated STDP; pass the "
                     "per-step reward= signal as well (or drop tau_e).")
             update = edge.update_fn(self.dt)
+        h_steps = 0
+        h_target = jnp.zeros((), dtype=w_dtype)  # unused dummy
+        if homeostasis_steps is not None:
+            h_steps = int(homeostasis_steps)
+            if h_steps <= 0:
+                raise ValueError("homeostasis_steps must be a positive integer.")
+            if edge.params["weights"].ndim != 2:
+                raise ValueError(
+                    "homeostatic synaptic scaling needs 2-D edge weights (rows "
+                    "= postsynaptic neurons); 1-D diagonal edges have no row "
+                    "mass to normalize.")
+            if homeostasis_target is None:
+                homeostasis_target = getattr(edge, "_homeo_target", None)
+            if homeostasis_target is None:
+                homeostasis_target = (
+                    edge.params["weights"] - edge.w_min).sum(axis=1)
+            h_target = jnp.asarray(homeostasis_target, dtype=w_dtype)
+            if h_target.ndim == 0:
+                h_target = jnp.full(edge.n_out, h_target, dtype=w_dtype)
+            if h_target.shape != (edge.n_out,):
+                raise ValueError(
+                    f"homeostasis_target must be a scalar or ({edge.n_out},) "
+                    f"per-row array; got shape {np.shape(homeostasis_target)}.")
+            edge._homeo_target = h_target  # one target across chunked calls
+        elif homeostasis_target is not None:
+            raise ValueError(
+                "homeostasis_target only applies with homeostasis_steps set.")
         step = self.make_step()
         params = self.parameters_pytree()
         state0 = self.init_state()
@@ -3332,7 +3377,8 @@ class Network:
             jax.eval_shape(reader, state0["nodes"][lbl], params["nodes"][lbl])
             for (_, lbl, reader, _) in var_info)
 
-        def scan_all(state0, params, W, E, x_pre, x_post, inputs, reward):
+        def scan_all(state0, params, W, E, x_pre, x_post, inputs, reward,
+                     h_target):
             rec_out0 = jnp.zeros((n_rec, n_out), dtype=out_aval.dtype)
             rec_w0 = jnp.zeros((n_rec, 3), dtype=w_dtype)
             # per-window spike-count accumulators (f32: bf16 saturates at 256)
@@ -3372,6 +3418,16 @@ class Network:
                                                  spk_post, r_t)
                 else:
                     W, x_pre, x_post = update(W, x_pre, x_post, spk_pre, spk_post)
+                if h_steps:
+                    # multiplicative synaptic scaling every h_steps steps:
+                    # above-floor row mass renormalized to the target (clip
+                    # keeps the bounds honored when scaling up)
+                    do_h = (step_idx % h_steps) == (h_steps - 1)
+                    above = W - edge.w_min
+                    scale = h_target / (above.sum(axis=1) + 1e-12)
+                    W_h = jnp.clip(edge.w_min + above * scale[:, None],
+                                   edge.w_min, edge.w_max)
+                    W = jnp.where(do_h, W_h, W)
                 acc = tuple(a + s for a, s in zip(acc, rec_indicators))
                 do_rec = (step_idx % sampling_steps) == 0
                 idx = jnp.minimum(rec_i, max(n_rec - 1, 0))
@@ -3410,7 +3466,7 @@ class Network:
         cache_key = ("stdp_scan", ekey, str(w_dtype), edge.tau_plus, edge.tau_minus,
                      edge.a_plus, edge.a_minus, edge.w_min, edge.w_max,
                      edge.soft_bounds, sampling_steps, steps, n_rec, in_sig,
-                     reward_mode, tau_e if reward_mode else None,
+                     reward_mode, tau_e if reward_mode else None, h_steps,
                      tuple(label for label, _ in spike_info),
                      tuple(key for key, _, _, _ in var_info),
                      self._step_versions())
@@ -3419,10 +3475,12 @@ class Network:
         if not reward_mode:
             E0 = jnp.zeros((), dtype=w_dtype)  # unused dummy
             reward = jnp.zeros((), dtype=w_dtype)
+        if mesh is not None and h_steps:
+            h_target = self._mesh_replicate(h_target, mesh)
         stateT, W, E, x_pre, x_post, rec_out, rec_w, rec_spk, rec_var = \
             self._step_cache[cache_key](
                 state0, params, edge.params["weights"], E0, edge.params["x_pre"],
-                edge.params["x_post"], inputs, reward)
+                edge.params["x_post"], inputs, reward, h_target)
         edge.params["weights"] = W
         edge.params["x_pre"] = x_pre
         edge.params["x_post"] = x_post

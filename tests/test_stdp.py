@@ -485,3 +485,120 @@ def test_rstdp_validation_errors():
     net4.get_edge("pre", "post").n_in = 3  # simulate a width mismatch
     with pytest.raises(ValueError, match="spike vector"):
         net4.fit_stdp(np.zeros((10, 3)), verbose=False)
+
+
+# -------------------------------------------------------- homeostatic scaling
+
+def _wide_net(dt=0.1, n_pre=4, n_post=2, w0=None, seed=13):
+    """inp(identity, n_pre + n_post ch) -> pre / post LIF populations with an
+    STDP edge; channel i drives pre[i], channel n_pre + j drives post[j]."""
+    rng = np.random.default_rng(seed)
+    m = n_pre + n_post
+    net = Network(dt, dtype=jnp.float64)
+    net.add_func_node("inp", m, activation_function="identity")
+    sel_pre = np.eye(n_pre, m)
+    sel_post = np.eye(n_post, m, k=n_pre)
+    for label, n, sel in (("pre", n_pre, sel_pre), ("post", n_post, sel_post)):
+        net.add_diffeq_node(label, LIF, weights=np.zeros((n, n)), source_var="s",
+                            target_var="s_in", input_var="I_ext", output_var="s",
+                            op="lif_op", spike_var="spike", reset_var="v",
+                            spike_threshold=1.0, spike_reset=0.0)
+        net.add_edge("inp", label, weights=sel)
+    if w0 is None:
+        w0 = rng.uniform(0.1, 0.4, size=(n_post, n_pre))
+    net.add_edge("pre", "post", train="stdp", weights=w0, tau_plus=2.0,
+                 tau_minus=2.0, a_plus=0.05, a_minus=0.04, w_min=0.0, w_max=1.0)
+    return net
+
+
+def test_fit_stdp_homeostasis_matches_eager_loop():
+    """fit_stdp(homeostasis_steps=) == eager loop with the documented
+    multiplicative scaling interleaved (exact, f64)."""
+    T, dt, h = 120, 0.1, 25
+    rng = np.random.default_rng(23)
+    x = (rng.random((T, 6)) < 0.15) * 40.0
+    w0 = rng.uniform(0.1, 0.4, size=(2, 4))
+    target = (w0 - 0.0).sum(axis=1)
+
+    net = _wide_net(dt, w0=w0)
+    edge = net.get_edge("pre", "post")
+    step = net.make_step()
+    state = net.init_state()
+    params = net.parameters_pytree()
+    upd = edge.update_fn(dt)
+    pre_read = net.get_node("pre")._make_spike_reader()
+    post_read = net.get_node("post")._make_spike_reader()
+    W, xp, xs = edge.params["weights"], edge.params["x_pre"], edge.params["x_post"]
+    for t in range(T):
+        spk_pre = pre_read(state["nodes"]["pre"]).astype(W.dtype)
+        spk_post = post_read(state["nodes"]["post"]).astype(W.dtype)
+        p = {"nodes": params["nodes"],
+             "edges": {**params["edges"], "pre->post": {**params["edges"]["pre->post"],
+                                                        "weights": W}}}
+        state, _, _ = step(state, p, jnp.asarray(x[t]))
+        W, xp, xs = upd(W, xp, xs, spk_pre, spk_post)
+        if t % h == h - 1:
+            above = np.asarray(W)
+            scale = target / (above.sum(axis=1) + 1e-12)
+            W = jnp.asarray(np.clip(above * scale[:, None], 0.0, 1.0))
+
+    net2 = _wide_net(dt, w0=w0)
+    net2.fit_stdp(x, sampling_steps=40, homeostasis_steps=h, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(net2.get_edge("pre", "post").params["weights"]),
+        np.asarray(W), rtol=1e-12)
+
+
+def test_fit_stdp_homeostasis_pins_row_mass():
+    """With T a multiple of the period, every row's above-floor sum ends ON
+    target while STDP still reshapes the relative structure."""
+    T, dt, h = 200, 0.1, 20
+    rng = np.random.default_rng(31)
+    x = (rng.random((T, 6)) < 0.2) * 40.0
+    w0 = rng.uniform(0.1, 0.4, size=(2, 4))
+
+    net = _wide_net(dt, w0=w0)
+    net.fit_stdp(x, sampling_steps=50, homeostasis_steps=h, verbose=False)
+    W = np.asarray(net.get_edge("pre", "post").params["weights"])
+    np.testing.assert_allclose(W.sum(axis=1), w0.sum(axis=1), rtol=1e-9)
+    # plasticity still happened: the structure moved even though sums did not
+    assert np.max(np.abs(W - w0)) > 1e-4
+
+    # without homeostasis the same protocol drifts the row sums
+    net_free = _wide_net(dt, w0=w0)
+    net_free.fit_stdp(x, sampling_steps=50, verbose=False)
+    W_free = np.asarray(net_free.get_edge("pre", "post").params["weights"])
+    assert np.max(np.abs(W_free.sum(axis=1) - w0.sum(axis=1))) > 1e-4
+
+
+def test_fit_stdp_homeostasis_chunked_keeps_one_target():
+    """Chunked calls reuse the first call's target (stored on the edge):
+    two chunks == one long call exactly."""
+    T, dt, h = 160, 0.1, 16
+    rng = np.random.default_rng(37)
+    x = (rng.random((T, 6)) < 0.15) * 40.0
+    w0 = rng.uniform(0.1, 0.4, size=(2, 4))
+
+    net_a = _wide_net(dt, w0=w0)
+    net_a.fit_stdp(x, sampling_steps=40, homeostasis_steps=h, verbose=False)
+
+    net_b = _wide_net(dt, w0=w0)
+    net_b.fit_stdp(x[:T // 2], sampling_steps=40, homeostasis_steps=h, verbose=False)
+    net_b.fit_stdp(x[T // 2:], sampling_steps=40, homeostasis_steps=h, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(net_b.get_edge("pre", "post").params["weights"]),
+        np.asarray(net_a.get_edge("pre", "post").params["weights"]), rtol=1e-12)
+
+
+def test_fit_stdp_homeostasis_errors():
+    net = _pair_net()
+    x = np.zeros((10, 2))
+    with pytest.raises(ValueError, match="positive integer"):
+        net.fit_stdp(x, homeostasis_steps=0, verbose=False)
+    with pytest.raises(ValueError, match="only applies"):
+        net.fit_stdp(x, homeostasis_target=1.0, verbose=False)
+    net2 = _wide_net()
+    with pytest.raises(ValueError, match="per-row"):
+        net2.fit_stdp(x[:, :6] if x.shape[1] >= 6 else np.zeros((10, 6)),
+                      homeostasis_steps=5, homeostasis_target=np.ones(3),
+                      verbose=False)
