@@ -184,6 +184,33 @@ class Observer:
         ax.set_title(f"Node: {node} spike raster")
         return ax
 
+    def psth(self, node: str, per_neuron: bool = False):
+        """Peri-stimulus time histogram from the ``(node, "spikes")`` window
+        counts recorded via ``record_spikes=[node]``: the firing rate over
+        each record window, ``counts / (window_steps * dt)`` (spikes per
+        time unit; Hz when ``dt`` is in seconds).
+
+        Returns ``(times, rates)`` -- ``times`` are the record-step times
+        (each window ENDS at its record step, inclusive), ``rates`` is the
+        population-mean rate ``(T,)`` or per-neuron ``(T, n)`` with
+        ``per_neuron=True``.
+        """
+        counts = self.to_numpy((node, "spikes")).astype(float)
+        steps = np.asarray(self._recordings["steps"], dtype=float)
+        # window k covers (steps[k-1], steps[k]] -- window 0 starts at step 0
+        widths = np.diff(steps, prepend=-1.0)
+        rates = counts / (widths[:, None] * self._dt)
+        times = steps * self._dt
+        return times, (rates if per_neuron else rates.mean(axis=1))
+
+    def rates(self, node: str) -> np.ndarray:
+        """Per-neuron mean firing rate over the whole recording (total
+        ``(node, "spikes")`` counts / recorded duration)."""
+        counts = self.to_numpy((node, "spikes")).astype(float)
+        steps = np.asarray(self._recordings["steps"], dtype=float)
+        duration = (steps[-1] + 1.0) * self._dt
+        return counts.sum(axis=0) / duration
+
     def matshow(self, v, ax=None, **kwargs):
         """Heatmap (time x feature) of recorded variable ``v``."""
         import matplotlib.pyplot as plt

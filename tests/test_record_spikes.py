@@ -181,3 +181,53 @@ def test_record_spikes_with_fused_pallas_step():
     # f32 step-order differences can flip a borderline spike; demand near-
     # identical rasters rather than bit equality
     assert (cf != cr).mean() < 0.01
+
+
+def test_observer_psth_and_rates_math():
+    """psth/rates on synthetic window counts: window widths from the record
+    grid (window ENDS at each record step; window 0 starts at step 0)."""
+    from rectipy_tpu import Observer
+
+    dt = 1e-3
+    obs = Observer(dt=dt, record_output=False, record_loss=False)
+    steps = np.asarray([0, 100, 200, 300])
+    counts = np.asarray([[1, 0], [5, 10], [0, 20], [10, 0]], dtype=np.int32)
+    obs.record_batch(steps, var_values={("pop", "spikes"): counts})
+
+    times, pop_rate = obs.psth("pop")
+    np.testing.assert_allclose(times, steps * dt)
+    widths = np.asarray([1, 100, 100, 100], dtype=float)
+    expected = counts.astype(float) / (widths[:, None] * dt)
+    np.testing.assert_allclose(pop_rate, expected.mean(axis=1))
+    _, per = obs.psth("pop", per_neuron=True)
+    np.testing.assert_allclose(per, expected)
+
+    # rates: total counts over total duration (301 steps)
+    np.testing.assert_allclose(
+        obs.rates("pop"), counts.sum(axis=0) / (301 * dt))
+
+
+def test_observer_psth_from_run(qif_net_factory=None):
+    """End-to-end: psth from a real run's spike recording equals the rate
+    implied by the raw counts."""
+    import jax.numpy as jnp
+
+    from rectipy_tpu import Network
+
+    QIF = "neuron_model_templates.spiking_neurons.qif.qif"
+    n, T, dt = 8, 400, 1e-3
+    rng = np.random.default_rng(4)
+    net = Network(dt, dtype=jnp.float32)
+    net.add_diffeq_node("qif", QIF, weights=np.zeros((n, n)), source_var="s",
+                        target_var="s_in", input_var="I_ext", output_var="s",
+                        op="qif_op", spike_var="spike", reset_var="v",
+                        node_vars={"all/qif_op/eta": rng.uniform(0.5, 2.0, n)})
+    obs = net.run(np.full((T, 1), 150.0), sampling_steps=50, verbose=False,
+                  record_spikes=["qif"])
+    counts = obs.to_numpy(("qif", "spikes"))
+    assert counts.sum() > 0, "population must spike for a meaningful PSTH"
+    times, rate = obs.psth("qif")
+    widths = np.diff(np.arange(0, T, 50), prepend=-1.0)
+    np.testing.assert_allclose(
+        rate, (counts / (widths[:, None] * dt)).mean(axis=1), rtol=1e-6)
+    assert obs.rates("qif").shape == (n,)
