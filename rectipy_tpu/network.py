@@ -2212,6 +2212,200 @@ class Network:
                   f"(best start: {best}).")
         return obs
 
+    def fit_es(self, inputs, targets, fit_vars, n_generations: int = 50,
+               pop_size: int = 16, sigma: float = 0.1, lr: float = 0.05,
+               loss="mse", loss_kwargs: dict = None, sampling_steps: int = 1,
+               cutoff: int = 0, antithetic: bool = True,
+               rank_shaping: bool = True, sigma_decay: float = 1.0,
+               bounds: dict = None, seed: int = 0, verbose: bool = True,
+               **kwargs) -> Observer:
+        """Gradient-free parameter fitting by evolution strategies (OpenAI-ES
+        / NES style).
+
+        Beyond-reference trainer: the reference offers only gradient-based
+        (fit_bptt), closed-form (fit_ridge), and RLS training -- there is no
+        way to fit NODE parameters (excitabilities, time constants, coupling
+        strengths) against a non-differentiable or chaotic objective.  This
+        is the standard methodology for inverse problems on spiking /
+        mean-field models, made cheap on TPU: every generation evaluates the
+        WHOLE population of ``pop_size`` parameter candidates as one vmapped
+        program (the cached :meth:`run_batch` sweep machinery), so a
+        generation costs barely more than a single simulation.
+
+        Per generation, candidates ``theta + sigma * eps_b`` are simulated
+        from the network's CURRENT state, scored by ``loss`` on the recorded
+        output, and the search point moves along the score-weighted
+        perturbation average
+
+            theta <- theta + lr / (pop_size * sigma) * sum_b u_b * eps_b
+
+        with ``u_b`` the centered RANKS of the (negated) losses when
+        ``rank_shaping`` (robust to outliers; Salimans et al. 2017) or the
+        z-scored negated losses otherwise.  ``antithetic`` evaluates
+        perturbations in +/- pairs (variance reduction; requires even
+        ``pop_size``).
+
+        ``fit_vars``: list of ``(node, var)`` NODE parameters to evolve
+        (scalar or per-neuron arrays -- the same addressing as
+        ``run_batch(batch_vars=)``).  ``bounds``: optional ``{(node, var):
+        (lo, hi)}`` box constraints (applied to candidates and the search
+        point).  ``inputs``: a ``(T, m)`` array (shared across candidates)
+        or an unbatched on-device InputSpec.  ``targets``: ``(R, n_out)``
+        (or broadcastable) against the ``sampling_steps``/``cutoff`` record
+        grid.  ``loss``: a registry name (mse/l1/nll/ce/kld/hinge) or ANY
+        callable ``(out_b, targets) -> scalar`` -- it is never
+        differentiated, so spike counts, rate histograms, or other
+        discontinuous statistics are fair game.
+
+        Returns an Observer with per-generation ``es_mean_loss`` /
+        ``es_best_loss`` / ``es_sigma`` traces, ``es_best_ever_loss``, and
+        ``es_final_loss`` (the score of the parameters actually written
+        back).  The write-back picks the better of the final search point
+        and the best evaluated candidate (``es_returned`` says which): the
+        search point random-walks near convergence because the ``1/sigma``
+        update grows as ``sigma_decay`` shrinks sigma -- keep ``lr``
+        of the same order as ``sigma`` when decaying.  The network state is
+        left unchanged (every candidate starts from the same state).
+        """
+        if kwargs.pop("mesh", None) is not None:
+            raise ValueError("fit_es does not compose with mesh= yet (the "
+                             "underlying batch_vars sweep is unsharded).")
+        B = int(pop_size)
+        if B < 2:
+            raise ValueError("fit_es needs pop_size >= 2.")
+        if antithetic and B % 2:
+            raise ValueError("antithetic sampling needs an even pop_size.")
+        if not fit_vars:
+            raise ValueError("fit_vars must name at least one (node, var) "
+                             "parameter to evolve.")
+        fit_vars = [tuple(v) for v in fit_vars]
+        if callable(loss):
+            if loss_kwargs:
+                base_loss = loss
+                loss_fn = lambda p, t: base_loss(p, t, **loss_kwargs)  # noqa: E731
+            else:
+                loss_fn = loss
+        else:
+            loss_fn = get_loss_function(loss, loss_kwargs=loss_kwargs)
+        self.compile()
+        targets = np.asarray(targets)
+        rng = np.random.default_rng(seed)
+
+        theta = {key: np.asarray(self.get_var(*key), dtype=np.float64)
+                 for key in fit_vars}
+        bounds = {tuple(k): (float(lo), float(hi))
+                  for k, (lo, hi) in (bounds or {}).items()}
+        for key in bounds:
+            if key not in theta:
+                raise ValueError(f"bounds key {key} is not in fit_vars.")
+
+        def clip(key, val):
+            if key in bounds:
+                lo, hi = bounds[key]
+                return np.clip(val, lo, hi)
+            return val
+
+        theta = {k: clip(k, v) for k, v in theta.items()}
+        if not isinstance(inputs, InputSpec):
+            inputs = np.asarray(inputs)
+            if inputs.ndim != 2:
+                raise ValueError(
+                    f"fit_es expects shared (T, m) inputs; got {inputs.shape}")
+            inputs = np.broadcast_to(inputs, (B,) + inputs.shape)
+        obs = Observer(dt=self.dt, record_output=False, record_loss=False)
+        t0 = perf_counter()
+
+        half = B // 2
+        best_ever = (np.inf, None)
+        mean_hist, best_hist, sigma_hist = [], [], []
+        sig = float(sigma)
+        for gen in range(int(n_generations)):
+            eps = {}
+            cands = {}
+            for key, val in theta.items():
+                if antithetic:
+                    e = rng.standard_normal((half,) + val.shape)
+                    e = np.concatenate([e, -e], axis=0)
+                else:
+                    e = rng.standard_normal((B,) + val.shape)
+                eps[key] = e
+                cands[key] = clip(key, val[None] + sig * e)
+            results = self.run_batch(inputs, sampling_steps=sampling_steps,
+                                     cutoff=cutoff, batch_vars=cands,
+                                     verbose=False)
+            out = np.asarray(results["out"])  # (B, R, n_out)
+            if gen == 0 and targets.shape not in ((out.shape[1],),
+                                                  out.shape[1:]):
+                try:
+                    np.broadcast_shapes(targets.shape, out.shape[1:])
+                except ValueError:
+                    raise ValueError(
+                        f"targets of shape {targets.shape} do not broadcast "
+                        f"against the recorded output {out.shape[1:]} "
+                        f"(records x n_out).")
+            losses = np.asarray([float(loss_fn(jnp.asarray(out[b]),
+                                               jnp.asarray(targets)))
+                                 for b in range(B)])
+            gen_best = int(np.nanargmin(losses))
+            if losses[gen_best] < best_ever[0]:
+                best_ever = (float(losses[gen_best]),
+                             {k: np.array(c[gen_best]) for k, c in cands.items()})
+            finite = np.isfinite(losses)
+            scores = np.where(finite, -losses, -np.inf)
+            if rank_shaping:
+                order = np.argsort(np.argsort(scores))  # rank 0 = worst
+                u = order / (B - 1) - 0.5
+            else:
+                s_f = scores[finite]
+                std = s_f.std() + 1e-12
+                u = np.where(finite, (scores - s_f.mean()) / std, 0.0)
+                u = np.where(np.isfinite(u), u, 0.0)
+            for key in theta:
+                g = np.tensordot(u, eps[key], axes=(0, 0)) / (B * sig)
+                theta[key] = clip(key, theta[key] + lr * g)
+            mean_hist.append(float(np.nanmean(np.where(finite, losses, np.nan))))
+            best_hist.append(float(losses[gen_best]))
+            sigma_hist.append(sig)
+            sig *= float(sigma_decay)
+            if verbose and (gen % max(1, n_generations // 10) == 0
+                            or gen == n_generations - 1):
+                print(f"ES generation {gen}: best {best_hist[-1]:.6g}, "
+                      f"mean {mean_hist[-1]:.6g}, sigma {sig:.4g}")
+
+        # score the final search point itself (one more B=1 sweep; the
+        # network state must stay untouched, so no plain run() here)
+        final_cand = {k: np.asarray(v)[None] for k, v in theta.items()}
+        final_in = (inputs if isinstance(inputs, InputSpec)
+                    else np.asarray(inputs[:1]))
+        res_f = self.run_batch(final_in, sampling_steps=sampling_steps,
+                               cutoff=cutoff, batch_vars=final_cand,
+                               verbose=False)
+        search_loss = float(loss_fn(jnp.asarray(np.asarray(res_f["out"])[0]),
+                                    jnp.asarray(targets)))
+        # write back whichever point actually scored best: the search point
+        # random-walks near the optimum (the 1/sigma estimator grows as
+        # sigma decays), while the best evaluated candidate is a certainty
+        if best_ever[1] is not None and best_ever[0] < search_loss:
+            fitted, final_loss, returned = best_ever[1], best_ever[0], "best_candidate"
+        else:
+            fitted, final_loss, returned = theta, search_loss, "search_point"
+        for key, val in fitted.items():
+            cur = np.asarray(self.get_var(*key))
+            self.set_var(*key, np.asarray(val, dtype=cur.dtype).reshape(cur.shape))
+        obs.save("es_returned", returned)
+        obs.save("es_search_point_loss", search_loss)
+        obs.save("generations", np.arange(len(mean_hist)))
+        obs.save("es_mean_loss", np.asarray(mean_hist))
+        obs.save("es_best_loss", np.asarray(best_hist))
+        obs.save("es_sigma", np.asarray(sigma_hist))
+        obs.save("es_best_ever_loss", best_ever[0])
+        obs.save("es_best_candidate", best_ever[1])
+        obs.save("es_final_loss", final_loss)
+        if verbose:
+            print(f"Finished evolution-strategies optimization after "
+                  f"{perf_counter() - t0} s.")
+        return obs
+
     def _build_batch_programs(self, step, loss_fn, opt, fused_bptt, rk,
                               remat_steps, sampling_steps, n_mb, mb,
                               shuffled):

@@ -1,0 +1,115 @@
+"""fit_es: gradient-free evolution-strategies parameter fitting.
+
+Beyond-reference trainer (the reference has no way to fit NODE parameters
+against non-differentiable objectives; its trainers are BPTT/ridge/RLS,
+/root/reference/rectipy/network.py:603-896).  Covered here:
+- teacher/student recovery of a scalar excitability (registry mse loss)
+- a genuinely non-differentiable objective (spike-count matching via a
+  custom callable loss) on a spiking population
+- box bounds honored by candidates and the search point
+- the network state is untouched by a fit (every candidate starts there)
+- validation errors (odd antithetic population, unknown bounds key, mesh)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectipy_tpu import Network
+
+TANH = "neuron_model_templates.rate_neurons.leaky_integrator.tanh"
+QIF = "neuron_model_templates.spiking_neurons.qif.qif"
+
+
+def _li_net(n, w, eta):
+    net = Network(dt=1e-2, dtype=jnp.float32)
+    net.add_diffeq_node("pop", TANH, weights=w, input_var="li_op/I_ext",
+                        output_var="li_op/v", source_var="tanh_op/r",
+                        target_var="li_op/r_in", clear=True, verbose=False,
+                        file_name="es_li", node_vars={"all/li_op/eta": eta})
+    return net
+
+
+def test_fit_es_recovers_excitability():
+    n, T = 4, 150
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((n, n)) * 0.2
+    inp = rng.normal(size=(T, n)).astype(np.float32) * 0.1
+    eta_true = 0.8
+
+    teacher = _li_net(n, w, eta_true)
+    targets = teacher.run(inp, sampling_steps=1, verbose=False).to_numpy("out")
+
+    student = _li_net(n, w, 0.0)
+    obs = student.fit_es(inp, targets, fit_vars=[("pop", "li_op/eta")],
+                         n_generations=40, pop_size=16, sigma=0.3, lr=0.3,
+                         sigma_decay=0.97, seed=1, verbose=False)
+    eta_fit = np.asarray(student.get_var("pop", "li_op/eta"))
+    assert np.all(np.abs(eta_fit - eta_true) < 0.15), eta_fit
+    best = obs["es_best_loss"]
+    assert best[-1] < best[0] * 0.05
+    assert np.isfinite(obs["es_final_loss"])
+    # histories are per-generation
+    assert len(obs["es_mean_loss"]) == len(obs["generations"]) == 40
+
+
+def test_fit_es_nondifferentiable_spike_count_objective():
+    """Fit a QIF population's excitability so the population emits a target
+    SPIKE COUNT -- an integer-valued objective no gradient can see."""
+    n, T, dt = 4, 400, 1e-3
+    net = Network(dt, dtype=jnp.float32)
+    net.add_diffeq_node("qif", QIF, weights=np.zeros((n, n)), source_var="s",
+                        target_var="s_in", input_var="I_ext", output_var="s",
+                        op="qif_op", spike_var="spike", reset_var="v",
+                        clear=True, verbose=False, file_name="es_qif")
+    inp = np.full((T, 1), 20.0, dtype=np.float32)
+
+    # spikes show as jumps of the synaptic activation s; count threshold
+    # crossings of the recorded population-mean output
+    def spike_count(out, _targets):
+        m = np.asarray(out).mean(axis=1)
+        return abs(float((np.diff(m) > 0.5 * np.max(np.diff(m) + 1e-9)).sum()) - 8.0)
+
+    obs = net.fit_es(inp, np.zeros(1), fit_vars=[("qif", "qif_op/eta")],
+                     loss=spike_count, n_generations=25, pop_size=12,
+                     sigma=10.0, lr=8.0, bounds={("qif", "qif_op/eta"): (-20.0, 300.0)},
+                     seed=5, verbose=False)
+    assert obs["es_best_ever_loss"] <= obs["es_best_loss"][0]
+    eta = float(np.asarray(net.get_var("qif", "qif_op/eta")).ravel()[0])
+    assert -20.0 <= eta <= 300.0  # bounds honored on the returned point
+
+
+def test_fit_es_state_untouched_and_bounds():
+    n, T = 3, 60
+    rng = np.random.default_rng(9)
+    w = rng.standard_normal((n, n)) * 0.1
+    net = _li_net(n, w, 0.5)
+    inp = rng.normal(size=(T, n)).astype(np.float32)
+    net.run(inp, verbose=False)  # advance to a non-trivial state
+    y_before = np.asarray(net.get_node("pop").y).copy()
+    targets = np.zeros((T, n), dtype=np.float32)
+    net.fit_es(inp, targets, fit_vars=[("pop", "li_op/eta")], n_generations=5,
+               pop_size=8, sigma=0.2, lr=0.1,
+               bounds={("pop", "li_op/eta"): (0.0, 0.4)}, seed=2, verbose=False)
+    np.testing.assert_array_equal(np.asarray(net.get_node("pop").y), y_before)
+    eta = np.asarray(net.get_var("pop", "li_op/eta"))
+    assert np.all(eta >= 0.0) and np.all(eta <= 0.4)
+
+
+def test_fit_es_validation_errors():
+    n = 3
+    net = _li_net(n, np.zeros((n, n)), 0.0)
+    inp = np.zeros((10, n), dtype=np.float32)
+    tgt = np.zeros((10, n), dtype=np.float32)
+    with pytest.raises(ValueError, match="even pop_size"):
+        net.fit_es(inp, tgt, fit_vars=[("pop", "li_op/eta")], pop_size=7)
+    with pytest.raises(ValueError, match="at least one"):
+        net.fit_es(inp, tgt, fit_vars=[])
+    with pytest.raises(ValueError, match="not in fit_vars"):
+        net.fit_es(inp, tgt, fit_vars=[("pop", "li_op/eta")],
+                   bounds={("pop", "li_op/tau"): (0, 1)})
+    with pytest.raises(ValueError, match="mesh"):
+        net.fit_es(inp, tgt, fit_vars=[("pop", "li_op/eta")], mesh="m")
+    with pytest.raises(KeyError, match="nope"):
+        net.fit_es(inp, tgt, fit_vars=[("pop", "li_op/nope")], n_generations=1,
+                   pop_size=2, verbose=False)
