@@ -49,6 +49,8 @@ def _run(example, env=None, timeout=420):
     ("stdp_plasticity.py", {"STDP_N": "32", "STDP_T": "2000"}),
     # Tsodyks-Markram dynamic synapses (depression + facilitation protocols)
     ("short_term_plasticity.py", {"STP_RATES": "10,40", "STP_T": "600"}),
+    # ES inverse problem: fit the MPR mean-field to a rate trajectory
+    ("es_model_fitting.py", {"ES_GENS": "6", "ES_POP": "8", "ES_T": "600"}),
 ])
 def test_example_runs(example, env):
     _run(example, env)
