@@ -2217,7 +2217,8 @@ class Network:
                loss="mse", loss_kwargs: dict = None, sampling_steps: int = 1,
                cutoff: int = 0, antithetic: bool = True,
                rank_shaping: bool = True, sigma_decay: float = 1.0,
-               bounds: dict = None, seed: int = 0, verbose: bool = True,
+               bounds: dict = None, record_spikes=None,
+               objective_key="out", seed: int = 0, verbose: bool = True,
                **kwargs) -> Observer:
         """Gradient-free parameter fitting by evolution strategies (OpenAI-ES
         / NES style).
@@ -2257,6 +2258,12 @@ class Network:
         differentiated, so spike counts, rate histograms, or other
         discontinuous statistics are fair game.
 
+        ``record_spikes=[node]`` + ``objective_key=(node, "spikes")`` score
+        candidates on their per-window SPIKE-COUNT rasters instead of the
+        network output (``objective_key`` picks any recorded series; default
+        ``"out"``) -- fitting directly to spiking statistics, the canonical
+        non-differentiable target.
+
         Returns an Observer with per-generation ``es_mean_loss`` /
         ``es_best_loss`` / ``es_sigma`` traces, ``es_best_ever_loss``, and
         ``es_final_loss`` (the score of the parameters actually written
@@ -2279,6 +2286,8 @@ class Network:
             raise ValueError("fit_vars must name at least one (node, var) "
                              "parameter to evolve.")
         fit_vars = [tuple(v) for v in fit_vars]
+        if isinstance(objective_key, (list, tuple)):
+            objective_key = tuple(objective_key)
         if callable(loss):
             if loss_kwargs:
                 base_loss = loss
@@ -2332,8 +2341,14 @@ class Network:
                 cands[key] = clip(key, val[None] + sig * e)
             results = self.run_batch(inputs, sampling_steps=sampling_steps,
                                      cutoff=cutoff, batch_vars=cands,
-                                     verbose=False)
-            out = np.asarray(results["out"])  # (B, R, n_out)
+                                     record_spikes=record_spikes, verbose=False)
+            if gen == 0 and objective_key not in results:
+                raise KeyError(
+                    f"objective_key {objective_key!r} is not a recorded series "
+                    f"(available: {sorted(k for k in results if k != 'steps')}); "
+                    "spike objectives need record_spikes=[node] and "
+                    "objective_key=(node, 'spikes').")
+            out = np.asarray(results[objective_key])  # (B, R, ...)
             if gen == 0 and targets.shape not in ((out.shape[1],),
                                                   out.shape[1:]):
                 try:
@@ -2379,9 +2394,10 @@ class Network:
                     else np.asarray(inputs[:1]))
         res_f = self.run_batch(final_in, sampling_steps=sampling_steps,
                                cutoff=cutoff, batch_vars=final_cand,
-                               verbose=False)
-        search_loss = float(loss_fn(jnp.asarray(np.asarray(res_f["out"])[0]),
-                                    jnp.asarray(targets)))
+                               record_spikes=record_spikes, verbose=False)
+        search_loss = float(loss_fn(
+            jnp.asarray(np.asarray(res_f[objective_key])[0]),
+            jnp.asarray(targets)))
         # write back whichever point actually scored best: the search point
         # random-walks near the optimum (the 1/sigma estimator grows as
         # sigma decays), while the best evaluated candidate is a certainty

@@ -53,30 +53,49 @@ def test_fit_es_recovers_excitability():
     assert len(obs["es_mean_loss"]) == len(obs["generations"]) == 40
 
 
-def test_fit_es_nondifferentiable_spike_count_objective():
-    """Fit a QIF population's excitability so the population emits a target
-    SPIKE COUNT -- an integer-valued objective no gradient can see."""
-    n, T, dt = 4, 400, 1e-3
+def _qif_net(n, dt, eta0=-5.0):
     net = Network(dt, dtype=jnp.float32)
     net.add_diffeq_node("qif", QIF, weights=np.zeros((n, n)), source_var="s",
                         target_var="s_in", input_var="I_ext", output_var="s",
                         op="qif_op", spike_var="spike", reset_var="v",
-                        clear=True, verbose=False, file_name="es_qif")
-    inp = np.full((T, 1), 20.0, dtype=np.float32)
+                        clear=True, verbose=False, file_name="es_qif",
+                        node_vars={"all/qif_op/eta": eta0})
+    return net
 
-    # spikes show as jumps of the synaptic activation s; count threshold
-    # crossings of the recorded population-mean output
-    def spike_count(out, _targets):
-        m = np.asarray(out).mean(axis=1)
-        return abs(float((np.diff(m) > 0.5 * np.max(np.diff(m) + 1e-9)).sum()) - 8.0)
+
+def test_fit_es_spike_count_objective_via_raster():
+    """Fit a QIF population's excitability to a target TOTAL SPIKE COUNT
+    scored directly on the recorded raster (record_spikes +
+    objective_key=(node, "spikes")) -- an integer objective no gradient can
+    see."""
+    n, T, dt = 4, 400, 1e-3
+    net = _qif_net(n, dt, eta0=100.0)
+    inp = np.full((T, 1), 20.0, dtype=np.float32)
+    target_count = 8.0
+
+    def count_loss(counts, _targets):
+        return abs(float(np.asarray(counts).sum()) - target_count)
 
     obs = net.fit_es(inp, np.zeros(1), fit_vars=[("qif", "qif_op/eta")],
-                     loss=spike_count, n_generations=25, pop_size=12,
-                     sigma=10.0, lr=8.0, bounds={("qif", "qif_op/eta"): (-20.0, 300.0)},
+                     loss=count_loss, record_spikes=["qif"],
+                     objective_key=("qif", "spikes"), sampling_steps=50,
+                     n_generations=25, pop_size=12, sigma=50.0, lr=40.0,
+                     bounds={("qif", "qif_op/eta"): (-20.0, 400.0)},
                      seed=5, verbose=False)
     assert obs["es_best_ever_loss"] <= obs["es_best_loss"][0]
+    assert obs["es_final_loss"] <= 1.0, obs["es_final_loss"]
     eta = float(np.asarray(net.get_var("qif", "qif_op/eta")).ravel()[0])
-    assert -20.0 <= eta <= 300.0  # bounds honored on the returned point
+    assert -20.0 <= eta <= 400.0  # bounds honored on the returned point
+
+
+def test_fit_es_objective_key_validation():
+    n = 3
+    net = _li_net(n, np.zeros((n, n)), 0.0)
+    inp = np.zeros((10, n), dtype=np.float32)
+    with pytest.raises(KeyError, match="not a recorded series"):
+        net.fit_es(inp, np.zeros(1), fit_vars=[("pop", "li_op/eta")],
+                   objective_key=("pop", "spikes"), n_generations=1,
+                   pop_size=2, antithetic=True, verbose=False)
 
 
 def test_fit_es_state_untouched_and_bounds():
