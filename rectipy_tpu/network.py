@@ -1378,10 +1378,22 @@ class Network:
                     f"input node expects {self.n_in} (or 1, broadcast).")
             input_fn = (in_fn, in_sig, T)
         else:
-            inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
-            if inputs.ndim != 3:
-                raise ValueError(f"run_batch expects (B, T, m) inputs, got {inputs.shape}")
-            B, T = int(inputs.shape[0]), int(inputs.shape[1])
+            # staging rule: device arrays of the right dtype pass through
+            # untouched (np.asarray would silently round-trip them to host
+            # and re-transfer every call)
+            if not (isinstance(inputs, jnp.ndarray) and inputs.dtype == self.dtype):
+                inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
+            if inputs.ndim == 2 and batch_vars:
+                # one SHARED (T, m) drive swept over batch_vars: staged once,
+                # vmapped with in_axes=None -- no (B, T, m) duplication
+                B, T = int(np.shape(next(iter(batch_vars.values())))[0]), int(inputs.shape[0])
+                in_axes_tree = None
+            elif inputs.ndim != 3:
+                raise ValueError(
+                    f"run_batch expects (B, T, m) inputs -- or shared (T, m) "
+                    f"inputs with batch_vars -- got {inputs.shape}")
+            else:
+                B, T = int(inputs.shape[0]), int(inputs.shape[1])
         self.compile()
         obs = Observer(dt=self.dt, record_loss=kwargs.pop("record_loss", False), **kwargs)
         state0 = self.init_state()
@@ -1458,7 +1470,7 @@ class Network:
                     for nlabel, key in swept:
                         pb["nodes"][nlabel][key] = params["nodes"][nlabel][key][b]
                 if input_fn is None:
-                    in_b = inputs[b]
+                    in_b = inputs if in_axes_tree is None else inputs[b]
                 else:  # slice per-trial spec leaves; shared leaves pass through
                     in_b = jax.tree.map(
                         lambda axis, leaf: leaf[b] if axis == 0 else leaf,
@@ -1491,7 +1503,8 @@ class Network:
             for nlabel, key in swept:
                 params0["nodes"][nlabel][key] = params["nodes"][nlabel][key][0]
         if input_fn is None:
-            in_aval, in_sig, in_fn_only = inputs[0, 0], None, None
+            in_aval = inputs[0] if in_axes_tree is None else inputs[0, 0]
+            in_sig, in_fn_only = ("shared" if in_axes_tree is None else None), None
         else:
             in_fn_only, in_sig, _ = input_fn
             in_args0 = jax.tree.map(
@@ -2212,6 +2225,25 @@ class Network:
                   f"(best start: {best}).")
         return obs
 
+    @staticmethod
+    def _make_es_losses(loss_fn, registry_loss: bool):
+        """Per-candidate loss evaluator for fit_es.  Registry losses score
+        the whole population in ONE jitted vmapped device program (a single
+        relay round-trip instead of pop_size float() syncs; the jit cache
+        persists across generations); user callables run on host numpy (they
+        may use any non-jax code)."""
+        if registry_loss:
+            vec = jax.jit(jax.vmap(loss_fn, in_axes=(0, None)))
+
+            def losses(out, targets):
+                return np.asarray(vec(jnp.asarray(out), jnp.asarray(targets)),
+                                  dtype=np.float64)
+        else:
+            def losses(out, targets):
+                return np.asarray([float(loss_fn(out[b], targets))
+                                   for b in range(out.shape[0])])
+        return losses
+
     def fit_es(self, inputs, targets, fit_vars, n_generations: int = 50,
                pop_size: int = 16, sigma: float = 0.1, lr: float = 0.05,
                loss="mse", loss_kwargs: dict = None, sampling_steps: int = 1,
@@ -2253,10 +2285,11 @@ class Network:
         point).  ``inputs``: a ``(T, m)`` array (shared across candidates)
         or an unbatched on-device InputSpec.  ``targets``: ``(R, n_out)``
         (or broadcastable) against the ``sampling_steps``/``cutoff`` record
-        grid.  ``loss``: a registry name (mse/l1/nll/ce/kld/hinge) or ANY
-        callable ``(out_b, targets) -> scalar`` -- it is never
-        differentiated, so spike counts, rate histograms, or other
-        discontinuous statistics are fair game.
+        grid.  ``loss``: a registry name (mse/l1/nll/ce/kld/hinge; the whole
+        population is scored in one vmapped device program) or ANY callable
+        ``(out_b, targets) -> scalar`` evaluated on host NUMPY arrays -- it
+        is never differentiated, so spike counts, rate histograms, other
+        discontinuous statistics, and non-jax code are all fair game.
 
         ``record_spikes=[node]`` + ``objective_key=(node, "spikes")`` score
         candidates on their per-window SPIKE-COUNT rasters instead of the
@@ -2288,6 +2321,7 @@ class Network:
         fit_vars = [tuple(v) for v in fit_vars]
         if isinstance(objective_key, (list, tuple)):
             objective_key = tuple(objective_key)
+        registry_loss = not callable(loss)
         if callable(loss):
             if loss_kwargs:
                 base_loss = loss
@@ -2315,12 +2349,24 @@ class Network:
             return val
 
         theta = {k: clip(k, v) for k, v in theta.items()}
-        if not isinstance(inputs, InputSpec):
-            inputs = np.asarray(inputs)
-            if inputs.ndim != 2:
+        if isinstance(inputs, InputSpec):
+            if inputs.batch is not None:
                 raise ValueError(
-                    f"fit_es expects shared (T, m) inputs; got {inputs.shape}")
-            inputs = np.broadcast_to(inputs, (B,) + inputs.shape)
+                    "fit_es needs an UNBATCHED input spec shared across "
+                    "candidates (per-trial streams would randomize the "
+                    "objective per candidate and break the final B=1 "
+                    "evaluation).")
+        else:
+            if np.ndim(inputs) != 2:
+                raise ValueError(
+                    f"fit_es expects shared (T, m) inputs; got {np.shape(inputs)}")
+            if not (isinstance(inputs, jnp.ndarray) and inputs.dtype == self.dtype):
+                # stage the shared drive ONCE; run_batch passes device arrays
+                # through and vmaps them with in_axes=None (no (B, T, m) copy
+                # or per-generation re-transfer)
+                inputs = jnp.asarray(np.asarray(inputs), dtype=self.dtype)
+        rec_output = objective_key == "out"
+        es_losses = self._make_es_losses(loss_fn, registry_loss)
         obs = Observer(dt=self.dt, record_output=False, record_loss=False)
         t0 = perf_counter()
 
@@ -2341,11 +2387,13 @@ class Network:
                 cands[key] = clip(key, val[None] + sig * e)
             results = self.run_batch(inputs, sampling_steps=sampling_steps,
                                      cutoff=cutoff, batch_vars=cands,
-                                     record_spikes=record_spikes, verbose=False)
+                                     record_spikes=record_spikes,
+                                     record_output=rec_output, verbose=False)
             if gen == 0 and objective_key not in results:
                 raise KeyError(
                     f"objective_key {objective_key!r} is not a recorded series "
-                    f"(available: {sorted(k for k in results if k != 'steps')}); "
+                    f"(available: "
+                    f"{sorted(repr(k) for k in results if k != 'steps')}); "
                     "spike objectives need record_spikes=[node] and "
                     "objective_key=(node, 'spikes').")
             out = np.asarray(results[objective_key])  # (B, R, ...)
@@ -2358,14 +2406,24 @@ class Network:
                         f"targets of shape {targets.shape} do not broadcast "
                         f"against the recorded output {out.shape[1:]} "
                         f"(records x n_out).")
-            losses = np.asarray([float(loss_fn(jnp.asarray(out[b]),
-                                               jnp.asarray(targets)))
-                                 for b in range(B)])
-            gen_best = int(np.nanargmin(losses))
+            losses = es_losses(out, targets)
+            finite = np.isfinite(losses)
+            if not finite.any():
+                # a whole diverged generation (stiff model + large sigma):
+                # skip the update instead of crashing -- progress and the
+                # best-ever candidate survive
+                mean_hist.append(float("nan"))
+                best_hist.append(float("nan"))
+                sigma_hist.append(sig)
+                sig *= float(sigma_decay)
+                if verbose:
+                    print(f"ES generation {gen}: all {B} candidates "
+                          "non-finite; update skipped")
+                continue
+            gen_best = int(np.argmin(np.where(finite, losses, np.inf)))
             if losses[gen_best] < best_ever[0]:
                 best_ever = (float(losses[gen_best]),
                              {k: np.array(c[gen_best]) for k, c in cands.items()})
-            finite = np.isfinite(losses)
             scores = np.where(finite, -losses, -np.inf)
             if rank_shaping:
                 order = np.argsort(np.argsort(scores))  # rank 0 = worst
@@ -2390,14 +2448,12 @@ class Network:
         # score the final search point itself (one more B=1 sweep; the
         # network state must stay untouched, so no plain run() here)
         final_cand = {k: np.asarray(v)[None] for k, v in theta.items()}
-        final_in = (inputs if isinstance(inputs, InputSpec)
-                    else np.asarray(inputs[:1]))
-        res_f = self.run_batch(final_in, sampling_steps=sampling_steps,
+        res_f = self.run_batch(inputs, sampling_steps=sampling_steps,
                                cutoff=cutoff, batch_vars=final_cand,
-                               record_spikes=record_spikes, verbose=False)
-        search_loss = float(loss_fn(
-            jnp.asarray(np.asarray(res_f[objective_key])[0]),
-            jnp.asarray(targets)))
+                               record_spikes=record_spikes,
+                               record_output=rec_output, verbose=False)
+        search_loss = float(es_losses(np.asarray(res_f[objective_key]),
+                                      targets)[0])
         # write back whichever point actually scored best: the search point
         # random-walks near the optimum (the 1/sigma estimator grows as
         # sigma decays), while the best evaluated candidate is a certainty
@@ -3428,8 +3484,10 @@ class Network:
         formation instead of runaway potentiation).  ``homeostasis_target``
         defaults to each row's above-floor sum at the FIRST scaled fit --
         it is remembered on the edge so chunked calls keep one target;
-        pass it explicitly for full reproducibility across processes.
-        Requires 2-D weights.
+        pass it explicitly for full reproducibility across processes.  The
+        scaling SCHEDULE also persists across chunked calls (the global
+        step phase rides on the edge), so arbitrary chunk lengths reproduce
+        one long call exactly.  Requires 2-D weights.
 
         Records the usual output windows; per-window weight statistics are
         saved under ``"w_mean"`` / ``"w_min"`` / ``"w_max"`` (plus
@@ -3527,6 +3585,9 @@ class Network:
         elif homeostasis_target is not None:
             raise ValueError(
                 "homeostasis_target only applies with homeostasis_steps set.")
+        # global scaling phase: chunked calls continue the schedule of one
+        # long call (an argument, not baked -- no recompile per chunk)
+        h_phase_val = int(getattr(edge, "_homeo_phase", 0)) if h_steps else 0
         step = self.make_step()
         params = self.parameters_pytree()
         state0 = self.init_state()
@@ -3588,7 +3649,7 @@ class Network:
             for (_, lbl, reader, _) in var_info)
 
         def scan_all(state0, params, W, E, x_pre, x_post, inputs, reward,
-                     h_target):
+                     h_target, h_phase):
             rec_out0 = jnp.zeros((n_rec, n_out), dtype=out_aval.dtype)
             rec_w0 = jnp.zeros((n_rec, 3), dtype=w_dtype)
             # per-window spike-count accumulators (f32: bf16 saturates at 256)
@@ -3631,13 +3692,20 @@ class Network:
                 if h_steps:
                     # multiplicative synaptic scaling every h_steps steps:
                     # above-floor row mass renormalized to the target (clip
-                    # keeps the bounds honored when scaling up)
-                    do_h = (step_idx % h_steps) == (h_steps - 1)
-                    above = W - edge.w_min
-                    scale = h_target / (above.sum(axis=1) + 1e-12)
-                    W_h = jnp.clip(edge.w_min + above * scale[:, None],
-                                   edge.w_min, edge.w_max)
-                    W = jnp.where(do_h, W_h, W)
+                    # keeps the bounds honored when scaling up).  h_phase
+                    # carries the GLOBAL step count across chunked calls so
+                    # chunking never shifts the scaling schedule; lax.cond
+                    # (not where) keeps the extra (n, n) pass off the
+                    # roofline-bound steps that don't scale.
+                    do_h = ((step_idx + h_phase) % h_steps) == (h_steps - 1)
+
+                    def _scale_rows(Wv):
+                        above = Wv - edge.w_min
+                        scale = h_target / (above.sum(axis=1) + 1e-12)
+                        return jnp.clip(edge.w_min + above * scale[:, None],
+                                        edge.w_min, edge.w_max)
+
+                    W = jax.lax.cond(do_h, _scale_rows, lambda Wv: Wv, W)
                 acc = tuple(a + s for a, s in zip(acc, rec_indicators))
                 do_rec = (step_idx % sampling_steps) == 0
                 idx = jnp.minimum(rec_i, max(n_rec - 1, 0))
@@ -3690,7 +3758,10 @@ class Network:
         stateT, W, E, x_pre, x_post, rec_out, rec_w, rec_spk, rec_var = \
             self._step_cache[cache_key](
                 state0, params, edge.params["weights"], E0, edge.params["x_pre"],
-                edge.params["x_post"], inputs, reward, h_target)
+                edge.params["x_post"], inputs, reward, h_target,
+                jnp.asarray(h_phase_val, dtype=jnp.int32))
+        if h_steps:
+            edge._homeo_phase = (h_phase_val + steps) % h_steps
         edge.params["weights"] = W
         edge.params["x_pre"] = x_pre
         edge.params["x_post"] = x_post

@@ -184,6 +184,17 @@ class Observer:
         ax.set_title(f"Node: {node} spike raster")
         return ax
 
+    def _spike_window_widths(self) -> np.ndarray:
+        """Steps covered by each recorded spike window.  Window ``k`` covers
+        ``(steps[k-1], steps[k]]``; the FIRST window of each run/fit call
+        covers only its own step (the scan's accumulator starts fresh, and a
+        ``cutoff`` zeroes everything below it), so the first recorded step
+        -- and every step-counter restart from chunked calls sharing this
+        Observer -- gets width 1."""
+        steps = np.asarray(self._recordings["steps"], dtype=float)
+        d = np.diff(steps)
+        return np.concatenate([[1.0], np.where(d > 0, d, 1.0)])
+
     def psth(self, node: str, per_neuron: bool = False):
         """Peri-stimulus time histogram from the ``(node, "spikes")`` window
         counts recorded via ``record_spikes=[node]``: the firing rate over
@@ -191,24 +202,28 @@ class Observer:
         time unit; Hz when ``dt`` is in seconds).
 
         Returns ``(times, rates)`` -- ``times`` are the record-step times
-        (each window ENDS at its record step, inclusive), ``rates`` is the
+        (each window ENDS at its record step, inclusive; the first window
+        of each run covers only its own step), ``rates`` is the
         population-mean rate ``(T,)`` or per-neuron ``(T, n)`` with
-        ``per_neuron=True``.
+        ``per_neuron=True``.  Handles ``cutoff`` runs and chunked calls
+        sharing one Observer (each chunk's first window restarts).  NOTE: a
+        ``cutoff`` that is not a multiple of ``sampling_steps`` leaves the
+        first window partially masked -- its rate is then a lower bound.
         """
         counts = self.to_numpy((node, "spikes")).astype(float)
         steps = np.asarray(self._recordings["steps"], dtype=float)
-        # window k covers (steps[k-1], steps[k]] -- window 0 starts at step 0
-        widths = np.diff(steps, prepend=-1.0)
+        widths = self._spike_window_widths()
         rates = counts / (widths[:, None] * self._dt)
         times = steps * self._dt
         return times, (rates if per_neuron else rates.mean(axis=1))
 
     def rates(self, node: str) -> np.ndarray:
-        """Per-neuron mean firing rate over the whole recording (total
-        ``(node, "spikes")`` counts / recorded duration)."""
+        """Per-neuron mean firing rate over the OBSERVED windows (total
+        ``(node, "spikes")`` counts / total steps covered by the recorded
+        windows) -- correct under ``cutoff`` and chunked calls, where the
+        covered steps are fewer than the wall-clock span."""
         counts = self.to_numpy((node, "spikes")).astype(float)
-        steps = np.asarray(self._recordings["steps"], dtype=float)
-        duration = (steps[-1] + 1.0) * self._dt
+        duration = self._spike_window_widths().sum() * self._dt
         return counts.sum(axis=0) / duration
 
     def matshow(self, v, ax=None, **kwargs):

@@ -132,3 +132,50 @@ def test_fit_es_validation_errors():
     with pytest.raises(KeyError, match="nope"):
         net.fit_es(inp, tgt, fit_vars=[("pop", "li_op/nope")], n_generations=1,
                    pop_size=2, verbose=False)
+
+
+def test_fit_es_survives_all_nan_generation():
+    """A fully diverged generation is skipped (nan history entry), not a
+    crash; the best-ever candidate still wins the write-back."""
+    n = 3
+    net = _li_net(n, np.zeros((n, n)), 0.2)
+    inp = np.zeros((20, n), dtype=np.float32)
+    tgt = np.zeros((20, n), dtype=np.float32)
+    calls = {"n": 0}
+
+    def flaky_loss(out, _t):
+        calls["n"] += 1
+        # generation 1 (calls 5..8, pop 4) diverges entirely
+        if 4 < calls["n"] <= 8:
+            return float("nan")
+        return float(np.mean(np.asarray(out) ** 2))
+
+    obs = net.fit_es(inp, tgt, fit_vars=[("pop", "li_op/eta")],
+                     loss=flaky_loss, n_generations=3, pop_size=4,
+                     sigma=0.1, lr=0.1, seed=0, verbose=False)
+    hist = obs["es_mean_loss"]
+    assert len(hist) == 3 and np.isnan(hist[1]) and np.isfinite(hist[0])
+    assert np.isfinite(obs["es_final_loss"])
+
+
+def test_fit_es_rejects_batched_input_spec():
+    from rectipy_tpu import Noise
+
+    n = 3
+    net = _li_net(n, np.zeros((n, n)), 0.0)
+    spec = Noise(20, channels=n, seed=np.arange(4))
+    with pytest.raises(ValueError, match="UNBATCHED"):
+        net.fit_es(spec, np.zeros((20, n)), fit_vars=[("pop", "li_op/eta")],
+                   pop_size=4, n_generations=1, verbose=False)
+
+
+def test_fit_es_objective_key_error_with_mixed_keys():
+    """The helpful KeyError must survive mixed str/tuple record keys
+    (sorted() over them used to raise TypeError)."""
+    n, dt = 2, 1e-3
+    net = _qif_net(n, dt)
+    inp = np.zeros((10, 1), dtype=np.float32)
+    with pytest.raises(KeyError, match="not a recorded series"):
+        net.fit_es(inp, np.zeros(1), fit_vars=[("qif", "qif_op/eta")],
+                   record_spikes=["qif"], objective_key=("qif", "spike"),
+                   pop_size=2, n_generations=1, verbose=False)

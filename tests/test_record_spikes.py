@@ -231,3 +231,26 @@ def test_observer_psth_from_run(qif_net_factory=None):
     np.testing.assert_allclose(
         rate, (counts / (widths[:, None] * dt)).mean(axis=1), rtol=1e-6)
     assert obs.rates("qif").shape == (n,)
+
+
+def test_observer_psth_handles_cutoff_and_chunked_runs():
+    """Window widths: the first window of each run (and after a cutoff)
+    covers only its own step; chunk restarts never produce negative rates."""
+    from rectipy_tpu import Observer
+
+    dt = 1e-3
+    obs = Observer(dt=dt, record_output=False, record_loss=False)
+    # chunk 1 recorded with cutoff: first kept record at step 500
+    obs.record_batch(np.asarray([500, 600]),
+                     var_values={("pop", "spikes"): np.asarray([[2], [30]])})
+    # chunk 2 shares the Observer; its step counter restarts at 0
+    obs.record_batch(np.asarray([0, 100]),
+                     var_values={("pop", "spikes"): np.asarray([[1], [50]])})
+    times, rate = obs.psth("pop")
+    widths = np.asarray([1.0, 100.0, 1.0, 100.0])
+    expected = np.asarray([2, 30, 1, 50]) / (widths * dt)
+    np.testing.assert_allclose(rate, expected)
+    assert np.all(rate >= 0)
+    # rates: denominator is the covered steps (202), not steps[-1]+1
+    np.testing.assert_allclose(obs.rates("pop"),
+                               np.asarray([83.0]) / (202 * dt))

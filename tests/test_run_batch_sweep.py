@@ -119,3 +119,29 @@ def test_sweep_t1_fallback():
         net2.set_var("p", "eta", etas[b])
         o = net2.run(ins[b], verbose=False).to_numpy("out")
         np.testing.assert_allclose(out[b], o, rtol=0, atol=1e-14)
+
+
+def test_run_batch_shared_2d_inputs_match_tiled():
+    """A shared (T, m) drive + batch_vars == the explicitly tiled (B, T, m)
+    form, without materializing B copies."""
+    import jax.numpy as jnp
+
+    from rectipy_tpu import Network
+
+    n, B, T = 4, 3, 25
+    rng = np.random.default_rng(8)
+    net = Network(dt=1e-2, dtype=jnp.float32)
+    net.add_diffeq_node("pop", "neuron_model_templates.rate_neurons.leaky_integrator.tanh",
+                        weights=rng.standard_normal((n, n)) * 0.1,
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        source_var="tanh_op/r", target_var="li_op/r_in",
+                        clear=True, verbose=False, file_name="rb_shared")
+    inp = rng.normal(size=(T, n)).astype(np.float32)
+    etas = np.linspace(-0.5, 0.5, B).astype(np.float32)
+    shared = net.run_batch(inp, sampling_steps=1,
+                           batch_vars={("pop", "li_op/eta"): etas}, verbose=False)
+    tiled = net.run_batch(np.broadcast_to(inp, (B, T, n)), sampling_steps=1,
+                          batch_vars={("pop", "li_op/eta"): etas}, verbose=False)
+    np.testing.assert_allclose(shared["out"], tiled["out"], rtol=1e-6)
+    with pytest.raises(ValueError, match="shared"):
+        net.run_batch(inp, sampling_steps=1, verbose=False)  # 2-D w/o batch_vars

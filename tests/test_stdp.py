@@ -602,3 +602,23 @@ def test_fit_stdp_homeostasis_errors():
         net2.fit_stdp(x[:, :6] if x.shape[1] >= 6 else np.zeros((10, 6)),
                       homeostasis_steps=5, homeostasis_target=np.ones(3),
                       verbose=False)
+
+
+def test_fit_stdp_homeostasis_chunks_not_multiple_of_period():
+    """The scaling schedule is GLOBAL: chunk lengths that are not multiples
+    of homeostasis_steps still reproduce one long call exactly (the phase
+    rides on the edge)."""
+    T, dt, h = 150, 0.1, 16  # 150 % 16 != 0, chunks 70/80 neither
+    rng = np.random.default_rng(41)
+    x = (rng.random((T, 6)) < 0.15) * 40.0
+    w0 = rng.uniform(0.1, 0.4, size=(2, 4))
+
+    net_a = _wide_net(dt, w0=w0)
+    net_a.fit_stdp(x, sampling_steps=50, homeostasis_steps=h, verbose=False)
+
+    net_b = _wide_net(dt, w0=w0)
+    net_b.fit_stdp(x[:70], sampling_steps=50, homeostasis_steps=h, verbose=False)
+    net_b.fit_stdp(x[70:], sampling_steps=50, homeostasis_steps=h, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(net_b.get_edge("pre", "post").params["weights"]),
+        np.asarray(net_a.get_edge("pre", "post").params["weights"]), rtol=1e-12)
