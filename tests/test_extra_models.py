@@ -304,3 +304,82 @@ def test_hh_spikes_rk4_matches_fine_euler():
     spikes_ref = int(np.sum((v_ref[1:] > 0) & (v_ref[:-1] <= 0)))
     assert spikes_rk4 >= 3, "HH at 10 uA/cm^2 should fire tonically"
     assert spikes_rk4 == spikes_ref
+
+
+# ------------------------------------------------------------- Morris-Lecar
+
+def _ml_rate(node, I, T=40000, dt=0.05, file_name=None):
+    """Sustained firing rate (0-mV upcrossings over the second half = 1 s)."""
+    net = Network(dt, dtype=jnp.float64)
+    net.add_diffeq_node("ml", f"rectipy_tpu.models.spiking_neurons.morris_lecar.{node}",
+                        weights=np.zeros((1, 1)), source_var="s", target_var="s_in",
+                        input_var="I_ext", output_var="v", verbose=False, clear=True,
+                        file_name=file_name or f"mlr_{node}", integrator="rk4")
+    v = net.run(np.full((T, 1), float(I)), sampling_steps=1,
+                verbose=False).to_numpy("out")[:, 0]
+    h = v[T // 2:]
+    assert np.all(np.isfinite(v))
+    return int(((h[:-1] < 0) & (h[1:] >= 0)).sum())
+
+
+def test_morris_lecar_vector_field_oracle():
+    """ML right-hand side against the textbook equations (type-II set)."""
+    n = 3
+    vf = lower("rectipy_tpu.models.spiking_neurons.morris_lecar.ml", n=n,
+               dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    v = rng.uniform(-70, 30, n)
+    w = rng.uniform(0.0, 0.5, n)
+    s = rng.uniform(0.0, 0.5, n)
+    # state layout (vf.var_map): contiguous blocks in equation order (v, w, s)
+    y = jnp.asarray(np.concatenate([v, w, s]))
+    dy = np.asarray(vf.func(0.0, y, vf.args))
+    m_inf = 0.5 * (1 + np.tanh((v + 1.2) / 18.0))
+    w_inf = 0.5 * (1 + np.tanh((v - 2.0) / 30.0))
+    tau_w = 1.0 / np.cosh((v - 2.0) / 60.0)
+    dv = (-2.0 * (v + 60.0) - 4.4 * m_inf * (v - 120.0) - 8.0 * w * (v + 84.0)) / 20.0
+    dw = 0.04 * (w_inf - w) * tau_w
+    ds = 1.0 * (1.0 - s) / (1.0 + np.exp(-(v - 10.0) / 2.0)) - s / 20.0
+    np.testing.assert_allclose(dy[:n], dv, rtol=1e-12)
+    np.testing.assert_allclose(dy[n:2 * n], dw, rtol=1e-12)
+    np.testing.assert_allclose(dy[2 * n:], ds, rtol=1e-12)
+
+
+def test_morris_lecar_excitability_classes():
+    """The textbook class signatures: type II (Hopf) turns on with a FINITE
+    rate jump between I=88 and I=90; type I (SNIC) fires from a much lower
+    rheobase and turns on at an arbitrarily LOW rate that climbs gradually."""
+    # type II: quiescent at 88, abrupt finite-rate onset at 90
+    assert _ml_rate("ml", 88) == 0
+    r2_on = _ml_rate("ml", 90)
+    assert r2_on >= 5
+    # type I: already firing at I=60 (far below the type-II threshold)
+    assert _ml_rate("ml_type1", 60) >= 5
+    # type I onset: silent at 39, low-rate at 40, climbing gradually
+    assert _ml_rate("ml_type1", 39) == 0
+    r1_on = _ml_rate("ml_type1", 40)
+    assert 1 <= r1_on <= 3
+    assert r1_on < r2_on  # SNIC onset is slower than the Hopf jump
+
+
+def test_morris_lecar_coupling_recruits_subthreshold_partner():
+    """Excitatory s-coupling: a firing neuron (I=95) recruits its
+    subthreshold partner (I=85, silent alone).  NOTE a rate increase is the
+    WRONG assertion for type II -- its f-I curve is nearly flat near the
+    Hopf -- recruitment is the meaningful signature."""
+    n, dt, T = 2, 0.05, 40000
+    inp = np.tile(np.asarray([95.0, 85.0]), (T, 1))
+
+    def partner_spikes(w):
+        net = Network(dt, dtype=jnp.float64)
+        net.add_diffeq_node("ml", "rectipy_tpu.models.spiking_neurons.morris_lecar.ml",
+                            weights=w, source_var="s", target_var="s_in",
+                            input_var="I_ext", output_var="v", verbose=False,
+                            clear=True, file_name="ml_pair", integrator="rk4")
+        obs = net.run(inp, sampling_steps=1, verbose=False,
+                      record_vars=[("ml", "v", False)])
+        v_b = obs.to_numpy(("ml", "v"))[T // 2:, 1]
+        return int(((v_b[:-1] < 0) & (v_b[1:] >= 0)).sum())
+
+    assert partner_spikes(np.zeros((n, n))) == 0
+    assert partner_spikes(np.asarray([[0.0, 0.0], [40.0, 0.0]])) >= 3
