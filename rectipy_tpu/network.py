@@ -1347,7 +1347,8 @@ class Network:
         integrates with its own ``values[b]``.  The TPU-native bifurcation
         / parameter-sweep workload: one vmapped program evaluates the whole
         sweep (couplings sweep too -- precision prep runs per trial inside
-        the program).
+        the program).  Composes with ``mesh=``: swept leaves shard over the
+        ``'data'`` axis with their trials.
 
         All B trials run in ONE vmapped scan (a single XLA program; batched
         matvecs become matmuls on the MXU).  Falls back to a per-trial loop
@@ -1420,9 +1421,6 @@ class Network:
                 p_axes["nodes"][nlabel][key] = 0
                 swept.append((nlabel, key))
             swept = tuple(sorted(swept))
-            if mesh is not None:
-                raise ValueError("batch_vars does not compose with mesh= yet; "
-                                 "run the parameter sweep unsharded.")
         if mesh is not None:
             # dp x mp in one call: trials shard over the mesh's 'data' axis,
             # the population over 'model' (same placement rules as run(mesh=));
@@ -1444,8 +1442,19 @@ class Network:
                         f"'data' axis ({n_data}); trials run REPLICATED (no "
                         f"data parallelism). Pad the batch to a multiple of "
                         f"{n_data} to shard it.", stacklevel=2)
+            if batch_vars:
+                # swept parameter leaves (B, ...) shard over 'data' WITH the
+                # trials they belong to (replicated when B doesn't divide)
+                for nlabel, key in swept:
+                    leaf = params["nodes"][nlabel][key]
+                    spec_p = (PartitionSpec("data", *([None] * (leaf.ndim - 1)))
+                              if batch_spec != PartitionSpec() else PartitionSpec())
+                    params["nodes"][nlabel][key] = jax.device_put(
+                        leaf, NamedSharding(mesh, spec_p))
             if input_fn is None:
-                inputs = jax.device_put(inputs, NamedSharding(mesh, batch_spec))
+                in_spec = (PartitionSpec() if in_axes_tree is None  # shared (T, m)
+                           else batch_spec)
+                inputs = jax.device_put(inputs, NamedSharding(mesh, in_spec))
             else:
                 # per-trial spec leaves (axis 0 = trials) shard over 'data';
                 # shared leaves replicate (they are tiny scalars/keys)
@@ -2297,6 +2306,11 @@ class Network:
         ``"out"``) -- fitting directly to spiking statistics, the canonical
         non-differentiable target.
 
+        ``mesh=``: candidates shard over the mesh's ``'data'`` axis and the
+        population over ``'model'`` (the ``run_batch`` placement rules; pick
+        ``pop_size`` a multiple of the data axis).  The final B=1
+        search-point evaluation runs unsharded.
+
         Returns an Observer with per-generation ``es_mean_loss`` /
         ``es_best_loss`` / ``es_sigma`` traces, ``es_best_ever_loss``, and
         ``es_final_loss`` (the score of the parameters actually written
@@ -2307,9 +2321,7 @@ class Network:
         of the same order as ``sigma`` when decaying.  The network state is
         left unchanged (every candidate starts from the same state).
         """
-        if kwargs.pop("mesh", None) is not None:
-            raise ValueError("fit_es does not compose with mesh= yet (the "
-                             "underlying batch_vars sweep is unsharded).")
+        mesh = kwargs.pop("mesh", None)
         B = int(pop_size)
         if B < 2:
             raise ValueError("fit_es needs pop_size >= 2.")
@@ -2387,7 +2399,7 @@ class Network:
                 cands[key] = clip(key, val[None] + sig * e)
             results = self.run_batch(inputs, sampling_steps=sampling_steps,
                                      cutoff=cutoff, batch_vars=cands,
-                                     record_spikes=record_spikes,
+                                     record_spikes=record_spikes, mesh=mesh,
                                      record_output=rec_output, verbose=False)
             if gen == 0 and objective_key not in results:
                 raise KeyError(

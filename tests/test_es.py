@@ -127,8 +127,6 @@ def test_fit_es_validation_errors():
     with pytest.raises(ValueError, match="not in fit_vars"):
         net.fit_es(inp, tgt, fit_vars=[("pop", "li_op/eta")],
                    bounds={("pop", "li_op/tau"): (0, 1)})
-    with pytest.raises(ValueError, match="mesh"):
-        net.fit_es(inp, tgt, fit_vars=[("pop", "li_op/eta")], mesh="m")
     with pytest.raises(KeyError, match="nope"):
         net.fit_es(inp, tgt, fit_vars=[("pop", "li_op/nope")], n_generations=1,
                    pop_size=2, verbose=False)
@@ -179,3 +177,29 @@ def test_fit_es_objective_key_error_with_mixed_keys():
         net.fit_es(inp, np.zeros(1), fit_vars=[("qif", "qif_op/eta")],
                    record_spikes=["qif"], objective_key=("qif", "spike"),
                    pop_size=2, n_generations=1, verbose=False)
+
+
+def test_fit_es_under_mesh_matches_unsharded_losses():
+    """fit_es(mesh=): candidates shard over 'data'; the same seed produces
+    the same generation losses as the unsharded fit (up to fp reduction
+    noise)."""
+    from rectipy_tpu.parallel import make_mesh
+
+    n, T = 16, 40
+    rng = np.random.default_rng(6)
+    w = rng.standard_normal((n, n)) * 0.1
+    inp = rng.normal(size=(T, n)).astype(np.float32) * 0.1
+    teacher = _li_net(n, w, 0.6)
+    targets = teacher.run(inp, sampling_steps=1, verbose=False).to_numpy("out")
+
+    def fit(mesh):
+        net = _li_net(n, w, 0.0)
+        obs = net.fit_es(inp, targets, fit_vars=[("pop", "li_op/eta")],
+                         n_generations=6, pop_size=8, sigma=0.3, lr=0.3,
+                         seed=4, mesh=mesh, verbose=False)
+        return obs["es_mean_loss"], np.asarray(net.get_var("pop", "li_op/eta"))
+
+    ref_hist, ref_eta = fit(None)
+    mesh_hist, mesh_eta = fit(make_mesh(8, data=4))
+    np.testing.assert_allclose(mesh_hist, ref_hist, rtol=1e-4)
+    np.testing.assert_allclose(mesh_eta, ref_eta, rtol=1e-3, atol=1e-5)

@@ -94,11 +94,6 @@ def test_sweep_validation():
         net.run_batch(ins, batch_vars={("p", "nope"): np.ones(B)}, verbose=False)
     with pytest.raises(ValueError, match="leading dimension"):
         net.run_batch(ins, batch_vars={("p", "eta"): np.ones(B + 1)}, verbose=False)
-    from rectipy_tpu.parallel import make_mesh
-
-    with pytest.raises(ValueError, match="mesh"):
-        net.run_batch(ins, batch_vars={("p", "eta"): np.ones(B)},
-                      mesh=make_mesh(4), verbose=False)
 
 
 def test_sweep_t1_fallback():
@@ -145,3 +140,35 @@ def test_run_batch_shared_2d_inputs_match_tiled():
     np.testing.assert_allclose(shared["out"], tiled["out"], rtol=1e-6)
     with pytest.raises(ValueError, match="shared"):
         net.run_batch(inp, sampling_steps=1, verbose=False)  # 2-D w/o batch_vars
+
+
+def test_run_batch_sweep_under_mesh_matches_unsharded():
+    """batch_vars composes with mesh=: swept leaves shard over 'data', the
+    population over 'model'; records match the unsharded sweep."""
+    import jax.numpy as jnp
+
+    from rectipy_tpu import Network
+    from rectipy_tpu.parallel import make_mesh
+
+    n, B, T = 16, 4, 20
+    rng = np.random.default_rng(12)
+    net = Network(dt=1e-2, dtype=jnp.float32)
+    net.add_diffeq_node("pop", "neuron_model_templates.rate_neurons.leaky_integrator.tanh",
+                        weights=rng.standard_normal((n, n)) * 0.1,
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        source_var="tanh_op/r", target_var="li_op/r_in",
+                        clear=True, verbose=False, file_name="rb_mesh_sweep")
+    inp = rng.normal(size=(B, T, n)).astype(np.float32)
+    etas = np.linspace(-0.5, 0.5, B).astype(np.float32)
+    ref = net.run_batch(inp, sampling_steps=1,
+                        batch_vars={("pop", "li_op/eta"): etas}, verbose=False)
+    mesh = make_mesh(8, data=2)
+    sharded = net.run_batch(inp, sampling_steps=1, mesh=mesh,
+                            batch_vars={("pop", "li_op/eta"): etas}, verbose=False)
+    np.testing.assert_allclose(sharded["out"], ref["out"], rtol=1e-6, atol=1e-7)
+    # shared 2-D input under the mesh too
+    ref2 = net.run_batch(inp[0], sampling_steps=1,
+                         batch_vars={("pop", "li_op/eta"): etas}, verbose=False)
+    sh2 = net.run_batch(inp[0], sampling_steps=1, mesh=mesh,
+                        batch_vars={("pop", "li_op/eta"): etas}, verbose=False)
+    np.testing.assert_allclose(sh2["out"], ref2["out"], rtol=1e-6, atol=1e-7)
