@@ -383,3 +383,91 @@ def test_morris_lecar_coupling_recruits_subthreshold_partner():
 
     assert partner_spikes(np.zeros((n, n))) == 0
     assert partner_spikes(np.asarray([[0.0, 0.0], [40.0, 0.0]])) >= 3
+
+
+# ------------------------------------------------------- electrical coupling
+
+def test_qif_gap_vector_field_oracle():
+    """qif_gap: the diffusive term g_gap*(G@v - deg*v) rides a second
+    coupling (edge v -> v_gap) next to the chemical s -> s_in edge."""
+    n = 5
+    rng = np.random.default_rng(7)
+    Ws = np.abs(rng.normal(size=(n, n))) * 0.2
+    G = np.abs(rng.normal(size=(n, n))) * 0.1
+    deg = G.sum(axis=1)
+    g_gap = 0.7
+    vf = lower("rectipy_tpu.models.spiking_neurons.qif.qif_gap", n=n,
+               dtype=jnp.float64,
+               edges=[("s", "s_in", Ws), ("v", "v_gap", G)],
+               node_vars={"all/qif_gap_op/deg": deg,
+                          "all/qif_gap_op/g_gap": g_gap})
+    v = rng.normal(size=n)
+    s = np.abs(rng.normal(size=n))
+    # state layout: v first (appears first in equations), then s
+    y = jnp.asarray(np.concatenate([v, s]))
+    dy = np.asarray(vf.func(0.0, y, vf.args))
+    dv = (v ** 2 - 5.0) + (Ws @ s) + g_gap * (G @ v - deg * v)
+    ds = -s
+    np.testing.assert_allclose(dy[:n], dv, rtol=1e-10)
+    np.testing.assert_allclose(dy[n:], ds, rtol=1e-10)
+
+
+def test_qif_gap_junctions_pull_voltages_together():
+    """Subthreshold heterogeneous QIF population: without electrical
+    coupling the membrane potentials settle at distinct fixed points
+    (-sqrt(-eta_i)); all-to-all gap junctions pull them together."""
+    n, T = 8, 4000
+    rng = np.random.default_rng(13)
+    etas = -np.linspace(1.0, 9.0, n)  # subthreshold spread
+
+    def spread(g_gap):
+        G = np.full((n, n), 1.0 / n)
+        net = Network(1e-3, dtype=jnp.float64)
+        net.add_diffeq_node("qif", "rectipy_tpu.models.spiking_neurons.qif.qif_gap",
+                            n=n, edges=[("v", "v_gap", G)],
+                            input_var="I_ext", output_var="v", op="qif_gap_op",
+                            verbose=False, clear=True, file_name=f"qgap{int(10*g_gap)}",
+                            node_vars={"all/qif_gap_op/eta": etas,
+                                       "all/qif_gap_op/deg": G.sum(axis=1),
+                                       "all/qif_gap_op/g_gap": g_gap})
+        v = net.run(np.zeros((T, n)), sampling_steps=50, verbose=False).to_numpy("out")
+        return float(v[-1].std())
+
+    s0, s_weak, s_strong = spread(0.0), spread(2.0), spread(20.0)
+    # uncoupled: fixed points -sqrt(-eta) with a known spread
+    np.testing.assert_allclose(s0, np.std(-np.sqrt(-etas)), rtol=1e-2)
+    assert s_weak < s0
+    assert s_strong < 0.25 * s0
+
+
+def test_mpr_gap_oracle_and_rate_drag():
+    """MPR + gap junctions (Laing 2015 / Pietras et al. 2019): the exact
+    mean-field adds a -g_gap*r term to the rate equation; steady activity
+    falls monotonically with the electrical coupling strength."""
+    n = 3
+    g = 4.0
+    vf = lower("rectipy_tpu.models.mean_field.montbrio.mpr_gap", n=n,
+               dtype=jnp.float64, node_vars={"all/mpr_gap_op/g_gap": g})
+    rng = np.random.default_rng(2)
+    r = np.abs(rng.normal(size=n)) + 0.1
+    v = rng.normal(size=n)
+    y = jnp.asarray(np.concatenate([r, v]))
+    dy = np.asarray(vf.func(0.0, y, vf.args))
+    np.testing.assert_allclose(dy[:n], 1.0 / np.pi + (2.0 * v - g) * r, rtol=1e-12)
+    np.testing.assert_allclose(dy[n:], (v ** 2 - 5.0) - (np.pi * r) ** 2 + 15.0 * r,
+                               rtol=1e-12)
+
+    def steady_r(g_gap):
+        net = Network(1e-4, dtype=jnp.float64)
+        net.add_diffeq_node("mpr", "rectipy_tpu.models.mean_field.montbrio.mpr_gap",
+                            weights=np.zeros((1, 1)), input_var="I_ext",
+                            output_var="r", source_var="r", target_var="r_in",
+                            op="mpr_gap_op", verbose=False, clear=True,
+                            file_name=f"mprg_t{int(g_gap)}",
+                            node_vars={"all/mpr_gap_op/g_gap": g_gap})
+        r = net.run(np.zeros((60000, 1)), sampling_steps=500,
+                    verbose=False).to_numpy("out")
+        return float(r[-1, 0])
+
+    rs = [steady_r(g) for g in (0.0, 5.0, 20.0)]
+    assert rs[0] > rs[1] > rs[2] > 0.0
