@@ -130,6 +130,76 @@ class Observer:
             val = self._additional_storage[item]
         return np.asarray([np.asarray(v) for v in val])
 
+    # one .npz holds recordings + saved extras; tuple keys (node, var) are
+    # joined with an unprintable separator so arbitrary node names survive
+    _KEY_SEP = "\x1f"
+
+    def to_npz(self, path: str) -> str:
+        """Persist all recordings and ``save()``d extras to ``path``
+        (``.npz``; appended if missing).  Round-trips through
+        :meth:`from_npz` — long-experiment results survive the process.
+        Non-array extras (dicts, strings) are pickled inside the archive.
+        """
+        import json
+
+        payload = {}
+        for key, vals in self._recordings.items():
+            name = (self._KEY_SEP.join(key) if isinstance(key, tuple) else key)
+            arrs = [np.asarray(v) for v in vals]
+            try:
+                payload["rec" + self._KEY_SEP + name] = np.stack(arrs) if arrs \
+                    else np.zeros((0,))
+            except ValueError:  # ragged series (mixed shapes): pickle
+                payload["rec" + self._KEY_SEP + name] = np.array(arrs, dtype=object)
+        for key, val in self._additional_storage.items():
+            try:
+                enc = np.asarray(val)
+                if enc.dtype == object:
+                    raise ValueError
+            except (ValueError, TypeError):
+                enc = np.array(val, dtype=object)
+            payload["sav" + self._KEY_SEP + str(key)] = enc
+        payload["__meta__"] = np.asarray(json.dumps({
+            "dt": self._dt,
+            "record_output": self._record_out,
+            "record_loss": self._record_loss,
+            "record_vars": [[n, v, bool(r)] for (n, v), r
+                            in zip(self._state_vars, self._reduce_vars)],
+        }))
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        np.savez(path, **payload)
+        return path
+
+    @classmethod
+    def from_npz(cls, path: str) -> "Observer":
+        """Reconstruct an Observer persisted by :meth:`to_npz`."""
+        import json
+
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        with np.load(path, allow_pickle=True) as data:
+            meta = json.loads(str(data["__meta__"]))
+            obs = cls(dt=meta["dt"], record_output=meta["record_output"],
+                      record_loss=meta["record_loss"],
+                      record_vars=[(n, v, r) for n, v, r in meta["record_vars"]])
+            for name in data.files:
+                if name == "__meta__":
+                    continue
+                kind, _, key = name.partition(cls._KEY_SEP)
+                val = data[name]
+                if kind == "rec":
+                    rkey = tuple(key.split(cls._KEY_SEP)) if cls._KEY_SEP in key else key
+                    if rkey == "steps":
+                        obs._recordings["steps"] = [int(s) for s in val]
+                    else:
+                        obs._recordings[rkey] = list(val)
+                else:
+                    obs._additional_storage[key] = (val.item()
+                                                    if val.dtype == object and val.ndim == 0
+                                                    else val)
+        return obs
+
     def to_dataframe(self, item: Union[str, Tuple[str, str]]):
         from pandas import DataFrame
 

@@ -254,3 +254,41 @@ def test_observer_psth_handles_cutoff_and_chunked_runs():
     # rates: denominator is the covered steps (202), not steps[-1]+1
     np.testing.assert_allclose(obs.rates("pop"),
                                np.asarray([83.0]) / (202 * dt))
+
+
+def test_observer_npz_round_trip(tmp_path):
+    """to_npz/from_npz: recordings (incl. tuple spike keys) and saved extras
+    (arrays, dicts, strings) round-trip through disk."""
+    import jax.numpy as jnp
+
+    from rectipy_tpu import Network, Observer
+
+    QIF = "neuron_model_templates.spiking_neurons.qif.qif"
+    n, T, dt = 4, 200, 1e-3
+    net = Network(dt, dtype=jnp.float32)
+    net.add_diffeq_node("qif", QIF, weights=np.zeros((n, n)), source_var="s",
+                        target_var="s_in", input_var="I_ext", output_var="s",
+                        op="qif_op", spike_var="spike", reset_var="v",
+                        node_vars={"all/qif_op/eta": 120.0})
+    obs = net.run(np.full((T, 1), 10.0, np.float32), sampling_steps=20,
+                  record_spikes=["qif"], record_vars=[("qif", "v", True)],
+                  verbose=False)
+    obs.save("w_out", np.arange(6.0).reshape(2, 3))
+    obs.save("fit_info", {"best": 3, "tag": "x"})
+    obs.save("label", "hello")
+
+    path = obs.to_npz(str(tmp_path / "obs"))
+    obs2 = Observer.from_npz(path)
+
+    assert obs2.dt == obs.dt
+    np.testing.assert_array_equal(obs2.to_numpy("out"), obs.to_numpy("out"))
+    np.testing.assert_array_equal(obs2.to_numpy(("qif", "spikes")),
+                                  obs.to_numpy(("qif", "spikes")))
+    np.testing.assert_array_equal(obs2.to_numpy(("qif", "v")),
+                                  obs.to_numpy(("qif", "v")))
+    assert obs2["steps"] == obs["steps"]
+    np.testing.assert_array_equal(obs2["w_out"], obs["w_out"])
+    assert obs2["fit_info"] == {"best": 3, "tag": "x"}
+    assert obs2["label"] == "hello"
+    # analysis helpers work on the restored object
+    np.testing.assert_allclose(obs2.rates("qif"), obs.rates("qif"))
