@@ -150,14 +150,21 @@ class Observer:
                 payload["rec" + self._KEY_SEP + name] = np.stack(arrs) if arrs \
                     else np.zeros((0,))
             except ValueError:  # ragged series (mixed shapes): pickle
-                payload["rec" + self._KEY_SEP + name] = np.array(arrs, dtype=object)
+                # np.array(list, dtype=object) raises when entries share a
+                # leading dim; an empty object array filled in place is the
+                # robust pickle container
+                box = np.empty(len(arrs), dtype=object)
+                box[:] = arrs
+                payload["rec" + self._KEY_SEP + name] = box
         for key, val in self._additional_storage.items():
-            try:
-                enc = np.asarray(val)
-                if enc.dtype == object:
-                    raise ValueError
-            except (ValueError, TypeError):
-                enc = np.array(val, dtype=object)
+            if isinstance(val, np.ndarray) and val.dtype != object:
+                enc = val  # plain arrays stay native
+            else:
+                # everything else (dicts, strings, scalars, lists, mixed
+                # objects) rides in a 1-element pickled box so the ORIGINAL
+                # Python type round-trips
+                enc = np.empty(1, dtype=object)
+                enc[0] = val
             payload["sav" + self._KEY_SEP + str(key)] = enc
         payload["__meta__"] = np.asarray(json.dumps({
             "dt": self._dt,
@@ -195,8 +202,10 @@ class Observer:
                     else:
                         obs._recordings[rkey] = list(val)
                 else:
-                    obs._additional_storage[key] = (val.item()
-                                                    if val.dtype == object and val.ndim == 0
+                    # extras: pickled 1-element boxes hold the original
+                    # Python object; plain arrays pass through
+                    obs._additional_storage[key] = (val[0]
+                                                    if val.dtype == object and val.shape == (1,)
                                                     else val)
         return obs
 

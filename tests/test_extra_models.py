@@ -336,9 +336,11 @@ def test_morris_lecar_vector_field_oracle():
     dy = np.asarray(vf.func(0.0, y, vf.args))
     m_inf = 0.5 * (1 + np.tanh((v + 1.2) / 18.0))
     w_inf = 0.5 * (1 + np.tanh((v - 2.0) / 30.0))
-    tau_w = 1.0 / np.cosh((v - 2.0) / 60.0)
+    # w relaxes at rate phi / tau_w(v) with tau_w = 1/cosh(.): dw has a
+    # MULTIPLICATIVE cosh (the standard Rinzel-Ermentrout form)
+    lam_w = np.cosh((v - 2.0) / 60.0)
     dv = (-2.0 * (v + 60.0) - 4.4 * m_inf * (v - 120.0) - 8.0 * w * (v + 84.0)) / 20.0
-    dw = 0.04 * (w_inf - w) * tau_w
+    dw = 0.04 * (w_inf - w) * lam_w
     ds = 1.0 * (1.0 - s) / (1.0 + np.exp(-(v - 10.0) / 2.0)) - s / 20.0
     np.testing.assert_allclose(dy[:n], dv, rtol=1e-12)
     np.testing.assert_allclose(dy[n:2 * n], dw, rtol=1e-12)

@@ -276,6 +276,8 @@ def test_observer_npz_round_trip(tmp_path):
     obs.save("w_out", np.arange(6.0).reshape(2, 3))
     obs.save("fit_info", {"best": 3, "tag": "x"})
     obs.save("label", "hello")
+    obs.save("alpha", 0.125)
+    obs.save("ragged", [np.zeros((2, 3)), np.zeros((2, 4))])
 
     path = obs.to_npz(str(tmp_path / "obs"))
     obs2 = Observer.from_npz(path)
@@ -289,6 +291,9 @@ def test_observer_npz_round_trip(tmp_path):
     assert obs2["steps"] == obs["steps"]
     np.testing.assert_array_equal(obs2["w_out"], obs["w_out"])
     assert obs2["fit_info"] == {"best": 3, "tag": "x"}
-    assert obs2["label"] == "hello"
+    assert isinstance(obs2["fit_info"], dict)
+    assert obs2["label"] == "hello" and isinstance(obs2["label"], str)
+    assert obs2["alpha"] == 0.125 and isinstance(obs2["alpha"], float)
+    assert obs2["ragged"][1].shape == (2, 4)
     # analysis helpers work on the restored object
     np.testing.assert_allclose(obs2.rates("qif"), obs.rates("qif"))
