@@ -304,3 +304,57 @@ def test_generic_fused_set_param_refresh():
         node.set_param("tau_s", 2.0)
     # the unfused path still allows it
     build(tau, W, fused=False).get_node("lif").set_param("tau_s", 2.0)
+
+
+def test_generic_fused_morris_lecar():
+    """Round-4 conductance model through the generic fused kernel: the
+    cosh/tanh gate algebra and the s-gate coupling fuse like any template."""
+    n = 32
+    rng = np.random.default_rng(21)
+    W = np.abs(rng.normal(size=(n, n))) * 1.0
+    v0 = rng.uniform(-50.0, -30.0, n)
+
+    def build():
+        net = Network(0.05, dtype=jnp.float32)
+        net.add_diffeq_node("ml", "rectipy_tpu.models.spiking_neurons.morris_lecar.ml",
+                            weights=W, source_var="s", target_var="s_in",
+                            input_var="I_ext", output_var="v", dtype=jnp.float32,
+                            node_vars={"all/ml_op/v": v0})
+        net.compile()
+        return net
+
+    # drive above threshold so the trajectories exercise the spike upstroke
+    rng2 = np.random.default_rng(22)
+    netA = build()
+    inp = (90.0 + rng2.normal(size=(400, n)) * 2.0).astype(np.float32)
+    ref = netA.run(inp, verbose=False).to_numpy("out")
+    netB = build()
+    attach_generic_fused_step(netB.get_node("ml"), tile=16, interpret=True)
+    fused = netB.run(inp, verbose=False).to_numpy("out")
+    np.testing.assert_allclose(fused, ref, atol=2e-3, rtol=1e-3)
+    assert ref.max() > 0.0  # reached the spike upstroke
+
+
+def test_generic_fused_qif_gap():
+    """Gap-junction QIF: chemical (s -> s_in) + electrical (v -> v_gap)
+    couplings fuse as two matvec accumulators."""
+    n = 24
+    rng = np.random.default_rng(23)
+    Ws = np.abs(rng.normal(size=(n, n))) * 0.05
+    G = np.full((n, n), 1.0 / n)
+    etas = rng.uniform(-3.0, -1.0, n)
+
+    def build():
+        net = Network(1e-3, dtype=jnp.float32)
+        net.add_diffeq_node("qif", "rectipy_tpu.models.spiking_neurons.qif.qif_gap",
+                            n=n, edges=[("s", "s_in", Ws), ("v", "v_gap", G)],
+                            input_var="I_ext", output_var="v", op="qif_gap_op",
+                            spike_var="spike", reset_var="v", dtype=jnp.float32,
+                            spike_threshold=100.0, spike_reset=-100.0,
+                            node_vars={"all/qif_gap_op/eta": etas,
+                                       "all/qif_gap_op/deg": G.sum(axis=1),
+                                       "all/qif_gap_op/g_gap": 3.0})
+        net.compile()
+        return net
+
+    _run_both(build, T=300, tile=8, seed=23, atol=5e-4)
