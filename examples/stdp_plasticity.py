@@ -56,9 +56,21 @@ drive = Poisson(CHUNK, channels=N, rate=40.0, amp=15.0, seed=3)
 # chunked plasticity: traces, weights and network state persist on the edge,
 # so the second call continues the first bit-exactly (regression-tested);
 # spec.shifted(CHUNK) continues the Poisson stream in global time
-obs1 = net.fit_stdp(drive, sampling_steps=200, verbose=False)
-obs2 = net.fit_stdp(drive.shifted(CHUNK), sampling_steps=200, verbose=False)
+# STDP_HOMEO=<steps> interleaves Turrigiano-style multiplicative synaptic
+# scaling: each postsynaptic row's mass is pinned to its initial sum every
+# <steps> steps, so the competitive structure forms WITHOUT total-input
+# drift (the target and schedule persist across the chunked calls)
+homeo = int(os.environ.get("STDP_HOMEO", "0")) or None
+obs1 = net.fit_stdp(drive, sampling_steps=200, verbose=False,
+                    homeostasis_steps=homeo)
+obs2 = net.fit_stdp(drive.shifted(CHUNK), sampling_steps=200, verbose=False,
+                    homeostasis_steps=homeo)
 W = np.asarray(net.get_edge("qif", "qif").params["weights"])
+if homeo:
+    # NOTE reference-parity: square weight matrices are auto-transposed on
+    # edge construction, so the stored rows are w0's COLUMNS
+    drift = np.max(np.abs(W.sum(axis=1) - w0.sum(axis=0)))
+    print(f"homeostasis (every {homeo} steps): max row-sum drift {drift:.2e}")
 
 w_mean = np.concatenate([np.asarray(obs1["w_mean"]), np.asarray(obs2["w_mean"])])
 print(f"STDP on N={N} recurrent QIF, T={T} steps (one fused scan)")
@@ -68,7 +80,11 @@ print(f"w_mean trajectory: {w_mean[0]:.4f} -> {w_mean[-1]:.4f} "
 hist, _ = np.histogram(W, bins=5, range=(0.0, 0.5))
 print(f"final weight histogram (5 bins over [0, 0.5]): {hist}")
 assert np.all(np.isfinite(W))
-assert abs(float(w_mean[-1]) - w0.mean()) > 1e-4, "weights never moved"
+if homeo:
+    # row sums are pinned by design; the STRUCTURE must still reorganize
+    assert np.max(np.abs(W - w0)) > 1e-3, "weights never moved"
+else:
+    assert abs(float(w_mean[-1]) - w0.mean()) > 1e-4, "weights never moved"
 
 if os.environ.get("STDP_PLOT", "0") == "1":
     import matplotlib

@@ -622,3 +622,28 @@ def test_fit_stdp_homeostasis_chunks_not_multiple_of_period():
     np.testing.assert_allclose(
         np.asarray(net_b.get_edge("pre", "post").params["weights"]),
         np.asarray(net_a.get_edge("pre", "post").params["weights"]), rtol=1e-12)
+
+
+def test_fit_stdp_homeostasis_feedback_self_edge_pins_stored_rows():
+    """Homeostasis on a recurrent feedback self-edge: the STORED rows pin
+    (reference-parity: a square weights matrix is auto-transposed on edge
+    construction, so the targets are the passed matrix's COLUMN sums)."""
+    from rectipy_tpu import FeedbackNetwork, Poisson
+
+    rng = np.random.default_rng(1)
+    N, dt, T, h = 12, 1e-3, 200, 50
+    net = FeedbackNetwork(dt)
+    net.add_diffeq_node(
+        "qif", QIF, weights=np.zeros((N, N)), source_var="s", target_var="s_in",
+        input_var="I_ext", output_var="s", spike_var="spike", reset_var="v",
+        op="qif_op", spike_threshold=100.0, spike_reset=-100.0,
+        node_vars={"all/qif_op/eta": rng.uniform(-2.0, 1.0, N)})
+    w0 = rng.uniform(0.0, 0.4, size=(N, N))
+    net.add_edge("qif", "qif", feedback=True, train="stdp", weights=w0,
+                 tau_plus=20e-3, tau_minus=20e-3, a_plus=5e-3, a_minus=6e-3,
+                 w_min=0.0, w_max=0.5)
+    drive = Poisson(T, channels=N, rate=40.0, amp=15.0, seed=3)
+    net.fit_stdp(drive, sampling_steps=50, verbose=False, homeostasis_steps=h)
+    W = np.asarray(net.get_edge("qif", "qif").params["weights"])
+    np.testing.assert_allclose(W.sum(axis=1), w0.sum(axis=0), rtol=1e-5)
+    assert np.max(np.abs(W - w0.T)) > 1e-4  # plasticity reshaped the rows
