@@ -3499,7 +3499,11 @@ class Network:
         pass it explicitly for full reproducibility across processes.  The
         scaling SCHEDULE also persists across chunked calls (the global
         step phase rides on the edge), so arbitrary chunk lengths reproduce
-        one long call exactly.  Requires 2-D weights.
+        one long call exactly.  Requires 2-D weights.  Targets refer to the
+        STORED ``(n_out, n_in)`` rows -- mind that a square matrix passed to
+        ``add_edge`` is auto-transposed on construction (reference parity,
+        /root/reference/rectipy/edges.py:22-23), so the default targets are
+        the passed matrix's COLUMN sums.
 
         Records the usual output windows; per-window weight statistics are
         saved under ``"w_mean"`` / ``"w_min"`` / ``"w_max"`` (plus

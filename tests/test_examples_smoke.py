@@ -46,7 +46,8 @@ def _run(example, env=None, timeout=420):
     # Poisson-driven ensemble with on-device drives + spike rasters
     ("spike_raster_poisson.py", {"RASTER_N": "64", "RASTER_B": "2"}),
     # recurrent STDP plasticity (fit_stdp on a feedback self-edge)
-    ("stdp_plasticity.py", {"STDP_N": "32", "STDP_T": "2000"}),
+    ("stdp_plasticity.py", {"STDP_N": "32", "STDP_T": "2000",
+                            "STDP_HOMEO": "500"}),
     # Tsodyks-Markram dynamic synapses (depression + facilitation protocols)
     ("short_term_plasticity.py", {"STP_RATES": "10,40", "STP_T": "600"}),
     # ES inverse problem: fit the MPR mean-field to a rate trajectory
