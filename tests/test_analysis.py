@@ -1,0 +1,149 @@
+"""Analysis subsystem: Jacobians, Newton fixed points, linear stability.
+
+Beyond-reference (the reference is simulation/training only).  Validated
+against closed-form linearizations and the known dynamics of the model
+library: the tanh-rate Jacobian matches its analytic form, the Montbrio
+mean-field's rest state classifies as a stable NODE at (eta=-5, J=15) and
+a stable FOCUS at high activity -- both against the closed-form
+eigenvalues, with the focus's linearized frequency matching the simulated
+damped ringing -- and the Wilson-Cowan fixed point inside its limit cycle
+is UNSTABLE.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectipy_tpu import Network
+from rectipy_tpu.analysis import autonomous_field, fixed_point, jacobian, stability
+
+TANH = "neuron_model_templates.rate_neurons.leaky_integrator.tanh"
+MPR = "rectipy_tpu.models.mean_field.montbrio.mpr"
+WC = "rectipy_tpu.models.rate_neurons.wilson_cowan.wc"
+
+
+def _tanh_net(n, W, tau=10.0, k=1.0):
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("pop", TANH, weights=W, input_var="li_op/I_ext",
+                        output_var="li_op/v", source_var="tanh_op/r",
+                        target_var="li_op/r_in", clear=True, verbose=False,
+                        file_name="ana_tanh",
+                        node_vars={"all/li_op/tau": tau, "all/li_op/k": k})
+    return net
+
+
+def test_jacobian_matches_analytic_tanh():
+    """v' = -v/tau + k W tanh(v) + I  =>  J = -I/tau + k W diag(sech^2 v)."""
+    n = 5
+    rng = np.random.default_rng(3)
+    W = rng.standard_normal((n, n)) * 0.3
+    net = _tanh_net(n, W, tau=7.0, k=1.3)
+    y = rng.standard_normal(n)
+    J = np.asarray(jacobian(net, y=y))
+    J_ref = -np.eye(n) / 7.0 + 1.3 * W * (1.0 / np.cosh(y) ** 2)[None, :]
+    np.testing.assert_allclose(J, J_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_autonomous_field_holds_input_constant():
+    n = 3
+    net = _tanh_net(n, np.zeros((n, n)), tau=5.0)
+    f, y = autonomous_field(net, inputs=2.0)
+    dy = np.asarray(f(jnp.zeros(n)))
+    np.testing.assert_allclose(dy, np.full(n, 2.0), rtol=1e-12)
+    # per-channel inputs broadcast too
+    f2, _ = autonomous_field(net, inputs=np.asarray([1.0, 2.0, 3.0]))
+    np.testing.assert_allclose(np.asarray(f2(jnp.zeros(n))), [1.0, 2.0, 3.0])
+
+
+def test_fixed_point_linear_system_exact():
+    """Uncoupled LI: y* = tau * I exactly."""
+    n = 4
+    net = _tanh_net(n, np.zeros((n, n)), tau=9.0)
+    y_star = np.asarray(fixed_point(net, inputs=0.5))
+    np.testing.assert_allclose(y_star, np.full(n, 4.5), rtol=1e-9)
+    eigs = stability(net, y=y_star, inputs=0.5)
+    np.testing.assert_allclose(eigs.real, -1.0 / 9.0, rtol=1e-9)
+
+
+def _mpr_net(eta, J, tag):
+    net = Network(1e-4, dtype=jnp.float64)
+    net.add_diffeq_node("mpr", MPR, weights=np.zeros((1, 1)), input_var="I_ext",
+                        output_var="r", source_var="r", target_var="r_in",
+                        op="mpr_op", verbose=False, clear=True,
+                        file_name=f"ana_mpr_{tag}",
+                        node_vars={"all/mpr_op/eta": eta, "all/mpr_op/J": J})
+    return net
+
+
+def test_montbrio_node_vs_focus_classification():
+    """MPR linear stability against the closed form: the Jacobian at the
+    fixed point is [[2v*, 2r*], [J - 2 pi^2 r*, 2v*]], so eigenvalues are
+    2v* +- sqrt(2 r* (J - 2 pi^2 r*)) -- REAL (stable node) when
+    J > 2 pi^2 r* (the default eta=-5, J=15 rest state) and COMPLEX
+    (focus) when J < 2 pi^2 r* (high-activity eta=5, J=0); the focus's
+    linearized frequency must match the simulated damped ringing."""
+    # stable NODE at the default parameters
+    net = _mpr_net(-5.0, 15.0, "node")
+    y_star = fixed_point(net, damping=0.7)
+    f, _ = autonomous_field(net)
+    assert float(jnp.max(jnp.abs(f(y_star)))) < 1e-9
+    r_star = float(y_star[0])
+    assert r_star > 0 and 15.0 > 2 * np.pi ** 2 * r_star
+    eigs = stability(net, y=y_star)
+    assert np.all(eigs.real < 0) and np.all(np.abs(eigs.imag) < 1e-9), eigs
+    # closed-form check
+    v_star = float(y_star[1])
+    disc = np.sqrt(2 * r_star * (15.0 - 2 * np.pi ** 2 * r_star))
+    np.testing.assert_allclose(sorted(eigs.real),
+                               sorted([2 * v_star - disc, 2 * v_star + disc]),
+                               rtol=1e-8)
+
+    # stable FOCUS at high activity (J < 2 pi^2 r*)
+    net = _mpr_net(5.0, 0.0, "focus")
+    y_star = fixed_point(net, damping=0.7)
+    r_star = float(y_star[0])
+    assert 0.0 < 2 * np.pi ** 2 * r_star and 0.0 == 0.0  # J = 0
+    eigs = stability(net, y=y_star)
+    assert np.all(eigs.real < 0), eigs
+    omega = float(np.abs(eigs[0].imag))
+    assert omega > 1.0, f"expected a focus, got {eigs}"
+    # the linearized frequency shows up in the simulated damped ringing
+    net.get_node("mpr").reset(y=np.asarray(y_star) * np.asarray([1.2, 1.0]))
+    dt = 1e-4
+    r = net.run(np.zeros((60000, 1)), sampling_steps=10,
+                verbose=False).to_numpy("out")[:, 0]
+    crossings = np.nonzero((r[:-1] - r_star) * (r[1:] - r_star) < 0)[0]
+    assert len(crossings) >= 4, "no damped ringing around the focus"
+    half_period = np.diff(crossings[:4]).mean() * 10 * dt
+    np.testing.assert_allclose(np.pi / half_period, omega, rtol=0.05)
+    np.testing.assert_allclose(r[-1], r_star, rtol=2e-2)  # slow decay: Re(lambda) ~ -0.45
+
+
+def test_wilson_cowan_unstable_focus_inside_limit_cycle():
+    """WC at the oscillatory drive: Newton (damped) finds the interior
+    fixed point, and its leading eigenvalues have POSITIVE real part --
+    the linear-stability signature of the limit cycle around it."""
+    n = 1
+    net = Network(1e-1, dtype=jnp.float64)
+    net.add_diffeq_node("wc", WC, weights=np.zeros((n, n)), source_var="e",
+                        target_var="r_in", input_var="I_ext", output_var="e",
+                        verbose=False, clear=True, file_name="ana_wc",
+                        node_vars={"all/wc_op/I_ext": 1.25})
+    # seed Newton from a mid-cycle state
+    net.run(np.full((2000, n), 1.25), verbose=False, record_output=False)
+    y_star = fixed_point(net, inputs=1.25, damping=0.5, max_iter=300)
+    eigs = stability(net, y=y_star, inputs=1.25)
+    assert eigs[0].real > 0, f"expected an unstable fixed point, got {eigs}"
+
+
+def test_resolve_node_errors():
+    n = 2
+    net = _tanh_net(n, np.zeros((n, n)))
+    net.add_func_node("out", n, activation_function="identity")
+    net.add_edge("pop", "out")
+    # unique diffeq node still resolves despite the func node
+    assert jacobian(net).shape == (n, n)
+    net2 = Network(1e-2)
+    net2.add_func_node("a", n, activation_function="identity")
+    with pytest.raises(ValueError, match="0 differential-equation"):
+        jacobian(net2)
