@@ -75,15 +75,19 @@ def jacobian(net, node: str = None, y=None, inputs=None) -> jnp.ndarray:
     return jax.jacobian(f)(y)
 
 
-def fixed_point(net, node: str = None, y0=None, inputs=None, tol: float = 1e-10,
+def fixed_point(net, node: str = None, y0=None, inputs=None, tol: float = None,
                 max_iter: int = 100, damping: float = 1.0) -> jnp.ndarray:
     """Damped Newton solve of ``f(y) = 0`` from ``y0`` (default: the node's
     current state).  Returns the fixed point; raises if the residual does
     not reach ``tol * (1 + |y*|)`` within ``max_iter`` iterations (try a
     smaller ``damping`` or a better ``y0`` -- e.g. the tail of a short
-    ``run``)."""
+    ``run``).  ``tol`` defaults to ``1000 * eps`` of the node's dtype
+    (~1e-4 in float32, ~2e-11 in float64 -- use a float64 network for
+    tight equilibria)."""
     f, y_cur = autonomous_field(net, node, inputs)
     y = y_cur if y0 is None else jnp.asarray(y0, dtype=y_cur.dtype)
+    if tol is None:
+        tol = 1000.0 * float(jnp.finfo(y.dtype).eps)
     jac = jax.jit(jax.jacobian(f))
     fj = jax.jit(f)
     for _ in range(int(max_iter)):

@@ -52,6 +52,8 @@ def _run(example, env=None, timeout=420):
     ("short_term_plasticity.py", {"STP_RATES": "10,40", "STP_T": "600"}),
     # ES inverse problem: fit the MPR mean-field to a rate trajectory
     ("es_model_fitting.py", {"ES_GENS": "6", "ES_POP": "8", "ES_T": "600"}),
+    # continuation + stability classification + sweep cross-check
+    ("bifurcation_continuation.py", {"BIF_POINTS": "5", "BIF_T": "160000"}),
 ])
 def test_example_runs(example, env):
     _run(example, env)
