@@ -82,7 +82,7 @@ print(f"final weight histogram (5 bins over [0, 0.5]): {hist}")
 assert np.all(np.isfinite(W))
 if homeo:
     # row sums are pinned by design; the STRUCTURE must still reorganize
-    assert np.max(np.abs(W - w0)) > 1e-3, "weights never moved"
+    assert np.max(np.abs(W - w0.T)) > 1e-3, "weights never moved"  # stored = w0.T
 else:
     assert abs(float(w_mean[-1]) - w0.mean()) > 1e-4, "weights never moved"
 

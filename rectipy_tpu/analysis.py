@@ -37,22 +37,46 @@ __all__ = ["autonomous_field", "jacobian", "fixed_point", "stability"]
 def _resolve_node(net, node: Optional[str]):
     """The diffeq node to analyze (explicit label, or the unique one)."""
     if node is not None:
-        return net.get_node(node)
+        return node, net.get_node(node)
     # diffeq nodes carry a state vector y; InstantNodes only have func
     diffeq = [n for n in net.nodes if hasattr(net.get_node(n), "y")]
     if len(diffeq) != 1:
         raise ValueError(
             f"Network has {len(diffeq)} differential-equation nodes "
             f"({diffeq}); pass node=<label> to pick one.")
-    return net.get_node(diffeq[0])
+    return diffeq[0], net.get_node(diffeq[0])
 
 
-def autonomous_field(net, node: str = None, inputs=None):
+def _check_closed_loop(net, label: str, open_loop: bool):
+    """Edge-driven inputs are FROZEN at their stored values by the
+    autonomous field -- analyzing a node whose recurrence arrives through
+    graph/feedback edges would silently drop that coupling from the
+    Jacobian, so refuse unless the caller opts in."""
+    if open_loop:
+        return
+    preds = list(net.graph.predecessors(label))
+    fb = [(u, v) for u, v, _ in getattr(net, "_fb_edge_list", lambda: [])()
+          if v == label]
+    if preds or fb:
+        raise ValueError(
+            f"Node {label!r} receives inputs through graph edges "
+            f"({preds + fb}); the analysis functions freeze those at their "
+            "stored values and would return the OPEN-LOOP linearization. "
+            "Analyze a node whose recurrence lives in its own coupling "
+            "(weights=/edges= on add_diffeq_node), or pass open_loop=True "
+            "to accept the open-loop analysis deliberately.")
+
+
+def autonomous_field(net, node: str = None, inputs=None, open_loop: bool = False):
     """``(f, y)``: the node's autonomous vector field ``f(y) -> dy/dt`` with
     the external input held constant at ``inputs`` (scalar or ``(n_in,)``;
     default: the input slot's stored value, normally zeros), plus the
-    node's current state vector."""
-    nd = _resolve_node(net, node)
+    node's current state vector.  Couplings declared ON the node
+    (``weights=`` / ``edges=`` of ``add_diffeq_node``) are part of the
+    flow; inputs arriving through graph/feedback edges are NOT (they are
+    frozen constants) -- such nodes raise unless ``open_loop=True``."""
+    label, nd = _resolve_node(net, node)
+    _check_closed_loop(net, label, open_loop)
     args = dict(nd.args)
     if inputs is not None:
         cur = args[nd._inp_key]
@@ -67,47 +91,102 @@ def autonomous_field(net, node: str = None, inputs=None):
     return f, nd.y
 
 
-def jacobian(net, node: str = None, y=None, inputs=None) -> jnp.ndarray:
+def _node_programs(nd):
+    """Jitted (f, jacobian, newton) programs for a node, CACHED on the node
+    object (CLAUDE.md rule: cache jitted closures -- remote compiles are
+    expensive, and a 20-point continuation would otherwise recompile per
+    point).  ``args`` ride as arguments, so parameter changes (continued
+    eta, different inputs) reuse the same compiled programs."""
+    cache = nd.__dict__.setdefault("_analysis_programs", {})
+    if not cache:
+        func = nd.func
+
+        def f(y, args):
+            return func(0.0, y, args)
+
+        def jac(y, args):
+            return jax.jacobian(lambda yy: func(0.0, yy, args))(y)
+
+        def newton(y, args, tol, damping, max_iter):
+            # whole damped-Newton loop ON DEVICE: one dispatch per solve,
+            # no per-iteration host round-trips
+            def resid(yv):
+                return jnp.max(jnp.abs(f(yv, args)))
+
+            def cond(carry):
+                yv, it = carry
+                return (it < max_iter) & (resid(yv) > tol * (1.0 + jnp.max(jnp.abs(yv))))
+
+            def body(carry):
+                yv, it = carry
+                step = jnp.linalg.solve(jac(yv, args), f(yv, args))
+                return yv - damping * step, it + 1
+
+            y_star, iters = jax.lax.while_loop(cond, body, (y, jnp.asarray(0)))
+            return y_star, resid(y_star), iters
+
+        cache["f"] = jax.jit(f)
+        cache["jac"] = jax.jit(jac)
+        cache["newton"] = jax.jit(newton)
+    return cache
+
+
+def _field_args(net, node, inputs, open_loop):
+    label, nd = _resolve_node(net, node)
+    _check_closed_loop(net, label, open_loop)
+    args = dict(nd.args)
+    if inputs is not None:
+        cur = args[nd._inp_key]
+        inp = jnp.asarray(inputs, dtype=nd.dtype)
+        args[nd._inp_key] = jnp.broadcast_to(inp, np.shape(cur)) \
+            if np.ndim(cur) else inp.reshape(())
+    return nd, args
+
+
+def jacobian(net, node: str = None, y=None, inputs=None,
+             open_loop: bool = False) -> jnp.ndarray:
     """Jacobian ``df/dy`` of the node's smooth flow at state ``y`` (default:
     the node's current state) -- exact, via ``jax.jacobian``."""
-    f, y_cur = autonomous_field(net, node, inputs)
-    y = y_cur if y is None else jnp.asarray(y, dtype=y_cur.dtype)
-    return jax.jacobian(f)(y)
+    nd, args = _field_args(net, node, inputs, open_loop)
+    y = nd.y if y is None else jnp.asarray(y, dtype=nd.y.dtype)
+    return _node_programs(nd)["jac"](y, args)
 
 
 def fixed_point(net, node: str = None, y0=None, inputs=None, tol: float = None,
-                max_iter: int = 100, damping: float = 1.0) -> jnp.ndarray:
+                max_iter: int = 100, damping: float = 1.0,
+                open_loop: bool = False) -> jnp.ndarray:
     """Damped Newton solve of ``f(y) = 0`` from ``y0`` (default: the node's
-    current state).  Returns the fixed point; raises if the residual does
-    not reach ``tol * (1 + |y*|)`` within ``max_iter`` iterations (try a
-    smaller ``damping`` or a better ``y0`` -- e.g. the tail of a short
-    ``run``).  ``tol`` defaults to ``1000 * eps`` of the node's dtype
-    (~1e-4 in float32, ~2e-11 in float64 -- use a float64 network for
-    tight equilibria)."""
-    f, y_cur = autonomous_field(net, node, inputs)
-    y = y_cur if y0 is None else jnp.asarray(y0, dtype=y_cur.dtype)
+    current state).  The whole iteration runs as one cached on-device
+    program (continuations over a parameter pay one compile total).
+    Raises if the residual does not reach ``tol * (1 + |y*|)`` within
+    ``max_iter`` iterations (try a smaller ``damping`` or a better ``y0``
+    -- e.g. the tail of a short ``run``).  ``tol`` defaults to
+    ``1000 * eps`` of the node's dtype (~1e-4 in float32, ~2e-11 in
+    float64 -- use a float64 network for tight equilibria)."""
+    nd, args = _field_args(net, node, inputs, open_loop)
+    y = nd.y if y0 is None else jnp.asarray(y0, dtype=nd.y.dtype)
     if tol is None:
         tol = 1000.0 * float(jnp.finfo(y.dtype).eps)
-    jac = jax.jit(jax.jacobian(f))
-    fj = jax.jit(f)
-    for _ in range(int(max_iter)):
-        r = fj(y)
-        if float(jnp.max(jnp.abs(r))) <= tol * (1.0 + float(jnp.max(jnp.abs(y)))):
-            return y
-        step = jnp.linalg.solve(jac(y), r)
-        y = y - damping * step
-    resid = float(jnp.max(jnp.abs(fj(y))))
-    raise RuntimeError(
-        f"fixed_point: Newton did not converge in {max_iter} iterations "
-        f"(max |f| = {resid:.3e}); try damping < 1 or a closer y0.")
+    y_star, resid, iters = _node_programs(nd)["newton"](
+        y, args, jnp.asarray(tol, dtype=y.dtype),
+        jnp.asarray(damping, dtype=y.dtype), int(max_iter))
+    resid = float(resid)
+    if not (resid <= tol * (1.0 + float(jnp.max(jnp.abs(y_star))))) \
+            or not np.isfinite(resid):
+        raise RuntimeError(
+            f"fixed_point: Newton did not converge in {max_iter} iterations "
+            f"(max |f| = {resid:.3e}); try damping < 1 or a closer y0.")
+    return y_star
 
 
-def stability(net, node: str = None, y=None, inputs=None) -> np.ndarray:
+def stability(net, node: str = None, y=None, inputs=None,
+              open_loop: bool = False) -> np.ndarray:
     """Eigenvalues of the Jacobian at ``y`` (default: current state), sorted
     by descending real part.  All ``Re < 0`` -> locally asymptotically
     stable; a complex leading pair -> focus/spiral (its imaginary part is
     the local angular frequency); a positive real part at a fixed point ->
     locally unstable (e.g. inside a limit cycle)."""
-    J = np.asarray(jacobian(net, node, y, inputs), dtype=np.float64)
+    J = np.asarray(jacobian(net, node, y, inputs, open_loop=open_loop),
+                   dtype=np.float64)
     eigs = np.linalg.eigvals(J)
     return eigs[np.argsort(-eigs.real)]

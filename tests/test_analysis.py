@@ -102,7 +102,7 @@ def test_montbrio_node_vs_focus_classification():
     net = _mpr_net(5.0, 0.0, "focus")
     y_star = fixed_point(net, damping=0.7)
     r_star = float(y_star[0])
-    assert 0.0 < 2 * np.pi ** 2 * r_star and 0.0 == 0.0  # J = 0
+    assert r_star > 0  # any r* > 0 is a focus here since J = 0 < 2 pi^2 r*
     eigs = stability(net, y=y_star)
     assert np.all(eigs.real < 0), eigs
     omega = float(np.abs(eigs[0].imag))
@@ -147,3 +147,46 @@ def test_resolve_node_errors():
     net2.add_func_node("a", n, activation_function="identity")
     with pytest.raises(ValueError, match="0 differential-equation"):
         jacobian(net2)
+
+
+def test_open_loop_guard_for_edge_coupled_nodes():
+    """A node whose recurrence arrives through a graph/feedback edge must
+    refuse analysis (the frozen edge input would drop the coupling from the
+    Jacobian) unless open_loop=True is passed deliberately."""
+    from rectipy_tpu import FeedbackNetwork
+
+    n = 3
+    net = FeedbackNetwork(1e-2)
+    net.add_diffeq_node("pop", TANH, weights=np.zeros((n, n)),
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        source_var="tanh_op/r", target_var="li_op/r_in",
+                        clear=True, verbose=False, file_name="ana_guard")
+    net.add_edge("pop", "pop", feedback=True, weights=np.eye(n) * 0.9)
+    with pytest.raises(ValueError, match="OPEN-LOOP"):
+        jacobian(net)
+    # deliberate open-loop analysis: the edge coupling is absent by design
+    J = np.asarray(jacobian(net, open_loop=True))
+    np.testing.assert_allclose(J, -np.eye(n) / 10.0, atol=1e-12)
+
+    # inbound inter-node edges guard too
+    net2 = Network(1e-2)
+    net2.add_func_node("inp", n, activation_function="identity")
+    net2.add_diffeq_node("pop", TANH, weights=np.zeros((n, n)),
+                         input_var="li_op/I_ext", output_var="li_op/v",
+                         source_var="tanh_op/r", target_var="li_op/r_in",
+                         clear=True, verbose=False, file_name="ana_guard2")
+    net2.add_edge("inp", "pop")
+    with pytest.raises(ValueError, match="OPEN-LOOP"):
+        fixed_point(net2, node="pop")
+
+
+def test_fixed_point_programs_cached_per_node():
+    """Repeated fixed_point calls (a continuation) reuse one compiled
+    Newton program on the node."""
+    n = 2
+    net = _tanh_net(n, np.zeros((n, n)), tau=5.0)
+    nd = net.get_node("pop")
+    fixed_point(net, inputs=0.1)
+    progs = nd._analysis_programs
+    fixed_point(net, inputs=0.7)
+    assert nd._analysis_programs is progs and len(progs) == 3
