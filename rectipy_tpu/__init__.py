@@ -15,7 +15,7 @@ __version__ = "0.2.0"
 from .dsl import CircuitTemplate, NodeTemplate, OperatorTemplate, clear_frontend_caches, lower
 from .edges import (RLS, STDP, Linear, LinearFilter, LinearMasked, LinearMemory,
                     LinearMemoryFilter, LinearSTP)
-from .inputs import Constant, InputSpec, Noise, Poisson, Pulse, Sine
+from .inputs import Constant, InputSpec, Noise, Poisson, Pulse, Sine, Wiener
 from .network import FeedbackNetwork, Network
 from .nodes import InstantNode, MultiSpikeResetNet, RateNet, SpikeNet, SpikeResetNet
 from .observer import Observer
@@ -57,6 +57,7 @@ __all__ = [
     "Poisson",
     "Pulse",
     "Sine",
+    "Wiener",
     "circular_connectivity",
     "clear_frontend_caches",
     "input_connections",

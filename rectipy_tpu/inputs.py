@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["InputSpec", "Noise", "Poisson", "Pulse", "Sine", "Constant", "Sum"]
+__all__ = ["InputSpec", "Noise", "Wiener", "Poisson", "Pulse", "Sine", "Constant", "Sum"]
 
 
 def _leaf_sig(tree) -> tuple:
@@ -178,6 +178,56 @@ class Noise(InputSpec):
             return a["mean"] + a["scale"] * z
 
         sig = ("noise", self.steps, m, dist, self.batch, _leaf_sig(args))
+        return fn, args, axes, sig
+
+
+@dataclass(frozen=True)
+class Wiener(InputSpec):
+    """White-noise SDE drive with Euler-Maruyama scaling: emits
+    ``drift + sigma/sqrt(dt) * z_t`` with ``z_t ~ N(0, 1)``, so the
+    integrator's ``dt`` multiplication turns each step into the correct
+    Wiener increment ``sigma*sqrt(dt)*z_t``.  Unlike :class:`Noise` (whose
+    integrated effect vanishes as dt -> 0), a Wiener-driven trajectory
+    converges to the SDE ``dy = f(y) dt + sigma dW`` under dt refinement --
+    integrated-path statistics are dt-invariant (tested: Var[integral] =
+    sigma^2 * T for any dt; an OU process ``v' = -v/tau + Wiener(sigma)``
+    reaches stationary variance ``sigma^2 * tau / 2``).
+
+    ``sigma`` / ``drift``: scalars or per-channel ``(channels,)`` arrays.
+    ``seed``: an int, or a ``(B,)`` int array for per-trial sample paths in
+    ``run_batch``.  ``spec.shifted(len)`` continues the path across chunked
+    runs.  This is THE drive for stochastic neural dynamics (diffusion
+    approximations of synaptic bombardment, noise-induced transitions,
+    stochastic resonance); the reference has no on-device or
+    dt-consistent noise facility (host arrays only,
+    /root/reference/rectipy/network.py:542-571).
+    """
+
+    sigma: object = 1.0
+    drift: object = 0.0
+    seed: object = 0
+
+    @property
+    def batch(self) -> Optional[int]:
+        seeds = np.asarray(self.seed)
+        return None if seeds.ndim == 0 else int(seeds.shape[0])
+
+    def build(self, dt, dtype, salt: int = 0):
+        key, key_axis = _make_key(self.seed, class_salt=3, salt=salt)
+        scale = np.asarray(self.sigma, dtype=np.float64) / np.sqrt(float(dt))
+        args = {"key": key,
+                "scale": jnp.asarray(scale, dtype=dtype),
+                "drift": jnp.asarray(self.drift, dtype=dtype),
+                "t0": jnp.asarray(self.t0, dtype=jnp.int32)}
+        axes = {"key": key_axis, "scale": None, "drift": None, "t0": None}
+        m = self.channels
+
+        def fn(t_idx, a):
+            k = jax.random.fold_in(a["key"], t_idx + a["t0"])
+            z = jax.random.normal(k, (m,), dtype=dtype)
+            return a["drift"] + a["scale"] * z
+
+        sig = ("wiener", self.steps, m, self.batch, _leaf_sig(args))
         return fn, args, axes, sig
 
 

@@ -279,3 +279,51 @@ def test_trainers_reject_specs_with_guidance():
     obs = net.fit_bptt([dense], [np.zeros((T, N))], optimizer="adam", lr=1e-3,
                        verbose=False)
     assert np.isfinite(obs["epoch_loss"]).all()
+
+
+def test_wiener_euler_maruyama_statistics():
+    """Wiener emits sigma/sqrt(dt)*z: per-step stats, dt-invariant integral,
+    and an end-to-end OU stationary variance through Network.run."""
+    from rectipy_tpu.inputs import Wiener
+
+    sigma, drift = 0.5, 0.2
+    x = Wiener(2000, channels=16, sigma=sigma, drift=drift,
+               seed=11).materialize(1e-3, np.float64)
+    np.testing.assert_allclose(x.std(), sigma / np.sqrt(1e-3), rtol=0.05)
+    np.testing.assert_allclose(x.mean(), drift,
+                               atol=5 * x.std() / np.sqrt(x.size))
+    # Var[ integral_0^T sigma dW ] = sigma^2 * T independent of dt (the
+    # defining property Noise lacks: its integral vanishes as dt -> 0)
+    T_total = 1.0
+    for dt in (1e-3, 4e-3):
+        steps = int(round(T_total / dt))
+        paths = Wiener(steps, channels=2048, sigma=sigma,
+                       seed=3).materialize(dt, np.float64)
+        var = (paths.sum(axis=0) * dt).var()
+        np.testing.assert_allclose(var, sigma**2 * T_total, rtol=0.15)
+    # per-trial paths: (B,) seeds differ and match the scalar-seed stream
+    b = Wiener(100, channels=4, sigma=sigma, seed=np.array([3, 4]))
+    db = b.materialize(1e-3, np.float64)
+    assert db.shape == (2, 100, 4) and np.abs(db[0] - db[1]).max() > 0
+    np.testing.assert_array_equal(
+        db[0], Wiener(100, channels=4, sigma=sigma, seed=3).materialize(1e-3, np.float64))
+
+
+def test_wiener_ou_stationary_variance():
+    """li_op with zero coupling driven by Wiener(sigma) IS an OU process:
+    v' = -v/tau + sigma*xi, stationary Var[v] = sigma^2 * tau / 2."""
+    from rectipy_tpu.inputs import Wiener
+
+    tau, sigma, dt, n, steps = 0.02, 1.0, 1e-3, 64, 40_000
+    net = Network(dt, dtype=jnp.float64)
+    net.add_diffeq_node("ou", LI, weights=np.zeros((n, n)),
+                        source_var="tanh_op/r", target_var="li_op/r_in",
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        node_vars={"li_op/tau": tau})
+    obs = net.run(Wiener(steps, channels=n, sigma=sigma, seed=7),
+                  sampling_steps=1, cutoff=10_000, verbose=False)
+    v = obs.to_numpy("out")
+    # Euler-discretized OU: Var = sigma^2*dt / (1 - (1 - dt/tau)^2)
+    expect = sigma**2 * dt / (1.0 - (1.0 - dt / tau) ** 2)
+    np.testing.assert_allclose(v.var(), expect, rtol=0.1)
+    assert abs(expect - sigma**2 * tau / 2) / expect < 0.03  # ~ the SDE value
