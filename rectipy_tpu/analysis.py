@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["autonomous_field", "jacobian", "fixed_point", "stability"]
+__all__ = ["autonomous_field", "jacobian", "fixed_point", "stability",
+           "lyapunov_spectrum"]
 
 
 def _resolve_node(net, node: Optional[str]):
@@ -177,6 +178,98 @@ def fixed_point(net, node: str = None, y0=None, inputs=None, tol: float = None,
             f"fixed_point: Newton did not converge in {max_iter} iterations "
             f"(max |f| = {resid:.3e}); try damping < 1 or a closer y0.")
     return y_star
+
+
+def _lyap_program(nd, k: int, n_blocks: int, reorth: int, transient: int):
+    """Jitted Benettin iteration: evolve the state with the node's own
+    Euler map ``y -> y + dt*f(y)`` while co-evolving ``k`` tangent vectors
+    through the map's EXACT differential ``Q -> Q + dt*J(y)Q`` (one jvp per
+    column, no dense Jacobian), QR-reorthonormalizing every ``reorth``
+    steps and accumulating ``log|diag R|``.  One device program for the
+    whole estimate; cached on the node like the Newton solver."""
+    cache = nd.__dict__.setdefault("_analysis_programs", {})
+    key = ("lyap", k, n_blocks, reorth, transient)
+    if key not in cache:
+        func = nd.func
+
+        def run(y, Q, args, dt):
+            def f(yy):
+                return func(0.0, yy, args)
+
+            def euler(yy, _):
+                return yy + dt * f(yy), None
+
+            def step(carry, _):
+                yy, Qm = carry
+                jQ = jax.vmap(lambda q: jax.jvp(f, (yy,), (q,))[1],
+                              in_axes=1, out_axes=1)(Qm)
+                return (yy + dt * f(yy), Qm + dt * jQ), None
+
+            def block(carry, _):
+                yy, Qm, acc = carry
+                (yy, Qm), _ = jax.lax.scan(step, (yy, Qm), None, length=reorth)
+                Qm, R = jnp.linalg.qr(Qm)
+                d = jnp.abs(jnp.diagonal(R))
+                tiny = jnp.asarray(jnp.finfo(d.dtype).tiny, dtype=d.dtype)
+                return (yy, Qm, acc + jnp.log(jnp.maximum(d, tiny))), None
+
+            if transient:
+                y, _ = jax.lax.scan(euler, y, None, length=transient)
+            acc0 = jnp.zeros(k, dtype=y.dtype)
+            (_, _, acc), _ = jax.lax.scan(block, (y, Q, acc0), None,
+                                          length=n_blocks)
+            return acc / (n_blocks * reorth * dt)
+
+        cache[key] = jax.jit(run)
+    return cache[key]
+
+
+def lyapunov_spectrum(net, node: str = None, k: int = 1, steps: int = 50_000,
+                      transient: int = 0, reorth: int = 10, y0=None,
+                      inputs=None, seed: int = 0,
+                      open_loop: bool = False) -> np.ndarray:
+    """Leading ``k`` Lyapunov exponents of the node's simulated dynamics
+    (Benettin/QR method), in descending order, units of 1/time.
+
+    The exponents are those of the DISCRETE Euler map the framework
+    integrates (``y -> y + dt*f(y)``, /root/reference/rectipy/nodes.py:166-170
+    semantics), propagated through its exact differential — so they
+    converge to the flow's exponents as ``dt`` is refined and are exact
+    for what ``run()`` actually simulates.  ``lambda_max > 0`` = chaos
+    (e.g. the Sompolinsky-Crisanti-Sommers transition of random tanh-rate
+    networks at gain g > 1, tested); a limit cycle shows a leading
+    exponent ~0 (neutral along the flow) with the rest negative.
+
+    ``steps`` map applications after ``transient`` warmup steps (from
+    ``y0``/the node's current state); external input frozen at ``inputs``
+    (see :func:`autonomous_field` — smooth flows only, spiking resets are
+    discontinuous and excluded).  ``reorth``: steps between QR
+    reorthonormalizations (shorten for strongly expanding systems).
+    ``seed`` draws the initial orthonormal tangent frame.  The whole
+    estimate runs as ONE cached on-device program per (k, steps, reorth,
+    transient) shape — parameter sweeps (exponent vs gain) recompile
+    nothing.
+    """
+    nd, args = _field_args(net, node, inputs, open_loop)
+    y = nd.y if y0 is None else jnp.asarray(y0, dtype=nd.y.dtype)
+    n = int(y.shape[0])
+    if not 1 <= k <= n:
+        raise ValueError(f"k must be in [1, {n}] (state dimension), got {k}")
+    if steps < reorth:
+        raise ValueError(f"steps ({steps}) must be >= reorth ({reorth})")
+    n_blocks = steps // reorth
+    rng = np.random.default_rng(seed)
+    Q0, _ = np.linalg.qr(rng.standard_normal((n, k)))
+    prog = _lyap_program(nd, k, n_blocks, int(reorth), int(transient))
+    lam = prog(y, jnp.asarray(Q0, dtype=y.dtype), args,
+               jnp.asarray(net.dt, dtype=y.dtype))
+    lam = np.asarray(lam, dtype=np.float64)
+    if not np.all(np.isfinite(lam)):
+        raise RuntimeError(
+            f"lyapunov_spectrum diverged (exponents {lam}); the trajectory "
+            "likely blew up — reduce dt, add a transient, or start from an "
+            "attractor state.")
+    return np.sort(lam)[::-1]
 
 
 def stability(net, node: str = None, y=None, inputs=None,

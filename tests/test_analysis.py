@@ -190,3 +190,79 @@ def test_fixed_point_programs_cached_per_node():
     progs = nd._analysis_programs
     fixed_point(net, inputs=0.7)
     assert nd._analysis_programs is progs and len(progs) == 3
+
+
+def test_lyapunov_linear_system_exact():
+    """Uncoupled LI is linear: every exponent equals the exact discrete-map
+    rate log(1 - dt/tau)/dt, independent of the run length or tangent
+    seed."""
+    from rectipy_tpu.analysis import lyapunov_spectrum
+
+    n, tau = 4, 10.0
+    net = _tanh_net(n, np.zeros((n, n)), tau=tau)
+    lam = lyapunov_spectrum(net, k=3, steps=500, reorth=5,
+                            y0=np.ones(n), seed=1)
+    expect = np.log(1.0 - net.dt / tau) / net.dt
+    np.testing.assert_allclose(lam, expect, rtol=1e-9)
+    # different tangent seed, same exponents
+    lam2 = lyapunov_spectrum(net, k=3, steps=500, reorth=5,
+                             y0=np.ones(n), seed=7)
+    np.testing.assert_allclose(lam2, lam, rtol=1e-9)
+
+
+def test_lyapunov_scs_chaos_transition():
+    """Sompolinsky-Crisanti-Sommers 1988: x' = -x + g W tanh(x) with
+    W ~ N(0, 1/N) is chaotic for g > 1 (positive lambda_max) and settles
+    to the stable origin for g < 1 (lambda_max ~ -(1 - g))."""
+    from rectipy_tpu.analysis import lyapunov_spectrum
+
+    n = 128
+    rng = np.random.default_rng(1)
+    W0 = rng.standard_normal((n, n)) / np.sqrt(n)
+    y0 = rng.standard_normal(n) * 0.5
+
+    def gain_net(g):
+        return _tanh_net(n, g * W0, tau=1.0)
+
+    lam_sub = lyapunov_spectrum(gain_net(0.5), steps=20_000, transient=5_000,
+                                y0=y0, seed=2)[0]
+    # finite-N realizations near onset can be quasi-periodic (measured:
+    # N=64, g=2 gave lambda ~ 0 for one W draw, matching a numpy Benettin
+    # oracle); g=3 at N=128 is robustly chaotic (lambda ~ 0.14-0.17)
+    lam_chaos = lyapunov_spectrum(gain_net(3.0), steps=40_000, transient=10_000,
+                                  y0=y0, seed=2)[0]
+    assert lam_sub < -0.2, f"subcritical gain should contract, got {lam_sub}"
+    assert lam_chaos > 0.05, f"g=3 should be chaotic, got {lam_chaos}"
+
+
+def test_lyapunov_limit_cycle_neutral_direction():
+    """On the Wilson-Cowan limit cycle the leading exponent is ~0 (neutral
+    along the flow) and the second is negative (attracting cycle)."""
+    from rectipy_tpu.analysis import lyapunov_spectrum
+
+    n = 1
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("wc", WC, weights=np.zeros((n, n)), source_var="e",
+                        target_var="r_in", input_var="I_ext", output_var="e",
+                        verbose=False, clear=True, file_name="lyap_wc",
+                        node_vars={"all/wc_op/I_ext": 1.25})
+    lam = lyapunov_spectrum(net, k=2, steps=200_000, transient=50_000,
+                            inputs=1.25, seed=3)
+    assert abs(lam[0]) < 0.02, f"flow direction should be neutral, got {lam}"
+    assert lam[1] < -0.05, f"cycle should attract transversally, got {lam}"
+
+
+def test_lyapunov_validates_and_caches():
+    from rectipy_tpu.analysis import lyapunov_spectrum
+
+    n = 3
+    net = _tanh_net(n, np.zeros((n, n)))
+    with pytest.raises(ValueError, match="state dimension"):
+        lyapunov_spectrum(net, k=n + 1)
+    with pytest.raises(ValueError, match="reorth"):
+        lyapunov_spectrum(net, steps=5, reorth=10)
+    nd = net.get_node("pop")
+    lyapunov_spectrum(net, k=1, steps=100, reorth=10)
+    n_progs = len(nd._analysis_programs)
+    lyapunov_spectrum(net, k=1, steps=100, reorth=10, inputs=0.3)
+    assert len(nd._analysis_programs) == n_progs  # same shape -> cached
