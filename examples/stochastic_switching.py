@@ -1,0 +1,118 @@
+"""Noise-induced switching in the bistable Montbrio-Pazo-Roxin mean-field.
+
+Combines three beyond-reference subsystems into the textbook stochastic-
+dynamics experiment (Kramers escape between attractors):
+
+1. `rectipy_tpu.analysis` — damped-Newton `fixed_point` + `stability`
+   locate BOTH stable equilibria of the bistable regime (eta=-5, J=15:
+   a low-activity state r*~0.08 and a high-activity state r*~1.03) and
+   the saddle between them (r*~0.47) that separates their basins;
+2. `rectipy_tpu.inputs.Wiener` — the Euler-Maruyama SDE drive
+   (sigma/sqrt(dt) per step), so the noise intensity is a property of the
+   CONTINUOUS system: halving dt does not change the switching statistics;
+3. the windowed scan `run()` — the whole stochastic trajectory is one
+   on-device program; no (T, m) noise array is ever materialized.
+
+The run sweeps the noise intensity and counts basin transitions with a
+Schmitt trigger around the saddle: below the critical noise the system
+stays in its initial basin; above it, hopping sets in and accelerates
+with sigma (measured here: 0 -> ~4 -> ~18 transitions for sigma 1/2/4
+over T=40).
+
+The reference has no fixed-point solver, no SDE-consistent noise, and
+would loop a Python Euler step per dt (/root/reference/rectipy/
+network.py:588-599).
+
+Usage:
+    python examples/stochastic_switching.py            # TPU
+    SW_STEPS=100000 python examples/stochastic_switching.py
+"""
+
+import os
+import sys
+
+try:
+    import rectipy_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from rectipy_tpu import Network
+from rectipy_tpu.analysis import fixed_point, stability
+from rectipy_tpu.inputs import Wiener
+
+MPR = "rectipy_tpu.models.mean_field.montbrio.mpr"
+STEPS = int(os.environ.get("SW_STEPS", 400_000))
+SIGMAS = [float(s) for s in os.environ.get("SW_SIGMAS", "1.0,2.0,4.0").split(",")]
+SEED = int(os.environ.get("SW_SEED", 1))
+dt = 1e-4
+
+
+def build():
+    net = Network(dt)
+    net.add_diffeq_node("mpr", MPR, weights=np.zeros((1, 1)), input_var="I_ext",
+                        output_var="r", source_var="r", target_var="r_in",
+                        op="mpr_op", verbose=False, clear=True,
+                        file_name="sw_mpr",
+                        node_vars={"all/mpr_op/eta": -5.0, "all/mpr_op/J": 15.0})
+    return net
+
+
+# --- 1. map the deterministic landscape with Newton ----------------------
+net = build()
+attractors = []
+for y0 in ([0.01, -3.0], [1.0, 0.5], [0.3, -1.0]):
+    try:
+        ys = np.asarray(fixed_point(net, y0=np.asarray(y0), damping=0.5,
+                                    max_iter=500))
+    except RuntimeError:
+        continue
+    eig = stability(net, y=ys)
+    kind = "stable" if np.all(eig.real < 0) else "saddle"
+    if not any(np.allclose(ys, a[0], atol=1e-6) for a in attractors):
+        attractors.append((ys, kind))
+
+stable = sorted([a[0][0] for a in attractors if a[1] == "stable"])
+saddles = [a[0][0] for a in attractors if a[1] == "saddle"]
+assert len(stable) == 2 and len(saddles) == 1, attractors
+r_lo, r_hi, r_saddle = stable[0], stable[1], saddles[0]
+print(f"equilibria: low r*={r_lo:.4f}, high r*={r_hi:.4f}, "
+      f"saddle r*={r_saddle:.4f}")
+
+# Schmitt thresholds bracketing the saddle (hysteresis kills chatter)
+thr_hi = (r_saddle + r_hi) / 2
+thr_lo = (r_lo + r_saddle) / 2
+
+
+def count_transitions(r):
+    state, trans, in_hi = None, 0, 0
+    for v in r:
+        s = "H" if v > thr_hi else ("L" if v < thr_lo else state)
+        if state and s and s != state:
+            trans += 1
+        state = s or state
+        in_hi += state == "H"
+    return trans, in_hi / len(r)
+
+
+# --- 2. stochastic runs across noise intensities --------------------------
+print(f"\n{'sigma':>6} {'transitions':>12} {'frac high':>10}   (T = {STEPS * dt:g})")
+results = {}
+for sigma in SIGMAS:
+    net = build()  # fresh state at the default (low) equilibrium basin
+    obs = net.run(Wiener(STEPS, channels=1, sigma=sigma, seed=SEED),
+                  sampling_steps=100, verbose=False)
+    r = obs.to_numpy("out")[:, 0]
+    trans, frac_hi = count_transitions(r)
+    results[sigma] = trans
+    print(f"{sigma:>6g} {trans:>12d} {frac_hi:>10.2f}")
+
+# Kramers signature: hopping rate increases with noise intensity
+sigmas = sorted(results)
+assert results[sigmas[0]] <= results[sigmas[-1]], results
+if STEPS >= 200_000:
+    assert results[sigmas[0]] == 0, "weak noise should stay in its basin"
+    assert results[sigmas[-1]] >= 2, "strong noise should hop basins"
+print("\nnoise-induced switching verified: sub-threshold noise confined, "
+      "supra-threshold noise hops (rate grows with sigma)")

@@ -305,6 +305,41 @@ class Observer:
         duration = self._spike_window_widths().sum() * self._dt
         return counts.sum(axis=0) / duration
 
+    def spectrum(self, item="out", nperseg: int = None, per_channel: bool = False,
+                 **welch_kwargs):
+        """Welch power spectral density of a recording: ``(freqs, psd)``.
+
+        The sample rate is derived from the RECORD grid (``dt`` times the
+        recorded step spacing, so downsampled recordings get the right
+        frequency axis); raises if the grid is irregular (e.g. chunked
+        runs with different ``sampling_steps`` -- resample first).
+        ``psd`` is the channel-mean ``(F,)`` (or ``(F, n)`` with
+        ``per_channel=True``); frequencies are in the reciprocal unit of
+        ``dt`` (Hz when dt is in seconds).  ``nperseg`` defaults to
+        ``min(256, T)``; extra kwargs pass through to
+        ``scipy.signal.welch``.  Beyond-reference helper (the reference
+        exports to numpy/pandas and leaves spectral analysis to the user).
+        """
+        from scipy.signal import welch
+
+        x = self.to_numpy(item)
+        if x.ndim == 1:
+            x = x[:, None]
+        steps = np.asarray(self._recordings["steps"], dtype=np.int64)
+        if len(steps) < 2:
+            raise ValueError("spectrum needs at least two recorded samples")
+        gaps = np.diff(steps)
+        if not np.all(gaps == gaps[0]):
+            raise ValueError(
+                "spectrum requires an evenly spaced record grid; this "
+                f"Observer's recorded step gaps vary ({np.unique(gaps)[:5]}"
+                " ...) -- record with one sampling_steps, or resample.")
+        fs = 1.0 / (self._dt * float(gaps[0]))
+        if nperseg is None:
+            nperseg = min(256, x.shape[0])
+        freqs, psd = welch(x, fs=fs, nperseg=nperseg, axis=0, **welch_kwargs)
+        return freqs, (psd if per_channel else psd.mean(axis=1))
+
     def matshow(self, v, ax=None, **kwargs):
         """Heatmap (time x feature) of recorded variable ``v``."""
         import matplotlib.pyplot as plt

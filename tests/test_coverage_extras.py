@@ -367,3 +367,39 @@ def test_phase_timer_syncs_on_result_handle():
     with timer.phase("nohandle"):
         _ = jnp.ones(3)
     assert timer.counts["nohandle"] == 1
+
+
+def test_observer_spectrum_peak_and_grid():
+    """Welch PSD peaks at the driven frequency; the frequency axis derives
+    from the RECORD grid (downsampling halves the Nyquist, not the peak);
+    irregular grids raise."""
+    from rectipy_tpu.inputs import Sine
+
+    n, dt, f0 = 4, 1e-3, 25.0
+    net = _net(n)
+    # strong sinusoidal drive -> v oscillates at f0
+    spec = Sine(8000, channels=n, freq=f0, amp=5.0)
+    net2 = Network(dt, dtype=jnp.float64)
+    net2.add_diffeq_node("rnn", TANH, weights=np.zeros((n, n)),
+                         input_var="li_op/I_ext", output_var="li_op/v",
+                         source_var="tanh_op/r", target_var="li_op/r_in",
+                         node_vars={"li_op/tau": 0.01})
+    obs = net2.run(spec, sampling_steps=1, cutoff=1000, verbose=False)
+    freqs, psd = obs.spectrum(nperseg=1024)
+    assert abs(freqs[np.argmax(psd)] - f0) < freqs[1] - freqs[0] + 1e-9
+    # downsampled recording: fs = 1/(dt*sampling), peak still at f0
+    obs2 = net2.run(spec, sampling_steps=4, cutoff=1000, verbose=False)
+    freqs2, psd2 = obs2.spectrum(nperseg=512)
+    assert freqs2[-1] == pytest.approx(0.5 / (dt * 4))
+    assert abs(freqs2[np.argmax(psd2)] - f0) < freqs2[1] - freqs2[0] + 1e-9
+    # per-channel shape
+    _, psd_pc = obs2.spectrum(nperseg=128, per_channel=True)
+    assert psd_pc.ndim == 2 and psd_pc.shape[1] == n
+    # irregular grid (two chunks with different sampling) raises
+    net3 = _net(n)
+    o = net3.run(np.ones((20, n)), sampling_steps=5, verbose=False)
+    net3.run(np.ones((21, n)), sampling_steps=7, verbose=False, obs=o)
+    with pytest.raises(ValueError, match="evenly spaced"):
+        o.spectrum()
+    with pytest.raises(ValueError, match="two recorded"):
+        Observer(dt=0.1).spectrum()

@@ -54,6 +54,12 @@ def _run(example, env=None, timeout=420):
     ("es_model_fitting.py", {"ES_GENS": "6", "ES_POP": "8", "ES_T": "600"}),
     # continuation + stability classification + sweep cross-check
     ("bifurcation_continuation.py", {"BIF_POINTS": "5", "BIF_T": "160000"}),
+    # SCS chaos transition at toy scale (lyapunov_spectrum gain sweep)
+    ("chaos_gain_sweep.py", {"CHAOS_N": "64", "CHAOS_STEPS": "8000",
+                             "CHAOS_GAINS": "0.5,3.0"}),
+    # bistable MPR noise-induced switching (Wiener SDE drive + Newton)
+    ("stochastic_switching.py", {"SW_STEPS": "100000",
+                                 "SW_SIGMAS": "1.0,4.0"}),
 ])
 def test_example_runs(example, env):
     _run(example, env)
