@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["autonomous_field", "jacobian", "fixed_point", "stability",
-           "lyapunov_spectrum"]
+           "lyapunov_spectrum", "limit_cycle"]
 
 
 def _resolve_node(net, node: Optional[str]):
@@ -99,7 +99,7 @@ def _node_programs(nd):
     point).  ``args`` ride as arguments, so parameter changes (continued
     eta, different inputs) reuse the same compiled programs."""
     cache = nd.__dict__.setdefault("_analysis_programs", {})
-    if not cache:
+    if "f" not in cache:  # keyed entries (lyap/monodromy) share this dict
         func = nd.func
 
         def f(y, args):
@@ -270,6 +270,119 @@ def lyapunov_spectrum(net, node: str = None, k: int = 1, steps: int = 50_000,
             "likely blew up — reduce dt, add a transient, or start from an "
             "attractor state.")
     return np.sort(lam)[::-1]
+
+
+def _traj_program(nd, steps: int):
+    """Jitted trajectory collector: ``steps`` Euler-map states from y."""
+    cache = nd.__dict__.setdefault("_analysis_programs", {})
+    key = ("traj", steps)
+    if key not in cache:
+        func = nd.func
+
+        def run(y, args, dt):
+            def euler(yy, _):
+                yn = yy + dt * func(0.0, yy, args)
+                return yn, yn
+
+            _, ys = jax.lax.scan(euler, y, None, length=steps)
+            return ys
+
+        cache[key] = jax.jit(run)
+    return cache[key]
+
+
+def _monodromy_program(nd, k_steps: int):
+    """Jitted Jacobian of the ``k_steps``-fold Euler map (the monodromy
+    matrix when ``k_steps`` spans one period)."""
+    cache = nd.__dict__.setdefault("_analysis_programs", {})
+    key = ("monodromy", k_steps)
+    if key not in cache:
+        func = nd.func
+
+        def flow(y, args, dt):
+            def euler(yy, _):
+                return yy + dt * func(0.0, yy, args), None
+
+            yT, _ = jax.lax.scan(euler, y, None, length=k_steps)
+            return yT
+
+        cache[key] = jax.jit(
+            lambda y, args, dt: jax.jacobian(flow)(y, args, dt))
+    return cache[key]
+
+
+def limit_cycle(net, node: str = None, y0=None, inputs=None,
+                steps: int = 100_000, transient: int = None, coord: int = None,
+                open_loop: bool = False) -> dict:
+    """Locate a stable limit cycle of the node's simulated dynamics and
+    characterize it: period, a point on the cycle, and the Floquet
+    multipliers of the one-period monodromy matrix.
+
+    Method: simulate ``transient`` steps (default ``steps``) to reach the
+    attractor, record ``steps`` more, detect the period from upward
+    mean-crossings of coordinate ``coord`` (default: the state dimension
+    with the largest variance) with linear interpolation between steps,
+    then evaluate the monodromy ``M = d(flow_K)/dy`` at a cycle point via
+    ``jax.jacobian`` through the K-step scan (K = rounded period steps).
+
+    Returns a dict: ``period`` (time units) and ``period_steps`` (float,
+    sub-step resolution), ``y_star`` (a state on the cycle), ``multipliers``
+    (complex, sorted by descending magnitude — one is ~1, the neutral
+    direction along the flow; the rest inside the unit circle for a stable
+    cycle), and ``exponents`` (``log|multiplier| / period`` — comparable to
+    :func:`lyapunov_spectrum`, cross-validated in tests).  Accuracy is
+    O(dt) of the Euler discretization plus the K-rounding (<= half a step
+    over one period).  Raises if no sustained oscillation is detected
+    (fewer than 4 crossings, or vanishing amplitude — use
+    :func:`fixed_point`/:func:`stability` for equilibria).
+    """
+    nd, args = _field_args(net, node, inputs, open_loop)
+    y = nd.y if y0 is None else jnp.asarray(y0, dtype=nd.y.dtype)
+    if transient is None:
+        transient = steps
+    dt = jnp.asarray(net.dt, dtype=y.dtype)
+    traj = _traj_program(nd, int(transient) + int(steps))
+    ys = np.asarray(traj(y, args, dt), dtype=np.float64)[int(transient):]
+    if not np.all(np.isfinite(ys)):
+        raise RuntimeError("limit_cycle: trajectory diverged; reduce dt or "
+                           "start closer to the attractor.")
+    if coord is None:
+        coord = int(np.argmax(ys.var(axis=0)))
+    x = ys[:, coord]
+    mean, amp = x.mean(), x.max() - x.min()
+    scale = max(abs(x.max()), abs(x.min()), 1.0)
+    if amp < 1e-6 * scale:
+        raise RuntimeError(
+            f"limit_cycle: coordinate {coord} has vanishing amplitude "
+            f"({amp:.2e}) — the trajectory settled to an equilibrium; use "
+            "fixed_point()/stability() instead.")
+    below = x[:-1] < mean
+    up = np.nonzero(below & (x[1:] >= mean))[0]
+    if len(up) < 4:
+        raise RuntimeError(
+            f"limit_cycle: only {len(up)} upward mean-crossings in {steps} "
+            "steps — no sustained oscillation detected (or the window is "
+            "shorter than a few periods; raise steps).")
+    # sub-step crossing times by linear interpolation
+    frac = (mean - x[up]) / (x[up + 1] - x[up])
+    t_cross = up + frac
+    period_steps = float(np.diff(t_cross).mean())
+    k = int(round(period_steps))
+    # monodromy at the state nearest a crossing (well on the attractor)
+    i_star = int(up[len(up) // 2])
+    y_star = jnp.asarray(ys[i_star], dtype=nd.y.dtype)
+    M = np.asarray(_monodromy_program(nd, k)(y_star, args, dt),
+                   dtype=np.float64)
+    mult = np.linalg.eigvals(M)
+    mult = mult[np.argsort(-np.abs(mult))]
+    period = period_steps * float(net.dt)
+    return {
+        "period": period,
+        "period_steps": period_steps,
+        "y_star": np.asarray(y_star),
+        "multipliers": mult,
+        "exponents": np.log(np.maximum(np.abs(mult), 1e-300)) / period,
+    }
 
 
 def stability(net, node: str = None, y=None, inputs=None,

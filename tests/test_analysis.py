@@ -266,3 +266,52 @@ def test_lyapunov_validates_and_caches():
     n_progs = len(nd._analysis_programs)
     lyapunov_spectrum(net, k=1, steps=100, reorth=10, inputs=0.3)
     assert len(nd._analysis_programs) == n_progs  # same shape -> cached
+
+
+def test_limit_cycle_wilson_cowan_floquet():
+    """WC oscillator: limit_cycle finds the period, the leading Floquet
+    multiplier is ~1 (neutral along the flow), the second lies inside the
+    unit circle, and its exponent matches lyapunov_spectrum's second
+    exponent on the same system."""
+    from rectipy_tpu.analysis import limit_cycle, lyapunov_spectrum
+
+    n = 1
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("wc", WC, weights=np.zeros((n, n)), source_var="e",
+                        target_var="r_in", input_var="I_ext", output_var="e",
+                        verbose=False, clear=True, file_name="lc_wc",
+                        node_vars={"all/wc_op/I_ext": 1.25})
+    lc = limit_cycle(net, steps=60_000, transient=40_000, inputs=1.25)
+    assert lc["period"] > 0 and lc["y_star"].shape == (2,)
+    m = lc["multipliers"]
+    assert abs(m[0] - 1.0) < 0.02, f"neutral multiplier should be ~1: {m}"
+    assert abs(m[1]) < 0.95, f"stable cycle needs |m2| < 1: {m}"
+    # both coordinates see the same period
+    lc_e = limit_cycle(net, steps=60_000, transient=40_000, inputs=1.25, coord=0)
+    lc_i = limit_cycle(net, steps=60_000, transient=40_000, inputs=1.25, coord=1)
+    np.testing.assert_allclose(lc_e["period"], lc_i["period"], rtol=1e-3)
+    # Floquet exponent of the contracting direction == 2nd Lyapunov exponent
+    lam = lyapunov_spectrum(net, k=2, steps=200_000, transient=50_000,
+                            inputs=1.25, seed=3)
+    np.testing.assert_allclose(lc["exponents"][1], lam[1], rtol=0.1)
+
+
+def test_limit_cycle_rejects_equilibrium():
+    from rectipy_tpu.analysis import limit_cycle
+
+    n = 2
+    net = _tanh_net(n, np.zeros((n, n)), tau=5.0)
+    with pytest.raises(RuntimeError, match="equilibrium|mean-crossings"):
+        limit_cycle(net, steps=2_000, transient=2_000, inputs=0.5)
+
+
+def test_analysis_program_cache_shared_dict():
+    """lyapunov/limit_cycle keyed programs must not shadow the f/jac/newton
+    entries (regression: 'if not cache' skipped building them)."""
+    from rectipy_tpu.analysis import lyapunov_spectrum
+
+    n = 2
+    net = _tanh_net(n, np.zeros((n, n)), tau=5.0)
+    lyapunov_spectrum(net, k=1, steps=100, reorth=10)  # populates keyed entry
+    y_star = fixed_point(net, inputs=0.2)              # must still build Newton
+    np.testing.assert_allclose(np.asarray(y_star), np.full(n, 1.0), rtol=1e-8)
