@@ -473,3 +473,63 @@ def test_mpr_gap_oracle_and_rate_drag():
 
     rs = [steady_r(g) for g in (0.0, 5.0, 20.0)]
     assert rs[0] > rs[1] > rs[2] > 0.0
+
+
+def test_hindmarsh_rose_vector_field_oracle():
+    """HR: x' = y - a x^3 + b x^2 - z + I; y' = c - d x^2 - y;
+    z' = r (s (x - x0) - z)."""
+    n = 3
+    vf = lower("rectipy_tpu.models.spiking_neurons.hindmarsh_rose.hr", n=n,
+               dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    x, y, z = rng.normal(size=(3, n))
+    yv = jnp.asarray(np.concatenate([x, y, z]))
+    dy = np.asarray(vf.func(0.0, yv, vf.args))
+    np.testing.assert_allclose(dy[:n], y - x ** 3 + 3 * x ** 2 - z, rtol=1e-12)
+    np.testing.assert_allclose(dy[n:2 * n], 1.0 - 5 * x ** 2 - y, rtol=1e-12)
+    np.testing.assert_allclose(dy[2 * n:], 0.006 * (4.0 * (x + 1.6) - z),
+                               rtol=1e-12)
+
+
+def _hr_net(I, n=1, dt=5e-3):
+    net = Network(dt, dtype=jnp.float64)
+    net.add_diffeq_node("hr", "rectipy_tpu.models.spiking_neurons.hindmarsh_rose.hr",
+                        weights=np.zeros((n, n)), source_var="x",
+                        target_var="s_in", input_var="I_ext", output_var="x",
+                        verbose=False, clear=True, file_name="hr_test",
+                        node_vars={"all/hr_op/I": I})
+    return net
+
+
+def test_hindmarsh_rose_bursting_signature():
+    """I=2: square-wave bursting -- spikes cluster (intra-burst ISI) with
+    long quiescent gaps between bursts (inter-burst ISI >> intra); I=1:
+    quiescent (no spikes)."""
+    dt, samp = 5e-3, 10
+    obs = _hr_net(2.0).run(np.zeros((400_000, 1)), sampling_steps=samp,
+                           verbose=False)
+    x = obs.to_numpy("out")[20_000:, 0]
+    up = np.nonzero((x[:-1] < 1.0) & (x[1:] >= 1.0))[0]
+    assert len(up) > 8, f"expected sustained spiking, got {len(up)} spikes"
+    isi = np.diff(up) * samp * dt
+    assert isi.max() / isi.min() > 4, (
+        f"expected bursting (bimodal ISI), got min/max {isi.min():.1f}/{isi.max():.1f}")
+    # quiescent below rheobase
+    obs0 = _hr_net(1.0).run(np.zeros((200_000, 1)), sampling_steps=samp,
+                            verbose=False)
+    x0 = obs0.to_numpy("out")[10_000:, 0]
+    assert x0.max() < 1.0, "I=1 should stay subthreshold"
+
+
+def test_hindmarsh_rose_chaotic_bursting_lyapunov():
+    """The HR chaotic-bursting window (I ~ 2.9-3.4) has a positive largest
+    Lyapunov exponent; the quiescent equilibrium contracts (measured here:
+    +0.0063 at I=3.2 vs -0.011 at I=1.0)."""
+    from rectipy_tpu.analysis import lyapunov_spectrum
+
+    lam_chaos = lyapunov_spectrum(_hr_net(3.2), steps=600_000,
+                                  transient=200_000, seed=4)[0]
+    lam_rest = lyapunov_spectrum(_hr_net(1.0), steps=100_000,
+                                 transient=50_000, seed=4)[0]
+    assert lam_chaos > 0.003, f"chaotic bursting expected, got {lam_chaos}"
+    assert lam_rest < -0.005, f"rest state should contract, got {lam_rest}"
