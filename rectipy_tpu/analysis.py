@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["autonomous_field", "jacobian", "fixed_point", "stability",
-           "lyapunov_spectrum", "limit_cycle"]
+           "lyapunov_spectrum", "limit_cycle", "phase_plane"]
 
 
 def _resolve_node(net, node: Optional[str]):
@@ -270,6 +270,52 @@ def lyapunov_spectrum(net, node: str = None, k: int = 1, steps: int = 50_000,
             "likely blew up — reduce dt, add a transient, or start from an "
             "attractor state.")
     return np.sort(lam)[::-1]
+
+
+def phase_plane(net, node: str = None, dims=(0, 1), bounds=None,
+                n_grid: int = 41, y_fixed=None, inputs=None,
+                open_loop: bool = False) -> dict:
+    """Vector field of the node's smooth flow sampled on a 2-D grid — the
+    phase-plane/nullcline workhorse for the planar models (FitzHugh-Nagumo,
+    Morris-Lecar, Wilson-Cowan, MPR, Hindmarsh-Rose fast subsystem).
+
+    ``dims``: the two state-vector indices spanning the plane; every other
+    coordinate is held at ``y_fixed`` (default: the node's current state).
+    ``bounds``: ``((x_min, x_max), (y_min, y_max))``; defaults to ±2 around
+    the current state's values on ``dims``.  The whole ``n_grid²`` grid is
+    evaluated as one vmapped device call.
+
+    Returns ``{"x", "y"}`` (the 1-D grid axes) and ``{"dx", "dy"}`` —
+    ``(n_grid, n_grid)`` arrays of the two flow components, indexed
+    ``[i_y, i_x]`` (matplotlib ``quiver``/``streamplot`` convention, so
+    ``plt.streamplot(r["x"], r["y"], r["dx"], r["dy"])`` works directly);
+    nullclines are the zero contours, e.g.
+    ``plt.contour(r["x"], r["y"], r["dx"], levels=[0])``.
+    """
+    nd, args = _field_args(net, node, inputs, open_loop)
+    y0 = nd.y if y_fixed is None else jnp.asarray(y_fixed, dtype=nd.y.dtype)
+    n = int(y0.shape[0])
+    i, j = int(dims[0]), int(dims[1])
+    if not (0 <= i < n and 0 <= j < n and i != j):
+        raise ValueError(f"dims must be two distinct indices in [0, {n}), got {dims}")
+    if bounds is None:
+        ci, cj = float(y0[i]), float(y0[j])
+        bounds = ((ci - 2.0, ci + 2.0), (cj - 2.0, cj + 2.0))
+    xs = np.linspace(*bounds[0], n_grid)
+    ys = np.linspace(*bounds[1], n_grid)
+    X, Y = np.meshgrid(xs, ys)  # [i_y, i_x]
+    pts = jnp.asarray(np.stack([X.ravel(), Y.ravel()], axis=1), dtype=y0.dtype)
+    func = nd.func
+
+    def f_at(p):
+        y = y0.at[i].set(p[0]).at[j].set(p[1])
+        dy = func(0.0, y, args)
+        return jnp.stack([dy[i], dy[j]])
+
+    d = np.asarray(jax.jit(jax.vmap(f_at))(pts))
+    return {"x": xs, "y": ys,
+            "dx": d[:, 0].reshape(n_grid, n_grid),
+            "dy": d[:, 1].reshape(n_grid, n_grid)}
 
 
 def _traj_program(nd, steps: int):

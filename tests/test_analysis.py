@@ -315,3 +315,26 @@ def test_analysis_program_cache_shared_dict():
     lyapunov_spectrum(net, k=1, steps=100, reorth=10)  # populates keyed entry
     y_star = fixed_point(net, inputs=0.2)              # must still build Newton
     np.testing.assert_allclose(np.asarray(y_star), np.full(n, 1.0), rtol=1e-8)
+
+
+def test_phase_plane_fhn_closed_form():
+    """FHN grid field matches the closed form; the v-nullcline's zero
+    contour changes sign across the cubic."""
+    from rectipy_tpu.analysis import phase_plane
+
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("fhn", "rectipy_tpu.models.rate_neurons.fhn.fhn",
+                        weights=np.zeros((1, 1)), source_var="v",
+                        target_var="r_in", input_var="I_ext", output_var="v",
+                        verbose=False, clear=True, file_name="pp_fhn")
+    r = phase_plane(net, bounds=((-2.5, 2.5), (-1.0, 2.0)), n_grid=21,
+                    inputs=0.5)
+    V, W = np.meshgrid(r["x"], r["y"])
+    np.testing.assert_allclose(r["dx"], V - V ** 3 / 3 - W + 0.5,
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(r["dy"], (V + 0.7 - 0.8 * W) / 12.5,
+                               rtol=1e-12, atol=1e-12)
+    # dx changes sign along a horizontal cut -> v-nullcline crosses the box
+    assert (r["dx"][10] > 0).any() and (r["dx"][10] < 0).any()
+    with pytest.raises(ValueError, match="distinct"):
+        phase_plane(net, dims=(0, 0))
