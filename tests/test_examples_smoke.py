@@ -60,6 +60,8 @@ def _run(example, env=None, timeout=420):
     # bistable MPR noise-induced switching (Wiener SDE drive + Newton)
     ("stochastic_switching.py", {"SW_STEPS": "100000",
                                  "SW_SIGMAS": "1.0,4.0"}),
+    # delay-coupled Jansen-Rit masses: locking / delay-selected mode / death
+    ("delay_coupled_masses.py", {"DJR_T": "30000"}),
 ])
 def test_example_runs(example, env):
     _run(example, env)
