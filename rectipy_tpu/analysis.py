@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["autonomous_field", "jacobian", "fixed_point", "stability",
-           "lyapunov_spectrum", "limit_cycle", "phase_plane"]
+           "lyapunov_spectrum", "lyapunov_direct", "limit_cycle",
+           "phase_plane"]
 
 
 def _resolve_node(net, node: Optional[str]):
@@ -355,6 +356,147 @@ def _monodromy_program(nd, k_steps: int):
         cache[key] = jax.jit(
             lambda y, args, dt: jax.jacobian(flow)(y, args, dt))
     return cache[key]
+
+
+def _is_inexact(leaf) -> bool:
+    return jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact)
+
+
+def lyapunov_direct(net, inputs=None, steps: int = 100_000, renorm: int = 100,
+                    transient: int = 10_000, eps: float = None,
+                    seed: int = 0) -> float:
+    """Largest Lyapunov exponent of the FULL network by the direct
+    (two-trajectory / Benettin-distance) method — works where the tangent
+    method (:func:`lyapunov_spectrum`) cannot: spiking populations with
+    resets, delay/filter edges, feedback networks.  Two copies of the
+    complete network state (every node, edge buffer, and feedback value)
+    evolve through the compiled fused step under the same constant input;
+    every ``renorm`` steps the copies' separation is measured, its log
+    accumulated, and the perturbed copy pulled back to distance ``eps``
+    along the current difference direction.
+
+    ``inputs``: constant drive (scalar or ``(n_in,)``; default zeros) —
+    the standard protocol for autonomous chaos measures.  ``eps`` is the
+    ABSOLUTE renormalization distance; the default is ``1e-6`` (float64) /
+    ``1e-4`` (float32) of the post-transient state RMS, computed on
+    device.  Returns the exponent in 1/time units for the simulated
+    discrete system (the Euler/reset map ``run()`` computes).
+    Cross-validated against the tangent method on smooth networks (tests:
+    4% agreement at N=128).
+
+    HARD-RESET CAVEAT (measured, see tests): a threshold crossing
+    misaligned between the copies makes their separation jump to O(reset
+    amplitude) and collapse again once both have reset.  If ``eps`` is too
+    small, the collapse bottoms out at the floating-point noise floor
+    before the expansion is repaid, and if ``renorm`` is too short, the
+    pull-back banks the jump before the realignment — both bias the
+    estimate POSITIVE (an uncoupled tonic QIF ensemble, true lambda ~ 0,
+    read +0.25 at renorm=20 with machine-scale eps, and ~0 at the
+    defaults).  For spiking networks keep ``renorm`` at least a typical
+    inter-spike interval and confirm the estimate is stable when you halve
+    ``eps`` and double ``renorm``.
+    """
+    net.compile()
+    state0 = net.init_state()
+    params = net.parameters_pytree()
+    leaves = [l for l in jax.tree_util.tree_leaves(state0) if _is_inexact(l)]
+    if not leaves:
+        raise ValueError("network has no continuous state to perturb")
+    dtype = jnp.result_type(*leaves)
+    x = jnp.zeros(net.n_in, dtype=dtype) if inputs is None else \
+        jnp.broadcast_to(jnp.asarray(inputs, dtype=dtype), (net.n_in,))
+    if eps is None:
+        eps_in, eps_rel = (1e-6 if jnp.finfo(dtype).bits >= 64 else 1e-4), 1.0
+    else:
+        eps_in, eps_rel = float(eps), 0.0
+    if steps < renorm:
+        raise ValueError(f"steps ({steps}) must be >= renorm ({renorm})")
+    n_blocks = steps // renorm
+
+    # deterministic unit perturbation over the inexact leaves, scaled to eps
+    rng = np.random.default_rng(seed)
+    flat, treedef = jax.tree_util.tree_flatten(state0)
+    d_flat = [rng.standard_normal(np.shape(l)) if _is_inexact(l)
+              else np.zeros_like(np.asarray(l)) for l in flat]
+    nrm0 = np.sqrt(sum(float(np.sum(d * d)) for d, l in zip(d_flat, flat)
+                       if _is_inexact(l)))
+    d0 = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(d / nrm0, dtype=jnp.asarray(l).dtype)
+                  if _is_inexact(l) else jnp.asarray(np.zeros_like(np.asarray(l)))
+                  for d, l in zip(d_flat, flat)])
+
+    cache = net.__dict__.setdefault("_analysis_programs", {})
+    key = ("lyap_direct", n_blocks, int(renorm), int(transient),
+           net._step_versions())
+    if key not in cache:
+        step = net.make_step()
+
+        def run(state, params, x, d0, eps_in, eps_rel):
+            def advance(s, _):
+                return step(s, params, x)[0], None
+
+            if transient:
+                state, _ = jax.lax.scan(advance, state, None, length=transient)
+            # default eps: relative to the post-transient state RMS (floored
+            # so a silent network cannot produce eps = 0)
+            sq = [jnp.sum(l.astype(jnp.float32) ** 2)
+                  for l in jax.tree_util.tree_leaves(state) if _is_inexact(l)]
+            count = sum(int(np.prod(np.shape(l)))
+                        for l in jax.tree_util.tree_leaves(state)
+                        if _is_inexact(l))
+            rms = jnp.sqrt(jnp.sum(jnp.stack(sq)) / count)
+            scale = jnp.maximum(rms, jnp.asarray(1e-6, jnp.float32))
+            eps_v = eps_in * jnp.where(eps_rel > 0, scale, 1.0)
+            pert = jax.tree.map(
+                lambda a, d: a + eps_v.astype(a.dtype) * d if _is_inexact(a) else a,
+                state, d0)
+
+            def rel_sq_dist(s1, s2):
+                # distances measured in units of eps (differences divided by
+                # eps in the leaf dtype BEFORE squaring -- eps^2 would
+                # underflow f32 for float64 states)
+                parts = jax.tree_util.tree_leaves(jax.tree.map(
+                    lambda a, b: jnp.sum(
+                        ((b - a) / eps_v.astype(a.dtype)) ** 2
+                    ).astype(jnp.float32)
+                    if _is_inexact(a) else jnp.asarray(0.0, jnp.float32),
+                    s1, s2))
+                return jnp.sum(jnp.stack(parts))
+
+            def block(carry, _):
+                s1, s2, acc = carry
+
+                def both(c, _):
+                    a, b = c
+                    return (step(a, params, x)[0], step(b, params, x)[0]), None
+
+                (s1, s2), _ = jax.lax.scan(both, (s1, s2), None, length=renorm)
+                nrm = jnp.sqrt(rel_sq_dist(s1, s2))  # separation / eps
+                tiny = jnp.asarray(jnp.finfo(jnp.float32).tiny, jnp.float32)
+                acc = acc + jnp.log(jnp.maximum(nrm, tiny))
+                scale = 1.0 / jnp.maximum(nrm, tiny)
+                # pull the copy back to distance eps; exact (int/bool) leaves
+                # reset to the fiducial trajectory's values
+                s2 = jax.tree.map(
+                    lambda a, b: a + scale.astype(a.dtype) * (b - a)
+                    if _is_inexact(a) else a, s1, s2)
+                return (s1, s2, acc), None
+
+            acc0 = jnp.asarray(0.0, jnp.float32)
+            (_, _, acc), _ = jax.lax.scan(block, (state, pert, acc0), None,
+                                          length=n_blocks)
+            return acc
+
+        cache[key] = jax.jit(run)
+    acc = cache[key](state0, params, jnp.asarray(x), d0,
+                     jnp.asarray(eps_in, jnp.float32),
+                     jnp.asarray(eps_rel, jnp.float32))
+    lam = float(acc) / (n_blocks * renorm * float(net.dt))
+    if not np.isfinite(lam):
+        raise RuntimeError(
+            f"lyapunov_direct diverged (exponent {lam}); the trajectory "
+            "likely blew up — reduce dt or check the drive.")
+    return lam
 
 
 def limit_cycle(net, node: str = None, y0=None, inputs=None,

@@ -338,3 +338,62 @@ def test_phase_plane_fhn_closed_form():
     assert (r["dx"][10] > 0).any() and (r["dx"][10] < 0).any()
     with pytest.raises(ValueError, match="distinct"):
         phase_plane(net, dims=(0, 0))
+
+
+def test_lyapunov_direct_matches_tangent_on_smooth():
+    """The two-trajectory method must agree with the tangent method where
+    both apply (smooth flows): SCS subcritical and chaotic gains."""
+    from rectipy_tpu.analysis import lyapunov_direct, lyapunov_spectrum
+
+    n = 128
+    rng = np.random.default_rng(1)
+    W0 = rng.standard_normal((n, n)) / np.sqrt(n)
+    y0 = rng.standard_normal(n) * 0.5
+    for g, tol in ((0.5, 0.05), (3.0, 0.15)):
+        net = _tanh_net(n, g * W0, tau=1.0)
+        net.get_node("pop").reset(y=y0)
+        lam_d = lyapunov_direct(net, steps=40_000, transient=10_000, seed=0)
+        lam_t = lyapunov_spectrum(net, steps=40_000, transient=10_000,
+                                  y0=y0, seed=2)[0]
+        assert abs(lam_d - lam_t) < tol * max(abs(lam_t), 0.1), (g, lam_d, lam_t)
+
+
+def test_lyapunov_direct_spiking_qif():
+    """Full-network estimate through hard resets: tonically firing QIF
+    populations read a small NEGATIVE exponent (adaptation contracts;
+    pulse-coupled nets are 'stably chaotic'), stable across seeds and
+    renormalization interval -- the regression here is the hard-reset
+    artifact (renorm too short + machine-scale eps read +0.25 on a
+    phase-neutral ensemble before the relative-eps defaults)."""
+    from rectipy_tpu.analysis import lyapunov_direct
+
+    QIF = "rectipy_tpu.models.spiking_neurons.qif.qif_sfa"
+    n = 50
+    etas = 3.0 + np.random.default_rng(0).normal(size=n)
+
+    def build():
+        net = Network(1e-3, dtype=jnp.float64)
+        net.add_diffeq_node("qif", QIF, weights=np.zeros((n, n)),
+                            source_var="s", target_var="s_in",
+                            input_var="I_ext", output_var="s",
+                            spike_var="spike", spike_def="v", op="qif_sfa_op",
+                            spike_threshold=10.0, spike_reset=-10.0,
+                            verbose=False, clear=True, file_name="ld_test",
+                            node_vars={"all/qif_sfa_op/eta": etas})
+        return net
+
+    lam = lyapunov_direct(build(), steps=60_000, transient=20_000, seed=0)
+    lam_seed = lyapunov_direct(build(), steps=60_000, transient=20_000, seed=1)
+    lam_renorm = lyapunov_direct(build(), steps=60_000, transient=20_000,
+                                 seed=0, renorm=200)
+    assert -0.3 < lam < 0.02, f"tonic ensemble should not read chaotic: {lam}"
+    assert abs(lam - lam_seed) < 0.02 and abs(lam - lam_renorm) < 0.02, (
+        lam, lam_seed, lam_renorm)
+
+
+def test_lyapunov_direct_validation():
+    from rectipy_tpu.analysis import lyapunov_direct
+
+    net = _tanh_net(2, np.zeros((2, 2)))
+    with pytest.raises(ValueError, match="renorm"):
+        lyapunov_direct(net, steps=5, renorm=10)
