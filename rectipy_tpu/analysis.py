@@ -25,6 +25,7 @@ training only).
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import jax
@@ -181,30 +182,68 @@ def fixed_point(net, node: str = None, y0=None, inputs=None, tol: float = None,
     return y_star
 
 
+def _flow_map(nd):
+    """``m(y, args, dt) -> y_next``: ONE step of the node's OWN integrator
+    (euler/heun/rk4, matching nodes.py:make_step exactly) on the smooth
+    flow — so trajectory-based analyses characterize the same discrete map
+    ``run()`` integrates."""
+    func = nd.func
+    integ = getattr(nd, "integrator", "euler")
+    if integ == "heun":
+        def m(y, args, dt):
+            k1 = func(0.0, y, args)
+            k2 = func(0.0, y + dt * k1, args)
+            return y + (dt * 0.5) * (k1 + k2)
+    elif integ == "rk4":
+        def m(y, args, dt):
+            k1 = func(0.0, y, args)
+            k2 = func(0.0, y + (dt * 0.5) * k1, args)
+            k3 = func(0.0, y + (dt * 0.5) * k2, args)
+            k4 = func(0.0, y + dt * k3, args)
+            return y + (dt / 6.0) * (k1 + 2.0 * (k2 + k3) + k4)
+    else:
+        def m(y, args, dt):
+            return y + dt * func(0.0, y, args)
+    return m
+
+
+def _check_smooth_trajectory(nd, fn_name: str):
+    """Trajectory-based analyses integrate the RESET-FREE flow; on spiking
+    nodes that flow is not what ``run()`` simulates (QIF's v^2 escapes in
+    finite time without the reset) — refuse with the right pointer."""
+    from .nodes import RateNet
+
+    if type(nd) is not RateNet and isinstance(nd, RateNet):
+        raise ValueError(
+            f"{fn_name} integrates the node's smooth (reset-free) flow, but "
+            f"{type(nd).__name__} dynamics are reset-dominated — the "
+            "reset-free trajectory diverges or is meaningless. Use "
+            "lyapunov_direct(net), which evolves the FULL network step "
+            "(spikes and resets included), instead.")
+
+
 def _lyap_program(nd, k: int, n_blocks: int, reorth: int, transient: int):
     """Jitted Benettin iteration: evolve the state with the node's own
-    Euler map ``y -> y + dt*f(y)`` while co-evolving ``k`` tangent vectors
-    through the map's EXACT differential ``Q -> Q + dt*J(y)Q`` (one jvp per
-    column, no dense Jacobian), QR-reorthonormalizing every ``reorth``
-    steps and accumulating ``log|diag R|``.  One device program for the
-    whole estimate; cached on the node like the Newton solver."""
+    integrator map while co-evolving ``k`` tangent vectors through the
+    map's EXACT differential (one jvp per column, no dense Jacobian),
+    QR-reorthonormalizing every ``reorth`` steps and accumulating
+    ``log|diag R|``.  One device program for the whole estimate; cached on
+    the node like the Newton solver."""
     cache = nd.__dict__.setdefault("_analysis_programs", {})
     key = ("lyap", k, n_blocks, reorth, transient)
     if key not in cache:
-        func = nd.func
+        fmap = _flow_map(nd)
 
         def run(y, Q, args, dt):
-            def f(yy):
-                return func(0.0, yy, args)
-
-            def euler(yy, _):
-                return yy + dt * f(yy), None
+            def advance(yy, _):
+                return fmap(yy, args, dt), None
 
             def step(carry, _):
                 yy, Qm = carry
-                jQ = jax.vmap(lambda q: jax.jvp(f, (yy,), (q,))[1],
-                              in_axes=1, out_axes=1)(Qm)
-                return (yy + dt * f(yy), Qm + dt * jQ), None
+                jQ = jax.vmap(
+                    lambda q: jax.jvp(lambda v: fmap(v, args, dt), (yy,), (q,))[1],
+                    in_axes=1, out_axes=1)(Qm)
+                return (fmap(yy, args, dt), jQ), None
 
             def block(carry, _):
                 yy, Qm, acc = carry
@@ -215,7 +254,7 @@ def _lyap_program(nd, k: int, n_blocks: int, reorth: int, transient: int):
                 return (yy, Qm, acc + jnp.log(jnp.maximum(d, tiny))), None
 
             if transient:
-                y, _ = jax.lax.scan(euler, y, None, length=transient)
+                y, _ = jax.lax.scan(advance, y, None, length=transient)
             acc0 = jnp.zeros(k, dtype=y.dtype)
             (_, _, acc), _ = jax.lax.scan(block, (y, Q, acc0), None,
                                           length=n_blocks)
@@ -232,11 +271,13 @@ def lyapunov_spectrum(net, node: str = None, k: int = 1, steps: int = 50_000,
     """Leading ``k`` Lyapunov exponents of the node's simulated dynamics
     (Benettin/QR method), in descending order, units of 1/time.
 
-    The exponents are those of the DISCRETE Euler map the framework
-    integrates (``y -> y + dt*f(y)``, /root/reference/rectipy/nodes.py:166-170
-    semantics), propagated through its exact differential — so they
-    converge to the flow's exponents as ``dt`` is refined and are exact
-    for what ``run()`` actually simulates.  ``lambda_max > 0`` = chaos
+    The exponents are those of the DISCRETE map the framework integrates
+    (the node's own euler/heun/rk4 step, reference Euler semantics at
+    /root/reference/rectipy/nodes.py:166-170), propagated through its
+    exact differential — so they converge to the flow's exponents as
+    ``dt`` is refined and are exact for what ``run()`` actually simulates.
+    Smooth flows only: spiking (reset) nodes raise — use
+    :func:`lyapunov_direct` for those.  ``lambda_max > 0`` = chaos
     (e.g. the Sompolinsky-Crisanti-Sommers transition of random tanh-rate
     networks at gain g > 1, tested); a limit cycle shows a leading
     exponent ~0 (neutral along the flow) with the rest negative.
@@ -252,12 +293,17 @@ def lyapunov_spectrum(net, node: str = None, k: int = 1, steps: int = 50_000,
     nothing.
     """
     nd, args = _field_args(net, node, inputs, open_loop)
+    _check_smooth_trajectory(nd, "lyapunov_spectrum")
     y = nd.y if y0 is None else jnp.asarray(y0, dtype=nd.y.dtype)
     n = int(y.shape[0])
     if not 1 <= k <= n:
         raise ValueError(f"k must be in [1, {n}] (state dimension), got {k}")
     if steps < reorth:
         raise ValueError(f"steps ({steps}) must be >= reorth ({reorth})")
+    if steps % reorth:
+        warnings.warn(f"lyapunov_spectrum: using {steps - steps % reorth} of "
+                      f"the requested {steps} steps (steps % reorth dropped)",
+                      stacklevel=2)
     n_blocks = steps // reorth
     rng = np.random.default_rng(seed)
     Q0, _ = np.linalg.qr(rng.standard_normal((n, k)))
@@ -306,32 +352,48 @@ def phase_plane(net, node: str = None, dims=(0, 1), bounds=None,
     ys = np.linspace(*bounds[1], n_grid)
     X, Y = np.meshgrid(xs, ys)  # [i_y, i_x]
     pts = jnp.asarray(np.stack([X.ravel(), Y.ravel()], axis=1), dtype=y0.dtype)
-    func = nd.func
+    # program cached per (dims, grid size); grid values / base state / args
+    # ride as arguments, so bound or parameter sweeps recompile nothing
+    cache = nd.__dict__.setdefault("_analysis_programs", {})
+    key = ("phase_plane", i, j, n_grid)
+    if key not in cache:
+        func = nd.func
 
-    def f_at(p):
-        y = y0.at[i].set(p[0]).at[j].set(p[1])
-        dy = func(0.0, y, args)
-        return jnp.stack([dy[i], dy[j]])
+        def grid_field(pts, y_base, args):
+            def f_at(p):
+                y = y_base.at[i].set(p[0]).at[j].set(p[1])
+                dy = func(0.0, y, args)
+                return jnp.stack([dy[i], dy[j]])
 
-    d = np.asarray(jax.jit(jax.vmap(f_at))(pts))
+            return jax.vmap(f_at)(pts)
+
+        cache[key] = jax.jit(grid_field)
+    d = np.asarray(cache[key](pts, y0, args))
     return {"x": xs, "y": ys,
             "dx": d[:, 0].reshape(n_grid, n_grid),
             "dy": d[:, 1].reshape(n_grid, n_grid)}
 
 
-def _traj_program(nd, steps: int):
-    """Jitted trajectory collector: ``steps`` Euler-map states from y."""
+def _traj_program(nd, steps: int, transient: int):
+    """Jitted trajectory collector: ``transient`` warmup steps WITHOUT
+    recording (no wasted device buffer or host transfer), then ``steps``
+    recorded states, via the node's own integrator map."""
     cache = nd.__dict__.setdefault("_analysis_programs", {})
-    key = ("traj", steps)
+    key = ("traj", steps, transient)
     if key not in cache:
-        func = nd.func
+        fmap = _flow_map(nd)
 
         def run(y, args, dt):
-            def euler(yy, _):
-                yn = yy + dt * func(0.0, yy, args)
+            def warm(yy, _):
+                return fmap(yy, args, dt), None
+
+            def rec(yy, _):
+                yn = fmap(yy, args, dt)
                 return yn, yn
 
-            _, ys = jax.lax.scan(euler, y, None, length=steps)
+            if transient:
+                y, _ = jax.lax.scan(warm, y, None, length=transient)
+            _, ys = jax.lax.scan(rec, y, None, length=steps)
             return ys
 
         cache[key] = jax.jit(run)
@@ -339,18 +401,18 @@ def _traj_program(nd, steps: int):
 
 
 def _monodromy_program(nd, k_steps: int):
-    """Jitted Jacobian of the ``k_steps``-fold Euler map (the monodromy
-    matrix when ``k_steps`` spans one period)."""
+    """Jitted Jacobian of the ``k_steps``-fold integrator map (the
+    monodromy matrix when ``k_steps`` spans one period)."""
     cache = nd.__dict__.setdefault("_analysis_programs", {})
     key = ("monodromy", k_steps)
     if key not in cache:
-        func = nd.func
+        fmap = _flow_map(nd)
 
         def flow(y, args, dt):
-            def euler(yy, _):
-                return yy + dt * func(0.0, yy, args), None
+            def advance(yy, _):
+                return fmap(yy, args, dt), None
 
-            yT, _ = jax.lax.scan(euler, y, None, length=k_steps)
+            yT, _ = jax.lax.scan(advance, y, None, length=k_steps)
             return yT
 
         cache[key] = jax.jit(
@@ -384,6 +446,14 @@ def lyapunov_direct(net, inputs=None, steps: int = 100_000, renorm: int = 100,
     Cross-validated against the tangent method on smooth networks (tests:
     4% agreement at N=128).
 
+    The estimate starts from the network's CURRENT state (after the
+    ``transient``); an exactly invariant start (e.g. the all-zeros fresh
+    tanh network — a fixed point) never leaves it, so you measure THAT
+    point's expansion rate, not the attractor's (measured: +2.04 = the
+    unstable fixed point's leading eigenvalue where the attractor's
+    exponent is +0.14).  Reach the attractor first: ``reset(y=...)`` to a
+    generic state or ``run()`` a warmup.
+
     HARD-RESET CAVEAT (measured, see tests): a threshold crossing
     misaligned between the copies makes their separation jump to O(reset
     amplitude) and collapse again once both have reset.  If ``eps`` is too
@@ -397,6 +467,27 @@ def lyapunov_direct(net, inputs=None, steps: int = 100_000, renorm: int = 100,
     ``eps`` and double ``renorm``.
     """
     net.compile()
+    # quantized couplings make the step a STAIRCASE in the state: below the
+    # quantization quantum the two copies compute identical matvec outputs
+    # and the difference dynamics is pure leak (measured: a lambda ~ -0.003
+    # net read -0.27 under bfloat16 coupling and -0.74 under int8_master).
+    # Chaos measurement needs the full-precision map.
+    for label in net.nodes:
+        nd = net.get_node(label)
+        vf = getattr(nd, "_vf", None)
+        cast = getattr(vf, "coupling_cast", None) if vf is not None else None
+        quant = bool(cast)
+        for v in getattr(nd, "args", {}).values():
+            if hasattr(v, "dtype") and np.ndim(v) >= 2 and \
+                    jnp.asarray(v).dtype.name in ("bfloat16", "int8", "int4"):
+                quant = True
+        if quant:
+            raise ValueError(
+                f"lyapunov_direct: node {label!r} uses a quantized coupling "
+                f"({cast or 'low-precision weights'}); the quantization "
+                "staircase flattens separations below its quantum and biases "
+                "the exponent strongly negative. Rebuild the node without "
+                "coupling_dtype= (full precision) to measure chaos.")
     state0 = net.init_state()
     params = net.parameters_pytree()
     leaves = [l for l in jax.tree_util.tree_leaves(state0) if _is_inexact(l)]
@@ -411,6 +502,10 @@ def lyapunov_direct(net, inputs=None, steps: int = 100_000, renorm: int = 100,
         eps_in, eps_rel = float(eps), 0.0
     if steps < renorm:
         raise ValueError(f"steps ({steps}) must be >= renorm ({renorm})")
+    if steps % renorm:
+        warnings.warn(f"lyapunov_direct: using {steps - steps % renorm} of "
+                      f"the requested {steps} steps (steps % renorm dropped)",
+                      stacklevel=2)
     n_blocks = steps // renorm
 
     # deterministic unit perturbation over the inexact leaves, scaled to eps
@@ -432,6 +527,12 @@ def lyapunov_direct(net, inputs=None, steps: int = 100_000, renorm: int = 100,
         step = net.make_step()
 
         def run(state, params, x, d0, eps_in, eps_rel):
+            # once-per-call parameter prep (int8_master requantization etc.)
+            # exactly like run()/run_batch -- without it the quantized
+            # couplings would re-quantize the float master EVERY step, in
+            # BOTH trajectory copies (+82% per inline pass, CLAUDE.md)
+            params = net._prep_params(params)
+
             def advance(s, _):
                 return step(s, params, x)[0], None
 
@@ -525,12 +626,13 @@ def limit_cycle(net, node: str = None, y0=None, inputs=None,
     :func:`fixed_point`/:func:`stability` for equilibria).
     """
     nd, args = _field_args(net, node, inputs, open_loop)
+    _check_smooth_trajectory(nd, "limit_cycle")
     y = nd.y if y0 is None else jnp.asarray(y0, dtype=nd.y.dtype)
     if transient is None:
         transient = steps
     dt = jnp.asarray(net.dt, dtype=y.dtype)
-    traj = _traj_program(nd, int(transient) + int(steps))
-    ys = np.asarray(traj(y, args, dt), dtype=np.float64)[int(transient):]
+    traj = _traj_program(nd, int(steps), int(transient))
+    ys = np.asarray(traj(y, args, dt), dtype=np.float64)
     if not np.all(np.isfinite(ys)):
         raise RuntimeError("limit_cycle: trajectory diverged; reduce dt or "
                            "start closer to the attractor.")

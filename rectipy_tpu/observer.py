@@ -328,6 +328,14 @@ class Observer:
         steps = np.asarray(self._recordings["steps"], dtype=np.int64)
         if len(steps) < 2:
             raise ValueError("spectrum needs at least two recorded samples")
+        if len(x) != len(steps):
+            # e.g. a save()d extra with its own sampling: the record grid
+            # says nothing about ITS sample rate
+            raise ValueError(
+                f"spectrum: {item!r} has {len(x)} rows but the record grid "
+                f"has {len(steps)} steps; only per-record-step recordings "
+                "have a known sample rate (use scipy.signal.welch directly "
+                "with your own fs for saved extras).")
         gaps = np.diff(steps)
         if not np.all(gaps == gaps[0]):
             raise ValueError(

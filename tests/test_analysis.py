@@ -397,3 +397,83 @@ def test_lyapunov_direct_validation():
     net = _tanh_net(2, np.zeros((2, 2)))
     with pytest.raises(ValueError, match="renorm"):
         lyapunov_direct(net, steps=5, renorm=10)
+
+
+def test_trajectory_analysis_respects_node_integrator():
+    """Review regression: lyapunov_spectrum must propagate the node's OWN
+    integrator map (rk4 here), not hard-coded Euler — the linear LI system
+    makes the discrete multiplier exact: 1 - h + h^2/2 - h^3/6 + h^4/24."""
+    from rectipy_tpu.analysis import lyapunov_spectrum
+
+    n, tau, dt = 3, 2.0, 1e-1  # large h = dt/tau separates the maps clearly
+    net = Network(dt, dtype=jnp.float64)
+    net.add_diffeq_node("pop", TANH, weights=np.zeros((n, n)),
+                        input_var="li_op/I_ext", output_var="li_op/v",
+                        source_var="tanh_op/r", target_var="li_op/r_in",
+                        clear=True, verbose=False, file_name="ana_rk4",
+                        integrator="rk4", node_vars={"all/li_op/tau": tau})
+    lam = lyapunov_spectrum(net, k=2, steps=200, reorth=5, y0=np.ones(n))
+    h = dt / tau
+    mult_rk4 = 1 - h + h ** 2 / 2 - h ** 3 / 6 + h ** 4 / 24
+    np.testing.assert_allclose(lam, np.log(mult_rk4) / dt, rtol=1e-9)
+    mult_euler = 1 - h
+    assert abs(lam[0] - np.log(mult_euler) / dt) > 1e-4  # maps genuinely differ
+
+
+def test_trajectory_analysis_rejects_spiking_nodes():
+    """Review regression: the reset-free flow of a spiking node is not what
+    run() simulates (QIF v^2 escapes without the reset) — trajectory-based
+    analyses must refuse and point to lyapunov_direct."""
+    from rectipy_tpu.analysis import limit_cycle, lyapunov_spectrum
+
+    QIF = "rectipy_tpu.models.spiking_neurons.qif.qif_sfa"
+    n = 4
+    net = Network(1e-3, dtype=jnp.float64)
+    net.add_diffeq_node("qif", QIF, weights=np.zeros((n, n)), source_var="s",
+                        target_var="s_in", input_var="I_ext", output_var="s",
+                        spike_var="spike", spike_def="v", op="qif_sfa_op",
+                        spike_threshold=10.0, spike_reset=-10.0,
+                        verbose=False, clear=True, file_name="ana_spk")
+    with pytest.raises(ValueError, match="lyapunov_direct"):
+        lyapunov_spectrum(net, steps=100)
+    with pytest.raises(ValueError, match="lyapunov_direct"):
+        limit_cycle(net, steps=100, transient=10)
+    # point analyses on the smooth flow remain legitimate
+    assert jacobian(net).shape == (3 * n, 3 * n)
+
+
+def test_phase_plane_program_cached():
+    """Review regression: repeated grids (a nullcline sweep) reuse ONE
+    compiled program; bounds/state/args ride as arguments."""
+    from rectipy_tpu.analysis import phase_plane
+
+    net = Network(1e-2, dtype=jnp.float64)
+    net.add_diffeq_node("fhn", "rectipy_tpu.models.rate_neurons.fhn.fhn",
+                        weights=np.zeros((1, 1)), source_var="v",
+                        target_var="r_in", input_var="I_ext", output_var="v",
+                        verbose=False, clear=True, file_name="pp_cache")
+    r1 = phase_plane(net, bounds=((-2, 2), (-1, 1)), n_grid=11, inputs=0.3)
+    nd = net.get_node("fhn")
+    n_progs = len(nd._analysis_programs)
+    r2 = phase_plane(net, bounds=((-3, 3), (-2, 2)), n_grid=11, inputs=0.7)
+    assert len(nd._analysis_programs) == n_progs
+    assert not np.allclose(r1["dx"], r2["dx"])  # different grids, same program
+
+
+def test_lyapunov_direct_rejects_quantized_couplings():
+    """Quantized couplings are staircases: separations below the quantum
+    see identical matvecs and the exponent biases strongly negative
+    (measured -0.74 int8_master / -0.27 bf16 on a lambda ~ -0.003 net)."""
+    from rectipy_tpu.analysis import lyapunov_direct
+
+    n = 8
+    W = np.random.default_rng(0).standard_normal((n, n)) * 0.3
+    for cd in ("bfloat16", "int8_master"):
+        net = Network(1e-2, dtype=jnp.float32)
+        net.add_diffeq_node("pop", TANH, weights=W, input_var="li_op/I_ext",
+                            output_var="li_op/v", source_var="tanh_op/r",
+                            target_var="li_op/r_in", clear=True, verbose=False,
+                            file_name="ld_quant", coupling_dtype=cd,
+                            node_vars={"all/li_op/tau": 1.0})
+        with pytest.raises(ValueError, match="quantized coupling"):
+            lyapunov_direct(net, steps=1000)

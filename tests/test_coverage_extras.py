@@ -403,3 +403,14 @@ def test_observer_spectrum_peak_and_grid():
         o.spectrum()
     with pytest.raises(ValueError, match="two recorded"):
         Observer(dt=0.1).spectrum()
+
+
+def test_observer_spectrum_rejects_mismatched_extras():
+    """Review regression: save()d extras have their own sampling -- the
+    record grid says nothing about their sample rate."""
+    n = 2
+    net = _net(n)
+    obs = net.run(np.ones((40, n)), sampling_steps=2, verbose=False)
+    obs.save("filtered", np.random.default_rng(0).normal(size=(7, n)))
+    with pytest.raises(ValueError, match="rows"):
+        obs.spectrum("filtered")
