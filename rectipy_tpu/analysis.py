@@ -277,7 +277,11 @@ def lyapunov_spectrum(net, node: str = None, k: int = 1, steps: int = 50_000,
     exact differential — so they converge to the flow's exponents as
     ``dt`` is refined and are exact for what ``run()`` actually simulates.
     Smooth flows only: spiking (reset) nodes raise — use
-    :func:`lyapunov_direct` for those.  ``lambda_max > 0`` = chaos
+    :func:`lyapunov_direct` for those.  Quantized couplings are fine HERE
+    (the STE custom-VJP yields the smoothed differential of the
+    quantized-valued map — checked: the Jacobian shifts only by the weight
+    quantization itself), unlike in the finite-difference
+    :func:`lyapunov_direct`, which rejects them.  ``lambda_max > 0`` = chaos
     (e.g. the Sompolinsky-Crisanti-Sommers transition of random tanh-rate
     networks at gain g > 1, tested); a limit cycle shows a leading
     exponent ~0 (neutral along the flow) with the rest negative.
