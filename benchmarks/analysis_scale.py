@@ -1,11 +1,17 @@
-"""Lyapunov-spectrum cost at reservoir scale on the chip.
+"""Lyapunov-estimation cost at reservoir scale on the chip.
 
-What this measures: `analysis.lyapunov_spectrum` on a dense random
+Mode "tangent" (default): `analysis.lyapunov_spectrum` on a dense random
 tanh-rate network (the SCS chaos workload) at N=2048-4096, k leading
 exponents -- per step the program evaluates the flow once plus one jvp per
 tangent column ((1+k) dense matvecs), QR-reorthonormalizing every `reorth`
 steps, all inside ONE device scan.  The quotable number: wall-clock for a
 full spectrum estimate, and the effective tangent-matvec throughput.
+
+Mode "direct" (LYAP_MODE=direct): `analysis.lyapunov_direct` on the
+HEADLINE spiking workload -- the N=10k QIF+SFA reservoir with dense f32
+coupling (quantized couplings are staircases and rejected; chaos
+measurement runs the full-precision map) -- two complete network-state
+copies through the fused step, i.e. 2 dense matvecs/step.
 
 Protocol notes (CLAUDE.md): the relay dedups identical program+input
 executions, so repeat timings must vary an input (the tangent seed); the
@@ -26,14 +32,54 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from rectipy_tpu import Network
-from rectipy_tpu.analysis import lyapunov_spectrum
+from rectipy_tpu.analysis import lyapunov_direct, lyapunov_spectrum
 
-N = int(os.environ.get("LYAP_N", 2048))
+MODE = os.environ.get("LYAP_MODE", "tangent")
+N = int(os.environ.get("LYAP_N", 10_000 if MODE == "direct" else 2048))
 K = int(os.environ.get("LYAP_K", 4))
 STEPS = int(os.environ.get("LYAP_STEPS", 20_000))
 TRANSIENT = int(os.environ.get("LYAP_TRANSIENT", 5_000))
-REPS = int(os.environ.get("LYAP_REPS", 4))
+REPS = int(os.environ.get("LYAP_REPS", 3 if MODE == "direct" else 4))
 G = float(os.environ.get("LYAP_G", 3.0))
+
+if MODE == "direct":
+    # the headline QIF+SFA reservoir (bench.py workload) at FULL-precision
+    # coupling; constant drive; two complete state copies per step
+    rng = np.random.default_rng(0)
+    W = np.zeros((N, N), dtype=np.float64)
+    n_conns = max(1, int(N * 0.1))
+    cols = np.argsort(rng.random((N, N)), axis=1)[:, :n_conns]
+    W[np.repeat(np.arange(N), n_conns), cols.ravel()] = 1.0 / n_conns
+    etas = -5.0 + np.tan((np.pi / 2) * (2.0 * np.arange(1, N + 1) - N - 1) / (N + 1))
+
+    net = Network(1e-4)  # f32 on TPU, f32 coupling (no coupling_dtype)
+    net.add_diffeq_node(
+        "qif", "rectipy_tpu.models.spiking_neurons.qif.qif_sfa",
+        weights=W, source_var="s", target_var="s_in", input_var="I_ext",
+        output_var="s", spike_var="spike", spike_def="v", op="qif_sfa_op",
+        spike_threshold=1e2, spike_reset=-1e2, verbose=False, clear=True,
+        file_name="lyap_direct_bench",
+        node_vars={"all/qif_sfa_op/eta": etas, "all/qif_sfa_op/alpha": 0.05,
+                   "all/qif_sfa_op/k": 15.0})
+    print(f"[lyap-direct] N={N} steps={STEPS} transient={TRANSIENT} (spiking QIF+SFA)")
+    t0 = time.time()
+    lam = lyapunov_direct(net, inputs=3.0, steps=STEPS, transient=TRANSIENT, seed=0)
+    first = time.time() - t0
+    print(f"[lyap-direct] first call (incl. compile + relay stall): {first:.1f}s; "
+          f"lambda = {lam:.4f}")
+    best = first
+    for rep in range(1, REPS):
+        t0 = time.time()
+        lam = lyapunov_direct(net, inputs=3.0, steps=STEPS,
+                              transient=TRANSIENT, seed=rep)
+        el = time.time() - t0
+        best = el if rep == 1 else min(best, el)
+        print(f"[lyap-direct] rep {rep}: {el:.2f}s (lambda {lam:.4f})")
+    print(f"[lyap-direct] best {best:.2f}s for lambda_max of the N={N} spiking "
+          f"reservoir ({STEPS + TRANSIENT} steps, 2 state copies) -> "
+          f"{(STEPS + TRANSIENT) * N / best:.3g} nu/s-equivalent per copy, "
+          f"lambda={lam:.4f}")
+    sys.exit(0)
 
 rng = np.random.default_rng(0)
 W = G * rng.standard_normal((N, N)).astype(np.float32) / np.sqrt(N)

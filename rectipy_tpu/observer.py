@@ -348,6 +348,40 @@ class Observer:
         freqs, psd = welch(x, fs=fs, nperseg=nperseg, axis=0, **welch_kwargs)
         return freqs, (psd if per_channel else psd.mean(axis=1))
 
+    def coherence(self, item_a, item_b, nperseg: int = None, **kwargs):
+        """Magnitude-squared coherence between two recordings:
+        ``(freqs, Cxy)`` with ``Cxy in [0, 1]`` per frequency — the
+        frequency-resolved counterpart of a cross-correlation peak (e.g.
+        which rhythm two delay-coupled populations actually share).
+
+        ``item_a`` / ``item_b``: recording keys as in :meth:`to_numpy`;
+        multi-channel recordings are averaged to one signal each (pass
+        1-channel slices yourself for per-pair coherence).  Sample rate
+        from the record grid, like :meth:`spectrum`.
+        """
+        from scipy.signal import coherence as _coherence
+
+        sigs = []
+        steps = np.asarray(self._recordings["steps"], dtype=np.int64)
+        if len(steps) < 2:
+            raise ValueError("coherence needs at least two recorded samples")
+        gaps = np.diff(steps)
+        if not np.all(gaps == gaps[0]):
+            raise ValueError(
+                "coherence requires an evenly spaced record grid; recorded "
+                f"step gaps vary ({np.unique(gaps)[:5]} ...).")
+        for item in (item_a, item_b):
+            x = self.to_numpy(item)
+            if len(x) != len(steps):
+                raise ValueError(
+                    f"coherence: {item!r} has {len(x)} rows but the record "
+                    f"grid has {len(steps)} steps.")
+            sigs.append(x.mean(axis=1) if x.ndim > 1 else x)
+        fs = 1.0 / (self._dt * float(gaps[0]))
+        if nperseg is None:
+            nperseg = min(256, len(sigs[0]))
+        return _coherence(sigs[0], sigs[1], fs=fs, nperseg=nperseg, **kwargs)
+
     def matshow(self, v, ax=None, **kwargs):
         """Heatmap (time x feature) of recorded variable ``v``."""
         import matplotlib.pyplot as plt
