@@ -305,6 +305,93 @@ class Observer:
         duration = self._spike_window_widths().sum() * self._dt
         return counts.sum(axis=0) / duration
 
+    def isi_stats(self, node: str) -> dict:
+        """Inter-spike-interval statistics per neuron from the
+        ``(node, "spikes")`` window counts recorded via
+        ``record_spikes=[node]``: dict of ``(n,)`` arrays ``mean_isi``,
+        ``cv`` (std/mean of the ISIs; ~1 for Poisson firing, <1 regular,
+        >1 bursty) and ``fano`` (var/mean of the per-window counts).
+        NOTE ``fano`` is window-size dependent: at windows much shorter
+        than the ISI the counts are ~Bernoulli and Fano -> 1 for ANY
+        process; record with windows well above the ISI (large
+        ``sampling_steps``) to read count regularity off it — ``cv`` is
+        the window-free regularity measure.
+
+        ISIs are resolved to the record grid: spike times are window end
+        times; a window holding ``c`` spikes contributes ``c-1`` intra-window
+        intervals of ``width/c`` (even spread — the least-biased assumption
+        below record resolution; record with ``sampling_steps=1`` for exact
+        dt-resolution ISIs).  Neurons with <2 spikes get ``nan`` ISI stats.
+        """
+        counts = self.to_numpy((node, "spikes"))
+        steps = np.asarray(self._recordings["steps"], dtype=float)
+        widths = self._spike_window_widths()
+        n = counts.shape[1]
+        mean_isi = np.full(n, np.nan)
+        cv = np.full(n, np.nan)
+        for i in range(n):
+            w_idx = np.nonzero(counts[:, i])[0]
+            if not len(w_idx):
+                continue
+            isis = []
+            c = counts[w_idx, i].astype(int)
+            # intra-window intervals for multi-spike windows
+            for k, wi in zip(c, w_idx):
+                if k > 1:
+                    isis.extend([widths[wi] * self._dt / k] * (k - 1))
+            # inter-window intervals between successive spiking windows
+            if len(w_idx) > 1:
+                isis.extend(np.diff(steps[w_idx]) * self._dt)
+            if isis:
+                isis = np.asarray(isis)
+                mean_isi[i] = isis.mean()
+                cv[i] = isis.std() / isis.mean() if isis.mean() > 0 else np.nan
+        m = counts.mean(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fano = np.where(m > 0, counts.var(axis=0) / m, np.nan)
+        return {"mean_isi": mean_isi, "cv": cv, "fano": fano}
+
+    def xcorr(self, item_a, item_b, max_lag: int = None):
+        """Normalized cross-correlation between two recordings on the record
+        grid: ``(lags, corr)`` where ``lags`` are in time units and
+        ``corr[k] = corr(a[t], b[t+lag_k])`` (Pearson, so the zero-lag
+        autocorrelation is 1).  A positive-lag peak means ``a`` LEADS ``b``
+        — the time-domain companion of :meth:`coherence` (e.g. reading the
+        coupling delay off two delay-coupled populations).
+
+        Multi-channel recordings are channel-averaged, like
+        :meth:`coherence`; ``max_lag`` is in record steps (default T//4).
+        """
+        steps = np.asarray(self._recordings["steps"], dtype=np.int64)
+        if len(steps) < 3:
+            raise ValueError("xcorr needs at least three recorded samples")
+        gaps = np.diff(steps)
+        if not np.all(gaps == gaps[0]):
+            raise ValueError(
+                "xcorr requires an evenly spaced record grid; recorded "
+                f"step gaps vary ({np.unique(gaps)[:5]} ...).")
+        sigs = []
+        for item in (item_a, item_b):
+            x = self.to_numpy(item)
+            if len(x) != len(steps):
+                raise ValueError(
+                    f"xcorr: {item!r} has {len(x)} rows but the record grid "
+                    f"has {len(steps)} steps.")
+            x = x.mean(axis=1) if x.ndim > 1 else x.astype(float)
+            sigs.append(x - x.mean())
+        a, b = sigs
+        T = len(a)
+        if max_lag is None:
+            max_lag = T // 4
+        max_lag = int(min(max_lag, T - 1))
+        denom = T * a.std() * b.std()
+        if denom == 0:
+            raise ValueError("xcorr: at least one signal is constant")
+        full = np.correlate(b, a, mode="full") / denom  # index T-1 = zero lag
+        lags = np.arange(-max_lag, max_lag + 1)
+        corr = full[T - 1 + lags[0]: T + lags[-1]]
+        return lags * float(gaps[0]) * self._dt, corr
+
     def spectrum(self, item="out", nperseg: int = None, per_channel: bool = False,
                  **welch_kwargs):
         """Welch power spectral density of a recording: ``(freqs, psd)``.

@@ -443,3 +443,33 @@ def test_observer_coherence_shared_rhythm():
     obs.save("x", np.zeros((5, 1)))
     with pytest.raises(ValueError, match="rows"):
         obs.coherence("out", "x")
+
+
+def test_observer_xcorr_recovers_lag():
+    """xcorr peaks at the imposed shift with the documented sign (positive
+    lag = first argument LEADS the second), and the zero-lag
+    autocorrelation is exactly 1."""
+    from rectipy_tpu import Observer
+
+    dt, T, d = 1e-3, 512, 7
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=T + d)
+    a, b = base[d:], base[:-d]   # b[t] = a[t - d]: a leads b by d steps
+    obs = Observer(dt=dt, record_output=False, record_loss=False)
+    obs.record_batch(np.arange(0, 2 * T, 2),
+                     var_values={("x", "a"): a[:, None], ("x", "b"): b[:, None]})
+    lags, corr = obs.xcorr(("x", "a"), ("x", "a"), max_lag=20)
+    i0 = np.argmin(np.abs(lags))
+    np.testing.assert_allclose(corr[i0], 1.0, atol=1e-12)  # Pearson norm
+    lags, corr = obs.xcorr(("x", "a"), ("x", "b"), max_lag=20)
+    # record grid spacing is 2 steps of dt -> peak at +d * 2 * dt
+    np.testing.assert_allclose(lags[np.argmax(corr)], d * 2 * dt)
+    assert corr.max() > 0.95
+    # guards: row mismatch and constant signal
+    obs.save("short", np.zeros((5, 1)))
+    with pytest.raises(ValueError, match="rows"):
+        obs.xcorr(("x", "a"), "short")
+    obs.record_batch(np.asarray([2 * T + 5]),  # irregular grid from here on
+                     var_values={("x", "a"): a[:1, None], ("x", "b"): b[:1, None]})
+    with pytest.raises(ValueError, match="evenly spaced|rows"):
+        obs.xcorr(("x", "a"), ("x", "b"))

@@ -297,3 +297,61 @@ def test_observer_npz_round_trip(tmp_path):
     assert obs2["ragged"][1].shape == (2, 4)
     # analysis helpers work on the restored object
     np.testing.assert_allclose(obs2.rates("qif"), obs.rates("qif"))
+
+
+def test_observer_isi_stats_math():
+    """isi_stats on synthetic window counts: inter-window ISIs from the
+    record grid, intra-window ISIs as width/count even spread, nan below
+    two spikes, Fano = var/mean of window counts."""
+    from rectipy_tpu import Observer
+
+    dt = 1e-3
+    obs = Observer(dt=dt, record_output=False, record_loss=False)
+    steps = np.asarray([0, 10, 20, 30, 40])
+    counts = np.asarray([[0, 0, 0, 0],
+                         [1, 2, 0, 0],
+                         [0, 0, 0, 1],
+                         [1, 0, 0, 0],
+                         [0, 1, 0, 0]], dtype=np.int32)
+    obs.record_batch(steps, var_values={("pop", "spikes"): counts})
+    st = obs.isi_stats("pop")
+    # neuron 0: spikes in windows ending at steps 10 and 30 -> one ISI
+    np.testing.assert_allclose(st["mean_isi"][0], 20 * dt)
+    np.testing.assert_allclose(st["cv"][0], 0.0)
+    # neuron 1: window 1 holds 2 spikes (intra ISI = 10*dt/2) + inter-window
+    # ISI (40-10)*dt -> ISIs [5*dt, 30*dt]
+    isis = np.asarray([5 * dt, 30 * dt])
+    np.testing.assert_allclose(st["mean_isi"][1], isis.mean())
+    np.testing.assert_allclose(st["cv"][1], isis.std() / isis.mean())
+    # neuron 2: silent -> nan everywhere (fano needs mean > 0 too)
+    assert np.isnan(st["mean_isi"][2]) and np.isnan(st["cv"][2]) \
+        and np.isnan(st["fano"][2])
+    # neuron 3: single spike -> ISI stats nan, Fano defined
+    assert np.isnan(st["mean_isi"][3])
+    m = counts[:, 3].mean()
+    np.testing.assert_allclose(st["fano"][3], counts[:, 3].var() / m)
+
+
+def test_observer_isi_stats_regular_spiking_end_to_end():
+    """Uncoupled suprathreshold QIF under constant drive fires periodically:
+    CV ~ 0 and Fano << 1 at dt-resolution recording."""
+    n, T, dt = 4, 2000, 1e-3
+    rng = np.random.default_rng(7)
+    net = Network(dt, dtype=jnp.float64)
+    net.add_diffeq_node(
+        "qif", "neuron_model_templates.spiking_neurons.qif.qif",
+        weights=np.zeros((n, n)), source_var="s", target_var="s_in",
+        input_var="I_ext", output_var="s", op="qif_op", spike_var="spike",
+        reset_var="v", node_vars={"all/qif_op/eta": rng.uniform(1.0, 3.0, n)})
+    obs = net.run(np.full((T, 1), 50.0), sampling_steps=1, verbose=False,
+                  record_spikes=["qif"])
+    st = obs.isi_stats("qif")
+    counts = obs.to_numpy(("qif", "spikes"))
+    assert (counts.sum(axis=0) >= 3).all(), "every neuron must spike repeatedly"
+    assert np.all(st["cv"] < 0.15), f"regular spiking must have low CV: {st['cv']}"
+    # fano at dt-resolution windows is ~Bernoulli -> ~1 for ANY process
+    # (documented caveat); it must not exceed 1 for 0/1 counts
+    assert np.all(st["fano"] <= 1.0 + 1e-9)
+    # ISI consistent with the observed rate (1/rate == mean ISI up to edges)
+    rates = obs.rates("qif")
+    np.testing.assert_allclose(st["mean_isi"], 1.0 / rates, rtol=0.25)
