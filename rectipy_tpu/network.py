@@ -3499,7 +3499,14 @@ class Network:
         pass it explicitly for full reproducibility across processes.  The
         scaling SCHEDULE also persists across chunked calls (the global
         step phase rides on the edge), so arbitrary chunk lengths reproduce
-        one long call exactly.  Requires 2-D weights.  Targets refer to the
+        one long call exactly.  Calls ALIGNED to the period (steps and
+        current phase both multiples of ``homeostasis_steps``) take a
+        segmented-scan fast path where the (n, n) scaling pass runs once
+        per period instead of riding every step (the per-step form costs
+        ~+29% at N=10k dense -- reduce-then-rescale is inherently a second
+        pass over W); dynamics are identical, but ``w_mean``/``w_min``/
+        ``w_max`` recorded AT a scaling step then show pre-scaling weights.
+        Requires 2-D weights.  Targets refer to the
         STORED ``(n_out, n_in)`` rows -- mind that a square matrix passed to
         ``add_edge`` is auto-transposed on construction (reference parity,
         /root/reference/rectipy/edges.py:22-23), so the default targets are
@@ -3638,6 +3645,21 @@ class Network:
                 f"`reward` must hold one value per step: got {reward.shape[0]} "
                 f"rewards for {steps} steps.")
 
+        # ALIGNED homeostasis fast path: when the call starts on a scaling
+        # boundary and covers whole scaling periods, the scan is segmented
+        # at the boundaries (outer scan over periods, inner scan over steps)
+        # and the (n, n) scaling pass runs once per PERIOD instead of riding
+        # every step.  The per-step lax.cond variant is select-converted on
+        # TPU (+29% measured at N=10k dense, benchmarks/stdp_scale.py)
+        # because reduce-then-rescale inherently needs a second pass over W
+        # -- segmentation is the only real fix.  Unaligned calls (chunk
+        # lengths not multiples of homeostasis_steps) keep the cond path;
+        # dynamics are identical either way (scaling between step t and
+        # t+1), the one observable difference being that w_mean/w_min/w_max
+        # recorded AT a scaling step show pre-scaling weights on this path.
+        segmented = bool(h_steps) and h_phase_val % h_steps == 0 \
+            and steps % h_steps == 0 and steps >= h_steps
+
         if mesh is not None:
             state0 = self._mesh_place(state0, mesh)
             params = self._mesh_place(params, mesh)
@@ -3666,6 +3688,12 @@ class Network:
 
         def scan_all(state0, params, W, E, x_pre, x_post, inputs, reward,
                      h_target, h_phase):
+            def _scale_rows(Wv):
+                above = Wv - edge.w_min
+                scale = h_target / (above.sum(axis=1) + 1e-12)
+                return jnp.clip(edge.w_min + above * scale[:, None],
+                                edge.w_min, edge.w_max)
+
             rec_out0 = jnp.zeros((n_rec, n_out), dtype=out_aval.dtype)
             rec_w0 = jnp.zeros((n_rec, 3), dtype=w_dtype)
             # per-window spike-count accumulators (f32: bf16 saturates at 256)
@@ -3705,22 +3733,17 @@ class Network:
                                                  spk_post, r_t)
                 else:
                     W, x_pre, x_post = update(W, x_pre, x_post, spk_pre, spk_post)
-                if h_steps:
+                if h_steps and not segmented:
                     # multiplicative synaptic scaling every h_steps steps:
                     # above-floor row mass renormalized to the target (clip
                     # keeps the bounds honored when scaling up).  h_phase
                     # carries the GLOBAL step count across chunked calls so
                     # chunking never shifts the scaling schedule; lax.cond
                     # (not where) keeps the extra (n, n) pass off the
-                    # roofline-bound steps that don't scale.
+                    # roofline-bound steps that don't scale.  (On the
+                    # aligned fast path scaling runs between scan segments
+                    # instead -- see `segmented` above.)
                     do_h = ((step_idx + h_phase) % h_steps) == (h_steps - 1)
-
-                    def _scale_rows(Wv):
-                        above = Wv - edge.w_min
-                        scale = h_target / (above.sum(axis=1) + 1e-12)
-                        return jnp.clip(edge.w_min + above * scale[:, None],
-                                        edge.w_min, edge.w_max)
-
                     W = jax.lax.cond(do_h, _scale_rows, lambda Wv: Wv, W)
                 acc = tuple(a + s for a, s in zip(acc, rec_indicators))
                 do_rec = (step_idx % sampling_steps) == 0
@@ -3753,14 +3776,34 @@ class Network:
                 xs = (inputs, reward, idx_seq) if reward_mode else (inputs, idx_seq)
             init = (state0, W, E, x_pre, x_post, rec_out0, rec_w0, acc0, rec_spk0,
                     rec_var0, jnp.asarray(0, dtype=jnp.int32))
-            (stateT, W, E, x_pre, x_post, rec_out, rec_w, _, rec_spk, rec_var,
-             _), _ = jax.lax.scan(body, init, xs)
+            if segmented:
+                # outer scan over whole scaling periods; the (n, n) scaling
+                # pass runs once per period, between inner scans (identical
+                # dynamics to the cond path: step t scales after its update,
+                # step t+1 integrates with scaled W)
+                n_seg = steps // h_steps
+                xs_seg = jax.tree.map(
+                    lambda a: a.reshape((n_seg, h_steps) + a.shape[1:]), xs)
+
+                def period(carry, xseg):
+                    carry, _ = jax.lax.scan(body, carry, xseg)
+                    (state, W, E, x_pre, x_post, rec_out, rec_w, acc, rec_spk,
+                     rec_var, rec_i) = carry
+                    W = _scale_rows(W)
+                    return (state, W, E, x_pre, x_post, rec_out, rec_w, acc,
+                            rec_spk, rec_var, rec_i), None
+
+                (stateT, W, E, x_pre, x_post, rec_out, rec_w, _, rec_spk,
+                 rec_var, _), _ = jax.lax.scan(period, init, xs_seg)
+            else:
+                (stateT, W, E, x_pre, x_post, rec_out, rec_w, _, rec_spk,
+                 rec_var, _), _ = jax.lax.scan(body, init, xs)
             return stateT, W, E, x_pre, x_post, rec_out, rec_w, rec_spk, rec_var
 
         cache_key = ("stdp_scan", ekey, str(w_dtype), edge.tau_plus, edge.tau_minus,
                      edge.a_plus, edge.a_minus, edge.w_min, edge.w_max,
                      edge.soft_bounds, sampling_steps, steps, n_rec, in_sig,
-                     reward_mode, tau_e if reward_mode else None, h_steps,
+                     reward_mode, tau_e if reward_mode else None, h_steps, segmented,
                      tuple(label for label, _ in spike_info),
                      tuple(key for key, _, _, _ in var_info),
                      self._step_versions())

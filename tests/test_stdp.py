@@ -624,6 +624,30 @@ def test_fit_stdp_homeostasis_chunks_not_multiple_of_period():
         np.asarray(net_a.get_edge("pre", "post").params["weights"]), rtol=1e-12)
 
 
+def test_fit_stdp_homeostasis_segmented_equals_cond_path():
+    """The ALIGNED fast path (steps and phase multiples of the period ->
+    scan segmented at scaling boundaries, one (n, n) scaling pass per
+    period) computes exactly what the per-step lax.cond path computes:
+    one aligned call == unaligned chunks of the same protocol (chunk
+    lengths not multiples of the period force the cond path)."""
+    T, dt, h = 160, 0.1, 16
+    rng = np.random.default_rng(53)
+    x = (rng.random((T, 6)) < 0.15) * 40.0
+    w0 = rng.uniform(0.1, 0.4, size=(2, 4))
+
+    net_a = _wide_net(dt, w0=w0)  # 160 % 16 == 0, phase 0 -> segmented
+    obs_a = net_a.fit_stdp(x, sampling_steps=40, homeostasis_steps=h, verbose=False)
+
+    net_b = _wide_net(dt, w0=w0)  # 72 % 16 != 0 and 88 % 16 != 0 -> cond path
+    net_b.fit_stdp(x[:72], sampling_steps=40, homeostasis_steps=h, verbose=False)
+    net_b.fit_stdp(x[72:], sampling_steps=40, homeostasis_steps=h, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(net_b.get_edge("pre", "post").params["weights"]),
+        np.asarray(net_a.get_edge("pre", "post").params["weights"]), rtol=1e-12)
+    # the segmented program recorded the full output grid
+    assert obs_a.to_numpy("out").shape[0] == T // 40
+
+
 def test_fit_stdp_homeostasis_feedback_self_edge_pins_stored_rows():
     """Homeostasis on a recurrent feedback self-edge: the STORED rows pin
     (reference-parity: a square weights matrix is auto-transposed on edge
