@@ -326,22 +326,31 @@ class Observer:
         counts = self.to_numpy((node, "spikes"))
         steps = np.asarray(self._recordings["steps"], dtype=float)
         widths = self._spike_window_widths()
+        # chunked calls sharing this Observer restart the step counter
+        # (non-positive step diffs, same convention as
+        # _spike_window_widths); ISIs never bridge chunks -- the wall-clock
+        # gap between chunks is not represented in the recording
+        restarts = np.concatenate([[0], np.nonzero(np.diff(steps) <= 0)[0] + 1,
+                                   [len(steps)]])
         n = counts.shape[1]
         mean_isi = np.full(n, np.nan)
         cv = np.full(n, np.nan)
         for i in range(n):
-            w_idx = np.nonzero(counts[:, i])[0]
-            if not len(w_idx):
-                continue
             isis = []
-            c = counts[w_idx, i].astype(int)
-            # intra-window intervals for multi-spike windows
-            for k, wi in zip(c, w_idx):
-                if k > 1:
-                    isis.extend([widths[wi] * self._dt / k] * (k - 1))
-            # inter-window intervals between successive spiking windows
-            if len(w_idx) > 1:
-                isis.extend(np.diff(steps[w_idx]) * self._dt)
+            for lo, hi in zip(restarts[:-1], restarts[1:]):
+                w_idx = lo + np.nonzero(counts[lo:hi, i])[0]
+                if not len(w_idx):
+                    continue
+                c = counts[w_idx, i].astype(float)
+                d = widths[w_idx]
+                # even-spread model: a window ending at e with c spikes
+                # holds them at e - (c-1)*d/c, ..., e
+                for k, dk in zip(c.astype(int), d):
+                    if k > 1:
+                        isis.extend([dk * self._dt / k] * (k - 1))
+                if len(w_idx) > 1:
+                    first = steps[w_idx] - (c - 1.0) * d / c
+                    isis.extend((first[1:] - steps[w_idx][:-1]) * self._dt)
             if isis:
                 isis = np.asarray(isis)
                 mean_isi[i] = isis.mean()
@@ -362,22 +371,11 @@ class Observer:
         Multi-channel recordings are channel-averaged, like
         :meth:`coherence`; ``max_lag`` is in record steps (default T//4).
         """
-        steps = np.asarray(self._recordings["steps"], dtype=np.int64)
-        if len(steps) < 3:
-            raise ValueError("xcorr needs at least three recorded samples")
+        steps, _ = self._record_grid("xcorr", min_samples=3)
         gaps = np.diff(steps)
-        if not np.all(gaps == gaps[0]):
-            raise ValueError(
-                "xcorr requires an evenly spaced record grid; recorded "
-                f"step gaps vary ({np.unique(gaps)[:5]} ...).")
         sigs = []
         for item in (item_a, item_b):
-            x = self.to_numpy(item)
-            if len(x) != len(steps):
-                raise ValueError(
-                    f"xcorr: {item!r} has {len(x)} rows but the record grid "
-                    f"has {len(steps)} steps.")
-            x = x.mean(axis=1) if x.ndim > 1 else x.astype(float)
+            x = self._grid_signal(item, steps, "xcorr").mean(axis=1)
             sigs.append(x - x.mean())
         a, b = sigs
         T = len(a)
@@ -391,6 +389,36 @@ class Observer:
         lags = np.arange(-max_lag, max_lag + 1)
         corr = full[T - 1 + lags[0]: T + lags[-1]]
         return lags * float(gaps[0]) * self._dt, corr
+
+    def _record_grid(self, what: str, min_samples: int = 2):
+        """Validated even record grid shared by the frequency/lag analysis
+        helpers: returns ``(steps, fs)`` or raises."""
+        steps = np.asarray(self._recordings["steps"], dtype=np.int64)
+        if len(steps) < min_samples:
+            word = {2: "two", 3: "three"}.get(min_samples, str(min_samples))
+            raise ValueError(f"{what} needs at least {word} recorded samples")
+        gaps = np.diff(steps)
+        if not np.all(gaps == gaps[0]):
+            raise ValueError(
+                f"{what} requires an evenly spaced record grid; recorded "
+                f"step gaps vary ({np.unique(gaps)[:5]} ...) -- record with "
+                "one sampling_steps, or resample.")
+        return steps, 1.0 / (self._dt * float(gaps[0]))
+
+    def _grid_signal(self, item, steps, what: str) -> np.ndarray:
+        """A recording as a (T, n) array aligned to the record grid."""
+        x = self.to_numpy(item)
+        if x.ndim == 1:
+            x = x[:, None]
+        if len(x) != len(steps):
+            # e.g. a save()d extra with its own sampling: the record grid
+            # says nothing about ITS sample rate
+            raise ValueError(
+                f"{what}: {item!r} has {len(x)} rows but the record grid "
+                f"has {len(steps)} steps; only per-record-step recordings "
+                "have a known sample rate (use scipy.signal directly with "
+                "your own fs for saved extras).")
+        return x
 
     def spectrum(self, item="out", nperseg: int = None, per_channel: bool = False,
                  **welch_kwargs):
@@ -409,27 +437,8 @@ class Observer:
         """
         from scipy.signal import welch
 
-        x = self.to_numpy(item)
-        if x.ndim == 1:
-            x = x[:, None]
-        steps = np.asarray(self._recordings["steps"], dtype=np.int64)
-        if len(steps) < 2:
-            raise ValueError("spectrum needs at least two recorded samples")
-        if len(x) != len(steps):
-            # e.g. a save()d extra with its own sampling: the record grid
-            # says nothing about ITS sample rate
-            raise ValueError(
-                f"spectrum: {item!r} has {len(x)} rows but the record grid "
-                f"has {len(steps)} steps; only per-record-step recordings "
-                "have a known sample rate (use scipy.signal.welch directly "
-                "with your own fs for saved extras).")
-        gaps = np.diff(steps)
-        if not np.all(gaps == gaps[0]):
-            raise ValueError(
-                "spectrum requires an evenly spaced record grid; this "
-                f"Observer's recorded step gaps vary ({np.unique(gaps)[:5]}"
-                " ...) -- record with one sampling_steps, or resample.")
-        fs = 1.0 / (self._dt * float(gaps[0]))
+        steps, fs = self._record_grid("spectrum")
+        x = self._grid_signal(item, steps, "spectrum")
         if nperseg is None:
             nperseg = min(256, x.shape[0])
         freqs, psd = welch(x, fs=fs, nperseg=nperseg, axis=0, **welch_kwargs)
@@ -448,23 +457,9 @@ class Observer:
         """
         from scipy.signal import coherence as _coherence
 
-        sigs = []
-        steps = np.asarray(self._recordings["steps"], dtype=np.int64)
-        if len(steps) < 2:
-            raise ValueError("coherence needs at least two recorded samples")
-        gaps = np.diff(steps)
-        if not np.all(gaps == gaps[0]):
-            raise ValueError(
-                "coherence requires an evenly spaced record grid; recorded "
-                f"step gaps vary ({np.unique(gaps)[:5]} ...).")
-        for item in (item_a, item_b):
-            x = self.to_numpy(item)
-            if len(x) != len(steps):
-                raise ValueError(
-                    f"coherence: {item!r} has {len(x)} rows but the record "
-                    f"grid has {len(steps)} steps.")
-            sigs.append(x.mean(axis=1) if x.ndim > 1 else x)
-        fs = 1.0 / (self._dt * float(gaps[0]))
+        steps, fs = self._record_grid("coherence")
+        sigs = [self._grid_signal(item, steps, "coherence").mean(axis=1)
+                for item in (item_a, item_b)]
         if nperseg is None:
             nperseg = min(256, len(sigs[0]))
         return _coherence(sigs[0], sigs[1], fs=fs, nperseg=nperseg, **kwargs)

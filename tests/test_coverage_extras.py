@@ -434,11 +434,16 @@ def test_observer_coherence_shared_rhythm():
     v = obs.to_numpy(("rnn", "v"))
     freqs, cxy = obs.coherence(("rnn", "v"), ("rnn", "v"), nperseg=1024)
     np.testing.assert_allclose(cxy, 1.0, atol=1e-9)  # self-coherence
-    # channel 0 vs channel 1 via saved single-channel extras is out of
-    # scope (multi-channel items average); instead check against "out"
-    freqs, cxy = obs.coherence(("rnn", "v"), "out", nperseg=1024)
+    # DISCRIMINATING case: the two channels share only the sine (their
+    # noise streams are independent) -> coherent at f0, incoherent in the
+    # noise floor.  Saved single-channel extras are valid grid recordings.
+    obs.save("ch0", v[:, :1])
+    obs.save("ch1", v[:, 1:])
+    freqs, cxy = obs.coherence("ch0", "ch1", nperseg=1024)
     i0 = np.argmin(np.abs(freqs - f0))
-    assert cxy[i0] > 0.9  # identical underlying signals cohere at the peak
+    assert cxy[i0] > 0.8, f"shared drive must cohere at f0: {cxy[i0]}"
+    floor = np.median(cxy[freqs > 3 * f0])
+    assert floor < 0.3, f"independent noise must not cohere off-peak: {floor}"
     # mismatched-extra and irregular-grid guards
     obs.save("x", np.zeros((5, 1)))
     with pytest.raises(ValueError, match="rows"):

@@ -355,3 +355,43 @@ def test_observer_isi_stats_regular_spiking_end_to_end():
     # ISI consistent with the observed rate (1/rate == mean ISI up to edges)
     rates = obs.rates("qif")
     np.testing.assert_allclose(st["mean_isi"], 1.0 / rates, rtol=0.25)
+
+
+def test_observer_isi_stats_multi_spike_windows_regular_train():
+    """A perfectly regular train recorded as exactly 2 spikes per window
+    must come out with CV == 0 under the even-spread model (the boundary
+    interval accounts for the destination window's first-spike offset)."""
+    from rectipy_tpu import Observer
+
+    dt = 1e-3
+    obs = Observer(dt=dt, record_output=False, record_loss=False)
+    steps = np.arange(0, 50, 10)  # widths [1, 10, 10, 10, 10]
+    counts = np.asarray([[0], [2], [2], [2], [2]], dtype=np.int32)
+    obs.record_batch(steps, var_values={("pop", "spikes"): counts})
+    st = obs.isi_stats("pop")
+    # spikes at 5,10 | 15,20 | 25,30 | 35,40 -> every ISI = 5*dt
+    np.testing.assert_allclose(st["mean_isi"][0], 5 * dt)
+    np.testing.assert_allclose(st["cv"][0], 0.0, atol=1e-12)
+
+
+def test_observer_isi_stats_chunked_runs_never_bridge_chunks():
+    """Chunked calls restart the step counter; ISIs must be computed per
+    chunk (never negative, never spanning the unobserved gap)."""
+    from rectipy_tpu import Observer
+
+    dt = 1e-3
+    obs = Observer(dt=dt, record_output=False, record_loss=False)
+    # chunk 1: spikes at steps 10 and 40; chunk 2 restarts at step 0,
+    # spikes at steps 10 and 30
+    obs.record_batch(np.arange(0, 50, 10),
+                     var_values={("pop", "spikes"):
+                                 np.asarray([[0], [1], [0], [0], [1]], np.int32)})
+    obs.record_batch(np.arange(0, 40, 10),
+                     var_values={("pop", "spikes"):
+                                 np.asarray([[0], [1], [0], [1]], np.int32)})
+    st = obs.isi_stats("pop")
+    # ISIs: 30 steps (chunk 1) and 20 steps (chunk 2) -- nothing negative,
+    # nothing across the chunk boundary
+    isis = np.asarray([30 * dt, 20 * dt])
+    np.testing.assert_allclose(st["mean_isi"][0], isis.mean())
+    np.testing.assert_allclose(st["cv"][0], isis.std() / isis.mean())
