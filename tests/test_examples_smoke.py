@@ -62,6 +62,8 @@ def _run(example, env=None, timeout=420):
                                  "SW_SIGMAS": "1.0,4.0"}),
     # delay-coupled Jansen-Rit masses: locking / delay-selected mode / death
     ("delay_coupled_masses.py", {"DJR_T": "30000"}),
+    # spike/signal statistics chain: ISI CV, coherence, xcorr delay recovery
+    ("spike_statistics.py", {"SPK_N": "64", "SPK_T": "8000"}),
 ])
 def test_example_runs(example, env):
     _run(example, env)
