@@ -122,27 +122,86 @@ def _canonicalize_plastic_edges(tree: dict) -> None:
             edge_params["elig"] = np.zeros(np.shape(w), dtype=np.asarray(w).dtype)
 
 
+def _all_edges(net):
+    for u, v in list(net.graph.edges):
+        yield u, v, net.get_edge(u, v)
+    for u, v, edge in net._fb_edge_list():
+        yield u, v, edge
+
+
+def _homeo_sidecar(net) -> dict:
+    """Homeostatic-scaling side-state (`fit_stdp(homeostasis_steps=)`) of
+    every 2-D STDP edge: the per-row target and the global schedule phase
+    live as edge ATTRIBUTES (not params -- they must not ride into device
+    programs), so snapshots carry them in a deterministic sidecar section.
+    Edges that never ran homeostasis get `set=False` + zero placeholders so
+    the pytree structure depends only on the network, never on history."""
+    side = {}
+    for u, v, edge in _all_edges(net):
+        p = getattr(edge, "params", None)
+        if not (p and "x_pre" in p and "x_post" in p
+                and np.ndim(p.get("weights")) == 2):
+            continue
+        tgt = getattr(edge, "_homeo_target", None)
+        w = np.asarray(p["weights"])
+        side[f"{u}->{v}"] = {
+            "set": np.asarray(tgt is not None),
+            "phase": np.asarray(int(getattr(edge, "_homeo_phase", 0)),
+                                dtype=np.int32),
+            "target": (np.asarray(tgt) if tgt is not None
+                       else np.zeros(w.shape[0], dtype=w.dtype)),
+        }
+    return side
+
+
 def save_network(net, path: str) -> None:
-    """Snapshot a Network's parameters and state (nodes, edges, feedback)."""
+    """Snapshot a Network's parameters and state (nodes, edges, feedback),
+    plus plasticity side-state (STDP eligibility canonicalized into params;
+    homeostasis target/phase in a sidecar section)."""
     net.compile()
     payload = {"params": net.parameters_pytree(), "state": net.init_state()}
     _canonicalize_plastic_edges(payload)
+    homeo = _homeo_sidecar(net)
+    if homeo:
+        payload["homeo"] = homeo
     save_pytree(payload, path)
 
 
 def restore_network(net, path: str) -> None:
     """Restore a snapshot produced by :func:`save_network` into ``net``."""
     net.compile()
-    template = {"params": net.parameters_pytree(), "state": net.init_state()}
-    _canonicalize_plastic_edges(template)
-    try:
-        payload = restore_pytree(template, path)
-    except (ValueError, KeyError):
-        # snapshot predates eligibility-trace canonicalization: retry with
-        # the raw template
-        template = {"params": net.parameters_pytree(), "state": net.init_state()}
-        payload = restore_pytree(template, path)
+
+    def _template(with_elig: bool, with_homeo: bool) -> dict:
+        t = {"params": net.parameters_pytree(), "state": net.init_state()}
+        if with_elig:
+            _canonicalize_plastic_edges(t)
+        if with_homeo:
+            homeo = _homeo_sidecar(net)
+            if homeo:
+                t["homeo"] = homeo
+        return t
+
+    # fallback chain for snapshots from older layouts (no homeo sidecar /
+    # no canonicalized eligibility)
+    payload = None
+    for with_elig, with_homeo in ((True, True), (True, False), (False, False)):
+        try:
+            payload = restore_pytree(_template(with_elig, with_homeo), path)
+            break
+        except (ValueError, KeyError):
+            if (with_elig, with_homeo) == (False, False):
+                raise
     net._write_back(state=payload["state"], params=payload["params"])
+    for ekey, side in payload.get("homeo", {}).items():
+        u, v = ekey.split("->", 1)
+        edge = net.get_edge(u, v)
+        if bool(np.asarray(side["set"])):
+            edge._homeo_target = jnp.asarray(side["target"])
+            edge._homeo_phase = int(np.asarray(side["phase"]))
+        else:  # snapshot taken before any homeostatic fit on this edge
+            for attr in ("_homeo_target", "_homeo_phase"):
+                if hasattr(edge, attr):
+                    delattr(edge, attr)
     # an all-zero eligibility trace is identical to the lazy init -- drop it
     # so a never-reward-trained edge does not carry a dead (n_out, n_in)
     # zeros array into every program

@@ -111,3 +111,58 @@ def test_plastic_edge_state_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(net2.get_edge("pre", "post").params["weights"]),
                                np.asarray(net.get_edge("pre", "post").params["weights"]),
                                rtol=0)
+
+
+def test_homeostasis_schedule_roundtrip(tmp_path):
+    """The homeostatic-scaling side-state (per-row target + global schedule
+    phase, edge ATTRIBUTES) is part of the snapshot: a restored network
+    continues the exact scaling schedule of the uninterrupted original."""
+    LIF = "neuron_model_templates.spiking_neurons.lif.lif"
+    rng = np.random.default_rng(9)
+    T, h = 70, 16  # 70 % 16 != 0: phase 6 at the checkpoint
+    x = (rng.random((T, 6)) < 0.15) * 40.0
+    w0 = rng.uniform(0.1, 0.4, size=(2, 4))
+
+    def build():
+        net = Network(0.1, dtype=jnp.float64)
+        net.add_func_node("inp", 6, activation_function="identity")
+        for label, n, k in (("pre", 4, 0), ("post", 2, 4)):
+            sel = np.eye(n, 6, k=k)
+            net.add_diffeq_node(label, LIF, weights=np.zeros((n, n)), source_var="s",
+                                target_var="s_in", input_var="I_ext", output_var="s",
+                                op="lif_op", spike_var="spike", reset_var="v",
+                                spike_threshold=1.0, spike_reset=0.0)
+            net.add_edge("inp", label, weights=sel)
+        net.add_edge("pre", "post", train="stdp", weights=w0, tau_plus=2.0,
+                     tau_minus=2.0, a_plus=0.05, a_minus=0.04, w_min=0.0, w_max=1.0)
+        return net
+
+    # checkpointed run: chunk 1, snapshot, restore into a FRESH net, chunk 2
+    net_b = build()
+    net_b.fit_stdp(x[:40], sampling_steps=40, homeostasis_steps=h, verbose=False)
+    path = str(tmp_path / "homeo")
+    save_network(net_b, path)
+    net_c = build()
+    restore_network(net_c, path)
+    edge_c = net_c.get_edge("pre", "post")
+    assert int(edge_c._homeo_phase) == 40 % h
+    np.testing.assert_allclose(np.asarray(edge_c._homeo_target),
+                               (w0 - 0.0).sum(axis=1))
+
+    net_c.fit_stdp(x[40:], sampling_steps=40, homeostasis_steps=h, verbose=False)
+    # net_c's total protocol == one 70-step chunked run; replay it directly
+    net_d = build()
+    net_d.fit_stdp(x, sampling_steps=40, homeostasis_steps=h, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(net_c.get_edge("pre", "post").params["weights"]),
+        np.asarray(net_d.get_edge("pre", "post").params["weights"]), rtol=1e-12)
+
+    # a snapshot taken BEFORE any homeostatic fit restores to "no schedule"
+    net_e = build()
+    save_network(net_e, str(tmp_path / "fresh"))
+    net_f = build()
+    net_f._homeo_left_over = True  # unrelated attr must survive
+    restore_network(net_f, str(tmp_path / "fresh"))
+    edge_f = net_f.get_edge("pre", "post")
+    assert not hasattr(edge_f, "_homeo_target")
+    assert not hasattr(edge_f, "_homeo_phase")
