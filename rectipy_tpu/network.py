@@ -804,6 +804,77 @@ class Network:
             params["edges"][_ekey(u, v)] = dict(e.params)
         return params
 
+    def describe(self) -> str:
+        """Human-readable architecture summary: nodes (class, size,
+        integrator, trainables), edges (class, weight shape/dtype, extra
+        state), and parameter/state totals with the device-memory footprint.
+        Beyond-reference ergonomics (the reference offers only
+        ``Network.graph`` introspection); returns a string -- ``print(
+        net.describe())``."""
+        self.compile()
+        order = self._compiled["order"]
+        lines = [f"Network(dt={self.dt}, dtype={jnp.dtype(self.dtype).name}): "
+                 f"{len(order)} node(s), input={self._in_node!r} (n_in={self.n_in}), "
+                 f"output={self._out_node!r} (n_out={self.n_out})"]
+        n_param = n_bytes = 0
+
+        def _leaf_stats(tree):
+            cnt = byt = 0
+            for leaf in jax.tree_util.tree_leaves(tree):
+                a = np.asarray(leaf)
+                cnt += a.size
+                byt += a.nbytes
+            return cnt, byt
+
+        lines.append("nodes:")
+        for label in order:
+            node = self.get_node(label)
+            args = getattr(node, "args", {}) or {}
+            cnt, byt = _leaf_stats(args)
+            n_param += cnt
+            n_bytes += byt
+            y = getattr(node, "y", None)
+            size = (f"state={np.shape(y)[0]}" if y is not None
+                    else f"n={getattr(node, 'n_in', '?')}")
+            extra = ""
+            integ = getattr(node, "integrator", None)
+            if integ and integ != "euler":
+                extra += f", integrator={integ}"
+            train = getattr(node, "train_keys", [])
+            if train:
+                extra += f", train={list(train)}"
+            lines.append(f"  {label}: {type(node).__name__} ({size}, "
+                         f"{cnt:,} params{extra})")
+            if y is not None:
+                n_bytes += np.asarray(y).nbytes
+        edges = [(u, v, self.get_edge(u, v), "")
+                 for v in order for u in self.graph.predecessors(v)]
+        edges += [(u, v, e, " [feedback]") for u, v, e in self._fb_edge_list()]
+        if edges:
+            lines.append("edges:")
+        for u, v, e, tag in edges:
+            p = getattr(e, "params", {}) or {}
+            cnt, byt = _leaf_stats(p)
+            n_param += cnt
+            n_bytes += byt
+            w = p.get("weights")
+            shape = ("x".join(map(str, np.shape(w))) if w is not None
+                     and np.ndim(w) else "scalar")
+            wdt = np.asarray(w).dtype.name if w is not None else "-"
+            extras = [k for k in p if k != "weights"]
+            train = getattr(e, "train_keys", [])
+            lines.append(
+                f"  {u} -> {v}{tag}: {type(e).__name__} ({shape} {wdt}"
+                + (f", carry: {extras}" if extras else "")
+                + (f", train={list(train)}" if train else "") + ")")
+        params = self.parameters_pytree()
+        t_cnt = 0
+        for kind, label, key in self.trainable_paths():
+            t_cnt += int(np.asarray(params[kind][label][key]).size)
+        lines.append(f"totals: {n_param:,} parameters ({t_cnt:,} trainable), "
+                     f"~{n_bytes/1e6:,.1f} MB params+state on device")
+        return "\n".join(lines)
+
     def trainable_paths(self) -> List[tuple]:
         """Paths (kind, label, key) of trainable leaves in the params pytree."""
         if self._compiled is None:

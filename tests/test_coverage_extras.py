@@ -478,3 +478,32 @@ def test_observer_xcorr_recovers_lag():
                      var_values={("x", "a"): a[:1, None], ("x", "b"): b[:1, None]})
     with pytest.raises(ValueError, match="evenly spaced|rows"):
         obs.xcorr(("x", "a"), ("x", "b"))
+
+
+def test_network_describe_summary():
+    """describe(): architecture summary names every node and edge, flags
+    trainables and plasticity carry, and totals the parameters."""
+    from rectipy_tpu import FeedbackNetwork
+
+    rng = np.random.default_rng(0)
+    n = 6
+    net = FeedbackNetwork(1e-3, dtype=jnp.float64)
+    net.add_diffeq_node("exc", "neuron_model_templates.spiking_neurons.qif.qif",
+                        weights=rng.normal(size=(n, n)) * 0.01, source_var="s",
+                        target_var="s_in", input_var="I_ext", output_var="s",
+                        op="qif_op", spike_var="spike", reset_var="v")
+    net.add_func_node("out", n, activation_function="tanh")
+    net.add_edge("exc", "out", weights=rng.normal(size=(n, n)), train="gd")
+    net.add_edge("out", "exc", weights=rng.normal(size=(n, n)) * 0.05,
+                 feedback=True, train="stdp", w_min=0.0, w_max=1.0)
+    text = net.describe()
+    assert "exc: SpikeResetNet" in text and "out: InstantNode" in text
+    assert "exc -> out" in text and "train=['weights']" in text
+    assert "[feedback]" in text and "STDP" in text
+    assert "x_pre" in text  # plasticity carry listed
+    assert "trainable" in text and "MB params+state" in text
+    # totals count the two (n, n) edges + node params
+    import re
+    total = int(re.search(r"totals: ([\d,]+) parameters",
+                          text).group(1).replace(",", ""))
+    assert total >= 2 * n * n
