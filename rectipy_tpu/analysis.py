@@ -32,8 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["autonomous_field", "jacobian", "fixed_point", "stability",
-           "lyapunov_spectrum", "lyapunov_direct", "limit_cycle",
+__all__ = ["autonomous_field", "jacobian", "basins", "fixed_point",
+           "stability", "lyapunov_spectrum", "lyapunov_direct", "limit_cycle",
            "phase_plane"]
 
 
@@ -376,6 +376,67 @@ def phase_plane(net, node: str = None, dims=(0, 1), bounds=None,
     return {"x": xs, "y": ys,
             "dx": d[:, 0].reshape(n_grid, n_grid),
             "dy": d[:, 1].reshape(n_grid, n_grid)}
+
+
+def basins(net, node: str = None, ics=None, attractors=None, inputs=None,
+           steps: int = 50_000, tol: float = 1e-3, open_loop: bool = False):
+    """Basin-of-attraction classification: integrate the node's smooth flow
+    from every initial condition and assign each endpoint to the nearest
+    attractor.
+
+    ``ics``: ``(B, n_state)`` initial conditions (e.g. a meshgrid over two
+    coordinates with the rest held at the current state).  ``attractors``:
+    list/array of attractor state vectors — typically `fixed_point` results
+    from several warm starts (stable ones; handing in a saddle will
+    classify its stable manifold's measure-zero neighborhood as a basin).
+    All ``B`` trajectories run as ONE vmapped device scan of the node's own
+    integrator map (cached on the node; ics/attractors/params are program
+    arguments, so grids and parameter sweeps recompile nothing).
+
+    Returns ``(labels, endpoints)``: ``labels[b]`` is the index into
+    ``attractors`` whose max-norm relative distance to the endpoint is
+    smallest AND below ``tol`` — else ``-1`` (diverged, on a limit cycle,
+    or still in transit; raise ``steps`` or ``tol``).  Like the other
+    trajectory analyses this integrates the RESET-FREE flow and refuses
+    spiking nodes (use the full-network `lyapunov_direct` machinery for
+    those regimes).
+    """
+    nd, args = _field_args(net, node, inputs, open_loop)
+    _check_smooth_trajectory(nd, "basins")
+    if ics is None or attractors is None:
+        raise ValueError("basins needs ics (B, n_state) and a list of "
+                         "attractor state vectors (see fixed_point).")
+    ics = jnp.asarray(ics, dtype=nd.y.dtype)
+    attrs = jnp.asarray(attractors, dtype=nd.y.dtype)
+    if ics.ndim != 2 or ics.shape[1] != nd.y.shape[0]:
+        raise ValueError(f"ics must be (B, {nd.y.shape[0]}); got {ics.shape}")
+    if attrs.ndim != 2 or attrs.shape[1] != nd.y.shape[0]:
+        raise ValueError(
+            f"attractors must be (K, {nd.y.shape[0]}); got {attrs.shape}")
+    cache = nd.__dict__.setdefault("_analysis_programs", {})
+    key = ("basins", int(steps))
+    if key not in cache:
+        fmap = _flow_map(nd)
+
+        def endpoints(ics, args, dt):
+            def roll(y, _):
+                return fmap(y, args, dt), None
+
+            def one(y0):
+                y, _ = jax.lax.scan(roll, y0, None, length=steps)
+                return y
+
+            return jax.vmap(one)(ics)
+
+        cache[key] = jax.jit(endpoints)
+    ends = cache[key](ics, args, jnp.asarray(net.dt, dtype=nd.y.dtype))
+    # relative max-norm distance endpoint -> each attractor
+    scale = 1.0 + jnp.max(jnp.abs(attrs), axis=1)              # (K,)
+    dist = jnp.max(jnp.abs(ends[:, None, :] - attrs[None]), axis=2) / scale
+    best = jnp.argmin(dist, axis=1)
+    ok = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0] <= tol
+    labels = jnp.where(ok & jnp.all(jnp.isfinite(ends), axis=1), best, -1)
+    return np.asarray(labels), np.asarray(ends)
 
 
 def _traj_program(nd, steps: int, transient: int):

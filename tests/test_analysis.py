@@ -477,3 +477,39 @@ def test_lyapunov_direct_rejects_quantized_couplings():
                             node_vars={"all/li_op/tau": 1.0})
         with pytest.raises(ValueError, match="quantized coupling"):
             lyapunov_direct(net, steps=1000)
+
+
+def test_basins_bistable_tanh():
+    """Basin classification on the canonical bistable unit
+    v' = -v/tau + w*tanh(v) (w*tau > 1): negative ICs flow to -v*, positive
+    to +v*, and the unstable fixed point at 0 matches no attractor (-1)."""
+    from rectipy_tpu.analysis import basins, fixed_point, stability
+
+    net = _tanh_net(1, np.array([[2.0]]), tau=1.0, k=1.0)
+    a_pos = fixed_point(net, y0=np.array([2.0]))
+    a_neg = fixed_point(net, y0=np.array([-2.0]))
+    v_star = 1.9150080
+    np.testing.assert_allclose(np.asarray(a_pos), [v_star], atol=1e-5)
+    assert stability(net, y=a_pos)[0].real < 0  # attractor, not the saddle
+
+    ics = np.linspace(-3.0, 3.0, 13).reshape(-1, 1)  # includes the saddle 0
+    labels, ends = basins(net, ics=ics, attractors=[a_neg, a_pos],
+                          steps=4000, tol=1e-4)
+    want = np.where(ics[:, 0] < 0, 0, 1)
+    want[ics[:, 0] == 0.0] = -1  # exactly ON the unstable point: stays there
+    np.testing.assert_array_equal(labels, want)
+    np.testing.assert_allclose(np.abs(ends[labels >= 0, 0]), v_star, atol=1e-4)
+
+    # program cached: a second grid reuses the same compiled endpoint scan
+    nd = net.get_node("pop")
+    n_prog = len(nd._analysis_programs)
+    labels2, _ = basins(net, ics=ics * 0.5, attractors=[a_neg, a_pos],
+                        steps=4000, tol=1e-4)
+    assert len(nd._analysis_programs) == n_prog
+    np.testing.assert_array_equal(labels2, want)
+
+    # validation: wrong shapes and spiking nodes refuse
+    with pytest.raises(ValueError, match="ics"):
+        basins(net, ics=np.zeros((4, 2)), attractors=[a_pos], steps=10)
+    with pytest.raises(ValueError, match="needs ics"):
+        basins(net, steps=10)
