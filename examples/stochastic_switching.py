@@ -80,6 +80,22 @@ r_lo, r_hi, r_saddle = stable[0], stable[1], saddles[0]
 print(f"equilibria: low r*={r_lo:.4f}, high r*={r_hi:.4f}, "
       f"saddle r*={r_saddle:.4f}")
 
+# ... and the basins each equilibrium drains: one vmapped grid of
+# deterministic trajectories, endpoints matched to the attractors
+from rectipy_tpu.analysis import basins
+
+lo_y = next(a[0] for a in attractors if a[1] == "stable" and a[0][0] == r_lo)
+hi_y = next(a[0] for a in attractors if a[1] == "stable" and a[0][0] == r_hi)
+R0, V0 = np.meshgrid(np.linspace(0.01, 2.5, 9), np.linspace(-3.0, 1.0, 9))
+# horizon ~40 time units: the high state's slowest mode has tau ~ 3, so
+# shorter runs leave its basin "unresolved" rather than misclassified
+labels, _ = basins(net, ics=np.stack([R0.ravel(), V0.ravel()], axis=1),
+                   attractors=[lo_y, hi_y], steps=int(40.0 / dt), tol=5e-3)
+frac_lo = (labels == 0).mean()
+print(f"basin split over the (r, v) grid: {frac_lo:.0%} -> low, "
+      f"{(labels == 1).mean():.0%} -> high, {(labels < 0).mean():.0%} unresolved")
+assert (labels == 0).any() and (labels == 1).any()
+
 # Schmitt thresholds bracketing the saddle (hysteresis kills chatter)
 thr_hi = (r_saddle + r_hi) / 2
 thr_lo = (r_lo + r_saddle) / 2
