@@ -434,7 +434,7 @@ def basins(net, node: str = None, ics=None, attractors=None, inputs=None,
     scale = 1.0 + jnp.max(jnp.abs(attrs), axis=1)              # (K,)
     dist = jnp.max(jnp.abs(ends[:, None, :] - attrs[None]), axis=2) / scale
     best = jnp.argmin(dist, axis=1)
-    ok = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0] <= tol
+    ok = jnp.min(dist, axis=1) <= tol
     labels = jnp.where(ok & jnp.all(jnp.isfinite(ends), axis=1), best, -1)
     return np.asarray(labels), np.asarray(ends)
 

@@ -123,10 +123,17 @@ def _canonicalize_plastic_edges(tree: dict) -> None:
 
 
 def _all_edges(net):
+    # graph edges first; a feedback edge sharing (u, v) with a graph edge is
+    # skipped (its params already collide in parameters_pytree, and
+    # restore's get_edge resolves graph-first -- first-wins keeps the
+    # sidecar consistent with where the attributes would be written back)
+    seen = set()
     for u, v in list(net.graph.edges):
+        seen.add((u, v))
         yield u, v, net.get_edge(u, v)
     for u, v, edge in net._fb_edge_list():
-        yield u, v, edge
+        if (u, v) not in seen:
+            yield u, v, edge
 
 
 def _homeo_sidecar(net) -> dict:
@@ -143,13 +150,17 @@ def _homeo_sidecar(net) -> dict:
                 and np.ndim(p.get("weights")) == 2):
             continue
         tgt = getattr(edge, "_homeo_target", None)
-        w = np.asarray(p["weights"])
+        # shape/dtype only -- never np.asarray the weights (a dense N=10k
+        # STDP edge would round-trip 400 MB over the tunnel just for a
+        # placeholder's metadata)
+        w = p["weights"]
+        w_dt = np.dtype(getattr(w, "dtype", np.float32))
         side[f"{u}->{v}"] = {
             "set": np.asarray(tgt is not None),
             "phase": np.asarray(int(getattr(edge, "_homeo_phase", 0)),
                                 dtype=np.int32),
             "target": (np.asarray(tgt) if tgt is not None
-                       else np.zeros(w.shape[0], dtype=w.dtype)),
+                       else np.zeros(np.shape(w)[0], dtype=w_dt)),
         }
     return side
 
@@ -192,13 +203,23 @@ def restore_network(net, path: str) -> None:
             if (with_elig, with_homeo) == (False, False):
                 raise
     net._write_back(state=payload["state"], params=payload["params"])
-    for ekey, side in payload.get("homeo", {}).items():
-        u, v = ekey.split("->", 1)
-        edge = net.get_edge(u, v)
-        if bool(np.asarray(side["set"])):
-            edge._homeo_target = jnp.asarray(side["target"])
-            edge._homeo_phase = int(np.asarray(side["phase"]))
-        else:  # snapshot taken before any homeostatic fit on this edge
+    if "homeo" in payload:
+        for ekey, side in payload["homeo"].items():
+            u, v = ekey.split("->", 1)
+            edge = net.get_edge(u, v)
+            if bool(np.asarray(side["set"])):
+                edge._homeo_target = jnp.asarray(side["target"])
+                edge._homeo_phase = int(np.asarray(side["phase"]))
+            else:  # snapshot taken before any homeostatic fit on this edge
+                for attr in ("_homeo_target", "_homeo_phase"):
+                    if hasattr(edge, attr):
+                        delattr(edge, attr)
+    else:
+        # legacy snapshot with no homeo sidecar: clear any schedule state
+        # from the live net -- resuming the PRE-restore schedule against
+        # restored weights would silently scale toward the wrong target
+        # (next fit_stdp re-derives, the pre-sidecar behavior)
+        for _, _, edge in _all_edges(net):
             for attr in ("_homeo_target", "_homeo_phase"):
                 if hasattr(edge, attr):
                     delattr(edge, attr)

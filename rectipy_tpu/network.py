@@ -818,13 +818,20 @@ class Network:
                  f"output={self._out_node!r} (n_out={self.n_out})"]
         n_param = n_bytes = 0
 
+        def _leaf_size(leaf):
+            shape = np.shape(leaf)
+            return int(np.prod(shape)) if shape else 1
+
+        def _leaf_bytes(leaf):
+            # metadata only -- np.asarray on a device leaf would round-trip
+            # it over the tunnel (a 1M-neuron net holds GBs of blocks)
+            return _leaf_size(leaf) * np.dtype(
+                getattr(leaf, "dtype", np.float64)).itemsize
+
         def _leaf_stats(tree):
-            cnt = byt = 0
-            for leaf in jax.tree_util.tree_leaves(tree):
-                a = np.asarray(leaf)
-                cnt += a.size
-                byt += a.nbytes
-            return cnt, byt
+            leaves = jax.tree_util.tree_leaves(tree)
+            return (sum(map(_leaf_size, leaves)),
+                    sum(map(_leaf_bytes, leaves)))
 
         lines.append("nodes:")
         for label in order:
@@ -846,7 +853,7 @@ class Network:
             lines.append(f"  {label}: {type(node).__name__} ({size}, "
                          f"{cnt:,} params{extra})")
             if y is not None:
-                n_bytes += np.asarray(y).nbytes
+                n_bytes += _leaf_bytes(y)
         edges = [(u, v, self.get_edge(u, v), "")
                  for v in order for u in self.graph.predecessors(v)]
         edges += [(u, v, e, " [feedback]") for u, v, e in self._fb_edge_list()]
@@ -860,7 +867,8 @@ class Network:
             w = p.get("weights")
             shape = ("x".join(map(str, np.shape(w))) if w is not None
                      and np.ndim(w) else "scalar")
-            wdt = np.asarray(w).dtype.name if w is not None else "-"
+            wdt = (np.dtype(getattr(w, "dtype", type(w))).name
+                   if w is not None else "-")
             extras = [k for k in p if k != "weights"]
             train = getattr(e, "train_keys", [])
             lines.append(
@@ -870,7 +878,7 @@ class Network:
         params = self.parameters_pytree()
         t_cnt = 0
         for kind, label, key in self.trainable_paths():
-            t_cnt += int(np.asarray(params[kind][label][key]).size)
+            t_cnt += _leaf_size(params[kind][label][key])
         lines.append(f"totals: {n_param:,} parameters ({t_cnt:,} trainable), "
                      f"~{n_bytes/1e6:,.1f} MB params+state on device")
         return "\n".join(lines)

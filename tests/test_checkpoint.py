@@ -166,3 +166,35 @@ def test_homeostasis_schedule_roundtrip(tmp_path):
     edge_f = net_f.get_edge("pre", "post")
     assert not hasattr(edge_f, "_homeo_target")
     assert not hasattr(edge_f, "_homeo_phase")
+
+
+def test_legacy_snapshot_clears_stale_homeo_schedule(tmp_path):
+    """Restoring a pre-sidecar snapshot (params+state only) must CLEAR any
+    live homeostasis schedule: resuming the pre-restore schedule against
+    restored weights would scale rows toward the wrong target."""
+    from rectipy_tpu.checkpoint import _canonicalize_plastic_edges, save_pytree
+
+    LIF = "neuron_model_templates.spiking_neurons.lif.lif"
+    rng = np.random.default_rng(11)
+    x = (rng.random((48, 4)) < 0.2) * 40.0
+    net = Network(0.1, dtype=jnp.float64)
+    net.add_func_node("inp", 4, activation_function="identity")
+    for label, k in (("pre", 0), ("post", 2)):
+        net.add_diffeq_node(label, LIF, weights=np.zeros((2, 2)), source_var="s",
+                            target_var="s_in", input_var="I_ext", output_var="s",
+                            op="lif_op", spike_var="spike", reset_var="v",
+                            spike_threshold=1.0, spike_reset=0.0)
+        net.add_edge("inp", label, weights=np.eye(2, 4, k=k))
+    net.add_edge("pre", "post", train="stdp", weights=np.full((2, 2), 0.3),
+                 tau_plus=2.0, tau_minus=2.0, a_plus=0.05, a_minus=0.04,
+                 w_min=0.0, w_max=1.0)
+    net.fit_stdp(x, sampling_steps=24, homeostasis_steps=10, verbose=False)
+    edge = net.get_edge("pre", "post")
+    assert hasattr(edge, "_homeo_target")  # schedule live on the edge
+
+    legacy = {"params": net.parameters_pytree(), "state": net.init_state()}
+    _canonicalize_plastic_edges(legacy)       # exactly the old save layout
+    save_pytree(legacy, str(tmp_path / "legacy"))
+    restore_network(net, str(tmp_path / "legacy"))
+    assert not hasattr(edge, "_homeo_target")
+    assert not hasattr(edge, "_homeo_phase")
