@@ -64,6 +64,9 @@ def _run(example, env=None, timeout=420):
     ("delay_coupled_masses.py", {"DJR_T": "30000"}),
     # spike/signal statistics chain: ISI CV, coherence, xcorr delay recovery
     ("spike_statistics.py", {"SPK_N": "64", "SPK_T": "8000"}),
+    # custom optax loop on the functional core (reference torch_integration
+    # analog); asserts (k, tau) recovery to 5%
+    ("jax_integration.py", {}),
 ])
 def test_example_runs(example, env):
     _run(example, env)
