@@ -1,0 +1,129 @@
+"""Whole-brain connectome simulation: per-connection conduction delays.
+
+THE workload the per-connection delay edge (`LinearMemoryMatrix`) exists
+for: a network of Jansen-Rit cortical masses coupled through a weighted
+connectome where every connection has its own conduction delay
+``d_ij = distance_ij / conduction_speed`` (The Virtual Brain-style
+whole-brain modeling).  The reference framework cannot express this -- its
+delay edge carries one delay per *source* (/root/reference/rectipy/
+edges.py:74-108), i.e. every efferent of a region would share a delay
+regardless of target distance.
+
+Construction: M regions at random 3-D positions, distance-dependent
+coupling weights (exponential kernel, row-normalized), delays from the
+Euclidean distances at a finite conduction speed.  The whole delayed
+network -- M masses, an (M, M) delay matrix spanning tens of milliseconds,
+the (M, max_delay+1) history ring -- integrates as ONE fused scan; the
+per-connection read is a single `take_along_axis` gather per step.
+
+Measured regimes (asserted below):
+- uncoupled: heterogeneous drives -> desynchronized rhythms (low mean
+  pairwise coherence);
+- coupled, realistic delays: the connectome synchronizes the regions
+  (mean coherence rises severalfold);
+- same coupling, all delays zeroed: a DIFFERENT network state -- the delay
+  structure, not just the weights, shapes the collective rhythm (distinct
+  dominant frequency / coherence pattern).
+
+Usage:
+    python examples/whole_brain_delays.py
+    WB_M=8 WB_T=20000 python examples/whole_brain_delays.py   # toy scale
+"""
+
+import os
+import sys
+
+try:
+    import rectipy_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from rectipy_tpu import FeedbackNetwork
+from rectipy_tpu.edges import LinearMemoryMatrix
+
+JR = "rectipy_tpu.models.mean_field.jansen_rit.jansen_rit"
+M = int(os.environ.get("WB_M", 32))
+T = int(os.environ.get("WB_T", 60_000))
+K = float(os.environ.get("WB_K", 40.0))
+SPEED = float(os.environ.get("WB_SPEED", 2.0))  # conduction speed, m/s
+dt = 1e-4  # seconds
+SAMP = 10
+CUT = T // SAMP // 4  # settle time, in samples
+
+rng = np.random.default_rng(int(os.environ.get("WB_SEED", 0)))
+
+# --- the connectome: positions -> distances -> weights + per-connection delays
+pos = rng.uniform(0.0, 0.14, size=(M, 3))  # a 14 cm "brain", meters
+dist = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+W = np.exp(-dist / 0.06)  # exponential distance rule
+np.fill_diagonal(W, 0.0)
+W /= W.sum(axis=1, keepdims=True)  # row-normalized in-strength
+D = np.rint(dist / SPEED / dt).astype(int)  # d_ij = distance / speed, in steps
+np.fill_diagonal(D, 0)
+print(f"M={M} regions; delays {D[D > 0].min()}-{D.max()} steps "
+      f"({D[D > 0].min() * dt * 1e3:.1f}-{D.max() * dt * 1e3:.1f} ms), "
+      f"{np.unique(D).size} distinct")
+
+# heterogeneous excitatory time constants -> heterogeneous intrinsic rhythms
+# (the JR alpha frequency tracks ~1/tau_e; drive mostly moves amplitude)
+taues = rng.uniform(8e-3, 13e-3, size=M)
+
+
+def build(K, delays):
+    net = FeedbackNetwork(dt, dtype=np.float64)
+    net.add_diffeq_node("brain", JR, weights=np.zeros((M, M)), source_var="m_py",
+                        target_var="r_in", input_var="r_in", output_var="m_py",
+                        verbose=False, clear=True, file_name="wb_jr",
+                        node_vars={"all/jr_op/tau_e": taues})
+    if K > 0:
+        net.add_edge("brain", "brain", weights=K * W, delays=delays,
+                     feedback=True)
+    net.compile()
+    return net
+
+
+def simulate(K, delays):
+    net = build(K, delays)
+    if K > 0:
+        assert isinstance(net.get_edge("brain", "brain"), LinearMemoryMatrix)
+    out = net.run(np.zeros((T, M)), sampling_steps=SAMP,
+                  verbose=False).to_numpy("out")[CUT:]
+    return out
+
+
+def mean_coherence(x):
+    """Mean pairwise max-|xcorr| over all region pairs."""
+    x = x - x.mean(axis=0)
+    x /= np.linalg.norm(x, axis=0) + 1e-30
+    cohs = []
+    for i in range(x.shape[1]):
+        for j in range(i + 1, x.shape[1]):
+            cohs.append(np.abs(np.correlate(x[:, i], x[:, j], "full")).max())
+    return float(np.mean(cohs))
+
+
+def f_dom(x):
+    sp = np.abs(np.fft.rfft(x - x.mean(axis=0), axis=0)).mean(axis=1)
+    freqs = np.fft.rfftfreq(x.shape[0], d=dt * SAMP)
+    return float(freqs[np.argmax(sp)])
+
+
+out0 = simulate(0.0, None)
+out_d = simulate(K, D)
+out_i = simulate(K, np.zeros_like(D))  # instantaneous: delay structure removed
+
+c0, cd, ci = mean_coherence(out0), mean_coherence(out_d), mean_coherence(out_i)
+f0, fd, fi = f_dom(out0), f_dom(out_d), f_dom(out_i)
+print(f"{'config':>24} {'mean coherence':>15} {'dominant f (Hz)':>16}")
+print(f"{'uncoupled':>24} {c0:>15.3f} {f0:>16.2f}")
+print(f"{'connectome + delays':>24} {cd:>15.3f} {fd:>16.2f}")
+print(f"{'connectome, zero delay':>24} {ci:>15.3f} {fi:>16.2f}")
+
+assert cd > c0 + 0.15, f"the delayed connectome should synchronize: {c0} -> {cd}"
+assert abs(fd - fi) > 0.5 or abs(cd - ci) > 0.05, (
+    "zeroing the delay matrix should change the collective state "
+    f"(got f {fd:.2f} vs {fi:.2f} Hz, coherence {cd:.3f} vs {ci:.3f})")
+print("\nwhole-brain delayed dynamics verified: the connectome synchronizes "
+      "the regions and the delay structure shapes the collective rhythm")

@@ -14,7 +14,7 @@ __version__ = "0.2.0"
 
 from .dsl import CircuitTemplate, NodeTemplate, OperatorTemplate, clear_frontend_caches, lower
 from .edges import (RLS, STDP, Linear, LinearFilter, LinearMasked, LinearMemory,
-                    LinearMemoryFilter, LinearSTP)
+                    LinearMemoryFilter, LinearMemoryMatrix, LinearSTP)
 from .inputs import Constant, InputSpec, Noise, Poisson, Pulse, Sine, Wiener
 from .network import FeedbackNetwork, Network
 from .nodes import InstantNode, MultiSpikeResetNet, RateNet, SpikeNet, SpikeResetNet
@@ -38,6 +38,7 @@ __all__ = [
     "LinearMasked",
     "LinearMemory",
     "LinearMemoryFilter",
+    "LinearMemoryMatrix",
     "LinearSTP",
     "MultiSpikeResetNet",
     "Network",

@@ -18,6 +18,8 @@ Semantics:
   reference's fancy-indexed write (``buffer[:, delays] = x``,
   /root/reference/rectipy/edges.py:93) broadcasts across rows, clobbering
   other sources' history -- a latent bug we do not replicate.
+- ``LinearMemoryMatrix``: per-CONNECTION integer delays ``y_i = sum_j W_ij *
+  x_j(t - d_ij)`` (beyond-reference; the whole-brain / connectome workload).
 - ``LinearFilter``: linear state-space synaptic filter ``y <- F @ y + x``.
 - ``LinearMemoryFilter``: filtered ring buffer.
 - ``RLS``: extended recursive least squares (FORCE-style; Principe et al.
@@ -34,8 +36,8 @@ import numpy as np
 
 from .nodes import resolve_dtype
 
-__all__ = ["Linear", "LinearMasked", "LinearMemory", "LinearFilter", "LinearMemoryFilter", "RLS",
-           "STDP", "LinearSTP"]
+__all__ = ["Linear", "LinearMasked", "LinearMemory", "LinearMemoryMatrix", "LinearFilter",
+           "LinearMemoryFilter", "RLS", "STDP", "LinearSTP"]
 
 
 def _as_array(x, dtype):
@@ -216,6 +218,92 @@ class LinearMemory(Linear):
 
     def forward(self, x, **kwargs):
         self._buffer, y = self.make_step()(self._buffer, self.params, jnp.asarray(x, dtype=self.dtype))
+        return y
+
+
+class LinearMemoryMatrix(Linear):
+    """Per-CONNECTION integer delays: ``y_i = sum_j W_ij * x_j(t - d_ij)``.
+
+    Beyond-reference component: the reference's delay edge carries one delay
+    per *source* (/root/reference/rectipy/edges.py:74-108, and so does
+    :class:`LinearMemory`), but the standard whole-brain workload (The
+    Virtual Brain-style connectome simulation) needs a full delay *matrix* --
+    ``d_ij = distance_ij / conduction_speed`` differs per connection, and the
+    delay structure, not just the weights, shapes the network rhythms.
+
+    TPU-native design: the state is a ring buffer ``(n_in, max_delay+1)`` of
+    the source's recent history (column ``k`` holds ``x(t-k)``), shifted with
+    a static ``concatenate`` (no scatter) so the scan body stays fused; the
+    per-connection read is one ``take_along_axis`` gather of ``(n_in, n_out)``
+    elements against the static delay matrix, followed by the weighted
+    row-sum.  All shapes static, differentiable (``fit_bptt`` trains ``W``
+    through the gather via the plain-autodiff path), vmappable
+    (``run_batch``), and the buffer rides the scan carry / ``set_state``
+    write-back like every other stateful edge (chunked runs and checkpoints
+    are exact).
+
+    ``delays`` is an ``(n_out, n_in)`` integer matrix of step delays
+    (``d_ij`` = delay from source ``j`` into target ``i``); a transposed
+    ``(n_in, n_out)`` rectangular matrix is auto-transposed, mirroring the
+    weights convention.  ``d_ij = 0`` means instantaneous coupling (this
+    step's input), matching :class:`LinearMemory`'s convention.  When every
+    column is constant (``d_ij = d_j``) this edge is exactly
+    :class:`LinearMemory` (regression-tested).
+    """
+
+    _tensors = ["weights", "buffer", "delays"]
+
+    def __init__(self, n_in: int, n_out: int, delays, weights=None, dtype=jnp.float64,
+                 detach: bool = True, **kwargs):
+        kwargs.setdefault("train_params", ["weights"])
+        super().__init__(n_in, n_out, weights=weights, dtype=dtype, detach=detach, **kwargs)
+        delays = np.asarray(delays)
+        if delays.ndim != 2:
+            raise ValueError("LinearMemoryMatrix requires a 2-D (n_out, n_in) delay matrix; "
+                             "use LinearMemory for per-source (1-D) delays.")
+        if delays.shape == (n_in, n_out) and n_in != n_out:
+            delays = delays.T
+        elif delays.shape != (n_out, n_in):
+            raise ValueError(
+                f"Shape of the delay matrix {delays.shape} does not match the edge "
+                f"dimensions ({n_out}, {n_in}).")
+        if self.params["weights"].ndim != 2:
+            raise ValueError("LinearMemoryMatrix requires 2-D weights (per-connection "
+                             "delays have no diagonal form).")
+        delays = delays.astype(np.int64)
+        if delays.min() < 0:
+            raise ValueError("Delays must be non-negative integer step counts.")
+        self.delays = jnp.asarray(delays)
+        self.max_delay = int(delays.max())
+        # gather indices, pre-transposed for take_along_axis over the buffer
+        self._dT = jnp.asarray(delays.T)  # (n_in, n_out)
+        self._buffer = jnp.zeros((n_in, self.max_delay + 1), dtype=self.dtype)
+
+    @property
+    def buffer(self):
+        return self._buffer
+
+    def init_state(self):
+        return self._buffer
+
+    def set_state(self, state):
+        self._buffer = state
+
+    def make_step(self) -> Callable:
+        dT = self._dT
+
+        def step(buf, params, x):
+            # shift history one step older and write x(t) at column 0
+            buf = jnp.concatenate([x[:, None], buf[:, :-1]], axis=1)
+            # vals[j, i] = x_j(t - d_ij)
+            vals = jnp.take_along_axis(buf, dT, axis=1)
+            return buf, jnp.einsum("ij,ji->i", params["weights"], vals)
+
+        return step
+
+    def forward(self, x, **kwargs):
+        self._buffer, y = self.make_step()(self._buffer, self.params,
+                                           jnp.asarray(x, dtype=self.dtype))
         return y
 
 

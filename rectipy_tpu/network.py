@@ -36,7 +36,7 @@ import optax
 from networkx import DiGraph
 
 from .edges import (RLS, STDP, Linear, LinearFilter, LinearMasked, LinearMemory,
-                    LinearMemoryFilter, LinearSTP)
+                    LinearMemoryFilter, LinearMemoryMatrix, LinearSTP)
 from .inputs import InputSpec
 from .nodes import InstantNode, RateNet, SpikeNet, SpikeResetNet, resolve_dtype
 from .observer import Observer
@@ -515,7 +515,9 @@ class Network:
                  edge_attrs: dict = None, **kwargs) -> Linear:
         """Add a linear edge.  Class dispatch on kwargs mirrors the reference
         (/root/reference/rectipy/network.py:372-380): `mask` -> LinearMasked,
-        `delays` (+`filter_weights`) -> LinearMemory(Filter), `filter_weights`
+        `delays` (+`filter_weights`) -> LinearMemory(Filter), 2-D `delays`
+        matrix -> LinearMemoryMatrix (per-connection conduction delays, the
+        whole-brain workload; beyond-reference), `filter_weights`
         -> LinearFilter, `tau_facil`/`tau_depress` (+ optional `U`) ->
         LinearSTP (Tsodyks-Markram short-term plasticity, beyond-reference),
         else Linear.  ``train`` in {None, 'gd', 'rls', 'eprop', 'stdp'}
@@ -531,6 +533,14 @@ class Network:
                 "through an identity func-node instead.")
         if "mask" in kwargs:
             LinEdge = LinearMasked
+        elif "delays" in kwargs and np.ndim(kwargs["delays"]) == 2:
+            # per-connection delay MATRIX (whole-brain/connectome workload;
+            # beyond-reference -- the reference delay edge is per-source)
+            if "filter_weights" in kwargs:
+                raise ValueError(
+                    "A 2-D delay matrix cannot be combined with filter_weights; "
+                    "chain a LinearFilter edge through an identity func-node instead.")
+            LinEdge = LinearMemoryMatrix
         elif "delays" in kwargs:
             LinEdge = LinearMemoryFilter if "filter_weights" in kwargs else LinearMemory
         elif "filter_weights" in kwargs:

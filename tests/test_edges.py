@@ -172,3 +172,63 @@ def test_rls_converges_to_linear_readout():
         rls.update(x, y, y_hat)
     np.testing.assert_allclose(np.asarray(rls.weights), W_true, atol=1e-2)
     assert float(rls.loss) < 1e-3
+
+
+def test_linear_memory_matrix_oracle():
+    """Per-connection delays: y_i(t) = sum_j W_ij x_j(t - d_ij), checked
+    against a brute-force history oracle on random delays/weights."""
+    from rectipy_tpu.edges import LinearMemoryMatrix
+
+    rng = np.random.default_rng(7)
+    n_in, n_out, T = 4, 3, 12
+    W = rng.normal(size=(n_out, n_in))
+    D = rng.integers(0, 5, size=(n_out, n_in))
+    xs = rng.normal(size=(T, n_in))
+
+    edge = LinearMemoryMatrix(n_in, n_out, delays=D, weights=W)
+    assert edge.max_delay == int(D.max())
+    got = np.stack([np.asarray(edge.forward(jnp.asarray(x))) for x in xs])
+
+    want = np.zeros((T, n_out))
+    for t in range(T):
+        for i in range(n_out):
+            for j in range(n_in):
+                td = t - D[i, j]
+                if td >= 0:
+                    want[t, i] += W[i, j] * xs[td, j]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_linear_memory_matrix_reduces_to_per_source():
+    """Column-constant delay matrix (d_ij = d_j) == LinearMemory exactly."""
+    from rectipy_tpu.edges import LinearMemoryMatrix
+
+    rng = np.random.default_rng(3)
+    n = 5
+    W = rng.normal(size=(n, n))
+    d_src = np.array([0, 2, 1, 3, 0])
+    D = np.tile(d_src, (n, 1))
+    m_edge = LinearMemoryMatrix(n, n, delays=D, weights=W)
+    s_edge = LinearMemory(n, n, delays=d_src, weights=W)
+    for t in range(8):
+        x = jnp.asarray(rng.normal(size=n))
+        np.testing.assert_allclose(np.asarray(m_edge.forward(x)),
+                                   np.asarray(s_edge.forward(x)), rtol=1e-6)
+
+
+def test_linear_memory_matrix_validation():
+    from rectipy_tpu.edges import LinearMemoryMatrix
+
+    with pytest.raises(ValueError):  # 1-D delays belong to LinearMemory
+        LinearMemoryMatrix(3, 3, delays=np.array([0, 1, 2]))
+    with pytest.raises(ValueError):  # shape mismatch
+        LinearMemoryMatrix(3, 2, delays=np.zeros((3, 3), dtype=int))
+    with pytest.raises(ValueError):  # negative delays
+        LinearMemoryMatrix(2, 2, delays=np.array([[0, -1], [0, 0]]))
+    with pytest.raises(ValueError):  # no diagonal (1-D weight) form
+        LinearMemoryMatrix(3, 3, delays=np.zeros((3, 3), dtype=int),
+                           weights=np.ones(3))
+    # rectangular (n_in, n_out) delay matrix auto-transposes like weights
+    D = np.arange(6).reshape(3, 2)
+    e = LinearMemoryMatrix(3, 2, delays=D, weights=np.ones((2, 3)))
+    assert e.delays.shape == (2, 3)

@@ -67,6 +67,9 @@ def _run(example, env=None, timeout=420):
     # custom optax loop on the functional core (reference torch_integration
     # analog); asserts (k, tau) recovery to 5%
     ("jax_integration.py", {}),
+    # whole-brain connectome with per-connection conduction delays
+    # (LinearMemoryMatrix); asserts synchronization + delay-structure effect
+    ("whole_brain_delays.py", {"WB_M": "8", "WB_T": "20000"}),
 ])
 def test_example_runs(example, env):
     _run(example, env)
