@@ -1,0 +1,109 @@
+"""Whole-brain throughput: per-connection delay matrices on the TPU.
+
+Measures `examples/whole_brain_delays.py`'s workload class at atlas scales:
+M Jansen-Rit regions coupled through an (M, M) connectome with
+distance-derived per-connection delays (LinearMemoryMatrix).  For each M it
+times the delayed network and the same network with an instantaneous dense
+edge (the delay-machinery overhead), best-of-K with the relay-variance
+protocol (warmup executes the exact timed program; run() fetches results
+internally, so wall timing is sync-safe).
+
+The reference cannot express this workload (per-source delays only) and
+would step it from Python; the interesting numbers here are steps/s and
+the delay overhead factor.
+
+Usage:
+    WB_MS=90,512,998 WB_T=10000 WB_REPS=4 python benchmarks/whole_brain_scale.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rectipy_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+t00 = time.perf_counter()
+
+
+def lap(msg):
+    print(f"[{time.perf_counter() - t00:7.1f}s] {msg}", flush=True)
+
+
+for attempt in range(40):
+    try:
+        d = jax.devices()
+        lap(f"backend up: {d}")
+        break
+    except Exception:
+        lap(f"attempt {attempt}: backend unavailable; sleep 120s")
+        time.sleep(120)
+
+from rectipy_tpu import FeedbackNetwork
+
+JR = "rectipy_tpu.models.mean_field.jansen_rit.jansen_rit"
+MS = [int(x) for x in os.environ.get("WB_MS", "90,998").split(",")]
+T = int(os.environ.get("WB_T", 10_000))
+REPS = int(os.environ.get("WB_REPS", 4))
+SPEED = 2.0
+dt = 1e-4
+
+for M in MS:
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0.0, 0.14, size=(M, 3))
+    dist = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    W = np.exp(-dist / 0.06)
+    np.fill_diagonal(W, 0.0)
+    W /= W.sum(axis=1, keepdims=True)
+    D = np.rint(dist / SPEED / dt).astype(int)
+    np.fill_diagonal(D, 0)
+    taues = rng.uniform(8e-3, 13e-3, size=M)
+
+    def build(delays, mode=None):
+        net = FeedbackNetwork(dt)
+        net.add_diffeq_node("brain", JR, weights=np.zeros((M, M)),
+                            source_var="m_py", target_var="r_in",
+                            input_var="r_in", output_var="m_py",
+                            verbose=False, clear=True, file_name="wb_bench",
+                            node_vars={"all/jr_op/tau_e": taues})
+        kw = {"delays": delays} if delays is not None else {}
+        if mode is not None:
+            kw["mode"] = mode
+        net.add_edge("brain", "brain", weights=40.0 * W, feedback=True, **kw)
+        net.compile()
+        return net
+
+    onehot_elems = M * M * (int(D.max()) + 1)
+    variants = [("factored", D, "factored"), ("gather", D, "gather")]
+    if onehot_elems <= 2 ** 26:  # 256 MB f32 constant cap for the A/B
+        variants.insert(0, ("onehot", D, "onehot"))
+    variants.append(("instantaneous", None, None))
+    for label, delays, mode in variants:
+        # the M~1000 gather program runs minutes of device time at full T --
+        # past the relay's ~1-2 min crash threshold (CLAUDE.md); shorten it
+        T_run = min(T, 2000) if (label == "gather" and M >= 512) else T
+        inp = np.zeros((T_run, M))
+        net = build(delays, mode)
+        t0 = time.perf_counter()
+        obs = net.run(inp, sampling_steps=100, verbose=False)
+        t_first = time.perf_counter() - t0
+        best = None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            obs = net.run(inp, sampling_steps=100, verbose=False)
+            wall = time.perf_counter() - t0
+            best = wall if best is None else min(best, wall)
+            assert np.all(np.isfinite(obs.to_numpy("out")))
+        sps = T_run / best
+        extra = (f"  buffer ({M},{int(D.max()) + 1}), "
+                 f"{np.unique(D).size} distinct delays" if delays is not None else "")
+        lap(f"M={M:4d} {label:>14}: first {t_first:7.2f}s, best {best:6.3f}s "
+            f"= {sps:9.0f} steps/s = {sps * M:.3e} region-updates/s{extra}")

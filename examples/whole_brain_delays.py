@@ -88,9 +88,10 @@ def simulate(K, delays):
     net = build(K, delays)
     if K > 0:
         assert isinstance(net.get_edge("brain", "brain"), LinearMemoryMatrix)
-    out = net.run(np.zeros((T, M)), sampling_steps=SAMP,
-                  verbose=False).to_numpy("out")[CUT:]
-    return out
+    obs = net.run(np.zeros((T, M)), sampling_steps=SAMP, cutoff=CUT * SAMP,
+                  verbose=False)
+    # functional connectivity straight off the Observer (Pearson matrix)
+    return obs.to_numpy("out"), obs.fc("out")
 
 
 def mean_coherence(x):
@@ -110,20 +111,33 @@ def f_dom(x):
     return float(freqs[np.argmax(sp)])
 
 
-out0 = simulate(0.0, None)
-out_d = simulate(K, D)
-out_i = simulate(K, np.zeros_like(D))  # instantaneous: delay structure removed
+def fc_sc_corr(FC):
+    """The whole-brain figure of merit: correlation between functional and
+    structural connectivity over the off-diagonal region pairs."""
+    iu = np.triu_indices(M, 1)
+    SC = (W + W.T) / 2.0
+    return float(np.corrcoef(FC[iu], SC[iu])[0, 1])
+
+
+out0, FC0 = simulate(0.0, None)
+out_d, FC_d = simulate(K, D)
+out_i, FC_i = simulate(K, np.zeros_like(D))  # delay structure removed
 
 c0, cd, ci = mean_coherence(out0), mean_coherence(out_d), mean_coherence(out_i)
 f0, fd, fi = f_dom(out0), f_dom(out_d), f_dom(out_i)
-print(f"{'config':>24} {'mean coherence':>15} {'dominant f (Hz)':>16}")
-print(f"{'uncoupled':>24} {c0:>15.3f} {f0:>16.2f}")
-print(f"{'connectome + delays':>24} {cd:>15.3f} {fd:>16.2f}")
-print(f"{'connectome, zero delay':>24} {ci:>15.3f} {fi:>16.2f}")
+s0, sd, si = fc_sc_corr(FC0), fc_sc_corr(FC_d), fc_sc_corr(FC_i)
+print(f"{'config':>24} {'mean coherence':>15} {'dominant f (Hz)':>16} {'FC-SC corr':>11}")
+print(f"{'uncoupled':>24} {c0:>15.3f} {f0:>16.2f} {s0:>11.3f}")
+print(f"{'connectome + delays':>24} {cd:>15.3f} {fd:>16.2f} {sd:>11.3f}")
+print(f"{'connectome, zero delay':>24} {ci:>15.3f} {fi:>16.2f} {si:>11.3f}")
 
 assert cd > c0 + 0.15, f"the delayed connectome should synchronize: {c0} -> {cd}"
 assert abs(fd - fi) > 0.5 or abs(cd - ci) > 0.05, (
     "zeroing the delay matrix should change the collective state "
     f"(got f {fd:.2f} vs {fi:.2f} Hz, coherence {cd:.3f} vs {ci:.3f})")
+if M >= 16:  # FC estimates are too noisy over a handful of region pairs
+    assert sd > s0 + 0.05, (
+        f"coupling should imprint the structural connectome on FC: {s0} -> {sd}")
 print("\nwhole-brain delayed dynamics verified: the connectome synchronizes "
-      "the regions and the delay structure shapes the collective rhythm")
+      "the regions, the delay structure shapes the collective rhythm, and "
+      "FC reflects SC")

@@ -28,6 +28,7 @@ Semantics:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Iterator, Optional
 
 import jax
@@ -249,12 +250,37 @@ class LinearMemoryMatrix(Linear):
     step's input), matching :class:`LinearMemory`'s convention.  When every
     column is constant (``d_ij = d_j``) this edge is exactly
     :class:`LinearMemory` (regression-tested).
+
+    Three bit-identical evaluation modes
+    (``mode='auto'|'onehot'|'factored'|'gather'``), because 2-D gathers
+    serialize on the TPU (measured: 83 us/step at M=90, 9.7 ms/step at
+    M=998, against a ~1 us DMA roofline):
+
+    - ``onehot``: a static ``(n_in, n_out, max_delay+1)`` 0/1 selector makes
+      the read one MXU contraction ``vals = einsum('jk,jik->ji', buffer,
+      onehot)`` -- exact, since each (j, i) sum has exactly ONE nonzero
+      0/1-masked term, and VMEM-resident across scan steps.  Measured
+      3.7x the gather at M=90 (26 us/step, 67% of the zero-delay step
+      cost).  Auto-selected while the tensor has ``<=
+      RECTIPY_DELAY_ONEHOT_LIMIT`` elements (default 2^24).
+    - ``factored``: digit-decompose the delays, ``d = q*S + r`` with ``S ~
+      sqrt(max_delay)``; the buffer reshapes to ``(n_in, Q, S)`` and the
+      read becomes a batched matmul with the ``(n_in, n_out, Q)`` coarse
+      one-hot followed by an elementwise reduce with the ``(n_in, n_out,
+      S)`` fine one-hot -- still exact (each path selects exactly one
+      buffer slot), but memory is ``n*m*(Q+S)`` instead of
+      ``n*m*(max_delay+1)``: the connectome scales (M ~ 1000, delays ~
+      1000 steps) that would need a 4 GB one-hot fit in ~0.4 GB.
+      Auto-selected up to ``RECTIPY_DELAY_FACTORED_LIMIT`` elements
+      (default 2^27).
+    - ``gather``: ``take_along_axis`` -- memory-light fallback for
+      anything larger.
     """
 
     _tensors = ["weights", "buffer", "delays"]
 
     def __init__(self, n_in: int, n_out: int, delays, weights=None, dtype=jnp.float64,
-                 detach: bool = True, **kwargs):
+                 detach: bool = True, mode: str = "auto", **kwargs):
         kwargs.setdefault("train_params", ["weights"])
         super().__init__(n_in, n_out, weights=weights, dtype=dtype, detach=detach, **kwargs)
         delays = np.asarray(delays)
@@ -277,7 +303,44 @@ class LinearMemoryMatrix(Linear):
         self.max_delay = int(delays.max())
         # gather indices, pre-transposed for take_along_axis over the buffer
         self._dT = jnp.asarray(delays.T)  # (n_in, n_out)
-        self._buffer = jnp.zeros((n_in, self.max_delay + 1), dtype=self.dtype)
+        if mode not in ("auto", "onehot", "factored", "gather"):
+            raise ValueError(f"Unknown delay-matrix mode {mode!r}; "
+                             "use 'auto', 'onehot', 'factored' or 'gather'.")
+        D1 = self.max_delay + 1
+        # fine-digit width for the factored decomposition: minimizes streamed
+        # bytes ~ n*m*(Q + S + f32-intermediate r/w ~ 8S) -> S ~ sqrt(D/5)
+        S = max(1, int(round(np.sqrt(D1 / 5.0))))
+        Q = -(-D1 // S)
+        if mode == "auto":
+            limit = int(os.environ.get("RECTIPY_DELAY_ONEHOT_LIMIT", 2 ** 24))
+            limit_f = int(os.environ.get("RECTIPY_DELAY_FACTORED_LIMIT", 2 ** 27))
+            if n_in * n_out * D1 <= limit:
+                mode = "onehot"
+            elif n_in * n_out * (Q + S) <= limit_f:
+                mode = "factored"
+            else:
+                mode = "gather"
+        self.mode = mode
+        self._onehot = self._oh_q = self._oh_r = None
+        buf_width = D1
+        if mode == "onehot":
+            # static (n_in, n_out, D+1) 0/1 selector; the contraction picks
+            # exactly one buffer column per (j, i), so it equals the gather
+            # bit-for-bit in any float dtype
+            oh = (delays.T[:, :, None] == np.arange(D1)[None, None, :])
+            self._onehot = jnp.asarray(oh, dtype=self.dtype)
+        elif mode == "factored":
+            # d = q*S + r: coarse (Q) and fine (S) one-hots; the buffer is
+            # kept Q*S wide so it reshapes to (n_in, Q, S) for free (the
+            # extra slots hold yet-older history and are never selected)
+            buf_width = Q * S
+            self._fQS = (Q, S)
+            q, r = delays.T // S, delays.T % S
+            self._oh_q = jnp.asarray(
+                q[:, :, None] == np.arange(Q)[None, None, :], dtype=self.dtype)
+            self._oh_r = jnp.asarray(
+                r[:, :, None] == np.arange(S)[None, None, :], dtype=self.dtype)
+        self._buffer = jnp.zeros((n_in, buf_width), dtype=self.dtype)
 
     @property
     def buffer(self):
@@ -291,12 +354,24 @@ class LinearMemoryMatrix(Linear):
 
     def make_step(self) -> Callable:
         dT = self._dT
+        onehot, oh_q, oh_r = self._onehot, self._oh_q, self._oh_r
+        n_in = self.n_in
 
         def step(buf, params, x):
             # shift history one step older and write x(t) at column 0
             buf = jnp.concatenate([x[:, None], buf[:, :-1]], axis=1)
-            # vals[j, i] = x_j(t - d_ij)
-            vals = jnp.take_along_axis(buf, dT, axis=1)
+            if onehot is not None:
+                # vals[j, i] = x_j(t - d_ij) as an MXU contraction
+                vals = jnp.einsum("jk,jik->ji", buf, onehot)
+            elif oh_q is not None:
+                Q, S = self._fQS
+                buf3 = buf.reshape(n_in, Q, S)
+                # coarse digit: batched matmul picks buffer row-chunk q_ij
+                t1 = jnp.einsum("jia,jab->jib", oh_q, buf3)
+                # fine digit: elementwise-reduce picks slot r_ij within it
+                vals = jnp.einsum("jib,jib->ji", t1, oh_r)
+            else:
+                vals = jnp.take_along_axis(buf, dT, axis=1)
             return buf, jnp.einsum("ij,ji->i", params["weights"], vals)
 
         return step

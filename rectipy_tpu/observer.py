@@ -390,6 +390,27 @@ class Observer:
         corr = full[T - 1 + lags[0]: T + lags[-1]]
         return lags * float(gaps[0]) * self._dt, corr
 
+    def fc(self, item="out"):
+        """Functional connectivity: the ``(n, n)`` zero-lag Pearson
+        correlation matrix between the channels of a recording — the
+        standard whole-brain-modeling summary (compared against the
+        structural connectome; see ``examples/whole_brain_delays.py``).
+        Constant channels (e.g. amplitude-death regions) yield NaN
+        rows/columns rather than an error.  Beyond-reference ergonomics;
+        companion of :meth:`xcorr` / :meth:`coherence`."""
+        x = self.to_numpy(item)
+        if x.ndim == 1:
+            x = x[:, None]
+        if x.shape[0] < 2 or x.shape[1] < 2:
+            raise ValueError(
+                f"fc needs a multi-channel recording with >= 2 samples; "
+                f"{item!r} has shape {x.shape}.")
+        x = x - x.mean(axis=0)
+        sd = x.std(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = (x.T @ x) / (x.shape[0] * np.outer(sd, sd))
+        return C
+
     def _record_grid(self, what: str, min_samples: int = 2):
         """Validated even record grid shared by the frequency/lag analysis
         helpers: returns ``(steps, fs)`` or raises."""

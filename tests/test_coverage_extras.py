@@ -507,3 +507,27 @@ def test_network_describe_summary():
     total = int(re.search(r"totals: ([\d,]+) parameters",
                           text).group(1).replace(",", ""))
     assert total >= 2 * n * n
+
+
+def test_observer_fc():
+    """Functional-connectivity matrix: Pearson correlations on the record
+    grid; anti-phase -> -1, uncorrelated -> ~0, constant channel -> NaN."""
+    from rectipy_tpu.observer import Observer
+
+    rng = np.random.default_rng(0)
+    T = 4000
+    t = np.arange(T)
+    a = np.sin(2 * np.pi * t / 100)
+    obs = Observer(dt=1e-3, record_output=True, record_loss=False)
+    sig = np.stack([a, -a, rng.normal(size=T), np.zeros(T)], axis=1)
+    obs.record_batch(np.arange(T), outputs=sig)
+    C = obs.fc("out")
+    assert C.shape == (4, 4)
+    np.testing.assert_allclose(np.diag(C)[:3], 1.0, atol=1e-12)
+    np.testing.assert_allclose(C[0, 1], -1.0, atol=1e-12)
+    assert abs(C[0, 2]) < 0.1
+    assert np.isnan(C[3, 0]) and np.isnan(C[3, 3])  # constant channel
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Observer(dt=1e-3).fc("out")  # nothing recorded / single channel

@@ -232,3 +232,37 @@ def test_linear_memory_matrix_validation():
     D = np.arange(6).reshape(3, 2)
     e = LinearMemoryMatrix(3, 2, delays=D, weights=np.ones((2, 3)))
     assert e.delays.shape == (2, 3)
+
+
+def test_linear_memory_matrix_modes_identical():
+    """The one-hot MXU contraction and the factored (digit-decomposed)
+    two-stage contraction both equal the gather bit-for-bit (each selection
+    path has exactly one 0/1-masked nonzero term)."""
+    from rectipy_tpu.edges import LinearMemoryMatrix
+
+    rng = np.random.default_rng(13)
+    n_in, n_out, T = 5, 4, 40
+    W = rng.normal(size=(n_out, n_in))
+    D = rng.integers(0, 23, size=(n_out, n_in))
+    edges = {m: LinearMemoryMatrix(n_in, n_out, delays=D, weights=W, mode=m)
+             for m in ("gather", "onehot", "factored")}
+    assert all(e.mode == m for m, e in edges.items())
+    assert edges["factored"]._buffer.shape[1] >= int(D.max()) + 1  # Q*S pad
+    for _ in range(T):
+        x = jnp.asarray(rng.normal(size=n_in))
+        ys = {m: np.asarray(e.forward(x)) for m, e in edges.items()}
+        np.testing.assert_array_equal(ys["gather"], ys["onehot"])
+        np.testing.assert_array_equal(ys["gather"], ys["factored"])
+    # auto mode ladder: onehot -> factored -> gather as the limits shrink
+    import os
+    assert LinearMemoryMatrix(n_in, n_out, delays=D).mode == "onehot"
+    os.environ["RECTIPY_DELAY_ONEHOT_LIMIT"] = "1"
+    try:
+        assert LinearMemoryMatrix(n_in, n_out, delays=D).mode == "factored"
+        os.environ["RECTIPY_DELAY_FACTORED_LIMIT"] = "1"
+        assert LinearMemoryMatrix(n_in, n_out, delays=D).mode == "gather"
+    finally:
+        del os.environ["RECTIPY_DELAY_ONEHOT_LIMIT"]
+        del os.environ["RECTIPY_DELAY_FACTORED_LIMIT"]
+    with pytest.raises(ValueError):
+        LinearMemoryMatrix(n_in, n_out, delays=D, mode="banana")
