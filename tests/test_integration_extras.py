@@ -321,3 +321,28 @@ def test_delay_matrix_edge_trains_via_bptt():
     assert losses[-1] < losses[0], losses
     W_new = np.asarray(net.get_edge("inp", "rnn").weights)
     assert not np.allclose(W_new, W0)
+
+
+def test_delay_matrix_edge_run_batch():
+    """The delay-matrix buffer vmaps: a trial batch through a per-connection
+    delay edge equals per-trial sequential runs."""
+    n = 3
+    dt = 1e-2
+    rng = np.random.default_rng(4)
+    D = rng.integers(0, 5, size=(n, n))
+    W = rng.normal(size=(n, n))
+
+    def build():
+        net = Network(dt, dtype=jnp.float64)
+        net.add_func_node("inp", n, activation_function="identity")
+        _rnn(net, n, np.zeros((n, n)))
+        net.add_edge("inp", "rnn", weights=W, delays=D)
+        net.compile()
+        return net
+
+    B, T = 3, 15
+    inputs = rng.normal(size=(B, T, n))
+    batch = build().run_batch(inputs, verbose=False)
+    for b in range(B):
+        solo = build().run(inputs[b], verbose=False).to_numpy("out")
+        np.testing.assert_allclose(batch["out"][b], solo, atol=1e-12)
