@@ -256,25 +256,30 @@ class LinearMemoryMatrix(Linear):
     serialize on the TPU (measured: 83 us/step at M=90, 9.7 ms/step at
     M=998, against a ~1 us DMA roofline):
 
-    - ``onehot``: a static ``(n_in, n_out, max_delay+1)`` 0/1 selector makes
-      the read one MXU contraction ``vals = einsum('jk,jik->ji', buffer,
-      onehot)`` -- exact, since each (j, i) sum has exactly ONE nonzero
-      0/1-masked term, and VMEM-resident across scan steps.  Measured
-      3.7x the gather at M=90 (26 us/step, 67% of the zero-delay step
-      cost).  Auto-selected while the tensor has ``<=
-      RECTIPY_DELAY_ONEHOT_LIMIT`` elements (default 2^24).
-    - ``factored``: digit-decompose the delays, ``d = q*S + r`` with ``S ~
-      sqrt(max_delay)``; the buffer reshapes to ``(n_in, Q, S)`` and the
+    - ``factored`` (the default while its selectors fit, up to
+      ``RECTIPY_DELAY_FACTORED_LIMIT`` elements, default 2^27):
+      digit-decompose the delays, ``d = q*S + r`` with ``S ~
+      sqrt(max_delay/5)``; the buffer reshapes to ``(n_in, Q, S)`` and the
       read becomes a batched matmul with the ``(n_in, n_out, Q)`` coarse
       one-hot followed by an elementwise reduce with the ``(n_in, n_out,
       S)`` fine one-hot -- still exact (each path selects exactly one
-      buffer slot), but memory is ``n*m*(Q+S)`` instead of
-      ``n*m*(max_delay+1)``: the connectome scales (M ~ 1000, delays ~
-      1000 steps) that would need a 4 GB one-hot fit in ~0.4 GB.
-      Auto-selected up to ``RECTIPY_DELAY_FACTORED_LIMIT`` elements
-      (default 2^27).
-    - ``gather``: ``take_along_axis`` -- memory-light fallback for
-      anything larger.
+      buffer slot), with ``n*m*(Q+S)`` selector memory instead of
+      ``n*m*(max_delay+1)``.  Measured (v5e, benchmarks/whole_brain_scale
+      .py): M=90 Jansen-Rit with delays spanning 1054 steps runs 47k
+      steps/s = 96% of the ZERO-delay step cost (4.7x the gather); M=998
+      with a 1157-step delay span runs 3,334 steps/s = 32x the gather
+      (46% of zero-delay).
+    - ``onehot``: the full ``(n_in, n_out, max_delay+1)`` 0/1 selector,
+      one MXU contraction ``vals = einsum('jk,jik->ji', buffer, onehot)``.
+      Measured 34.9k steps/s at M=90 (same round: factored 47.3k) --
+      simpler but strictly dominated by ``factored``; kept for A/B.
+    - ``gather``: ``take_along_axis`` -- the memory-light fallback for
+      anything larger (10k steps/s at M=90, 103 steps/s at M=998).
+
+    The selectors are built ON DEVICE by the once-per-call prep pass
+    (``prep_params``), never embedded as program constants: at M=998 they
+    are ~370 MB and the tunneled remote compile rejects such programs
+    (HTTP 413, measured).
     """
 
     _tensors = ["weights", "buffer", "delays"]
@@ -312,35 +317,50 @@ class LinearMemoryMatrix(Linear):
         S = max(1, int(round(np.sqrt(D1 / 5.0))))
         Q = -(-D1 // S)
         if mode == "auto":
-            limit = int(os.environ.get("RECTIPY_DELAY_ONEHOT_LIMIT", 2 ** 24))
+            # measured (v5e, M=90, 799 distinct delays): factored 56.5k
+            # steps/s > onehot 42.6k > gather 10.4k -- factored both wins
+            # and needs n*m*(Q+S) memory instead of n*m*(D+1), so it is
+            # the default whenever its selectors fit
             limit_f = int(os.environ.get("RECTIPY_DELAY_FACTORED_LIMIT", 2 ** 27))
-            if n_in * n_out * D1 <= limit:
-                mode = "onehot"
-            elif n_in * n_out * (Q + S) <= limit_f:
-                mode = "factored"
-            else:
-                mode = "gather"
+            mode = "factored" if n_in * n_out * (Q + S) <= limit_f else "gather"
         self.mode = mode
-        self._onehot = self._oh_q = self._oh_r = None
         buf_width = D1
-        if mode == "onehot":
-            # static (n_in, n_out, D+1) 0/1 selector; the contraction picks
-            # exactly one buffer column per (j, i), so it equals the gather
-            # bit-for-bit in any float dtype
-            oh = (delays.T[:, :, None] == np.arange(D1)[None, None, :])
-            self._onehot = jnp.asarray(oh, dtype=self.dtype)
-        elif mode == "factored":
-            # d = q*S + r: coarse (Q) and fine (S) one-hots; the buffer is
-            # kept Q*S wide so it reshapes to (n_in, Q, S) for free (the
-            # extra slots hold yet-older history and are never selected)
+        if mode == "factored":
+            # d = q*S + r: the buffer is kept Q*S wide so it reshapes to
+            # (n_in, Q, S) for free (the extra slots hold yet-older history
+            # and are never selected)
             buf_width = Q * S
-            self._fQS = (Q, S)
-            q, r = delays.T // S, delays.T % S
-            self._oh_q = jnp.asarray(
-                q[:, :, None] == np.arange(Q)[None, None, :], dtype=self.dtype)
-            self._oh_r = jnp.asarray(
-                r[:, :, None] == np.arange(S)[None, None, :], dtype=self.dtype)
+        self._fQS = (Q, S)
+        self._D1 = D1
         self._buffer = jnp.zeros((n_in, buf_width), dtype=self.dtype)
+
+    # -- one-hot selectors, built ON DEVICE by the once-per-call prep pass.
+    # They must never be closure constants: at connectome scale they are
+    # hundreds of MB, and constants are embedded in the serialized program
+    # (the tunneled remote compile rejects it: HTTP 413 measured at M=998,
+    # 371 MB).  The prep pass (network._prep_params) injects them into the
+    # edge's params inside the jitted program -- a sub-ms elementwise build
+    # once per call, zero transfer, zero checkpoint weight.  Unprepped
+    # paths (eager forward, plain-autodiff training) build them in-step:
+    # correct everywhere, and the fast paths never pay per-step.
+    def _build_oh_full(self):
+        return (self._dT[:, :, None]
+                == jnp.arange(self._D1)[None, None, :]).astype(self.dtype)
+
+    def _build_oh_factored(self):
+        Q, S = self._fQS
+        q, r = self._dT // S, self._dT % S
+        oh_q = (q[:, :, None] == jnp.arange(Q)[None, None, :]).astype(self.dtype)
+        oh_r = (r[:, :, None] == jnp.arange(S)[None, None, :]).astype(self.dtype)
+        return oh_q, oh_r
+
+    def prep_params(self, sub: Dict) -> Dict:
+        if self.mode == "onehot" and "_oh" not in sub:
+            return {**sub, "_oh": self._build_oh_full()}
+        if self.mode == "factored" and "_oh_q" not in sub:
+            oh_q, oh_r = self._build_oh_factored()
+            return {**sub, "_oh_q": oh_q, "_oh_r": oh_r}
+        return sub
 
     @property
     def buffer(self):
@@ -354,17 +374,22 @@ class LinearMemoryMatrix(Linear):
 
     def make_step(self) -> Callable:
         dT = self._dT
-        onehot, oh_q, oh_r = self._onehot, self._oh_q, self._oh_r
+        mode = self.mode
         n_in = self.n_in
+        Q, S = self._fQS
 
         def step(buf, params, x):
             # shift history one step older and write x(t) at column 0
             buf = jnp.concatenate([x[:, None], buf[:, :-1]], axis=1)
-            if onehot is not None:
+            if mode == "onehot":
+                oh = params["_oh"] if "_oh" in params else self._build_oh_full()
                 # vals[j, i] = x_j(t - d_ij) as an MXU contraction
-                vals = jnp.einsum("jk,jik->ji", buf, onehot)
-            elif oh_q is not None:
-                Q, S = self._fQS
+                vals = jnp.einsum("jk,jik->ji", buf, oh)
+            elif mode == "factored":
+                if "_oh_q" in params:
+                    oh_q, oh_r = params["_oh_q"], params["_oh_r"]
+                else:
+                    oh_q, oh_r = self._build_oh_factored()
                 buf3 = buf.reshape(n_in, Q, S)
                 # coarse digit: batched matmul picks buffer row-chunk q_ij
                 t1 = jnp.einsum("jia,jab->jib", oh_q, buf3)

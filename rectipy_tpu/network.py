@@ -662,10 +662,13 @@ class Network:
         return []  # overridden by FeedbackNetwork
 
     def _prep_params(self, params: dict) -> dict:
-        """Once-per-scan parameter prep for the INFERENCE scans: each node may
-        transform its own params (int8_master requantization, nodes.py
-        ``prep_params``) outside the ``lax.scan`` -- evaluated inside the
-        jitted run program, so it costs one pass per call, not per step.
+        """Once-per-scan parameter prep for the INFERENCE scans: each node
+        (int8_master requantization, nodes.py ``prep_params``) and each edge
+        (delay-matrix one-hot selectors, edges.py
+        ``LinearMemoryMatrix.prep_params`` -- built on device so they are
+        never program constants) may transform its own params outside the
+        ``lax.scan`` -- evaluated inside the jitted run program, so it costs
+        one pass per call, not per step.
         Training paths never use this (the deferred trajectories prep
         internally; the plain-autodiff fallback needs the per-step custom VJP
         for exact master gradients)."""
@@ -676,9 +679,16 @@ class Network:
             new = prep(sub) if prep is not None else sub
             any_prepped = any_prepped or new is not sub
             nodes[n] = new
+        edges = {}
+        for k, sub in params.get("edges", {}).items():
+            u, _, v = k.partition("->")
+            prep = getattr(self.get_edge(u, v), "prep_params", None)
+            new = prep(sub) if prep is not None else sub
+            any_prepped = any_prepped or new is not sub
+            edges[k] = new
         if not any_prepped:
             return params
-        return {**params, "nodes": nodes}
+        return {**params, "nodes": nodes, "edges": edges}
 
     def _step_versions(self) -> tuple:
         """Per-node step versions: attaching a fused kernel bumps a node's
@@ -3482,6 +3492,10 @@ class Network:
             for (_, lbl, reader, _) in var_info)
 
         def scan_all(state0, params, W, P, inputs, targets):
+            # gradient-free trainer: the inference prep is numerics-safe
+            # (prepped int8 == per-step custom-VJP matvec, bit-identical)
+            # and hoists e.g. delay-matrix selectors out of the scan
+            params = self._prep_params(params)
             rec_out0 = jnp.zeros((n_rec, n_out), dtype=out_aval.dtype)
             rec_loss0 = jnp.zeros((n_rec,), dtype=w_dtype)
             rec_var0 = tuple(
@@ -3777,6 +3791,8 @@ class Network:
 
         def scan_all(state0, params, W, E, x_pre, x_post, inputs, reward,
                      h_target, h_phase):
+            params = self._prep_params(params)  # gradient-free: prep is safe
+
             def _scale_rows(Wv):
                 above = Wv - edge.w_min
                 scale = h_target / (above.sum(axis=1) + 1e-12)
@@ -4040,6 +4056,7 @@ class Network:
         else:
             @jax.jit
             def scan_all(state0, params, W, fb_arg, hp, inputs, targets):
+              params = self._prep_params(params)  # gradient-free: prep safe
               lr, epsilon, delta, decay = hp
               err_bar0 = jnp.zeros(W.shape[0], dtype=acc_dtype)
               elig0 = jnp.zeros(W.shape[1], dtype=acc_dtype)

@@ -253,16 +253,13 @@ def test_linear_memory_matrix_modes_identical():
         ys = {m: np.asarray(e.forward(x)) for m, e in edges.items()}
         np.testing.assert_array_equal(ys["gather"], ys["onehot"])
         np.testing.assert_array_equal(ys["gather"], ys["factored"])
-    # auto mode ladder: onehot -> factored -> gather as the limits shrink
+    # auto mode: factored (the measured winner) -> gather when too large
     import os
-    assert LinearMemoryMatrix(n_in, n_out, delays=D).mode == "onehot"
-    os.environ["RECTIPY_DELAY_ONEHOT_LIMIT"] = "1"
+    assert LinearMemoryMatrix(n_in, n_out, delays=D).mode == "factored"
+    os.environ["RECTIPY_DELAY_FACTORED_LIMIT"] = "1"
     try:
-        assert LinearMemoryMatrix(n_in, n_out, delays=D).mode == "factored"
-        os.environ["RECTIPY_DELAY_FACTORED_LIMIT"] = "1"
         assert LinearMemoryMatrix(n_in, n_out, delays=D).mode == "gather"
     finally:
-        del os.environ["RECTIPY_DELAY_ONEHOT_LIMIT"]
         del os.environ["RECTIPY_DELAY_FACTORED_LIMIT"]
     with pytest.raises(ValueError):
         LinearMemoryMatrix(n_in, n_out, delays=D, mode="banana")

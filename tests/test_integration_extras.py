@@ -346,3 +346,31 @@ def test_delay_matrix_edge_run_batch():
     for b in range(B):
         solo = build().run(inputs[b], verbose=False).to_numpy("out")
         np.testing.assert_allclose(batch["out"][b], solo, atol=1e-12)
+
+
+def test_delay_matrix_onehots_are_prep_arguments_not_constants():
+    """The one-hot selectors must flow through the prep pass (program
+    ARGUMENTS), never closure constants: at connectome scale they are
+    hundreds of MB and the tunneled remote compile rejects programs that
+    embed them (HTTP 413 measured at M=998)."""
+    from rectipy_tpu.edges import LinearMemoryMatrix
+
+    n = 4
+    rng = np.random.default_rng(0)
+    D = rng.integers(0, 6, size=(n, n))
+
+    for mode, keys in [("onehot", {"_oh"}), ("factored", {"_oh_q", "_oh_r"})]:
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_func_node("inp", n, activation_function="identity")
+        _rnn(net, n, np.zeros((n, n)))
+        edge = net.add_edge("inp", "rnn", weights=np.eye(n), delays=D, mode=mode)
+        net.compile()
+        assert isinstance(edge, LinearMemoryMatrix) and edge.mode == mode
+        raw = net.parameters_pytree()
+        assert not (keys & set(raw["edges"]["inp->rnn"]))  # not persistent
+        prepped = net._prep_params(raw)
+        assert keys <= set(prepped["edges"]["inp->rnn"])
+        # prep is idempotent (second pass reuses the injected selectors)
+        again = net._prep_params(prepped)
+        for k in keys:
+            assert again["edges"]["inp->rnn"][k] is prepped["edges"]["inp->rnn"][k]
