@@ -679,16 +679,31 @@ class Network:
             new = prep(sub) if prep is not None else sub
             any_prepped = any_prepped or new is not sub
             nodes[n] = new
+        edges, e_prepped = self._prep_edge_params_dict(params)
+        if not (any_prepped or e_prepped):
+            return params
+        return {**params, "nodes": nodes, "edges": edges}
+
+    def _prep_edge_params_dict(self, params: dict) -> Tuple[dict, bool]:
         edges = {}
+        any_prepped = False
         for k, sub in params.get("edges", {}).items():
             u, _, v = k.partition("->")
             prep = getattr(self.get_edge(u, v), "prep_params", None)
             new = prep(sub) if prep is not None else sub
             any_prepped = any_prepped or new is not sub
             edges[k] = new
-        if not any_prepped:
-            return params
-        return {**params, "nodes": nodes, "edges": edges}
+        return edges, any_prepped
+
+    def _prep_edge_params(self, params: dict) -> dict:
+        """EDGE-only prep, safe inside differentiated trajectories: edge
+        ``prep_params`` derives selectors from STATIC structure (e.g. the
+        delay-matrix one-hots from the integer delays), never from trainable
+        entries, so gradients are unaffected -- unlike node prep, which the
+        plain-autodiff path must skip (int8 masters need the per-step
+        custom-VJP matvec for exact master gradients)."""
+        edges, prepped = self._prep_edge_params_dict(params)
+        return {**params, "edges": edges} if prepped else params
 
     def _step_versions(self) -> tuple:
         """Per-node step versions: attaching a fused kernel bumps a node's
@@ -2818,7 +2833,10 @@ class Network:
                 return state0
 
             def epoch_loss(train, frozen, state0, inp, tgt):
-                params = combine(train, frozen)
+                # hoist gradient-neutral edge selectors (delay-matrix
+                # one-hots) out of the differentiated scan; node prep must
+                # NOT run here (int8 masters need per-step custom VJP)
+                params = self._prep_edge_params(combine(train, frozen))
 
                 def body(state, x_t):
                     state, out, _ = step(state, params, x_t)

@@ -374,3 +374,33 @@ def test_delay_matrix_onehots_are_prep_arguments_not_constants():
         again = net._prep_params(prepped)
         for k in keys:
             assert again["edges"]["inp->rnn"][k] is prepped["edges"]["inp->rnn"][k]
+
+
+def test_delay_matrix_training_mode_invariant():
+    """fit_bptt losses are identical across read modes (the selectors are
+    exact), proving the plain-autodiff path's hoisted edge prep is
+    gradient-neutral."""
+    n = 3
+    dt = 1e-2
+    rng = np.random.default_rng(9)
+    D = rng.integers(0, 4, size=(n, n))
+    W0 = rng.normal(size=(n, n))
+    inp = rng.normal(size=(40, n))
+    tgt = 0.2 * np.ones((40, n))
+
+    def fit(mode):
+        net = Network(dt, dtype=jnp.float64)
+        net.add_func_node("inp", n, activation_function="identity")
+        _rnn(net, n, np.zeros((n, n)))
+        net.add_edge("inp", "rnn", weights=W0, delays=D, train="gd", mode=mode)
+        net.compile()
+        obs = net.fit_bptt([inp] * 4, [tgt] * 4, optimizer="adam", lr=5e-2,
+                           verbose=False)
+        return [float(l) for l in obs["epoch_loss"]], \
+            np.asarray(net.get_edge("inp", "rnn").weights)
+
+    l_g, w_g = fit("gather")
+    l_f, w_f = fit("factored")
+    np.testing.assert_allclose(l_f, l_g, rtol=1e-12)
+    np.testing.assert_allclose(w_f, w_g, rtol=1e-10)
+    assert l_g[-1] < l_g[0]
