@@ -67,7 +67,7 @@ for M in MS:
     np.fill_diagonal(D, 0)
     taues = rng.uniform(8e-3, 13e-3, size=M)
 
-    def build(delays, mode=None):
+    def build(delays, mode=None, train=None):
         net = FeedbackNetwork(dt)
         net.add_diffeq_node("brain", JR, weights=np.zeros((M, M)),
                             source_var="m_py", target_var="r_in",
@@ -77,7 +77,8 @@ for M in MS:
         kw = {"delays": delays} if delays is not None else {}
         if mode is not None:
             kw["mode"] = mode
-        net.add_edge("brain", "brain", weights=40.0 * W, feedback=True, **kw)
+        net.add_edge("brain", "brain", weights=40.0 * W, feedback=True,
+                     train=train, **kw)
         net.compile()
         return net
 
@@ -107,3 +108,29 @@ for M in MS:
                  f"{np.unique(D).size} distinct delays" if delays is not None else "")
         lap(f"M={M:4d} {label:>14}: first {t_first:7.2f}s, best {best:6.3f}s "
             f"= {sps:9.0f} steps/s = {sps * M:.3e} region-updates/s{extra}")
+
+    if os.environ.get("WB_TRAIN", "0") == "1" and M <= 512:
+        # plain-autodiff residuals are ~T * (M, max_delay) buffers: M=998 at
+        # T=2000 would need ~9 GB of saved carries -- atlas scale only
+        # connectome-weight fitting through the factored selectors (the
+        # plain-autodiff path preps them outside the differentiated scan)
+        T_tr = int(os.environ.get("WB_TRAIN_T", 2000))
+        net = build(D, "factored", train="gd")
+        rng2 = np.random.default_rng(1)
+        inp = rng2.normal(size=(T_tr, M)) * 5.0
+        tgt = np.asarray(net.run(inp, verbose=False).to_numpy("out"))
+        net.get_edge("brain", "brain").weights = 40.0 * W * 1.05  # perturb
+        n_ep = 16
+        t0 = time.perf_counter()
+        obs = net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="adam",
+                           lr=1e-3, verbose=False)
+        wall = time.perf_counter() - t0
+        losses = [float(l) for l in obs["epoch_loss"]]
+        t0 = time.perf_counter()
+        obs = net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="adam",
+                           lr=1e-3, verbose=False)
+        wall2 = time.perf_counter() - t0
+        lap(f"M={M:4d} TRAIN factored: {wall:6.2f}s first fit, "
+            f"{wall2 / n_ep * 1e3:7.1f} ms/epoch warm (T={T_tr}); "
+            f"losses {losses[0]:.3e} -> {losses[-1]:.3e}")
+        assert losses[-1] < losses[0], "training did not reduce the loss"

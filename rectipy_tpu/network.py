@@ -2767,7 +2767,13 @@ class Network:
         traj = None
         gtraj = None
         if fused_bptt in ("auto", True):
-            chain = (order[0], None, None) if len(order) == 1 else self._chain_decompose()
+            # the single-node shortcut must still exclude feedback edges --
+            # the chain trajectory is fb-unaware, and silently dropping a
+            # feedback self-edge from the trained forward was a real bug
+            # (zero fb gradient, wrong loss; regression-tested)
+            chain = ((order[0], None, None)
+                     if len(order) == 1 and not self._fb_edge_list()
+                     else self._chain_decompose())
             if chain is not None:
                 label, apply_prefix, apply_suffix = chain
                 try:
@@ -3187,7 +3193,8 @@ class Network:
             gtraj_fast = None
             order = self._compiled["order"]
             if not rec_info and fused_bptt in ("auto", True):
-                chain = ((order[0], None, None) if len(order) == 1
+                chain = ((order[0], None, None)
+                         if len(order) == 1 and not self._fb_edge_list()
                          else self._chain_decompose())
                 if chain is not None:
                     f_label, f_prefix, f_suffix = chain

@@ -744,3 +744,37 @@ def test_graph_bptt_diagonal_masked_edge_matches_plain():
     np.testing.assert_allclose(l_f, l_p, rtol=1e-8)
     np.testing.assert_allclose(w_f, w_p, rtol=1e-6, atol=1e-10)
     assert np.abs(w_f - gains).max() > 1e-6, "masked diagonal edge did not train"
+
+
+def test_single_population_feedback_self_edge_trains():
+    """REGRESSION (latent until round 4): a SINGLE-population FeedbackNetwork
+    with a trainable feedback self-edge took the fb-UNAWARE chain trajectory
+    (the len(order)==1 shortcut skipped _chain_decompose's fb check) -- the
+    trained forward silently dropped the feedback edge: wrong loss, exactly
+    zero fb-weight gradient.  Now: fused=auto must match plain autodiff and
+    actually move the fb weights."""
+    from rectipy_tpu import FeedbackNetwork
+
+    n, T = 6, 80
+    rng = np.random.default_rng(31)
+    W_fb = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def fit(fused):
+        net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=np.zeros((n, n)),
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in")
+        net.add_edge("rnn", "rnn", weights=W_fb, feedback=True, train="gd")
+        obs = net.fit_bptt([inp] * 5, [tgt] * 5, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        return (np.asarray(obs["epoch_loss"]),
+                np.asarray(net.get_edge("rnn", "rnn").weights))
+
+    l_auto, w_auto = fit("auto")
+    l_plain, w_plain = fit(False)
+    np.testing.assert_allclose(l_auto, l_plain, rtol=1e-9)
+    np.testing.assert_allclose(w_auto, w_plain, rtol=1e-7)
+    assert np.abs(w_auto - W_fb).max() > 1e-6, "fb weights did not train"
+    assert l_auto[-1] < l_auto[0], "loss did not decrease"
