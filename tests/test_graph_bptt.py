@@ -778,3 +778,83 @@ def test_single_population_feedback_self_edge_trains():
     np.testing.assert_allclose(w_auto, w_plain, rtol=1e-7)
     assert np.abs(w_auto - W_fb).max() > 1e-6, "fb weights did not train"
     assert l_auto[-1] < l_auto[0], "loss did not decrease"
+
+
+@pytest.mark.parametrize("topology", [
+    "single",            # one population, no edges (chain shortcut)
+    "chain",             # inp -> pop -> readout (chain trajectory)
+    "fb_self",           # single pop + Linear feedback self-edge
+    "fb_self_delay",     # single pop + per-source delay feedback self-edge
+    "fb_self_matrix",    # single pop + per-CONNECTION delay fb self-edge
+    "dag_fb",            # two populations + cross feedback (graph traj)
+    "chain_delay",       # inp -(delay edge)-> pop (graph traj)
+])
+def test_fused_auto_matches_plain_across_topologies(topology):
+    """Trajectory-dispatch sweep: whatever fast path fused_bptt='auto' picks
+    for a topology (chain custom-VJP, graph trajectory, or the plain
+    fallback), epoch losses and trained weights must equal plain autodiff.
+    Guards the dispatch matrix itself -- the round-4 single-population
+    feedback bug was exactly a dispatch hole (the fb-unaware chain shortcut),
+    invisible to per-trajectory gradient-parity tests."""
+    from rectipy_tpu import FeedbackNetwork
+
+    n, T = 5, 60
+    rng = np.random.default_rng(hash(topology) % 2 ** 31)
+    inp_w = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def build():
+        net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+        if topology == "chain":
+            net.add_func_node("inp", n, activation_function="identity")
+        if topology == "chain_delay":
+            net.add_func_node("inp", n, activation_function="identity")
+        net.add_diffeq_node("rnn", TANH, weights=rng.normal(size=(n, n)) * 0.2,
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in",
+                            train_params=["weights"])
+        if topology == "chain":
+            net.add_edge("inp", "rnn", weights=np.eye(n))
+        elif topology == "chain_delay":
+            net.add_edge("inp", "rnn", weights=np.eye(n),
+                         delays=rng.integers(0, 4, size=n), train="gd")
+        elif topology == "fb_self":
+            net.add_edge("rnn", "rnn", weights=rng.normal(size=(n, n)) * 0.2,
+                         feedback=True, train="gd")
+        elif topology == "fb_self_delay":
+            net.add_edge("rnn", "rnn", weights=rng.normal(size=(n, n)) * 0.2,
+                         delays=rng.integers(0, 4, size=n), feedback=True,
+                         train="gd")
+        elif topology == "fb_self_matrix":
+            net.add_edge("rnn", "rnn", weights=rng.normal(size=(n, n)) * 0.2,
+                         delays=rng.integers(0, 4, size=(n, n)), feedback=True,
+                         train="gd")
+        elif topology == "dag_fb":
+            net.add_diffeq_node("rnn2", TANH,
+                                weights=rng.normal(size=(n, n)) * 0.2,
+                                input_var="li_op/I_ext", output_var="li_op/v",
+                                source_var="tanh_op/r",
+                                target_var="li_op/r_in")
+            net.add_edge("rnn", "rnn2", weights=rng.normal(size=(n, n)) * 0.3,
+                         train="gd")
+            net.add_edge("rnn2", "rnn", weights=rng.normal(size=(n, n)) * 0.1,
+                         feedback=True)
+        net.compile()
+        return net
+
+    def fit(fused):
+        net = build()
+        obs = net.fit_bptt([inp_w] * 4, [tgt] * 4, optimizer="adam", lr=1e-2,
+                           verbose=False, fused_bptt=fused)
+        losses = np.asarray(obs["epoch_loss"])
+        w = np.asarray(net.get_node("rnn")["weights"])
+        return losses, w
+
+    # build() consumes rng draws; rebuild identically per fit by reseeding
+    rng = np.random.default_rng(hash(topology) % 2 ** 31)
+    l_auto, w_auto = fit("auto")
+    rng = np.random.default_rng(hash(topology) % 2 ** 31)
+    l_plain, w_plain = fit(False)
+    np.testing.assert_allclose(l_auto, l_plain, rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(w_auto, w_plain, rtol=1e-6, atol=1e-12)
+    assert l_auto[-1] < l_auto[0], f"{topology}: loss did not decrease"
