@@ -109,11 +109,13 @@ for M in MS:
         lap(f"M={M:4d} {label:>14}: first {t_first:7.2f}s, best {best:6.3f}s "
             f"= {sps:9.0f} steps/s = {sps * M:.3e} region-updates/s{extra}")
 
-    if os.environ.get("WB_TRAIN", "0") == "1" and M <= 512:
-        # plain-autodiff residuals are ~T * (M, max_delay) buffers: M=998 at
-        # T=2000 would need ~9 GB of saved carries -- atlas scale only
+    remat = int(os.environ.get("WB_TRAIN_REMAT", "0"))
+    if os.environ.get("WB_TRAIN", "0") == "1" and (M <= 512 or remat > 1):
         # connectome-weight fitting through the factored selectors (the
-        # plain-autodiff path preps them outside the differentiated scan)
+        # plain-autodiff path preps them outside the differentiated scan).
+        # Plain-autodiff residuals are ~T * (M, max_delay) buffers: M=998 at
+        # T=2000 would need ~9 GB of saved carries -- TVB scale needs
+        # WB_TRAIN_REMAT (chunked gradient checkpointing)
         T_tr = int(os.environ.get("WB_TRAIN_T", 2000))
         net = build(D, "factored", train="gd")
         rng2 = np.random.default_rng(1)
@@ -121,16 +123,18 @@ for M in MS:
         tgt = np.asarray(net.run(inp, verbose=False).to_numpy("out"))
         net.get_edge("brain", "brain").weights = 40.0 * W * 1.05  # perturb
         n_ep = 16
+        kw = {"remat_steps": remat} if remat > 1 else {}
         t0 = time.perf_counter()
         obs = net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="adam",
-                           lr=1e-3, verbose=False)
+                           lr=1e-3, verbose=False, **kw)
         wall = time.perf_counter() - t0
         losses = [float(l) for l in obs["epoch_loss"]]
         t0 = time.perf_counter()
         obs = net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="adam",
-                           lr=1e-3, verbose=False)
+                           lr=1e-3, verbose=False, **kw)
         wall2 = time.perf_counter() - t0
-        lap(f"M={M:4d} TRAIN factored: {wall:6.2f}s first fit, "
+        tag = f" remat={remat}" if remat > 1 else ""
+        lap(f"M={M:4d} TRAIN factored{tag}: {wall:6.2f}s first fit, "
             f"{wall2 / n_ep * 1e3:7.1f} ms/epoch warm (T={T_tr}); "
             f"losses {losses[0]:.3e} -> {losses[-1]:.3e}")
         assert losses[-1] < losses[0], "training did not reduce the loss"

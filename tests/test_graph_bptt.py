@@ -858,3 +858,31 @@ def test_fused_auto_matches_plain_across_topologies(topology):
     np.testing.assert_allclose(l_auto, l_plain, rtol=1e-7, atol=1e-12)
     np.testing.assert_allclose(w_auto, w_plain, rtol=1e-6, atol=1e-12)
     assert l_auto[-1] < l_auto[0], f"{topology}: loss did not decrease"
+
+
+def test_step_mode_single_population_feedback_matches_plain():
+    """Step-mode (truncated BPTT) variant of the single-population feedback
+    regression: the chunk-loss builder has its own chain shortcut, which must
+    also exclude feedback edges."""
+    from rectipy_tpu import FeedbackNetwork
+
+    n, T = 5, 120
+    rng = np.random.default_rng(33)
+    W_fb = rng.normal(size=(n, n)) * 0.3
+    inp = rng.normal(size=(T, n))
+    tgt = rng.normal(size=(T, n)) * 0.1
+
+    def fit(fused):
+        net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=np.zeros((n, n)),
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in")
+        net.add_edge("rnn", "rnn", weights=W_fb, feedback=True, train="gd")
+        obs = net.fit_bptt(inp, tgt, optimizer="adam", lr=1e-2,
+                           update_steps=30, verbose=False, fused_bptt=fused)
+        return np.asarray(net.get_edge("rnn", "rnn").weights)
+
+    w_auto = fit("auto")
+    w_plain = fit(False)
+    np.testing.assert_allclose(w_auto, w_plain, rtol=1e-7)
+    assert np.abs(w_auto - W_fb).max() > 1e-7, "fb weights did not train"
