@@ -581,3 +581,31 @@ def test_public_run_mesh_int8_master_matches_single_device():
     mesh = make_mesh(8)
     o2 = build().run(inp, verbose=False, mesh=mesh).to_numpy("out")
     np.testing.assert_allclose(o2, o1, rtol=1e-5, atol=1e-6)
+
+
+def test_public_run_mesh_delay_matrix_edge_matches_single_device():
+    """Per-connection delay matrices (LinearMemoryMatrix, factored one-hot
+    selectors built inside the sharded run program) under run(mesh=): records
+    equal the single-device run."""
+    from rectipy_tpu import FeedbackNetwork
+
+    n = 32
+    rng = np.random.default_rng(17)
+    W = rng.normal(size=(n, n)) * 0.2
+    D = rng.integers(0, 6, size=(n, n))
+    inp = rng.normal(size=(40, n))
+
+    def build():
+        net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=np.zeros((n, n)),
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in")
+        net.add_edge("rnn", "rnn", weights=W, delays=D, feedback=True)
+        net.compile()
+        return net
+
+    obs1 = build().run(inp, sampling_steps=2, verbose=False)
+    obs2 = build().run(inp, sampling_steps=2, verbose=False,
+                       mesh=make_mesh(8, data=1))
+    np.testing.assert_allclose(obs2.to_numpy("out"), obs1.to_numpy("out"),
+                               rtol=1e-12, atol=1e-14)
