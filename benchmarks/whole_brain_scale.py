@@ -109,6 +109,30 @@ for M in MS:
         lap(f"M={M:4d} {label:>14}: first {t_first:7.2f}s, best {best:6.3f}s "
             f"= {sps:9.0f} steps/s = {sps * M:.3e} region-updates/s{extra}")
 
+    B = int(os.environ.get("WB_BATCH", "0"))
+    if B > 1:
+        # ensemble of connectome trials: the one-hot selector stream is
+        # UNBATCHED under vmap (prep runs on shared params), so B trials
+        # amortize it -- the whole-brain sweep/ensemble workload
+        net = build(D, "factored")
+        T_b = int(os.environ.get("WB_BATCH_T", min(T, 2000)))
+        rng3 = np.random.default_rng(2)
+        binp = rng3.normal(size=(B, T_b, M)).astype(np.float32) * 2.0
+        t0 = time.perf_counter()
+        res = net.run_batch(binp, sampling_steps=100, verbose=False)
+        t_first = time.perf_counter() - t0
+        best = None
+        for _ in range(max(REPS, 2)):
+            t0 = time.perf_counter()
+            res = net.run_batch(binp, sampling_steps=100, verbose=False)
+            wall = time.perf_counter() - t0
+            best = wall if best is None else min(best, wall)
+        assert np.all(np.isfinite(res["out"]))
+        agg = B * T_b / best * M
+        lap(f"M={M:4d} ENSEMBLE B={B} factored: first {t_first:7.2f}s, "
+            f"best {best:6.3f}s = {T_b / best:7.0f} steps/s/trial = "
+            f"{agg:.3e} aggregate region-updates/s")
+
     remat = int(os.environ.get("WB_TRAIN_REMAT", "0"))
     if os.environ.get("WB_TRAIN", "0") == "1" and (M <= 512 or remat > 1):
         # connectome-weight fitting through the factored selectors (the
