@@ -62,7 +62,7 @@ for M in MS:
     dist = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
     W = np.exp(-dist / 0.06)
     np.fill_diagonal(W, 0.0)
-    W /= W.sum(axis=1, keepdims=True)
+    W /= W.sum(axis=0, keepdims=True)  # in-strength (square W auto-transposes)
     D = np.rint(dist / SPEED / dt).astype(int)
     np.fill_diagonal(D, 0)
     taues = rng.uniform(8e-3, 13e-3, size=M)
@@ -145,7 +145,11 @@ for M in MS:
         rng2 = np.random.default_rng(1)
         inp = rng2.normal(size=(T_tr, M)) * 5.0
         tgt = np.asarray(net.run(inp, verbose=False).to_numpy("out"))
-        net.get_edge("brain", "brain").weights = 40.0 * W * 1.05  # perturb
+        # perturb the INTERNAL weights 5% (the setter does not apply the
+        # square auto-transpose the constructor did, so scaling the stored
+        # matrix is the only orientation-safe perturbation)
+        edge = net.get_edge("brain", "brain")
+        edge.weights = np.asarray(edge.weights) * 1.05
         n_ep = 16
         kw = {"remat_steps": remat} if remat > 1 else {}
         t0 = time.perf_counter()

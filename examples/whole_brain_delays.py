@@ -59,7 +59,11 @@ pos = rng.uniform(0.0, 0.14, size=(M, 3))  # a 14 cm "brain", meters
 dist = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
 W = np.exp(-dist / 0.06)  # exponential distance rule
 np.fill_diagonal(W, 0.0)
-W /= W.sum(axis=1, keepdims=True)  # row-normalized in-strength
+# square matrices follow the reference's weights convention: given as
+# (source, target) and auto-transposed, so this normalizes each region's
+# IN-strength (the internal row i sums to 1); the delay matrix transposes
+# identically, keeping every connection's weight paired with its delay
+W /= W.sum(axis=0, keepdims=True)
 D = np.rint(dist / SPEED / dt).astype(int)  # d_ij = distance / speed, in steps
 np.fill_diagonal(D, 0)
 print(f"M={M} regions; delays {D[D > 0].min()}-{D.max()} steps "
@@ -95,14 +99,18 @@ def simulate(K, delays):
 
 
 def mean_coherence(x):
-    """Mean pairwise max-|xcorr| over all region pairs."""
+    """Mean pairwise max-|xcorr| over all region pairs (FFT cross-correlation
+    of the whole (T, M) matrix at once -- the naive np.correlate pair loop is
+    O(M^2 T^2) and costs more than the simulation it summarizes)."""
     x = x - x.mean(axis=0)
     x /= np.linalg.norm(x, axis=0) + 1e-30
+    F = np.fft.rfft(x, n=2 * len(x), axis=0)
     cohs = []
-    for i in range(x.shape[1]):
-        for j in range(i + 1, x.shape[1]):
-            cohs.append(np.abs(np.correlate(x[:, i], x[:, j], "full")).max())
-    return float(np.mean(cohs))
+    for i in range(x.shape[1] - 1):
+        cc = np.fft.irfft(np.conj(F[:, i:i + 1]) * F[:, i + 1:],
+                          n=2 * len(x), axis=0)
+        cohs.append(np.abs(cc).max(axis=0))
+    return float(np.mean(np.concatenate(cohs)))
 
 
 def f_dom(x):

@@ -244,12 +244,16 @@ class LinearMemoryMatrix(Linear):
     are exact).
 
     ``delays`` is an ``(n_out, n_in)`` integer matrix of step delays
-    (``d_ij`` = delay from source ``j`` into target ``i``); a transposed
-    ``(n_in, n_out)`` rectangular matrix is auto-transposed, mirroring the
-    weights convention.  ``d_ij = 0`` means instantaneous coupling (this
-    step's input), matching :class:`LinearMemory`'s convention.  When every
-    column is constant (``d_ij = d_j``) this edge is exactly
-    :class:`LinearMemory` (regression-tested).
+    (``d_ij`` = delay from source ``j`` into target ``i``); an
+    ``(n_in, n_out)`` matrix is auto-transposed following the weights rule
+    EXACTLY -- including the square case, which (like the reference's
+    square-weights parity rule, edges.py:74-77) is always interpreted as
+    ``(source, target)`` and transposed, so a square ``W[a, b]`` and
+    ``D[a, b]`` given in the same layout always pair the same connection.
+    ``d_ij = 0`` means instantaneous coupling (this step's input), matching
+    :class:`LinearMemory`'s convention.  When the per-source condition holds
+    (``d_ij = d_j``) this edge is exactly :class:`LinearMemory`
+    (regression-tested).
 
     Three bit-identical evaluation modes
     (``mode='auto'|'onehot'|'factored'|'gather'``), because 2-D gathers
@@ -292,7 +296,12 @@ class LinearMemoryMatrix(Linear):
         if delays.ndim != 2:
             raise ValueError("LinearMemoryMatrix requires a 2-D (n_out, n_in) delay matrix; "
                              "use LinearMemory for per-source (1-D) delays.")
-        if delays.shape == (n_in, n_out) and n_in != n_out:
+        # the transpose rule MUST mirror the weights rule exactly -- including
+        # the square case, which Linear always transposes (reference parity,
+        # edges.py:74-77) -- else W and D would be read in OPPOSITE
+        # orientations on square edges and every connection weight would pair
+        # with the wrong delay (caught by in-session review; regression-tested)
+        if delays.shape == (n_in, n_out):
             delays = delays.T
         elif delays.shape != (n_out, n_in):
             raise ValueError(
@@ -301,7 +310,14 @@ class LinearMemoryMatrix(Linear):
         if self.params["weights"].ndim != 2:
             raise ValueError("LinearMemoryMatrix requires 2-D weights (per-connection "
                              "delays have no diagonal form).")
-        delays = delays.astype(np.int64)
+        if not np.issubdtype(delays.dtype, np.integer):
+            if not np.allclose(delays, np.rint(delays)):
+                raise ValueError(
+                    "Delays must be integer step counts; got non-integral values "
+                    "(e.g. distance/speed/dt results -- round them explicitly, "
+                    "np.rint(dist / speed / dt), so the discretization is a "
+                    "deliberate choice rather than a silent floor).")
+        delays = np.rint(delays).astype(np.int64)
         if delays.min() < 0:
             raise ValueError("Delays must be non-negative integer step counts.")
         self.delays = jnp.asarray(delays)

@@ -3248,7 +3248,9 @@ class Network:
                     return loss_fn(outs, tgt_c), (new_state, outs, ())
             else:
                 def chunk_loss(train, frozen, state, inp_c, tgt_c):
-                    params = combine(train, frozen)
+                    # hoist gradient-neutral edge selectors out of the
+                    # differentiated chunk scan (same as the epoch path)
+                    params = self._prep_edge_params(combine(train, frozen))
 
                     def body(state, x_t):
                         state, out, _ = step(state, params, x_t)
@@ -3278,7 +3280,7 @@ class Network:
             # also never updates before `update_steps` steps have elapsed),
             # but outputs are still recorded on the global sampling grid with
             # zero loss (reference network.py:1042-1047: error stays 0.0)
-            params = combine(train, frozen)
+            params = self._prep_edge_params(combine(train, frozen))
             stateT, (outs, vals) = jax.lax.scan(_fwd_body(params), state0, inputs)
             keep = np.arange(0, T, sampling_steps)
             var_values = {key: np.asarray(vals[i])[keep]

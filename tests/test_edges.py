@@ -200,14 +200,16 @@ def test_linear_memory_matrix_oracle():
 
 
 def test_linear_memory_matrix_reduces_to_per_source():
-    """Column-constant delay matrix (d_ij = d_j) == LinearMemory exactly."""
+    """Per-source delay matrix (d_ij = d_j) == LinearMemory exactly.  Square
+    matrices follow the weights convention (given as (source, target) and
+    transposed), so per-SOURCE delays are constant along the given ROWS."""
     from rectipy_tpu.edges import LinearMemoryMatrix
 
     rng = np.random.default_rng(3)
     n = 5
     W = rng.normal(size=(n, n))
     d_src = np.array([0, 2, 1, 3, 0])
-    D = np.tile(d_src, (n, 1))
+    D = np.tile(d_src[:, None], (1, n))  # given[j, i] = d_src[j]
     m_edge = LinearMemoryMatrix(n, n, delays=D, weights=W)
     s_edge = LinearMemory(n, n, delays=d_src, weights=W)
     for t in range(8):
@@ -232,6 +234,36 @@ def test_linear_memory_matrix_validation():
     D = np.arange(6).reshape(3, 2)
     e = LinearMemoryMatrix(3, 2, delays=D, weights=np.ones((2, 3)))
     assert e.delays.shape == (2, 3)
+    with pytest.raises(ValueError):  # non-integral floats must be explicit
+        LinearMemoryMatrix(2, 2, delays=np.array([[0.0, 1.7], [1.0, 0.0]]))
+    # integral floats are accepted (distance/speed/dt after np.rint)
+    e2 = LinearMemoryMatrix(2, 2, delays=np.array([[0.0, 2.0], [1.0, 0.0]]))
+    assert e2.max_delay == 2
+
+
+def test_linear_memory_matrix_square_weight_delay_pairing():
+    """Square W and D given in the same (source, target) layout must pair
+    per-connection: y_i(t) = sum_j W_given[j, i] * x_j(t - D_given[j, i]).
+    Regression for the review finding that square W auto-transposed
+    (reference parity) while square D did not -- weights paired with the
+    WRONG delays on any asymmetric square matrix."""
+    from rectipy_tpu.edges import LinearMemoryMatrix
+
+    rng = np.random.default_rng(21)
+    n, T = 4, 12
+    W = rng.normal(size=(n, n))        # asymmetric
+    D = rng.integers(0, 5, size=(n, n))  # asymmetric
+    xs = rng.normal(size=(T, n))
+    edge = LinearMemoryMatrix(n, n, delays=D, weights=W)
+    got = np.stack([np.asarray(edge.forward(jnp.asarray(x))) for x in xs])
+    want = np.zeros((T, n))
+    for t in range(T):
+        for i in range(n):
+            for j in range(n):
+                td = t - D[j, i]
+                if td >= 0:
+                    want[t, i] += W[j, i] * xs[td, j]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
 
 
 def test_linear_memory_matrix_modes_identical():

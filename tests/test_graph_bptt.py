@@ -798,8 +798,11 @@ def test_fused_auto_matches_plain_across_topologies(topology):
     invisible to per-trajectory gradient-parity tests."""
     from rectipy_tpu import FeedbackNetwork
 
+    import zlib
+
+    seed = zlib.crc32(topology.encode())  # hash() is salted per process
     n, T = 5, 60
-    rng = np.random.default_rng(hash(topology) % 2 ** 31)
+    rng = np.random.default_rng(seed)
     inp_w = rng.normal(size=(T, n))
     tgt = rng.normal(size=(T, n)) * 0.1
 
@@ -851,9 +854,9 @@ def test_fused_auto_matches_plain_across_topologies(topology):
         return losses, w
 
     # build() consumes rng draws; rebuild identically per fit by reseeding
-    rng = np.random.default_rng(hash(topology) % 2 ** 31)
+    rng = np.random.default_rng(seed)
     l_auto, w_auto = fit("auto")
-    rng = np.random.default_rng(hash(topology) % 2 ** 31)
+    rng = np.random.default_rng(seed)
     l_plain, w_plain = fit(False)
     np.testing.assert_allclose(l_auto, l_plain, rtol=1e-7, atol=1e-12)
     np.testing.assert_allclose(w_auto, w_plain, rtol=1e-6, atol=1e-12)

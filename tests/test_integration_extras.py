@@ -247,7 +247,7 @@ def test_delay_matrix_edge_in_network():
 
     # column-constant matrix (d_ij = d_j) must equal the per-source edge
     d_src = np.array([0, 2, 4])
-    net_m = build(np.tile(d_src, (n, 1)))
+    net_m = build(np.tile(d_src[:, None], (1, n)))  # given[j,i]=d_src[j]
     assert isinstance(net_m.get_edge("inp", "rnn"), LinearMemoryMatrix)
     out_m = net_m.run(inp, verbose=False).to_numpy("out")
     out_s = build(d_src).run(inp, verbose=False).to_numpy("out")
@@ -291,7 +291,8 @@ def test_delay_matrix_feedback_self_edge():
         net.compile()
         return net
 
-    out_m = build(np.tile(d_src, (n, 1))).run(inp, verbose=False).to_numpy("out")
+    out_m = build(np.tile(d_src[:, None], (1, n))).run(inp,
+                  verbose=False).to_numpy("out")
     out_s = build(d_src).run(inp, verbose=False).to_numpy("out")
     np.testing.assert_allclose(out_m, out_s, atol=1e-12)
     assert np.all(np.isfinite(out_m))
