@@ -284,13 +284,33 @@ class LinearMemoryMatrix(Linear):
     (``prep_params``), never embedded as program constants: at M=998 they
     are ~370 MB and the tunneled remote compile rejects such programs
     (HTTP 413, measured).
+
+    ``mode='interp'`` generalizes the read to CONTINUOUS delays: the
+    selector becomes the triangular kernel ``max(0, 1 - |d_ij - k|)``, i.e.
+    linear interpolation between the two adjacent buffer slots (exactly the
+    one-hot at integer ``d``).  With ``train_delays=True`` (requires
+    ``train='gd'``) the float delay matrix lives in ``params['delays']``
+    and is TRAINED BY BPTT alongside the weights -- differentiable
+    conduction delays, i.e. fitting tract delays from data; delays are
+    clipped to ``[0, max_delay]`` (pass ``max_delay=`` for headroom above
+    the initial values; at the clip boundary the delay gradient is zero).
+    ``self.delays`` keeps the INITIAL values; the live (trained) matrix is
+    ``params['delays']``.  No reference analog of any kind.
     """
 
     _tensors = ["weights", "buffer", "delays"]
 
     def __init__(self, n_in: int, n_out: int, delays, weights=None, dtype=jnp.float64,
-                 detach: bool = True, mode: str = "auto", **kwargs):
-        kwargs.setdefault("train_params", ["weights"])
+                 detach: bool = True, mode: str = "auto", train_delays: bool = False,
+                 max_delay: Optional[int] = None, **kwargs):
+        if train_delays:
+            if mode not in ("auto", "interp"):
+                raise ValueError("train_delays=True requires the 'interp' read "
+                                 f"(continuous delays); got mode={mode!r}.")
+            mode = "interp"
+            kwargs.setdefault("train_params", ["weights", "delays"])
+        else:
+            kwargs.setdefault("train_params", ["weights"])
         super().__init__(n_in, n_out, weights=weights, dtype=dtype, detach=detach, **kwargs)
         delays = np.asarray(delays)
         if delays.ndim != 2:
@@ -310,23 +330,40 @@ class LinearMemoryMatrix(Linear):
         if self.params["weights"].ndim != 2:
             raise ValueError("LinearMemoryMatrix requires 2-D weights (per-connection "
                              "delays have no diagonal form).")
-        if not np.issubdtype(delays.dtype, np.integer):
-            if not np.allclose(delays, np.rint(delays)):
-                raise ValueError(
-                    "Delays must be integer step counts; got non-integral values "
-                    "(e.g. distance/speed/dt results -- round them explicitly, "
-                    "np.rint(dist / speed / dt), so the discretization is a "
-                    "deliberate choice rather than a silent floor).")
-        delays = np.rint(delays).astype(np.int64)
         if delays.min() < 0:
-            raise ValueError("Delays must be non-negative integer step counts.")
-        self.delays = jnp.asarray(delays)
-        self.max_delay = int(delays.max())
+            raise ValueError("Delays must be non-negative step counts.")
+        if mode == "interp":
+            # continuous (fractional, optionally TRAINABLE) delays: the read
+            # linearly interpolates between the two adjacent buffer slots
+            delays_f = delays.astype(np.float64)
+            self.max_delay = int(max_delay) if max_delay is not None \
+                else int(np.ceil(delays_f.max()))
+            if delays_f.max() > self.max_delay:
+                raise ValueError(f"delays exceed max_delay={self.max_delay}")
+            self.delays = jnp.asarray(delays_f)
+            self._register_param("delays", jnp.asarray(delays_f, dtype=self.dtype))
+            if train_delays and "delays" not in self.train_keys:
+                raise ValueError(
+                    "train_delays=True requires a trainable edge: pass "
+                    "train='gd' to add_edge (or detach=False).")
+            delays = np.rint(delays_f).astype(np.int64)
+        else:
+            if not np.issubdtype(delays.dtype, np.integer):
+                if not np.allclose(delays, np.rint(delays)):
+                    raise ValueError(
+                        "Delays must be integer step counts; got non-integral values "
+                        "(e.g. distance/speed/dt results -- round them explicitly, "
+                        "np.rint(dist / speed / dt), so the discretization is a "
+                        "deliberate choice rather than a silent floor -- or use "
+                        "mode='interp' for true fractional delays).")
+            delays = np.rint(delays).astype(np.int64)
+            self.delays = jnp.asarray(delays)
+            self.max_delay = int(delays.max())
         # gather indices, pre-transposed for take_along_axis over the buffer
         self._dT = jnp.asarray(delays.T)  # (n_in, n_out)
-        if mode not in ("auto", "onehot", "factored", "gather"):
+        if mode not in ("auto", "onehot", "factored", "gather", "interp"):
             raise ValueError(f"Unknown delay-matrix mode {mode!r}; "
-                             "use 'auto', 'onehot', 'factored' or 'gather'.")
+                             "use 'auto', 'onehot', 'factored', 'gather' or 'interp'.")
         D1 = self.max_delay + 1
         # fine-digit width for the factored decomposition: minimizes streamed
         # bytes ~ n*m*(Q + S + f32-intermediate r/w ~ 8S) -> S ~ sqrt(D/5)
@@ -370,12 +407,29 @@ class LinearMemoryMatrix(Linear):
         oh_r = (r[:, :, None] == jnp.arange(S)[None, None, :]).astype(self.dtype)
         return oh_q, oh_r
 
+    def _build_hat(self, d):
+        """Triangular (linear-interpolation) selector from a float delay
+        matrix: ``hat[j, i, k] = max(0, 1 - |d_ij - k|)`` -- exactly the
+        one-hot at integer delays, a two-slot linear blend otherwise, and
+        differentiable in ``d`` (the gradient is the local finite
+        difference of the source history: trainable conduction delays)."""
+        dT = jnp.clip(d, 0.0, float(self.max_delay)).T
+        k = jnp.arange(self._D1, dtype=dT.dtype)
+        return jnp.clip(1.0 - jnp.abs(dT[:, :, None] - k[None, None, :]),
+                        0.0, 1.0).astype(self.dtype)
+
     def prep_params(self, sub: Dict) -> Dict:
         if self.mode == "onehot" and "_oh" not in sub:
             return {**sub, "_oh": self._build_oh_full()}
         if self.mode == "factored" and "_oh_q" not in sub:
             oh_q, oh_r = self._build_oh_factored()
             return {**sub, "_oh_q": oh_q, "_oh_r": oh_r}
+        if self.mode == "interp" and "_hat" not in sub:
+            # NOTE gradients flow THROUGH prep where it runs inside a
+            # differentiated loss (the epoch/chunk losses call
+            # _prep_edge_params inside the grad), so trainable delays get
+            # their cotangent even though the hat is hoisted out of the scan
+            return {**sub, "_hat": self._build_hat(sub["delays"])}
         return sub
 
     @property
@@ -401,6 +455,10 @@ class LinearMemoryMatrix(Linear):
                 oh = params["_oh"] if "_oh" in params else self._build_oh_full()
                 # vals[j, i] = x_j(t - d_ij) as an MXU contraction
                 vals = jnp.einsum("jk,jik->ji", buf, oh)
+            elif mode == "interp":
+                hat = params["_hat"] if "_hat" in params \
+                    else self._build_hat(params["delays"])
+                vals = jnp.einsum("jk,jik->ji", buf, hat)
             elif mode == "factored":
                 if "_oh_q" in params:
                     oh_q, oh_r = params["_oh_q"], params["_oh_r"]

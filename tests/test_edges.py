@@ -295,3 +295,59 @@ def test_linear_memory_matrix_modes_identical():
         del os.environ["RECTIPY_DELAY_FACTORED_LIMIT"]
     with pytest.raises(ValueError):
         LinearMemoryMatrix(n_in, n_out, delays=D, mode="banana")
+
+
+def test_linear_memory_matrix_interp_mode():
+    """mode='interp' (continuous delays): equals the one-hot read exactly at
+    integer delays; a fractional delay splits an impulse linearly across the
+    two adjacent slots; the delay gradient matches finite differences."""
+    from rectipy_tpu.edges import LinearMemoryMatrix
+
+    rng = np.random.default_rng(0)
+    n = 4
+    W = rng.normal(size=(n, n))
+    D = rng.integers(0, 5, size=(n, n)).astype(float)
+    e_i = LinearMemoryMatrix(n, n, delays=D, weights=W, mode="interp")
+    e_o = LinearMemoryMatrix(n, n, delays=D.astype(int), weights=W, mode="onehot")
+    for _ in range(12):
+        x = jnp.asarray(rng.normal(size=n))
+        np.testing.assert_allclose(np.asarray(e_i.forward(x)),
+                                   np.asarray(e_o.forward(x)), atol=1e-12)
+
+    # d = 1.5: an impulse arrives half at step 1, half at step 2
+    e = LinearMemoryMatrix(1, 1, delays=np.array([[1.5]]),
+                           weights=np.array([[1.0]]), mode="interp")
+    outs = [float(e.forward(jnp.asarray([1.0]))[0])]
+    outs += [float(e.forward(jnp.asarray([0.0]))[0]) for _ in range(3)]
+    assert outs == [0.0, 0.5, 0.5, 0.0]
+
+    # gradient wrt the delay == finite difference
+    import jax as _jax
+
+    e = LinearMemoryMatrix(1, 1, delays=np.array([[1.5]]),
+                           weights=np.array([[1.0]]), mode="interp")
+    step = e.make_step()
+    xs = jnp.asarray(np.sin(np.arange(10.0)))[:, None]
+
+    def loss(dv):
+        p = {**e.params, "delays": jnp.asarray([[dv]])}
+        buf = e.init_state()
+        tot = 0.0
+        for x in xs:
+            buf, y = step(buf, p, x)
+            tot = tot + (y[0] - 0.3) ** 2
+        return tot
+
+    g = float(_jax.grad(loss)(1.5))
+    fd = float((loss(1.5 + 1e-5) - loss(1.5 - 1e-5)) / 2e-5)
+    np.testing.assert_allclose(g, fd, atol=1e-4)
+
+    # validation: train_delays needs a trainable edge; max_delay headroom
+    with pytest.raises(ValueError):
+        LinearMemoryMatrix(2, 2, delays=np.ones((2, 2)), train_delays=True)
+    with pytest.raises(ValueError):
+        LinearMemoryMatrix(2, 2, delays=np.full((2, 2), 3.0), mode="interp",
+                           max_delay=2)
+    with pytest.raises(ValueError):
+        LinearMemoryMatrix(2, 2, delays=np.ones((2, 2)), train_delays=True,
+                           mode="gather", detach=False)

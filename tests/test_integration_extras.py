@@ -405,3 +405,41 @@ def test_delay_matrix_training_mode_invariant():
     np.testing.assert_allclose(l_f, l_g, rtol=1e-12)
     np.testing.assert_allclose(w_f, w_g, rtol=1e-10)
     assert l_g[-1] < l_g[0]
+
+
+def test_trainable_delays_recover_teacher():
+    """Differentiable conduction delays (mode='interp', train_delays=True):
+    fit_bptt recovers a teacher's FRACTIONAL delay matrix through the
+    triangular-kernel read -- the delays themselves are BPTT-trained
+    alongside the weights (no reference analog of any kind)."""
+    n = 3
+    rng = np.random.default_rng(5)
+    W = rng.normal(size=(n, n))
+    d_true = np.array([[0.0, 2.4, 1.2], [3.1, 0.0, 0.7], [1.8, 2.9, 0.0]])
+    d_0 = np.full((n, n), 1.5)
+    np.fill_diagonal(d_0, 0.0)
+    T = 400
+    inp = rng.normal(size=(T, n))
+
+    def build(d, train):
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_func_node("inp", n, activation_function="identity")
+        _rnn(net, n, np.zeros((n, n)))
+        net.add_edge("inp", "rnn", weights=W, delays=d, mode="interp",
+                     train="gd" if train else None, train_delays=train,
+                     max_delay=5)
+        net.compile()
+        return net
+
+    tgt = build(d_true, False).run(inp, verbose=False).to_numpy("out")
+    student = build(d_0, True)
+    assert ("edges", "inp->rnn", "delays") in student.trainable_paths()
+    obs = student.fit_bptt([inp] * 40, [tgt] * 40, optimizer="adam", lr=5e-2,
+                           verbose=False)
+    losses = [float(l) for l in obs["epoch_loss"]]
+    assert losses[-1] < losses[0] * 0.1, losses[::8]
+    d_fit = np.asarray(student.get_edge("inp", "rnn").params["delays"])
+    off = ~np.eye(n, dtype=bool)
+    err0 = np.abs(d_true.T - d_0.T)[off].mean()
+    err1 = np.abs(d_true.T - d_fit)[off].mean()
+    assert err1 < 0.3 * err0, f"delays not recovered: {err0} -> {err1}"
