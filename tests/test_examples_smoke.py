@@ -72,6 +72,9 @@ def _run(example, env=None, timeout=420):
     # stronger coupling at toy M: 8 regions need K=80 to clear the
     # synchronization margin the default M=32 clears at K=40
     ("whole_brain_delays.py", {"WB_M": "8", "WB_T": "20000", "WB_K": "80"}),
+    # differentiable conduction delays: BPTT recovers a fractional teacher
+    # delay matrix (mode='interp', train_delays=True)
+    ("delay_fitting.py", {"DF_EPOCHS": "80"}),
 ])
 def test_example_runs(example, env):
     _run(example, env)
