@@ -166,3 +166,39 @@ for M in MS:
             f"{wall2 / n_ep * 1e3:7.1f} ms/epoch warm (T={T_tr}); "
             f"losses {losses[0]:.3e} -> {losses[-1]:.3e}")
         assert losses[-1] < losses[0], "training did not reduce the loss"
+
+    if os.environ.get("WB_TRAIN_DELAYS", "0") == "1" and M <= 512:
+        # DIFFERENTIABLE delays: weights AND the fractional delay matrix
+        # trained jointly (mode='interp'; the (M, M, max_delay+1) hat tensor
+        # is rebuilt once per epoch inside the loss, not per step)
+        T_tr = int(os.environ.get("WB_TRAIN_T", 2000))
+        net = FeedbackNetwork(dt)
+        net.add_diffeq_node("brain", JR, weights=np.zeros((M, M)),
+                            source_var="m_py", target_var="r_in",
+                            input_var="r_in", output_var="m_py",
+                            verbose=False, clear=True, file_name="wb_bench",
+                            node_vars={"all/jr_op/tau_e": taues})
+        net.add_edge("brain", "brain", weights=40.0 * W, feedback=True,
+                     delays=(dist / SPEED / dt), mode="interp",
+                     train="gd", train_delays=True,
+                     max_delay=int(np.ceil(dist.max() / SPEED / dt)))
+        net.compile()
+        rng4 = np.random.default_rng(3)
+        inp = rng4.normal(size=(T_tr, M)) * 5.0
+        tgt = np.asarray(net.run(inp, verbose=False).to_numpy("out"))
+        edge = net.get_edge("brain", "brain")
+        edge.params["delays"] = edge.params["delays"] * 1.1  # 10% delay error
+        n_ep = 16
+        t0 = time.perf_counter()
+        obs = net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="adam",
+                           lr=1e-2, verbose=False)
+        wall = time.perf_counter() - t0
+        losses = [float(l) for l in obs["epoch_loss"]]
+        t0 = time.perf_counter()
+        obs = net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="adam",
+                           lr=1e-2, verbose=False)
+        wall2 = time.perf_counter() - t0
+        lap(f"M={M:4d} TRAIN-DELAYS interp: {wall:6.2f}s first fit, "
+            f"{wall2 / n_ep * 1e3:7.1f} ms/epoch warm (T={T_tr}, weights+"
+            f"delays trained); losses {losses[0]:.3e} -> {losses[-1]:.3e}")
+        assert losses[-1] < losses[0], "delay training did not reduce the loss"
