@@ -295,7 +295,11 @@ class LinearMemoryMatrix(Linear):
     clipped to ``[0, max_delay]`` (pass ``max_delay=`` for headroom above
     the initial values; at the clip boundary the delay gradient is zero).
     ``self.delays`` keeps the INITIAL values; the live (trained) matrix is
-    ``params['delays']``.  No reference analog of any kind.
+    ``params['delays']``.  Past ``RECTIPY_DELAY_HAT_LIMIT`` elements
+    (default 2^24) the triangular tensor is replaced by a TWO-POINT blend
+    of factored integer reads -- value- and gradient-identical
+    (regression-tested), ``nm(2Q+2S+1)`` selector memory: trainable delays
+    at TVB scale.  No reference analog of any kind.
     """
 
     _tensors = ["weights", "buffer", "delays"]
@@ -383,6 +387,17 @@ class LinearMemoryMatrix(Linear):
             # (n_in, Q, S) for free (the extra slots hold yet-older history
             # and are never selected)
             buf_width = Q * S
+        self._interp_impl = None
+        if mode == "interp":
+            # the triangular hat is nm(D+1); past the hat limit the read
+            # becomes a TWO-POINT blend of factored integer reads (floor and
+            # ceil) -- identical values, identical interior gradients, with
+            # nm(2Q+2S+1) selector memory: TVB-scale trainable delays
+            hat_limit = int(os.environ.get("RECTIPY_DELAY_HAT_LIMIT", 2 ** 24))
+            self._interp_impl = "hat" if n_in * n_out * D1 <= hat_limit \
+                else "factored2"
+            if self._interp_impl == "factored2":
+                buf_width = Q * S
         self._fQS = (Q, S)
         self._D1 = D1
         self._buffer = jnp.zeros((n_in, buf_width), dtype=self.dtype)
@@ -418,18 +433,45 @@ class LinearMemoryMatrix(Linear):
         return jnp.clip(1.0 - jnp.abs(dT[:, :, None] - k[None, None, :]),
                         0.0, 1.0).astype(self.dtype)
 
+    def _build_interp_factored(self, d):
+        """Two-point factored interpolation selectors: ``vals = (1-f) *
+        read(floor(d)) + f * read(ceil(d))`` with both integer reads in the
+        digit-factored form.  Value-identical to the hat (the hat's two
+        nonzero entries ARE (1-f, f) on the adjacent slots) and the delay
+        gradient flows through ``f`` (``read(hi) - read(lo)``, the same
+        local finite difference)."""
+        Q, S = self._fQS
+        dc = jnp.clip(d, 0.0, float(self.max_delay)).T  # (n_in, n_out)
+        lo = jnp.floor(dc)
+        f = (dc - lo).astype(self.dtype)
+        lo_i = lo.astype(jnp.int32)
+        hi_i = jnp.minimum(lo_i + 1, self.max_delay)
+
+        def ohs(idx):
+            q, r = idx // S, idx % S
+            oh_q = (q[:, :, None] == jnp.arange(Q)[None, None, :]).astype(self.dtype)
+            oh_r = (r[:, :, None] == jnp.arange(S)[None, None, :]).astype(self.dtype)
+            return oh_q, oh_r
+
+        return (f,) + ohs(lo_i) + ohs(hi_i)
+
     def prep_params(self, sub: Dict) -> Dict:
         if self.mode == "onehot" and "_oh" not in sub:
             return {**sub, "_oh": self._build_oh_full()}
         if self.mode == "factored" and "_oh_q" not in sub:
             oh_q, oh_r = self._build_oh_factored()
             return {**sub, "_oh_q": oh_q, "_oh_r": oh_r}
-        if self.mode == "interp" and "_hat" not in sub:
+        if self.mode == "interp" and not ({"_hat", "_f"} & set(sub)):
             # NOTE gradients flow THROUGH prep where it runs inside a
             # differentiated loss (the epoch/chunk losses call
             # _prep_edge_params inside the grad), so trainable delays get
-            # their cotangent even though the hat is hoisted out of the scan
-            return {**sub, "_hat": self._build_hat(sub["delays"])}
+            # their cotangent even though the selectors are hoisted out of
+            # the scan
+            if self._interp_impl == "hat":
+                return {**sub, "_hat": self._build_hat(sub["delays"])}
+            f, oql, orl, oqh, orh = self._build_interp_factored(sub["delays"])
+            return {**sub, "_f": f, "_oq_lo": oql, "_or_lo": orl,
+                    "_oq_hi": oqh, "_or_hi": orh}
         return sub
 
     @property
@@ -455,10 +497,25 @@ class LinearMemoryMatrix(Linear):
                 oh = params["_oh"] if "_oh" in params else self._build_oh_full()
                 # vals[j, i] = x_j(t - d_ij) as an MXU contraction
                 vals = jnp.einsum("jk,jik->ji", buf, oh)
-            elif mode == "interp":
+            elif mode == "interp" and self._interp_impl == "hat":
                 hat = params["_hat"] if "_hat" in params \
                     else self._build_hat(params["delays"])
                 vals = jnp.einsum("jk,jik->ji", buf, hat)
+            elif mode == "interp":
+                if "_f" in params:
+                    f = params["_f"]
+                    sel = (params["_oq_lo"], params["_or_lo"],
+                           params["_oq_hi"], params["_or_hi"])
+                else:
+                    f, *sel = self._build_interp_factored(params["delays"])
+                buf3 = buf.reshape(n_in, Q, S)
+
+                def read(oh_q, oh_r):
+                    t1 = jnp.einsum("jia,jab->jib", oh_q, buf3)
+                    return jnp.einsum("jib,jib->ji", t1, oh_r)
+
+                vals = ((1.0 - f) * read(sel[0], sel[1])
+                        + f * read(sel[2], sel[3]))
             elif mode == "factored":
                 if "_oh_q" in params:
                     oh_q, oh_r = params["_oh_q"], params["_oh_r"]

@@ -351,3 +351,55 @@ def test_linear_memory_matrix_interp_mode():
     with pytest.raises(ValueError):
         LinearMemoryMatrix(2, 2, delays=np.ones((2, 2)), train_delays=True,
                            mode="gather", detach=False)
+
+
+def test_linear_memory_matrix_interp_factored2_equals_hat():
+    """The TVB-scale interp implementation (two-point blend of factored
+    integer reads, selected past RECTIPY_DELAY_HAT_LIMIT) is value- AND
+    gradient-identical to the triangular-hat read."""
+    import os
+
+    import jax as _jax
+
+    from rectipy_tpu.edges import LinearMemoryMatrix
+
+    rng = np.random.default_rng(2)
+    n = 5
+    W = rng.normal(size=(n, n))
+    D = rng.uniform(0.0, 6.0, size=(n, n))
+    e_hat = LinearMemoryMatrix(n, n, delays=D, weights=W, mode="interp",
+                               max_delay=7)
+    os.environ["RECTIPY_DELAY_HAT_LIMIT"] = "1"
+    try:
+        e_f2 = LinearMemoryMatrix(n, n, delays=D, weights=W, mode="interp",
+                                  max_delay=7)
+    finally:
+        del os.environ["RECTIPY_DELAY_HAT_LIMIT"]
+    assert e_hat._interp_impl == "hat" and e_f2._interp_impl == "factored2"
+
+    for _ in range(20):
+        x = jnp.asarray(rng.normal(size=n))
+        np.testing.assert_allclose(np.asarray(e_hat.forward(x)),
+                                   np.asarray(e_f2.forward(x)), atol=1e-12)
+
+    xs = jnp.asarray(rng.normal(size=(15, n)))
+
+    def make_loss(e):
+        step = e.make_step()
+
+        def loss(d):
+            p = {**e.params, "delays": d}
+            buf = jnp.zeros_like(e.init_state())
+            tot = 0.0
+            for x in xs:
+                buf, y = step(buf, p, x)
+                tot = tot + jnp.sum(y ** 2)
+            return tot
+
+        return loss
+
+    d0 = jnp.asarray(D + 0.3)  # interior of the fractional intervals
+    g_hat = _jax.grad(make_loss(e_hat))(d0)
+    g_f2 = _jax.grad(make_loss(e_f2))(d0)
+    np.testing.assert_allclose(np.asarray(g_f2), np.asarray(g_hat),
+                               rtol=1e-9, atol=1e-12)
