@@ -87,6 +87,8 @@ for M in MS:
     if onehot_elems <= 2 ** 26:  # 256 MB f32 constant cap for the A/B
         variants.insert(0, ("onehot", D, "onehot"))
     variants.append(("instantaneous", None, None))
+    if os.environ.get("WB_FWD", "1") != "1":  # skip to the training phases
+        variants = []
     for label, delays, mode in variants:
         # the M~1000 gather program runs minutes of device time at full T --
         # past the relay's ~1-2 min crash threshold (CLAUDE.md); shorten it
@@ -167,10 +169,14 @@ for M in MS:
             f"losses {losses[0]:.3e} -> {losses[-1]:.3e}")
         assert losses[-1] < losses[0], "training did not reduce the loss"
 
-    if os.environ.get("WB_TRAIN_DELAYS", "0") == "1" and M <= 512:
+    if os.environ.get("WB_TRAIN_DELAYS", "0") == "1" and (M <= 512 or remat > 1):
         # DIFFERENTIABLE delays: weights AND the fractional delay matrix
         # trained jointly (mode='interp'; the (M, M, max_delay+1) hat tensor
-        # is rebuilt once per epoch inside the loss, not per step)
+        # is rebuilt once per epoch inside the loss, not per step).  Past
+        # RECTIPY_DELAY_HAT_LIMIT the edge switches to the two-point
+        # factored read automatically -- TVB scale (M=998, ~1157-step delay
+        # span) trains with WB_TRAIN_REMAT (plain residuals would be
+        # ~T * (M, Q*S) buffers, ~9 GB at T=2000)
         T_tr = int(os.environ.get("WB_TRAIN_T", 2000))
         net = FeedbackNetwork(dt)
         net.add_diffeq_node("brain", JR, weights=np.zeros((M, M)),
@@ -189,16 +195,19 @@ for M in MS:
         edge = net.get_edge("brain", "brain")
         edge.params["delays"] = edge.params["delays"] * 1.1  # 10% delay error
         n_ep = 16
+        kw = {"remat_steps": remat} if remat > 1 else {}
         t0 = time.perf_counter()
         obs = net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="adam",
-                           lr=1e-2, verbose=False)
+                           lr=1e-2, verbose=False, **kw)
         wall = time.perf_counter() - t0
         losses = [float(l) for l in obs["epoch_loss"]]
         t0 = time.perf_counter()
         obs = net.fit_bptt([inp] * n_ep, [tgt] * n_ep, optimizer="adam",
-                           lr=1e-2, verbose=False)
+                           lr=1e-2, verbose=False, **kw)
         wall2 = time.perf_counter() - t0
-        lap(f"M={M:4d} TRAIN-DELAYS interp: {wall:6.2f}s first fit, "
-            f"{wall2 / n_ep * 1e3:7.1f} ms/epoch warm (T={T_tr}, weights+"
-            f"delays trained); losses {losses[0]:.3e} -> {losses[-1]:.3e}")
+        tag = f" remat={remat}" if remat > 1 else ""
+        lap(f"M={M:4d} TRAIN-DELAYS interp[{edge._interp_impl}]{tag}: "
+            f"{wall:6.2f}s first fit, {wall2 / n_ep * 1e3:7.1f} ms/epoch warm "
+            f"(T={T_tr}, weights+delays trained); "
+            f"losses {losses[0]:.3e} -> {losses[-1]:.3e}")
         assert losses[-1] < losses[0], "delay training did not reduce the loss"

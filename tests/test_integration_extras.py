@@ -443,3 +443,50 @@ def test_trainable_delays_recover_teacher():
     err0 = np.abs(d_true.T - d_0.T)[off].mean()
     err1 = np.abs(d_true.T - d_fit)[off].mean()
     assert err1 < 0.3 * err0, f"delays not recovered: {err0} -> {err1}"
+
+
+def test_trainable_delays_factored2_fit_parity(monkeypatch):
+    """END-TO-END fit_bptt parity for the TVB-scale interp implementation:
+    training weights+delays through the two-point factored read (selected
+    past RECTIPY_DELAY_HAT_LIMIT) produces the SAME epoch losses and the
+    SAME trained delay matrix as the triangular-hat read -- including under
+    remat (chunked gradient checkpointing), the configuration whole-brain
+    scale actually needs."""
+    n = 4
+    rng = np.random.default_rng(11)
+    W = rng.normal(size=(n, n))
+    d_0 = rng.uniform(0.3, 3.6, size=(n, n))
+    T = 60
+    inp = rng.normal(size=(T, n))
+    tgt = 0.1 * np.ones((T, n))
+
+    def fit(hat_limit, **kw):
+        if hat_limit is not None:
+            monkeypatch.setenv("RECTIPY_DELAY_HAT_LIMIT", str(hat_limit))
+        else:
+            monkeypatch.delenv("RECTIPY_DELAY_HAT_LIMIT", raising=False)
+        net = Network(1e-2, dtype=jnp.float64)
+        net.add_func_node("inp", n, activation_function="identity")
+        _rnn(net, n, np.zeros((n, n)))
+        edge = net.add_edge("inp", "rnn", weights=W, delays=d_0,
+                            mode="interp", train="gd", train_delays=True,
+                            max_delay=6)
+        net.compile()
+        obs = net.fit_bptt([inp] * 4, [tgt] * 4, optimizer="adam", lr=3e-2,
+                           verbose=False, **kw)
+        return ([float(l) for l in obs["epoch_loss"]],
+                np.asarray(net.get_edge("inp", "rnn").params["delays"]),
+                edge._interp_impl)
+
+    l_hat, d_hat, impl_hat = fit(None)
+    l_f2, d_f2, impl_f2 = fit(1)
+    assert impl_hat == "hat" and impl_f2 == "factored2"
+    np.testing.assert_allclose(l_f2, l_hat, rtol=1e-10)
+    np.testing.assert_allclose(d_f2, d_hat, rtol=1e-8, atol=1e-12)
+    assert l_hat[-1] < l_hat[0]
+
+    # chunked gradient checkpointing over the factored2 read (whole-brain
+    # scale needs remat: plain residuals are ~T * (M, Q*S) buffers)
+    l_f2r, d_f2r, _ = fit(1, remat_steps=20)
+    np.testing.assert_allclose(l_f2r, l_hat, rtol=1e-8)
+    np.testing.assert_allclose(d_f2r, d_hat, rtol=1e-7, atol=1e-12)
