@@ -14,7 +14,8 @@ __version__ = "0.2.0"
 
 from .dsl import CircuitTemplate, NodeTemplate, OperatorTemplate, clear_frontend_caches, lower
 from .edges import (RLS, STDP, Linear, LinearFilter, LinearMasked, LinearMemory,
-                    LinearMemoryFilter, LinearMemoryMatrix, LinearSTP)
+                    LinearMemoryFilter, LinearMemoryMatrix, LinearSTP,
+                    BlockSparseLinear)
 from .inputs import Constant, InputSpec, Noise, Poisson, Pulse, Sine, Wiener
 from .network import FeedbackNetwork, Network
 from .nodes import InstantNode, MultiSpikeResetNet, RateNet, SpikeNet, SpikeResetNet
@@ -40,6 +41,7 @@ __all__ = [
     "LinearMemoryFilter",
     "LinearMemoryMatrix",
     "LinearSTP",
+    "BlockSparseLinear",
     "MultiSpikeResetNet",
     "Network",
     "NodeTemplate",

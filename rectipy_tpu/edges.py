@@ -38,7 +38,7 @@ import numpy as np
 from .nodes import resolve_dtype
 
 __all__ = ["Linear", "LinearMasked", "LinearMemory", "LinearMemoryMatrix", "LinearFilter",
-           "LinearMemoryFilter", "RLS", "STDP", "LinearSTP"]
+           "LinearMemoryFilter", "RLS", "STDP", "LinearSTP", "BlockSparseLinear"]
 
 
 def _as_array(x, dtype):
@@ -300,13 +300,31 @@ class LinearMemoryMatrix(Linear):
     of factored integer reads -- value- and gradient-identical
     (regression-tested), ``nm(2Q+2S+1)`` selector memory: trainable delays
     at TVB scale.  No reference analog of any kind.
+
+    ``read_dtype`` (or env ``RECTIPY_DELAY_READ_DTYPE``) selects a reduced
+    precision for the delayed READ -- the same tier the framework offers for
+    dense couplings (bf16/int8 weight streams): the one-hot selectors are
+    built AND streamed in that dtype and the ring buffer is cast once per
+    step before the contraction.  Because the selectors are exactly 0/1 in
+    bfloat16 and each contraction path selects exactly one buffer slot, the
+    read equals the buffer value rounded once to ``read_dtype`` -- the only
+    precision loss is that single rounding of the source history (the same
+    loss a bf16 dense coupling incurs).  Applies to the ``onehot``,
+    ``factored`` and factored-interp reads (the hat stays in ``dtype``:
+    its fractional entries are not exact in bf16).  ``fine_s`` (or env
+    ``RECTIPY_DELAY_FINE_S``) overrides the fine-digit width ``S`` of the
+    factored decomposition: the single-trial optimum is ``S ~
+    sqrt(max_delay/5)``, but under ``run_batch`` the per-TRIAL ``(n, m, S)``
+    intermediate dominates while the selector stream is shared, so batched
+    ensembles rebalance with a smaller ``S``.
     """
 
     _tensors = ["weights", "buffer", "delays"]
 
     def __init__(self, n_in: int, n_out: int, delays, weights=None, dtype=jnp.float64,
                  detach: bool = True, mode: str = "auto", train_delays: bool = False,
-                 max_delay: Optional[int] = None, **kwargs):
+                 max_delay: Optional[int] = None, read_dtype=None,
+                 fine_s: Optional[int] = None, **kwargs):
         if train_delays:
             if mode not in ("auto", "interp"):
                 raise ValueError("train_delays=True requires the 'interp' read "
@@ -368,10 +386,23 @@ class LinearMemoryMatrix(Linear):
         if mode not in ("auto", "onehot", "factored", "gather", "interp"):
             raise ValueError(f"Unknown delay-matrix mode {mode!r}; "
                              "use 'auto', 'onehot', 'factored', 'gather' or 'interp'.")
+        if read_dtype is None and os.environ.get("RECTIPY_DELAY_READ_DTYPE"):
+            read_dtype = os.environ["RECTIPY_DELAY_READ_DTYPE"]
+        self.read_dtype = jnp.dtype(read_dtype) if read_dtype is not None else None
+        if self.read_dtype is not None \
+                and not jnp.issubdtype(self.read_dtype, jnp.floating):
+            raise ValueError(f"read_dtype must be a floating dtype; got {read_dtype!r}")
         D1 = self.max_delay + 1
         # fine-digit width for the factored decomposition: minimizes streamed
-        # bytes ~ n*m*(Q + S + f32-intermediate r/w ~ 8S) -> S ~ sqrt(D/5)
-        S = max(1, int(round(np.sqrt(D1 / 5.0))))
+        # bytes ~ n*m*(Q + S + f32-intermediate r/w ~ 8S) -> S ~ sqrt(D/5);
+        # batched ensembles rebalance with a smaller S (the (B, n, m, S)
+        # intermediate is per-trial, the selector stream is shared)
+        if fine_s is None and os.environ.get("RECTIPY_DELAY_FINE_S"):
+            fine_s = int(os.environ["RECTIPY_DELAY_FINE_S"])
+        S = int(fine_s) if fine_s is not None \
+            else max(1, int(round(np.sqrt(D1 / 5.0))))
+        if S < 1 or S > D1:
+            raise ValueError(f"fine_s must be in [1, max_delay+1]; got {S}")
         Q = -(-D1 // S)
         if mode == "auto":
             # measured (v5e, M=90, 799 distinct delays): factored 56.5k
@@ -411,15 +442,22 @@ class LinearMemoryMatrix(Linear):
     # once per call, zero transfer, zero checkpoint weight.  Unprepped
     # paths (eager forward, plain-autodiff training) build them in-step:
     # correct everywhere, and the fast paths never pay per-step.
+    @property
+    def _sel_dtype(self):
+        # selector storage/stream dtype: 0/1 is exact in any float dtype,
+        # so a reduced read_dtype halves the per-step selector stream
+        # without changing WHICH slot is selected
+        return self.read_dtype if self.read_dtype is not None else self.dtype
+
     def _build_oh_full(self):
         return (self._dT[:, :, None]
-                == jnp.arange(self._D1)[None, None, :]).astype(self.dtype)
+                == jnp.arange(self._D1)[None, None, :]).astype(self._sel_dtype)
 
     def _build_oh_factored(self):
         Q, S = self._fQS
         q, r = self._dT // S, self._dT % S
-        oh_q = (q[:, :, None] == jnp.arange(Q)[None, None, :]).astype(self.dtype)
-        oh_r = (r[:, :, None] == jnp.arange(S)[None, None, :]).astype(self.dtype)
+        oh_q = (q[:, :, None] == jnp.arange(Q)[None, None, :]).astype(self._sel_dtype)
+        oh_r = (r[:, :, None] == jnp.arange(S)[None, None, :]).astype(self._sel_dtype)
         return oh_q, oh_r
 
     def _build_hat(self, d):
@@ -449,8 +487,8 @@ class LinearMemoryMatrix(Linear):
 
         def ohs(idx):
             q, r = idx // S, idx % S
-            oh_q = (q[:, :, None] == jnp.arange(Q)[None, None, :]).astype(self.dtype)
-            oh_r = (r[:, :, None] == jnp.arange(S)[None, None, :]).astype(self.dtype)
+            oh_q = (q[:, :, None] == jnp.arange(Q)[None, None, :]).astype(self._sel_dtype)
+            oh_r = (r[:, :, None] == jnp.arange(S)[None, None, :]).astype(self._sel_dtype)
             return oh_q, oh_r
 
         return (f,) + ohs(lo_i) + ohs(hi_i)
@@ -490,13 +528,19 @@ class LinearMemoryMatrix(Linear):
         n_in = self.n_in
         Q, S = self._fQS
 
+        rd = self.read_dtype
+        dtype = self.dtype
+
         def step(buf, params, x):
             # shift history one step older and write x(t) at column 0
             buf = jnp.concatenate([x[:, None], buf[:, :-1]], axis=1)
             if mode == "onehot":
                 oh = params["_oh"] if "_oh" in params else self._build_oh_full()
-                # vals[j, i] = x_j(t - d_ij) as an MXU contraction
-                vals = jnp.einsum("jk,jik->ji", buf, oh)
+                # vals[j, i] = x_j(t - d_ij) as an MXU contraction; with a
+                # read_dtype the buffer is cast once (tiny) and the selection
+                # runs at the reduced precision -- still an exact slot pick
+                b = buf.astype(rd) if rd is not None else buf
+                vals = jnp.einsum("jk,jik->ji", b, oh).astype(dtype)
             elif mode == "interp" and self._interp_impl == "hat":
                 hat = params["_hat"] if "_hat" in params \
                     else self._build_hat(params["delays"])
@@ -509,11 +553,14 @@ class LinearMemoryMatrix(Linear):
                 else:
                     f, *sel = self._build_interp_factored(params["delays"])
                 buf3 = buf.reshape(n_in, Q, S)
+                if rd is not None:
+                    buf3 = buf3.astype(rd)
 
                 def read(oh_q, oh_r):
                     t1 = jnp.einsum("jia,jab->jib", oh_q, buf3)
-                    return jnp.einsum("jib,jib->ji", t1, oh_r)
+                    return jnp.einsum("jib,jib->ji", t1, oh_r).astype(dtype)
 
+                # the blend stays in `dtype`: f carries the delay gradient
                 vals = ((1.0 - f) * read(sel[0], sel[1])
                         + f * read(sel[2], sel[3]))
             elif mode == "factored":
@@ -522,10 +569,12 @@ class LinearMemoryMatrix(Linear):
                 else:
                     oh_q, oh_r = self._build_oh_factored()
                 buf3 = buf.reshape(n_in, Q, S)
+                if rd is not None:
+                    buf3 = buf3.astype(rd)
                 # coarse digit: batched matmul picks buffer row-chunk q_ij
                 t1 = jnp.einsum("jia,jab->jib", oh_q, buf3)
                 # fine digit: elementwise-reduce picks slot r_ij within it
-                vals = jnp.einsum("jib,jib->ji", t1, oh_r)
+                vals = jnp.einsum("jib,jib->ji", t1, oh_r).astype(dtype)
             else:
                 vals = jnp.take_along_axis(buf, dT, axis=1)
             return buf, jnp.einsum("ij,ji->i", params["weights"], vals)
@@ -914,3 +963,159 @@ class STDP(Linear):
         self.params["weights"] = W
         self.params["x_pre"] = x_pre
         self.params["x_post"] = x_post
+
+
+class BlockSparseLinear(Linear):
+    """Block-sparse edge projection, optionally with per-BLOCK conduction
+    delays: ``y[r*bs:(r+1)*bs] = sum_c blocks[r, c] @ x_{cols[r,c]}(t -
+    d[r, c])`` where ``x_b`` is source block ``b``.
+
+    Beyond-reference component: the reference has neither sparse edges nor
+    per-connection delays (/root/reference/rectipy/edges.py:8-234); this is
+    the population-scale companion of :class:`LinearMemoryMatrix` -- at
+    ``N >> 1000`` a per-connection delay matrix (and its one-hot selectors)
+    cannot exist, but spatially-embedded networks still need
+    distance-dependent conduction delays.  Block granularity is the form
+    that maps to the TPU: the weights are the same fixed-degree
+    ``BlockSparseCoupling`` tiles the node-level sparse coupling uses
+    (``ops/sparse.py``), and one delay per (target-block, source-block) pair
+    models ``d = distance/velocity`` between local patches.
+
+    TPU-native delay state: a CIRCULAR history buffer ``(nb_in, D1, bs)``
+    with a step cursor, NOT a shifted ring -- shifting would rewrite
+    ``n_in * D1`` elements per step (40 MB r/w at N=100k, D=50), while the
+    circular form writes ``n_in`` elements at slot ``t mod D1`` and gathers
+    ``(n_br, cb)`` whole ``bs``-blocks at slots ``(t - d) mod D1`` (XLA
+    lowers both to dynamic slices; all shapes static).  Slots that have not
+    been written yet are zero, and because ``d <= D1 - 1`` a wrapped read
+    can never alias a newer write, so ``t - d < 0`` reads exact zeros --
+    the same warmup semantics as the shifted edges.  ``d = 0`` is
+    instantaneous (this step's input), matching :class:`LinearMemory`.
+
+    The ``(hist, t)`` pair rides the network scan carry like every stateful
+    edge (chunked runs and checkpoints are exact); ``delays=None`` degrades
+    to a stateless block-sparse matvec edge.  Blocks are trainable with
+    ``train='gd'`` (the gather/update-slice pair is differentiable; the
+    plain-autodiff trajectory handles it).
+    """
+
+    _tensors = ["weights"]
+
+    def __init__(self, n_in: int, n_out: int, weights, delays=None,
+                 dtype=jnp.float64, detach: bool = True, **kwargs):
+        if not hasattr(weights, "blocks"):
+            raise ValueError(
+                "BlockSparseLinear requires a BlockSparseCoupling as weights "
+                "(rectipy_tpu.block_random_connectivity builds one).")
+        self.dtype = resolve_dtype(dtype)
+        blocks = np.asarray(weights.blocks)
+        cols = np.asarray(weights.cols, dtype=np.int32)
+        n_br, cb, bs, _ = blocks.shape
+        if n_br * bs != n_out:
+            raise ValueError(
+                f"block rows x block size = {n_br}x{bs} != n_out={n_out}")
+        if n_in % bs:
+            raise ValueError(f"n_in={n_in} must be a multiple of the block "
+                             f"size {bs}")
+        nb_in = n_in // bs
+        if cols.size and (cols.min() < 0 or cols.max() >= nb_in):
+            raise ValueError(
+                f"cols reference source blocks outside [0, {nb_in})")
+        self.n_in, self.n_out = n_in, n_out
+        self.bs, self.nb_in = bs, nb_in
+        self.cols = jnp.asarray(cols)
+        self.params: Dict[str, jnp.ndarray] = {
+            "weights": jnp.asarray(blocks, dtype=self.dtype)}
+        self.train_keys = []
+        self._train_req = []
+        if not detach:
+            train_params = kwargs.pop("train_params", self._tensors)
+            self._train_req = list(train_params)
+            self.train_keys = [k for k in self._tensors
+                               if k in train_params and k in self.params]
+        self.delays = None
+        self.max_delay = 0
+        if delays is not None:
+            delays = np.asarray(delays)
+            if delays.shape != (n_br, cb):
+                raise ValueError(
+                    f"Per-block delays must be ({n_br}, {cb}) -- one per "
+                    f"(target-block, source-block) pair like cols; got "
+                    f"{delays.shape}.")
+            if not np.issubdtype(delays.dtype, np.integer):
+                if not np.allclose(delays, np.rint(delays)):
+                    raise ValueError(
+                        "Block delays must be integer step counts; round "
+                        "distance/velocity/dt results explicitly (np.rint).")
+            delays = np.rint(delays).astype(np.int64)
+            if delays.min() < 0:
+                raise ValueError("Delays must be non-negative step counts.")
+            self.delays = jnp.asarray(delays)
+            self.max_delay = int(delays.max())
+        D1 = self.max_delay + 1
+        self._D1 = D1
+        self._hist = (jnp.zeros((nb_in, D1, bs), dtype=self.dtype)
+                      if self.delays is not None else None)
+        self._t = jnp.zeros((), dtype=jnp.int32)
+
+    @property
+    def weights(self):
+        return self.params["weights"]
+
+    @weights.setter
+    def weights(self, w):
+        if hasattr(w, "blocks"):
+            w = w.blocks
+        w = _as_array(w, self.dtype)
+        if w.shape != self.params["weights"].shape:
+            raise ValueError(f"block weights must keep shape "
+                             f"{self.params['weights'].shape}; got {w.shape}")
+        self.params["weights"] = w
+
+    def init_state(self):
+        if self.delays is None:
+            return None
+        return (self._hist, self._t)
+
+    def set_state(self, state):
+        if self.delays is not None:
+            self._hist, self._t = state
+
+    def make_step(self) -> Callable:
+        cols = self.cols
+        bs, nb_in, D1 = self.bs, self.nb_in, self._D1
+        acc = jnp.result_type(self.dtype, jnp.float32)
+        dtype = self.dtype
+
+        if self.delays is None:
+            def step(state, params, x):
+                s_blk = x.reshape(nb_in, bs).astype(dtype)[cols]
+                y = jnp.einsum("rcij,rcj->ri", params["weights"], s_blk,
+                               preferred_element_type=acc)
+                return state, y.reshape(-1).astype(dtype)
+
+            return step
+
+        # flat (block, slot) read addresses: slot = (t - d) mod D1
+        dmat = self.delays  # (n_br, cb)
+
+        def step(state, params, x):
+            hist, t = state
+            k = jnp.mod(t, D1)
+            hist = jax.lax.dynamic_update_index_in_dim(
+                hist, x.reshape(nb_in, bs).astype(hist.dtype), k, axis=1)
+            slots = jnp.mod(k - dmat, D1)          # (n_br, cb)
+            flat = cols * D1 + slots
+            s_blk = hist.reshape(nb_in * D1, bs)[flat]
+            y = jnp.einsum("rcij,rcj->ri", params["weights"], s_blk,
+                           preferred_element_type=acc)
+            return (hist, t + 1), y.reshape(-1).astype(dtype)
+
+        return step
+
+    def forward(self, x, **kwargs):
+        state, y = self.make_step()(self.init_state(), self.params,
+                                    jnp.asarray(x, dtype=self.dtype))
+        if self.delays is not None:
+            self._hist, self._t = state
+        return y

@@ -36,7 +36,8 @@ import optax
 from networkx import DiGraph
 
 from .edges import (RLS, STDP, Linear, LinearFilter, LinearMasked, LinearMemory,
-                    LinearMemoryFilter, LinearMemoryMatrix, LinearSTP)
+                    LinearMemoryFilter, LinearMemoryMatrix, LinearSTP,
+                    BlockSparseLinear)
 from .inputs import InputSpec
 from .nodes import InstantNode, RateNet, SpikeNet, SpikeResetNet, resolve_dtype
 from .observer import Observer
@@ -531,7 +532,16 @@ class Network:
                 "Short-term plasticity (tau_facil/tau_depress) cannot be combined "
                 "with mask/delays/filter_weights on a single edge; chain two edges "
                 "through an identity func-node instead.")
-        if "mask" in kwargs:
+        if hasattr(weights, "blocks"):
+            # BlockSparseCoupling weights -> block-sparse edge, optionally
+            # with per-BLOCK conduction delays (population-scale companion
+            # of the delay matrix; beyond-reference)
+            if {"mask", "filter_weights"} & set(kwargs):
+                raise ValueError(
+                    "Block-sparse edges support only optional per-block "
+                    "delays; chain a separate edge for masks/filters.")
+            LinEdge = BlockSparseLinear
+        elif "mask" in kwargs:
             LinEdge = LinearMasked
         elif "delays" in kwargs and np.ndim(kwargs["delays"]) == 2:
             # per-connection delay MATRIX (whole-brain/connectome workload;

@@ -403,3 +403,201 @@ def test_linear_memory_matrix_interp_factored2_equals_hat():
     g_f2 = _jax.grad(make_loss(e_f2))(d0)
     np.testing.assert_allclose(np.asarray(g_f2), np.asarray(g_hat),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_linear_memory_matrix_read_dtype_and_fine_s():
+    """read_dtype=bfloat16 streams the 0/1 selectors at half width: the slot
+    SELECTION stays exact, so the read equals the history rounded once to
+    bfloat16 (same precision tier as a bf16 dense coupling).  fine_s
+    overrides the factored fine-digit width without changing values."""
+    import os
+
+    from rectipy_tpu.edges import LinearMemoryMatrix
+
+    rng = np.random.default_rng(17)
+    n_in, n_out, T = 5, 4, 30
+    W = rng.normal(size=(n_out, n_in))
+    D = rng.integers(0, 23, size=(n_out, n_in))
+    xs = rng.normal(size=(T, n_in))
+
+    ref = LinearMemoryMatrix(n_in, n_out, delays=D, weights=W, mode="gather")
+    # oracle: exact gather of the history, rounded once to bf16 per read
+    hist = np.zeros((n_in, int(D.max()) + 1))
+    for mode in ("factored", "onehot"):
+        e = LinearMemoryMatrix(n_in, n_out, delays=D, weights=W, mode=mode,
+                               read_dtype=jnp.bfloat16)
+        assert e._sel_dtype == jnp.bfloat16
+        hist[:] = 0.0
+        for x in xs:
+            hist = np.concatenate([x[:, None], hist[:, :-1]], axis=1)
+            vals = np.take_along_axis(hist, D.T, axis=1)  # (n_in, n_out)
+            vals_bf16 = np.asarray(jnp.asarray(vals).astype(jnp.bfloat16),
+                                   dtype=np.float64)
+            want = np.einsum("ij,ji->i", W, vals_bf16)
+            got = np.asarray(e.forward(jnp.asarray(x)))
+            np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    # fine_s: any S in [1, D+1] is value-identical (factored is exact)
+    for S in (1, 2, 7, int(D.max()) + 1):
+        e = LinearMemoryMatrix(n_in, n_out, delays=D, weights=W,
+                               mode="factored", fine_s=S)
+        assert e._fQS[1] == S
+        ref2 = LinearMemoryMatrix(n_in, n_out, delays=D, weights=W,
+                                  mode="gather")
+        for x in xs[:10]:
+            np.testing.assert_array_equal(
+                np.asarray(e.forward(jnp.asarray(x))),
+                np.asarray(ref2.forward(jnp.asarray(x))))
+
+    # env knobs mirror the kwargs; invalid values raise
+    os.environ["RECTIPY_DELAY_FINE_S"] = "3"
+    os.environ["RECTIPY_DELAY_READ_DTYPE"] = "bfloat16"
+    try:
+        e = LinearMemoryMatrix(n_in, n_out, delays=D, weights=W,
+                               mode="factored")
+        assert e._fQS[1] == 3 and e.read_dtype == jnp.bfloat16
+    finally:
+        del os.environ["RECTIPY_DELAY_FINE_S"]
+        del os.environ["RECTIPY_DELAY_READ_DTYPE"]
+    with pytest.raises(ValueError):
+        LinearMemoryMatrix(n_in, n_out, delays=D, read_dtype=jnp.int8)
+    with pytest.raises(ValueError):
+        LinearMemoryMatrix(n_in, n_out, delays=D, fine_s=0)
+
+    # interp factored2 with read_dtype: blend of bf16 reads, f stays full
+    # precision (delay gradients unaffected by the half-width stream)
+    Df = D.astype(float) + 0.25
+    os.environ["RECTIPY_DELAY_HAT_LIMIT"] = "1"
+    try:
+        e = LinearMemoryMatrix(n_in, n_out, delays=Df, weights=W,
+                               mode="interp", read_dtype=jnp.bfloat16,
+                               max_delay=int(D.max()) + 1)
+    finally:
+        del os.environ["RECTIPY_DELAY_HAT_LIMIT"]
+    e_ref = LinearMemoryMatrix(n_in, n_out, delays=Df, weights=W,
+                               mode="interp", max_delay=int(D.max()) + 1)
+    assert e._interp_impl == "factored2"
+    for x in xs[:10]:
+        a = np.asarray(e.forward(jnp.asarray(x)))
+        b = np.asarray(e_ref.forward(jnp.asarray(x)))
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+
+
+def _small_block_coupling(rng, n_br=3, cb=2, bs=4, nb_in=4):
+    from rectipy_tpu.ops.sparse import BlockSparseCoupling
+
+    blocks = rng.normal(size=(n_br, cb, bs, bs)) * 0.3
+    # distinct cols per row so the densified delay matrix is well-defined
+    cols = np.stack([rng.choice(nb_in, size=cb, replace=False)
+                     for _ in range(n_br)]).astype(np.int32)
+    return BlockSparseCoupling(blocks, cols)
+
+
+def test_block_sparse_linear_oracle():
+    """BlockSparseLinear with per-block delays == LinearMemoryMatrix on the
+    densified coupling with the block-expanded delay matrix (and the
+    delay-free edge == the dense matvec)."""
+    from rectipy_tpu.edges import BlockSparseLinear, LinearMemoryMatrix
+
+    rng = np.random.default_rng(5)
+    n_br, cb, bs, nb_in = 3, 2, 4, 4
+    n_out, n_in = n_br * bs, nb_in * bs
+    W = _small_block_coupling(rng, n_br, cb, bs, nb_in)
+    d_blk = rng.integers(0, 7, size=(n_br, cb))
+    xs = rng.normal(size=(25, n_in))
+
+    # densify: per-connection delays inherit the block's delay
+    W_dense = np.zeros((n_out, n_in))
+    D_dense = np.zeros((n_out, n_in), dtype=int)
+    for r in range(n_br):
+        for c in range(cb):
+            j = int(W.cols[r, c]) * bs
+            W_dense[r * bs:(r + 1) * bs, j:j + bs] = W.blocks[r, c]
+            D_dense[r * bs:(r + 1) * bs, j:j + bs] = d_blk[r, c]
+
+    e = BlockSparseLinear(n_in, n_out, weights=W, delays=d_blk)
+    ref = LinearMemoryMatrix(n_in, n_out, delays=D_dense, weights=W_dense,
+                             mode="gather")
+    for x in xs:
+        got = np.asarray(e.forward(jnp.asarray(x)))
+        want = np.asarray(ref.forward(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+    # stateless block-sparse edge == dense matvec
+    e0 = BlockSparseLinear(n_in, n_out, weights=W)
+    assert e0.init_state() is None
+    for x in xs[:5]:
+        np.testing.assert_allclose(np.asarray(e0.forward(jnp.asarray(x))),
+                                   W_dense @ x, rtol=1e-9, atol=1e-12)
+
+
+def test_block_sparse_linear_validation():
+    from rectipy_tpu.edges import BlockSparseLinear
+
+    rng = np.random.default_rng(6)
+    W = _small_block_coupling(rng)
+    n_in, n_out = 16, 12
+    with pytest.raises(ValueError):  # dense weights rejected
+        BlockSparseLinear(n_in, n_out, weights=np.zeros((n_out, n_in)))
+    with pytest.raises(ValueError):  # wrong n_out
+        BlockSparseLinear(n_in, 8, weights=W)
+    with pytest.raises(ValueError):  # n_in not a block multiple
+        BlockSparseLinear(n_in + 2, n_out, weights=W)
+    with pytest.raises(ValueError):  # delays must be (n_br, cb)
+        BlockSparseLinear(n_in, n_out, weights=W, delays=np.zeros((2, 2), int))
+    with pytest.raises(ValueError):  # negative delays
+        BlockSparseLinear(n_in, n_out, weights=W,
+                          delays=np.full((3, 2), -1))
+    with pytest.raises(ValueError):  # non-integral delays must be explicit
+        BlockSparseLinear(n_in, n_out, weights=W,
+                          delays=np.full((3, 2), 1.5))
+
+
+def test_block_sparse_linear_network_run_and_fit():
+    """Block-sparse delayed feedback through the Network API: chunked runs
+    continue the circular buffer exactly; run_batch vmaps it; fit_bptt
+    trains the blocks (losses decrease)."""
+    from rectipy_tpu import FeedbackNetwork
+
+    rng = np.random.default_rng(11)
+    n_br = cb = 2
+    bs, nb_in = 4, 2
+    n = 8
+    W = _small_block_coupling(rng, n_br, cb, bs, nb_in)
+    d_blk = rng.integers(1, 6, size=(n_br, cb))
+
+    def build(train=None):
+        net = FeedbackNetwork(1e-2)
+        net.add_diffeq_node(
+            "pop", "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+            weights=np.zeros((n, n)), source_var="tanh_op/r",
+            target_var="li_op/r_in", input_var="li_op/I_ext",
+            output_var="li_op/v", verbose=False, clear=True,
+            file_name="bsl_net")
+        net.add_edge("pop", "pop", weights=W, delays=d_blk, feedback=True,
+                     train=train)
+        net.compile()
+        return net
+
+    inp = rng.normal(size=(40, n))
+    net = build()
+    full = net.run(inp, sampling_steps=1, verbose=False).to_numpy("out")
+    net2 = build()
+    a = net2.run(inp[:17], sampling_steps=1, verbose=False).to_numpy("out")
+    b = net2.run(inp[17:], sampling_steps=1, verbose=False).to_numpy("out")
+    np.testing.assert_allclose(np.concatenate([a, b]), full,
+                               rtol=1e-9, atol=1e-12)
+
+    res = build().run_batch(rng.normal(size=(3, 20, n)), sampling_steps=1,
+                            verbose=False)
+    assert res["out"].shape == (3, 20, n) and np.isfinite(res["out"]).all()
+
+    # train the blocks: teacher-student weight recovery direction
+    net_t = build(train="gd")
+    tgt = np.asarray(net_t.run(inp, verbose=False, sampling_steps=1).to_numpy("out"))
+    edge = net_t.get_edge("pop", "pop")
+    edge.weights = np.asarray(edge.weights) * 1.3
+    obs = net_t.fit_bptt([inp] * 8, [tgt] * 8, optimizer="adam", lr=1e-2,
+                         verbose=False)
+    losses = [float(l) for l in obs["epoch_loss"]]
+    assert losses[-1] < losses[0]
