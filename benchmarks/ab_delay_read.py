@@ -12,6 +12,13 @@ read (see NOTES_NEXT_ROUND.md "Known gaps / ideas for round 5"):
    while the selector stream is shared across trials, so a smaller S
    (`fine_s`) should rebalance them (bytes model: ~1.4x at B=8, S 15 -> 5).
 
+MEASURED OUTCOME (v5e, M=998, D-span 1157, 2026-08-20): both REFUTED.
+bf16 reads are perf-neutral (single 0.593 f32 vs 0.611 bf16 best per 2k
+steps; B=8 T=2000 bf16 slightly ahead, 2.580 vs 2.695 s -- noise); fine_s=5
+is ~2.4x SLOWER single-trial (1.402 vs 0.593) and ~1.2x slower at B=8
+(0.899 -> 0.777/0.657) -- XLA does not materialize the per-trial t1 the
+bytes model assumed.  corr(f32, *) = 1.000000 everywhere.  Defaults stand.
+
 Modes are interleaved round-robin (minute-scale relay drift swamps
 sequential comparisons -- CLAUDE.md protocol); run() fetches results
 internally, so wall timing is sync-safe.

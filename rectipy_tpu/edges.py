@@ -313,10 +313,18 @@ class LinearMemoryMatrix(Linear):
     ``factored`` and factored-interp reads (the hat stays in ``dtype``:
     its fractional entries are not exact in bf16).  ``fine_s`` (or env
     ``RECTIPY_DELAY_FINE_S``) overrides the fine-digit width ``S`` of the
-    factored decomposition: the single-trial optimum is ``S ~
-    sqrt(max_delay/5)``, but under ``run_batch`` the per-TRIAL ``(n, m, S)``
-    intermediate dominates while the selector stream is shared, so batched
-    ensembles rebalance with a smaller ``S``.
+    factored decomposition (default ``S ~ sqrt(max_delay/5)``).
+
+    Measured (v5e, M=998, 1157-step span, benchmarks/ab_delay_read.py,
+    interleaved): both knobs are perf-NEUTRAL-or-worse -- bf16 reads time
+    within noise of f32 (0.59 vs 0.61 s/2k steps single-trial; slightly
+    ahead at B=8) and ``fine_s=5`` is ~2.4x SLOWER single-trial and ~1.2x
+    slower at B=8 (the bytes model predicted batched ensembles would
+    rebalance with smaller S; XLA does not materialize the per-trial
+    ``t1`` intermediate the way the model assumed).  Values match f32 to
+    corr 1.000000 either way.  Keep the defaults; the knobs remain for
+    memory-constrained cases (bf16 halves selector MEMORY, relevant when
+    ``nm(Q+S)`` selectors approach VMEM/HBM limits).
     """
 
     _tensors = ["weights", "buffer", "delays"]
