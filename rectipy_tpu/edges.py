@@ -1005,17 +1005,37 @@ class BlockSparseLinear(Linear):
     to a stateless block-sparse matvec edge.  Blocks are trainable with
     ``train='gd'`` (the gather/update-slice pair is differentiable; the
     plain-autodiff trajectory handles it).
+
+    ``block_dtype`` streams the blocks (and the gathered source blocks) at
+    a reduced floating dtype -- the dominant per-step traffic is the
+    ``N * fan_in``-element block stream, so ``bfloat16`` halves it while
+    the contraction still accumulates in f32
+    (``preferred_element_type``).  The cast is hoisted into the
+    once-per-call ``prep_params`` pass (XLA's LICM does NOT hoist dtype
+    converts out of scan bodies -- measured +82%, NOTES_NEXT_ROUND.md);
+    when the blocks are trainable the master stays full-precision and the
+    cast runs inside the differentiated region, i.e. bf16-master
+    semantics like the node-level ``coupling_dtype='bf16_master'``.
     """
 
     _tensors = ["weights"]
 
     def __init__(self, n_in: int, n_out: int, weights, delays=None,
-                 dtype=jnp.float64, detach: bool = True, **kwargs):
+                 dtype=jnp.float64, detach: bool = True, block_dtype=None,
+                 **kwargs):
         if not hasattr(weights, "blocks"):
             raise ValueError(
                 "BlockSparseLinear requires a BlockSparseCoupling as weights "
                 "(rectipy_tpu.block_random_connectivity builds one).")
         self.dtype = resolve_dtype(dtype)
+        self.block_dtype = None
+        if block_dtype is not None:
+            self.block_dtype = jnp.dtype(resolve_dtype(block_dtype))
+            if not jnp.issubdtype(self.block_dtype, jnp.floating):
+                raise ValueError(
+                    f"block_dtype must be a floating dtype; got {block_dtype!r}")
+            if self.block_dtype == jnp.dtype(self.dtype):
+                self.block_dtype = None  # no-op: stream at master precision
         blocks = np.asarray(weights.blocks)
         cols = np.asarray(weights.cols, dtype=np.int32)
         n_br, cb, bs, _ = blocks.shape
@@ -1089,17 +1109,36 @@ class BlockSparseLinear(Linear):
         if self.delays is not None:
             self._hist, self._t = state
 
+    def prep_params(self, sub: Dict) -> Dict:
+        """Once-per-call block-stream cast (see ``block_dtype``): the fast
+        paths evaluate this outside the scan, so the scan streams the
+        reduced-precision copy; gradients flow THROUGH the cast where prep
+        runs inside a differentiated trajectory (bf16-master semantics)."""
+        bd = self.block_dtype
+        if bd is None or sub["weights"].dtype == bd:
+            return sub
+        return {**sub, "weights": sub["weights"].astype(bd)}
+
     def make_step(self) -> Callable:
         cols = self.cols
         bs, nb_in, D1 = self.bs, self.nb_in, self._D1
         acc = jnp.result_type(self.dtype, jnp.float32)
         dtype = self.dtype
+        bd = self.block_dtype
+
+        def contract(w, s_blk):
+            if bd is not None:
+                # no-op when prep already cast w; the unprepped (eager /
+                # plain-autodiff) paths pay the cast in-step for correctness
+                w = w.astype(bd)
+                s_blk = s_blk.astype(bd)
+            return jnp.einsum("rcij,rcj->ri", w, s_blk,
+                              preferred_element_type=acc)
 
         if self.delays is None:
             def step(state, params, x):
                 s_blk = x.reshape(nb_in, bs).astype(dtype)[cols]
-                y = jnp.einsum("rcij,rcj->ri", params["weights"], s_blk,
-                               preferred_element_type=acc)
+                y = contract(params["weights"], s_blk)
                 return state, y.reshape(-1).astype(dtype)
 
             return step
@@ -1115,8 +1154,7 @@ class BlockSparseLinear(Linear):
             slots = jnp.mod(k - dmat, D1)          # (n_br, cb)
             flat = cols * D1 + slots
             s_blk = hist.reshape(nb_in * D1, bs)[flat]
-            y = jnp.einsum("rcij,rcj->ri", params["weights"], s_blk,
-                           preferred_element_type=acc)
+            y = contract(params["weights"], s_blk)
             return (hist, t + 1), y.reshape(-1).astype(dtype)
 
         return step

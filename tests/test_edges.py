@@ -601,3 +601,73 @@ def test_block_sparse_linear_network_run_and_fit():
                          verbose=False)
     losses = [float(l) for l in obs["epoch_loss"]]
     assert losses[-1] < losses[0]
+
+
+def test_block_sparse_linear_block_dtype():
+    """block_dtype=bfloat16 streams the blocks at half width via the
+    once-per-call prep cast: outputs match the f32 edge to bf16 tolerance,
+    the prepped fast path == the (in-step-cast) eager forward exactly, and
+    the bf16-master blocks still train (gradients through the prep cast)."""
+    from rectipy_tpu import FeedbackNetwork
+    from rectipy_tpu.edges import BlockSparseLinear
+
+    rng = np.random.default_rng(23)
+    n_br, cb, bs, nb = 3, 2, 4, 3
+    n_in, n_out = nb * bs, n_br * bs
+    W = _small_block_coupling(rng, n_br, cb, bs, nb)
+    d_blk = rng.integers(1, 6, size=(n_br, cb))
+    xs = rng.normal(size=(30, n_in))
+
+    e32 = BlockSparseLinear(n_in, n_out, weights=W, delays=d_blk)
+    e16 = BlockSparseLinear(n_in, n_out, weights=W, delays=d_blk,
+                            block_dtype=jnp.bfloat16)
+    # prep casts; master param untouched
+    sub = e16.prep_params(dict(e16.params))
+    assert sub["weights"].dtype == jnp.bfloat16
+    assert e16.params["weights"].dtype == e16.dtype
+    # same-dtype request is a no-op
+    assert BlockSparseLinear(n_in, n_out, weights=W, dtype=jnp.float32,
+                             block_dtype=jnp.float32).block_dtype is None
+    with pytest.raises(ValueError):
+        BlockSparseLinear(n_in, n_out, weights=W, block_dtype=jnp.int8)
+
+    got32 = np.stack([np.asarray(e32.forward(jnp.asarray(x))) for x in xs])
+    got16 = np.stack([np.asarray(e16.forward(jnp.asarray(x))) for x in xs])
+    np.testing.assert_allclose(got16, got32, rtol=3e-2, atol=3e-2)
+    assert np.corrcoef(got16.ravel(), got32.ravel())[0, 1] > 0.999
+
+    def build(train=None, **ekw):
+        n = n_out
+        net = FeedbackNetwork(1e-2)
+        net.add_diffeq_node(
+            "pop", "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+            weights=np.zeros((n, n)), source_var="tanh_op/r",
+            target_var="li_op/r_in", input_var="li_op/I_ext",
+            output_var="li_op/v", verbose=False, clear=True,
+            file_name="bsl_bd_net")
+        Wsq = _small_block_coupling(rng, n_br, cb, bs, n_br)
+        net.add_edge("pop", "pop", weights=W if n_in == n else Wsq,
+                     delays=d_blk, feedback=True, train=train, **ekw)
+        net.compile()
+        return net
+
+    # prepped network scan == per-step eager semantics (same program family
+    # as the f32 network, bf16-rounded)
+    inp = rng.normal(size=(25, n_out))
+    o32 = build().run(inp, sampling_steps=1, verbose=False).to_numpy("out")
+    o16 = build(block_dtype="bfloat16").run(
+        inp, sampling_steps=1, verbose=False).to_numpy("out")
+    np.testing.assert_allclose(np.asarray(o16), np.asarray(o32),
+                               rtol=3e-2, atol=3e-2)
+
+    # bf16-master training: losses decrease, master stays f-precision
+    net_t = build(train="gd", block_dtype="bfloat16")
+    tgt = np.asarray(net_t.run(inp, verbose=False,
+                               sampling_steps=1).to_numpy("out"))
+    edge = net_t.get_edge("pop", "pop")
+    edge.weights = np.asarray(edge.weights) * 1.3
+    obs = net_t.fit_bptt([inp] * 8, [tgt] * 8, optimizer="adam", lr=1e-2,
+                         verbose=False)
+    losses = [float(l) for l in obs["epoch_loss"]]
+    assert losses[-1] < losses[0]
+    assert net_t.get_edge("pop", "pop").weights.dtype == net_t.dtype
