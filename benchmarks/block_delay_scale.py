@@ -1,0 +1,144 @@
+"""N=100k spatially-embedded QIF: block-sparse recurrent coupling with
+per-BLOCK conduction delays (BlockSparseLinear) -- the population-scale
+companion of the whole-brain delay matrix.
+
+Workload: 100,352 QIF-SFA neurons on a ring of 196 512-neuron patches; every
+neuron receives fan_in=1000 connections from 4 source patches; each
+(target-patch, source-patch) pair carries one conduction delay d =
+ring-distance/velocity (0..D_MAX steps).  All recurrent coupling rides the
+delayed feedback edge (node-internal weights=None), so the per-step cost IS
+the delayed block stream: the circular (nb, D1, bs) history gather + the
+N*fan_in block contraction.
+
+Variants (interleaved round-robin per CLAUDE.md protocol):
+  zero-delay   BlockSparseLinear(delays=None)  -- stream floor, no history
+  delayed f32  per-block delays, f32 blocks (822 MB/step stream)
+  delayed bf16 per-block delays, block_dtype=bfloat16 (411 MB/step stream)
+
+Usage:
+    BD_N=100352 BD_T=2000 BD_REPS=4 BD_DMAX=64 python benchmarks/block_delay_scale.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+if os.environ.get("BD_CPU"):  # smoke-test on CPU (sitecustomize pins axon)
+    jax.config.update("jax_platforms", "cpu")
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rectipy_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+t00 = time.perf_counter()
+
+
+def lap(msg):
+    print(f"[{time.perf_counter() - t00:7.1f}s] {msg}", flush=True)
+
+
+for attempt in range(40):
+    try:
+        lap(f"backend up: {jax.devices()}")
+        break
+    except Exception as e:
+        lap(f"attempt {attempt}: backend unavailable ({type(e).__name__}); sleep 120s")
+        time.sleep(120)
+else:
+    sys.exit("relay never came back")
+
+from rectipy_tpu import FeedbackNetwork
+from rectipy_tpu.inputs import Pulse
+from rectipy_tpu.ops.sparse import block_random_connectivity
+
+BS = 512
+N = int(os.environ.get("BD_N", 100_352))
+T = int(os.environ.get("BD_T", 2000))
+REPS = int(os.environ.get("BD_REPS", 4))
+D_MAX = int(os.environ.get("BD_DMAX", 64))
+dt = 1e-3
+
+nb = N // BS
+t0 = time.perf_counter()
+A = block_random_connectivity(N, N, 1000, block_size=BS, seed=0)
+lap(f"sampled {nb}x{A.cols.shape[1]} blocks in {time.perf_counter() - t0:.1f}s")
+
+# ring geometry: delay = shortest ring distance between patches, scaled to
+# [0, D_MAX] (the farthest sampled pair sets D_MAX)
+ring = np.abs(A.cols - np.arange(nb)[:, None])
+ring = np.minimum(ring, nb - ring).astype(float)
+d_blk = np.rint(ring / max(ring.max(), 1.0) * D_MAX).astype(int)
+lap(f"delays: span {d_blk.min()}..{d_blk.max()} steps, "
+    f"{len(np.unique(d_blk))} distinct")
+
+rng = np.random.default_rng(1)
+etas = 1000.0 + 200.0 * rng.standard_normal(N)
+
+
+def build(delays, **ekw):
+    net = FeedbackNetwork(dt)
+    net.add_diffeq_node(
+        "qif", "rectipy_tpu.models.spiking_neurons.qif.qif_sfa", n=N,
+        input_var="I_ext", output_var="s",
+        spike_var="spike", spike_def="v", op="qif_sfa_op",
+        spike_threshold=1e2, spike_reset=-1e2,
+        node_vars={"all/qif_sfa_op/eta": etas, "all/qif_sfa_op/alpha": 0.05,
+                   "all/qif_sfa_op/k": 15.0})
+    # all recurrent coupling through the (optionally delayed) block edge
+    net.add_edge("qif", "qif", weights=A, delays=delays, feedback=True, **ekw)
+    net.compile()
+    return net
+
+
+drive = Pulse(T, channels=1, t_on=T // 8, t_off=T, amp=3.0)
+
+
+def run1(net):
+    obs = net.run(drive, record_output=False, sampling_steps=100,
+                  record_vars=[("qif", "s", True)], verbose=False)
+    s = np.asarray(obs.to_numpy(("qif", "s")))
+    assert np.all(np.isfinite(s)), "non-finite dynamics"
+    return s
+
+
+variants = [
+    ("zero-delay", build(None)),
+    ("delay f32", build(d_blk)),
+    ("delay bf16", build(d_blk, block_dtype="bfloat16")),
+]
+
+outs = {}
+for label, net in variants:
+    t0 = time.perf_counter()
+    outs[label] = run1(net)
+    lap(f"{label}: first run (incl. compile) {time.perf_counter() - t0:7.1f}s")
+
+times = {label: [] for label, _ in variants}
+for r in range(REPS):
+    for label, net in variants:
+        t0 = time.perf_counter()
+        run1(net)
+        times[label].append(time.perf_counter() - t0)
+    lap(f"round {r}: " + "  ".join(f"{lb} {times[lb][-1]:6.2f}s"
+                                   for lb, _ in variants))
+
+for label, _ in variants:
+    ts = sorted(times[label])
+    best = ts[0]
+    bpw = 2 if "bf16" in label else 4
+    gbps = N * 1024 * bpw * T / best / 1e9  # cb=4 x bs=512 per-row stream
+    lap(f"{label:>12}: best {best:6.2f}s  median {ts[len(ts) // 2]:6.2f}s  = "
+        f"{T * N / best:.3e} nu/s  ({gbps:.0f} GB/s block stream)")
+
+a = outs["delay f32"].ravel()
+lap(f"corr(delay f32, delay bf16) = "
+    f"{np.corrcoef(a, outs['delay bf16'].ravel())[0, 1]:.6f}")
+lap(f"mean activity: zero-delay {outs['zero-delay'].mean():.4f}, "
+    f"delayed {outs['delay f32'].mean():.4f}")

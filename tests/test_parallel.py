@@ -609,3 +609,52 @@ def test_public_run_mesh_delay_matrix_edge_matches_single_device():
                        mesh=make_mesh(8, data=1))
     np.testing.assert_allclose(obs2.to_numpy("out"), obs1.to_numpy("out"),
                                rtol=1e-12, atol=1e-14)
+
+
+def test_public_run_and_fit_mesh_block_sparse_delay_edge_matches_single_device():
+    """BlockSparseLinear feedback edges (per-block conduction delays,
+    circular history in the scan carry) under run(mesh=) and fit_bptt(mesh=):
+    records and trained losses equal the single-device run."""
+    from rectipy_tpu import FeedbackNetwork
+    from rectipy_tpu.ops.sparse import BlockSparseCoupling
+
+    rng = np.random.default_rng(29)
+    n_br = nb = 8
+    cb, bs = 2, 4
+    n = n_br * bs
+    blocks = rng.normal(size=(n_br, cb, bs, bs)) * 0.2
+    cols = np.stack([rng.choice(nb, cb, replace=False)
+                     for _ in range(n_br)]).astype(np.int32)
+    W = BlockSparseCoupling(blocks, cols)
+    d_blk = rng.integers(0, 7, size=(n_br, cb))
+    inp = rng.normal(size=(40, n))
+
+    def build(train=None):
+        net = FeedbackNetwork(1e-2, dtype=jnp.float64)
+        net.add_diffeq_node("rnn", TANH, weights=np.zeros((n, n)),
+                            input_var="li_op/I_ext", output_var="li_op/v",
+                            source_var="tanh_op/r", target_var="li_op/r_in")
+        net.add_edge("rnn", "rnn", weights=W, delays=d_blk, feedback=True,
+                     train=train)
+        net.compile()
+        return net
+
+    obs1 = build().run(inp, sampling_steps=2, verbose=False)
+    obs2 = build().run(inp, sampling_steps=2, verbose=False,
+                       mesh=make_mesh(8, data=1))
+    np.testing.assert_allclose(obs2.to_numpy("out"), obs1.to_numpy("out"),
+                               rtol=1e-12, atol=1e-14)
+
+    tgt = np.asarray(obs1.to_numpy("out"))
+    inp_s = inp[::2]  # sampling grid of the recorded target
+    losses = {}
+    for mesh in (None, make_mesh(8, data=1)):
+        net = build(train="gd")
+        e = net.get_edge("rnn", "rnn")
+        e.weights = np.asarray(e.weights) * 1.3
+        obs = net.fit_bptt([inp] * 4, [tgt] * 4, optimizer="adam", lr=1e-2,
+                           sampling_steps=2, verbose=False, mesh=mesh)
+        losses[mesh is None] = np.asarray(obs["epoch_loss"], dtype=float)
+    np.testing.assert_allclose(losses[False], losses[True],
+                               rtol=1e-9, atol=1e-12)
+    assert losses[True][-1] < losses[True][0]
