@@ -15,8 +15,15 @@ Variants (interleaved round-robin per CLAUDE.md protocol):
   delayed f32  per-block delays, f32 blocks (822 MB/step stream)
   delayed bf16 per-block delays, block_dtype=bfloat16 (411 MB/step stream)
 
+A BD_TRAIN=1 phase measures a TRAINED epoch through the delayed blocks:
+fit_bptt with train='gd' on the edge (the graph trajectory does not cover
+BlockSparseLinear edges, so this exercises the plain-autodiff scan path --
+XLA carries the 822 MB block-gradient accumulator through the backward
+scan, which bounds the epoch cost; BD_TRAIN_REMAT=K chunks the residuals).
+
 Usage:
     BD_N=100352 BD_T=2000 BD_REPS=4 BD_DMAX=64 python benchmarks/block_delay_scale.py
+    BD_FWD=0 BD_TRAIN=1 BD_TRAIN_T=500 python benchmarks/block_delay_scale.py
 """
 
 import os
@@ -108,37 +115,94 @@ def run1(net):
     return s
 
 
-variants = [
-    ("zero-delay", build(None)),
-    ("delay f32", build(d_blk)),
-    ("delay bf16", build(d_blk, block_dtype="bfloat16")),
-]
+if os.environ.get("BD_FWD", "1") == "1":
+    variants = [
+        ("zero-delay", build(None)),
+        ("delay f32", build(d_blk)),
+        ("delay bf16", build(d_blk, block_dtype="bfloat16")),
+    ]
 
-outs = {}
-for label, net in variants:
-    t0 = time.perf_counter()
-    outs[label] = run1(net)
-    lap(f"{label}: first run (incl. compile) {time.perf_counter() - t0:7.1f}s")
-
-times = {label: [] for label, _ in variants}
-for r in range(REPS):
+    outs = {}
     for label, net in variants:
         t0 = time.perf_counter()
-        run1(net)
-        times[label].append(time.perf_counter() - t0)
-    lap(f"round {r}: " + "  ".join(f"{lb} {times[lb][-1]:6.2f}s"
-                                   for lb, _ in variants))
+        outs[label] = run1(net)
+        lap(f"{label}: first run (incl. compile) "
+            f"{time.perf_counter() - t0:7.1f}s")
 
-for label, _ in variants:
-    ts = sorted(times[label])
-    best = ts[0]
-    bpw = 2 if "bf16" in label else 4
-    gbps = N * 1024 * bpw * T / best / 1e9  # cb=4 x bs=512 per-row stream
-    lap(f"{label:>12}: best {best:6.2f}s  median {ts[len(ts) // 2]:6.2f}s  = "
-        f"{T * N / best:.3e} nu/s  ({gbps:.0f} GB/s block stream)")
+    times = {label: [] for label, _ in variants}
+    for r in range(REPS):
+        for label, net in variants:
+            t0 = time.perf_counter()
+            run1(net)
+            times[label].append(time.perf_counter() - t0)
+        lap(f"round {r}: " + "  ".join(f"{lb} {times[lb][-1]:6.2f}s"
+                                       for lb, _ in variants))
 
-a = outs["delay f32"].ravel()
-lap(f"corr(delay f32, delay bf16) = "
-    f"{np.corrcoef(a, outs['delay bf16'].ravel())[0, 1]:.6f}")
-lap(f"mean activity: zero-delay {outs['zero-delay'].mean():.4f}, "
-    f"delayed {outs['delay f32'].mean():.4f}")
+    for label, _ in variants:
+        ts = sorted(times[label])
+        best = ts[0]
+        bpw = 2 if "bf16" in label else 4
+        gbps = N * 1024 * bpw * T / best / 1e9  # cb=4 x bs=512 per-row stream
+        lap(f"{label:>12}: best {best:6.2f}s  median {ts[len(ts) // 2]:6.2f}s"
+            f"  = {T * N / best:.3e} nu/s  ({gbps:.0f} GB/s block stream)")
+
+    a = outs["delay f32"].ravel()
+    lap(f"corr(delay f32, delay bf16) = "
+        f"{np.corrcoef(a, outs['delay bf16'].ravel())[0, 1]:.6f}")
+    lap(f"mean activity: zero-delay {outs['zero-delay'].mean():.4f}, "
+        f"delayed {outs['delay f32'].mean():.4f}")
+
+if os.environ.get("BD_TRAIN", "0") == "1":
+    # TRAINED epoch through the per-block-delayed edge (plain-autodiff path:
+    # make_graph_traj rejects BlockSparseLinear, fit_bptt('auto') falls back)
+    import jax.numpy as jnp
+
+    T_tr = int(os.environ.get("BD_TRAIN_T", 500))
+    remat = int(os.environ.get("BD_TRAIN_REMAT", "0"))
+    n_ep = 8
+
+    def build_train():
+        net = FeedbackNetwork(dt)
+        net.add_func_node("inp", 1, activation_function="identity")
+        net.add_diffeq_node(
+            "qif", "rectipy_tpu.models.spiking_neurons.qif.qif_sfa", n=N,
+            input_var="I_ext", output_var="s",
+            spike_var="spike", spike_def="v", op="qif_sfa_op",
+            spike_threshold=1e2, spike_reset=-1e2,
+            node_vars={"all/qif_sfa_op/eta": etas,
+                       "all/qif_sfa_op/alpha": 0.05,
+                       "all/qif_sfa_op/k": 15.0})
+        net.add_edge("inp", "qif",
+                     weights=rng.normal(size=(N, 1)).astype(np.float32))
+        net.add_edge("qif", "qif", weights=A, delays=d_blk, feedback=True,
+                     train="gd")
+        net.compile()
+        return net
+
+    net_t = build_train()
+    ins = np.zeros((T_tr, 1), dtype=np.float32)
+    ins[T_tr // 4:, 0] = 3.0
+    tgt = np.asarray(net_t.run(ins, verbose=False).to_numpy("out"))
+    edge = net_t.get_edge("qif", "qif")
+    edge.weights = edge.weights * 1.05  # 5% teacher-student perturbation
+    ins_d = jax.device_put(jnp.asarray(ins))
+    tgt_d = jax.device_put(jnp.asarray(tgt))
+    jax.block_until_ready((ins_d, tgt_d))
+    lap(f"train: staged {tgt_d.nbytes / 2**20:.0f} MB targets (T={T_tr})")
+    kw = {"remat_steps": remat} if remat > 1 else {}
+    t0 = time.perf_counter()
+    obs = net_t.fit_bptt([ins_d] * n_ep, [tgt_d] * n_ep, optimizer="adam",
+                         lr=1e-3, verbose=False, **kw)
+    lap(f"train: first fit (incl. compile) {time.perf_counter() - t0:6.1f}s")
+    losses = [float(l) for l in obs["epoch_loss"]]
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        net_t.fit_bptt([ins_d] * n_ep, [tgt_d] * n_ep, optimizer="adam",
+                       lr=1e-3, verbose=False, **kw)
+        best = min(best, (time.perf_counter() - t0) / n_ep)
+    tag = f" remat={remat}" if remat > 1 else ""
+    lap(f"TRAIN block-delay{tag}: best {best * 1e3:7.1f} ms/epoch = "
+        f"{T_tr * N / best:.3e} trained nu/s (T={T_tr}); "
+        f"losses {losses[0]:.4e} -> {losses[-1]:.4e}")
+    assert losses[-1] < losses[0], "training did not reduce the loss"
