@@ -2836,7 +2836,7 @@ class Network:
                 Y0 = {lbl: state0["nodes"][lbl] for lbl in gspec.pop_labels}
                 if gspec.needs_carry:  # feedback outputs / edge buffers carried
                     Y0 = {"Y": Y0, "fb": state0.get("fb", {}),
-                          "E": {ek: state0["edges"][ek]
+                          "E": {ek: gspec.estate_pack[ek](state0["edges"][ek])
                                 for ek in gspec.stateful_edges}}
                 return Y0
 
@@ -3244,11 +3244,15 @@ class Network:
                     Y = {lbl: state["nodes"][lbl] for lbl in gspec_fast.pop_labels}
                     if gspec_fast.needs_carry:
                         C0 = {"Y": Y, "fb": state.get("fb", {}),
-                              "E": {ek: state["edges"][ek]
+                              "E": {ek: gspec_fast.estate_pack[ek](
+                                  state["edges"][ek])
                                     for ek in gspec_fast.stateful_edges}}
                         CT, outs = gtraj_fast(weights, args, C0, inp_c)
+                        new_E = {ek: gspec_fast.estate_unpack[ek](
+                            CT["E"][ek], state["edges"][ek], inp_c.shape[0])
+                            for ek in gspec_fast.stateful_edges}
                         new_state = {"nodes": {**state["nodes"], **CT["Y"]},
-                                     "edges": {**state["edges"], **CT["E"]}}
+                                     "edges": {**state["edges"], **new_E}}
                         if "fb" in state:
                             new_state["fb"] = CT["fb"]
                     else:

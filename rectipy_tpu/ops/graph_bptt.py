@@ -144,6 +144,50 @@ def _filter_matrix_ops():
     return prep, mv, mv_t, grad_w
 
 
+def _block_edge_ops(e):
+    """Contraction 4-tuple for a ``BlockSparseLinear`` edge.  The stage
+    source is the DELAY-RESOLVED ``(n_br, cb, bs)`` block stack the producer
+    gathered (edges.py BlockSparseLinear.make_step), so ``mv``/``grad_w``
+    are pure batched contractions on the MXU and ``mv_t`` emits the
+    per-tile cotangent in gathered form -- the producer's own VJP scatters
+    it back into the history buffer / source vector.  ``block_dtype``
+    mirrors the edge's in-step cast (bf16-master semantics: the master and
+    the saved stage records stay full precision; the contractions run on
+    reduced-precision operands with f32+ accumulation)."""
+    bd = e.block_dtype
+    dtype = jnp.dtype(e.dtype)
+    acc = jnp.result_type(dtype, jnp.float32)
+
+    def mb(x):
+        return x.astype(bd) if bd is not None else x
+
+    def prep(w):
+        return mb(w)
+
+    def mv(w, s_blk):
+        y = jnp.einsum("rcij,rcj->ri", w, mb(s_blk),
+                       preferred_element_type=acc)
+        return y.reshape(-1).astype(dtype)
+
+    def mv_t(w, delta):
+        n_br, cb, b, _ = w.shape
+        d_blk = delta.reshape(n_br, b)
+        ds = jnp.einsum("rcij,ri->rcj", w, mb(d_blk),
+                        preferred_element_type=acc)
+        return ds.astype(dtype)
+
+    def grad_w(deltas, srcs):
+        # deltas (T, n_out), srcs (T, n_br, cb, bs): ONE post-scan batched
+        # contraction replaces the per-step (n_br, cb, bs, bs) gradient
+        # accumulator plain autodiff carries through the backward scan
+        T, n_br = deltas.shape[0], srcs.shape[1]
+        d_blk = deltas.reshape(T, n_br, -1)
+        return jnp.einsum("tri,trcj->rcij", mb(d_blk), mb(srcs),
+                          preferred_element_type=acc)
+
+    return prep, mv, mv_t, grad_w
+
+
 def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespace]:
     """Build ``traj(weights, args, Y0, xs) -> (YT, outs)`` for the whole
     compiled network, with a custom VJP deferring every coupling- and
@@ -200,11 +244,12 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
 
     # validate edges: linear projections (optionally with delay buffers or a
     # synaptic filter state -- those join the scan carry)
-    from ..edges import LinearFilter, LinearMemory, LinearMemoryFilter
+    from ..edges import (BlockSparseLinear, LinearFilter, LinearMemory,
+                         LinearMemoryFilter)
 
     def _check_edge(u, n, e):
         if type(e) not in (Linear, LinearMasked, LinearMemory, LinearFilter,
-                           LinearMemoryFilter):
+                           LinearMemoryFilter, BlockSparseLinear):
             raise ValueError(
                 f"Deferred-gradient graph BPTT requires linear-family edges; "
                 f"edge {u}->{n} is {type(e).__name__}.")
@@ -226,6 +271,11 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
     weight_paths: List[tuple] = []
 
     estate_update: Dict[str, Callable] = {}  # ekey -> new edge state expr
+    # network-edge-state <-> trajectory-carry conversions (identity for the
+    # rolled LinearMemory/Filter buffers; BlockSparseLinear's circular
+    # (hist, t) converts to a rolled cursor-free buffer, see _edge_stage)
+    estate_pack: Dict[str, Callable] = {}
+    estate_unpack: Dict[str, Callable] = {}
     heun_steppers: Dict[str, Callable] = {}  # label -> step_x2 (Heun pops)
 
     def _ident_eff():
@@ -237,6 +287,76 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
 
         return eff, deff
 
+    def _block_edge_stage(u, nname, e, producer, ek):
+        """Stage for a :class:`BlockSparseLinear` edge (optionally with
+        per-block conduction delays).  The producer emits the delay-resolved
+        ``(n_br, cb, bs)`` gathered block stack; the W stage is the batched
+        tile contraction (see ``_block_edge_ops``).
+
+        Delay state: the edge's own circular ``(hist, t)`` pair cannot ride
+        the differentiated carry (the int32 cursor would put float0
+        cotangents through the hand-written reverse sweep), so the
+        TRAJECTORY carries a cursor-free ROLLED buffer -- newest column 0,
+        delay ``d`` read at column ``d``, i.e. a STATIC ``cols * D1 + d``
+        flat gather table -- and ``spec.estate_pack/estate_unpack`` convert
+        at the trajectory boundary (two O(hist) gathers per call).  The
+        roll costs one extra buffer rewrite per step; the gather indices
+        become program constants."""
+        import numpy as onp
+
+        bs_, nb_in, D1 = e.bs, e.nb_in, e._D1
+        cols_np = onp.asarray(e.cols)
+        n_br, cb = cols_np.shape
+        prep_b, mv_b, mv_t_b, grad_w_b = _block_edge_ops(e)
+        eff_b, deff_b = _ident_eff()
+        if e.delays is None:
+            cols_j = jnp.asarray(cols_np)
+            edtype = jnp.dtype(e.dtype)
+
+            def b_producer(C, svals, x, args, producer=producer):
+                # cast BEFORE the gather (make_step parity); also pins the
+                # stage-output/cotangent dtype to the edge dtype
+                xv = producer(C, svals, x, args)
+                return xv.reshape(nb_in, bs_).astype(edtype)[cols_j]
+        else:
+            flat = jnp.asarray(cols_np * D1 + onp.asarray(e.delays))
+
+            def buf_new(C, svals, x, args, producer=producer, ek=ek):
+                xv = producer(C, svals, x, args)
+                buf = jnp.roll(C["E"][ek], 1, axis=1)
+                return jax.lax.dynamic_update_index_in_dim(
+                    buf, xv.reshape(nb_in, bs_).astype(buf.dtype), 0, axis=1)
+
+            estate_update[ek] = buf_new
+
+            def b_producer(C, svals, x, args, buf_new=buf_new):
+                return buf_new(C, svals, x, args).reshape(nb_in * D1, bs_)[flat]
+
+            def b_pack(state, D1=D1):
+                # circular slot s holds x(latest t' < t with t' mod D1 == s);
+                # rolled[:, j] = x(t - 1 - j) (unwritten slots stay zero)
+                hist, t = state
+                idx = jnp.mod(t - 1 - jnp.arange(D1), D1)
+                return hist[:, idx]
+
+            def b_unpack(rolled, orig, T, D1=D1):
+                # inverse permutation at t' = t + T; chunks shorter than the
+                # buffer leave the never-written tail as the zeros it holds
+                _, t0 = orig
+                t1 = t0 + T
+                idx = jnp.mod(t1 - 1 - jnp.arange(D1), D1)
+                hist = jnp.zeros_like(rolled).at[:, idx].set(rolled)
+                return (hist, t1)
+
+            estate_pack[ek] = b_pack
+            estate_unpack[ek] = b_unpack
+        st = SimpleNamespace(flatkey=f"e:{ek}", prep=prep_b, mv=mv_b,
+                             mv_t=mv_t_b, grad_w=grad_w_b, eff=eff_b,
+                             deff=deff_b, producer=b_producer,
+                             dims=(e.n_out, e.n_in),
+                             shapes=((e.n_out,), (n_br, cb, bs_)))
+        return [(st, ("edges", ek, "weights"))]
+
     def _edge_stage(u, nname, e, producer):
         """Stage(s) for one edge.  Stateless Linear/LinearMasked: one W-matvec
         stage of the source output.  LinearMemory: the W stage projects slot 0
@@ -245,6 +365,8 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
         W stage of ``y' = F@y + x`` -- both weights deferred.  Returns a list
         of (stage, path) pairs; the last stage is the edge's output."""
         ek = _ekey(u, nname)
+        if type(e) is BlockSparseLinear:
+            return _block_edge_stage(u, nname, e, producer, ek)
         w = e.params["weights"]
         # contraction ops dispatch on the EFFECTIVE weight: LinearMasked's
         # w * mask is always 2-D (the mask is (n_out, n_in) by construction)
@@ -714,10 +836,16 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
     else:
         traj_core.defvjp(traj_fwd, traj_bwd)
     needs_carry = has_fb or bool(estate_update)
+    _ident = lambda s: s  # noqa: E731 -- rolled buffers ARE the carry form
     spec = SimpleNamespace(weight_paths=weight_paths,
                            pop_labels=sorted(progs.keys()),
                            has_fb=has_fb,
                            stateful_edges=sorted(estate_update.keys()),
+                           estate_pack={ek: estate_pack.get(ek, _ident)
+                                        for ek in estate_update},
+                           estate_unpack={ek: estate_unpack.get(
+                               ek, lambda s, orig, T: s)
+                               for ek in estate_update},
                            needs_carry=needs_carry)
     if needs_carry:
         # feedback networks / stateful edges: the caller passes the full

@@ -889,3 +889,139 @@ def test_step_mode_single_population_feedback_matches_plain():
     w_plain = fit(False)
     np.testing.assert_allclose(w_auto, w_plain, rtol=1e-7)
     assert np.abs(w_auto - W_fb).max() > 1e-7, "fb weights did not train"
+
+
+def test_graph_traj_block_sparse_edge_matches_plain():
+    """BlockSparseLinear edges (stateless AND per-block delayed) ride the
+    deferred-gradient graph trajectory: epoch, step-mode (chunks shorter
+    than the delay span -- exercises the circular<->rolled estate
+    pack/unpack round trips), and remat all match plain autodiff, and the
+    bf16 block stream keeps fused == plain.  Covers the round-4 extension
+    of make_graph_traj beyond the Linear* family (the edge itself is a
+    beyond-reference component, edges.py BlockSparseLinear)."""
+    from types import SimpleNamespace
+
+    from rectipy_tpu import FeedbackNetwork
+
+    rng = np.random.default_rng(11)
+    n_br = cb = 2
+    bs, nb_in = 4, 2
+    n = 8
+    W = SimpleNamespace(
+        blocks=0.1 * rng.standard_normal((n_br, cb, bs, bs)),
+        cols=np.stack([rng.permutation(nb_in)[:cb] for _ in range(n_br)]))
+    d_blk = rng.integers(0, 6, size=(n_br, cb))
+    inp = rng.normal(size=(40, n))
+
+    def build(delays, dtype=np.float64, **kw):
+        net = FeedbackNetwork(1e-2)
+        net.add_diffeq_node(
+            "pop", "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+            weights=np.zeros((n, n)), source_var="tanh_op/r",
+            target_var="li_op/r_in", input_var="li_op/I_ext",
+            output_var="li_op/v", verbose=False, clear=True, file_name="gbs")
+        net.add_edge("pop", "pop", weights=W, delays=delays, feedback=True,
+                     train="gd", dtype=dtype, **kw)
+        net.compile()
+        return net
+
+    for delays in (None, d_blk):
+        tgt = np.asarray(build(delays).run(
+            inp, verbose=False, sampling_steps=1).to_numpy("out"))
+
+        def fit(fused, mode, delays=delays, tgt=tgt, **ekw):
+            net = build(delays, **ekw)
+            edge = net.get_edge("pop", "pop")
+            edge.weights = np.asarray(edge.weights) * 1.3
+            if mode == "steps":  # update_steps < max delay span
+                obs = net.fit_bptt(inp, tgt, optimizer="sgd", lr=1e-2,
+                                   update_steps=5, verbose=False,
+                                   fused_bptt=fused)
+                losses = np.asarray(obs["loss"], dtype=float)
+            else:
+                kw = {"remat_steps": 8} if mode == "remat" else {}
+                obs = net.fit_bptt([inp] * 4, [tgt] * 4, optimizer="sgd",
+                                   lr=1e-2, verbose=False, fused_bptt=fused,
+                                   **kw)
+                losses = np.asarray(obs["epoch_loss"], dtype=float)
+            return losses, np.asarray(net.get_edge("pop", "pop").weights)
+
+        for mode in ("epoch", "steps", "remat"):
+            # fused_bptt=True raises on fallback => proves the graph
+            # trajectory really covers this edge
+            l_f, w_f = fit(True, mode)
+            l_p, w_p = fit(False, mode)
+            np.testing.assert_allclose(l_f, l_p, rtol=1e-8, atol=1e-12,
+                                       err_msg=f"{mode} losses diverge")
+            np.testing.assert_allclose(w_f, w_p, rtol=1e-7, atol=1e-12,
+                                       err_msg=f"{mode} weights diverge")
+            assert np.abs(w_f - np.asarray(W.blocks) * 1.3).max() > 1e-9, \
+                "blocks did not train"
+
+        # reduced-precision block stream: fused == plain exactly (the cast
+        # sits inside both differentiated regions; bf16-master semantics)
+        l_f, w_f = fit(True, "epoch", dtype=np.float32,
+                       block_dtype="bfloat16")
+        l_p, w_p = fit(False, "epoch", dtype=np.float32,
+                       block_dtype="bfloat16")
+        np.testing.assert_allclose(l_f, l_p, rtol=1e-6)
+        np.testing.assert_allclose(w_f, w_p, rtol=1e-5, atol=1e-8)
+
+
+def test_graph_traj_block_edge_state_roundtrip():
+    """The trajectory's rolled block-delay buffer converts exactly to and
+    from the edge's circular (hist, t) form: after a trajectory pass the
+    unpacked state equals the composed run's edge state (slot-for-slot),
+    including a first chunk SHORTER than the delay buffer (never-written
+    slots stay zero)."""
+    from types import SimpleNamespace
+
+    from rectipy_tpu import FeedbackNetwork
+    from rectipy_tpu.network import _graph_weights_args
+
+    rng = np.random.default_rng(3)
+    n_br = cb = 2
+    bs, nb_in = 4, 2
+    n = 8
+    W = SimpleNamespace(
+        blocks=0.1 * rng.standard_normal((n_br, cb, bs, bs)),
+        cols=np.stack([rng.permutation(nb_in)[:cb] for _ in range(n_br)]))
+    d_blk = rng.integers(0, 6, size=(n_br, cb))
+
+    def build():
+        net = FeedbackNetwork(1e-2)
+        net.add_diffeq_node(
+            "pop", "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+            weights=np.zeros((n, n)), source_var="tanh_op/r",
+            target_var="li_op/r_in", input_var="li_op/I_ext",
+            output_var="li_op/v", verbose=False, clear=True, file_name="gbs2")
+        net.add_edge("pop", "pop", weights=W, delays=d_blk, feedback=True,
+                     train="gd", dtype=np.float64)
+        net.compile()
+        return net
+
+    for T in (3, 40):  # shorter AND longer than the delay buffer
+        inp = rng.normal(size=(T, n))
+        net_a = build()
+        gtraj, gspec = make_graph_traj(net_a)
+        ek = gspec.stateful_edges[0]
+        params = {"nodes": {"pop": dict(net_a.get_node("pop").args)},
+                  "edges": {"pop->pop":
+                            dict(net_a.get_edge("pop", "pop").params)}}
+        weights, args = _graph_weights_args(gspec, params)
+        state0 = net_a.init_state()
+        C0 = {"Y": {"pop": state0["nodes"]["pop"]},
+              "fb": state0.get("fb", {}),
+              "E": {ek: gspec.estate_pack[ek](state0["edges"][ek])}}
+        CT, outs = gtraj(weights, args, C0, jnp.asarray(inp))
+        hist_t, t_t = gspec.estate_unpack[ek](CT["E"][ek],
+                                              state0["edges"][ek], T)
+
+        net_b = build()
+        full = net_b.run(inp, verbose=False, sampling_steps=1).to_numpy("out")
+        hist_r, t_r = net_b.get_edge("pop", "pop").init_state()
+        np.testing.assert_allclose(np.asarray(outs), np.asarray(full),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(hist_t), np.asarray(hist_r),
+                                   rtol=1e-6, atol=1e-8)
+        assert int(t_t) == int(t_r) == T
