@@ -16,10 +16,13 @@ Variants (interleaved round-robin per CLAUDE.md protocol):
   delayed bf16 per-block delays, block_dtype=bfloat16 (411 MB/step stream)
 
 A BD_TRAIN=1 phase measures a TRAINED epoch through the delayed blocks:
-fit_bptt with train='gd' on the edge (the graph trajectory does not cover
-BlockSparseLinear edges, so this exercises the plain-autodiff scan path --
-XLA carries the 822 MB block-gradient accumulator through the backward
-scan, which bounds the epoch cost; BD_TRAIN_REMAT=K chunks the residuals).
+fit_bptt with train='gd' on the edge.  BD_TRAIN_FUSED selects the path:
+'auto' (default; the deferred-gradient graph trajectory, which saves the
+(T, n_br, cb, bs) gathered stage records and contracts the block gradient
+ONCE after the backward scan), 'plain' (plain autodiff: XLA carries the
+822 MB block-gradient accumulator through the backward scan), or 'both'
+(interleaved A/B per CLAUDE.md protocol).  BD_TRAIN_REMAT=K chunks the
+residuals.
 
 Usage:
     BD_N=100352 BD_T=2000 BD_REPS=4 BD_DMAX=64 python benchmarks/block_delay_scale.py
@@ -153,12 +156,13 @@ if os.environ.get("BD_FWD", "1") == "1":
         f"delayed {outs['delay f32'].mean():.4f}")
 
 if os.environ.get("BD_TRAIN", "0") == "1":
-    # TRAINED epoch through the per-block-delayed edge (plain-autodiff path:
-    # make_graph_traj rejects BlockSparseLinear, fit_bptt('auto') falls back)
+    # TRAINED epoch through the per-block-delayed edge
     import jax.numpy as jnp
 
     T_tr = int(os.environ.get("BD_TRAIN_T", 500))
     remat = int(os.environ.get("BD_TRAIN_REMAT", "0"))
+    fused_sel = os.environ.get("BD_TRAIN_FUSED", "auto")
+    lr = float(os.environ.get("BD_TRAIN_LR", 1e-3))
     n_ep = 8
 
     def build_train():
@@ -172,37 +176,53 @@ if os.environ.get("BD_TRAIN", "0") == "1":
             node_vars={"all/qif_sfa_op/eta": etas,
                        "all/qif_sfa_op/alpha": 0.05,
                        "all/qif_sfa_op/k": 15.0})
-        net.add_edge("inp", "qif",
-                     weights=rng.normal(size=(N, 1)).astype(np.float32))
+        # fresh generator: 'both' mode builds twice and the nets must match
+        net.add_edge("inp", "qif", weights=np.random.default_rng(7).normal(
+            size=(N, 1)).astype(np.float32))
+        ekw = {}
+        if os.environ.get("BD_TRAIN_BDTYPE"):  # e.g. bfloat16 block stream
+            ekw["block_dtype"] = os.environ["BD_TRAIN_BDTYPE"]
         net.add_edge("qif", "qif", weights=A, delays=d_blk, feedback=True,
-                     train="gd")
+                     train="gd", **ekw)
         net.compile()
         return net
 
-    net_t = build_train()
     ins = np.zeros((T_tr, 1), dtype=np.float32)
     ins[T_tr // 4:, 0] = 3.0
-    tgt = np.asarray(net_t.run(ins, verbose=False).to_numpy("out"))
-    edge = net_t.get_edge("qif", "qif")
-    edge.weights = edge.weights * 1.05  # 5% teacher-student perturbation
+    modes = (["auto", "plain"] if fused_sel == "both" else [fused_sel])
+    nets, losses0 = {}, {}
+    tgt = np.asarray(build_train().run(ins, verbose=False).to_numpy("out"))
+    for m in modes:  # students are fresh (never run) and identical
+        net_t = build_train()
+        edge = net_t.get_edge("qif", "qif")
+        edge.weights = edge.weights * 1.05  # 5% teacher-student perturbation
+        nets[m] = net_t
     ins_d = jax.device_put(jnp.asarray(ins))
     tgt_d = jax.device_put(jnp.asarray(tgt))
     jax.block_until_ready((ins_d, tgt_d))
     lap(f"train: staged {tgt_d.nbytes / 2**20:.0f} MB targets (T={T_tr})")
     kw = {"remat_steps": remat} if remat > 1 else {}
-    t0 = time.perf_counter()
-    obs = net_t.fit_bptt([ins_d] * n_ep, [tgt_d] * n_ep, optimizer="adam",
-                         lr=1e-3, verbose=False, **kw)
-    lap(f"train: first fit (incl. compile) {time.perf_counter() - t0:6.1f}s")
-    losses = [float(l) for l in obs["epoch_loss"]]
-    best = float("inf")
-    for _ in range(2):
+    for m in modes:
+        fb = {"auto": "auto", "plain": False}[m]
         t0 = time.perf_counter()
-        net_t.fit_bptt([ins_d] * n_ep, [tgt_d] * n_ep, optimizer="adam",
-                       lr=1e-3, verbose=False, **kw)
-        best = min(best, (time.perf_counter() - t0) / n_ep)
+        obs = nets[m].fit_bptt([ins_d] * n_ep, [tgt_d] * n_ep,
+                               optimizer="adam", lr=lr, verbose=False,
+                               fused_bptt=fb, **kw)
+        lap(f"train[{m}]: first fit (incl. compile) "
+            f"{time.perf_counter() - t0:6.1f}s")
+        losses0[m] = [float(l) for l in obs["epoch_loss"]]
+    best = {m: float("inf") for m in modes}
+    for r in range(3):  # interleave modes round-robin (CLAUDE.md protocol)
+        for m in modes:
+            fb = {"auto": "auto", "plain": False}[m]
+            t0 = time.perf_counter()
+            nets[m].fit_bptt([ins_d] * n_ep, [tgt_d] * n_ep, optimizer="adam",
+                             lr=lr, verbose=False, fused_bptt=fb, **kw)
+            best[m] = min(best[m], (time.perf_counter() - t0) / n_ep)
     tag = f" remat={remat}" if remat > 1 else ""
-    lap(f"TRAIN block-delay{tag}: best {best * 1e3:7.1f} ms/epoch = "
-        f"{T_tr * N / best:.3e} trained nu/s (T={T_tr}); "
-        f"losses {losses[0]:.4e} -> {losses[-1]:.4e}")
-    assert losses[-1] < losses[0], "training did not reduce the loss"
+    for m in modes:
+        ls = losses0[m]
+        lap(f"TRAIN block-delay[{m}]{tag}: best {best[m] * 1e3:7.1f} ms/epoch"
+            f" = {T_tr * N / best[m]:.3e} trained nu/s (T={T_tr}); "
+            f"losses {ls[0]:.4e} -> {ls[-1]:.4e}")
+        assert ls[-1] < ls[0], "training did not reduce the loss"

@@ -287,3 +287,54 @@ def test_batch_mesh_matches_single_device(data):
     np.testing.assert_allclose(np.asarray(a.get_var("p", "weights")),
                                np.asarray(b.get_var("p", "weights")),
                                rtol=1e-12, atol=1e-14)
+
+
+def test_batch_block_delay_edge_deferred_matches_plain():
+    """Per-block-delayed BlockSparseLinear feedback edges under
+    fit_bptt_batch: the VMAPPED graph trajectory (rolled delay-buffer carry,
+    see ops/graph_bptt._block_edge_stage) matches plain autodiff exactly."""
+    from types import SimpleNamespace
+
+    from rectipy_tpu import FeedbackNetwork
+
+    rng = np.random.default_rng(17)
+    n_br = cb = 2
+    bs, nb_in = 4, 2
+    n = 8
+    W = SimpleNamespace(
+        blocks=0.15 * rng.standard_normal((n_br, cb, bs, bs)),
+        cols=np.stack([rng.permutation(nb_in)[:cb] for _ in range(n_br)]))
+    d_blk = rng.integers(0, 6, size=(n_br, cb))
+    inp = rng.normal(size=(50, n))
+
+    def build(fname):
+        net = FeedbackNetwork(1e-2)
+        net.add_diffeq_node(
+            "pop", TANH, weights=np.zeros((n, n)), source_var="tanh_op/r",
+            target_var="li_op/r_in", input_var="li_op/I_ext",
+            output_var="li_op/v", verbose=False, clear=True,
+            float_precision="float64", file_name=fname)
+        net.add_edge("pop", "pop", weights=W, delays=d_blk, feedback=True,
+                     train="gd", dtype=np.float64)
+        net.compile()
+        return net
+
+    tgt = np.asarray(build("bde0").run(
+        inp, verbose=False, sampling_steps=1).to_numpy("out"))
+    B = 3
+    ins = np.stack([inp] * B)
+    tgts = np.stack([tgt] * B)
+    res = {}
+    for fused in (True, False):
+        net = build(f"bde{fused}")
+        e = net.get_edge("pop", "pop")
+        e.weights = np.asarray(e.weights) * 1.3
+        obs = net.fit_bptt_batch(ins, tgts, n_epochs=4, optimizer="sgd",
+                                 lr=1e-2, verbose=False, fused_bptt=fused)
+        res[fused] = (np.asarray(obs["epoch_loss"], dtype=float),
+                      np.asarray(net.get_edge("pop", "pop").weights))
+    np.testing.assert_allclose(res[True][0], res[False][0], rtol=1e-9)
+    np.testing.assert_allclose(res[True][1], res[False][1],
+                               rtol=1e-8, atol=1e-11)
+    assert res[True][0][-1] < res[True][0][0]
+    assert np.abs(res[True][1] - np.asarray(W.blocks) * 1.3).max() > 1e-9
