@@ -36,9 +36,13 @@ DSL-built populations (Euler all classes; Heun RateNets get two stages per
 coupling), InstantNode function nodes, and the full linear edge family --
 Linear / LinearMasked (trainable OR frozen masks -- the mask cotangent is
 emitted explicitly from the deferred dE) / LinearMemory / LinearFilter /
-LinearMemoryFilter (any max_delay: the filter is ONE ring-buffer stage) --
-as regular or feedback edges.  Gradient parity with plain autodiff is
-pinned by tests/test_graph_bptt.py (f64).
+LinearMemoryFilter (any max_delay: the filter is ONE ring-buffer stage) /
+BlockSparseLinear (optionally with per-block conduction delays: the
+trajectory carries a cursor-free ROLLED history buffer, converted to/from
+the edge's circular (hist, t) form at the call boundary, and the block
+gradient is ONE post-scan batched tile contraction) -- as regular or
+feedback edges.  Gradient parity with plain autodiff is pinned by
+tests/test_graph_bptt.py (f64).
 
 Reference training semantics: /root/reference/rectipy/network.py:603-707.
 """
