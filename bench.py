@@ -278,29 +278,37 @@ def bench_rate_bptt():
     log(f"[rate-bptt ours] warmup({n_ep}ep+compile) {warm:.2f}s; {ours_epoch * 1e3:.1f} "
         f"ms/epoch (N={n}, T={T})")
 
-    # torch-CPU reference model: per-step loop, autograd through the epoch
+    # torch-CPU reference model: per-step loop, autograd through the epoch.
+    # Hardened like the headline baseline (round-4 VERDICT weak #1: a single
+    # sample swung the recorded ratio 3x, 41x vs 74-134x): best-of-3 FULL
+    # epochs, all samples recorded, fastest wins (CPU contention is
+    # one-sided -- it can only slow torch and inflate our ratio).
     import torch
 
-    Wt = torch.tensor(W0, dtype=torch.float64, requires_grad=True)
     tau_t = torch.tensor(tau, dtype=torch.float64)
     inp_t = torch.tensor(inp, dtype=torch.float64)
     tgt_t = torch.tensor(tgt, dtype=torch.float64)
-    opt = torch.optim.RMSprop([Wt], lr=1e-4)
-    t0 = _t.perf_counter()
-    v = torch.zeros(n, dtype=torch.float64)
-    outs = []
-    for step in range(T):
-        outs.append(v)
-        dv = -v / tau_t + 2.0 * (Wt @ torch.tanh(v)) + inp_t[step] + 2.0
-        v = v + dt * dv
-    loss = torch.mean((torch.stack(outs) - tgt_t) ** 2)
-    opt.zero_grad()
-    loss.backward()
-    opt.step()
-    torch_epoch = _t.perf_counter() - t0
-    log(f"[rate-bptt torch-cpu] {torch_epoch * 1e3:.1f} ms/epoch -> "
+    torch_samples = []
+    for _rep in range(3):
+        Wt = torch.tensor(W0, dtype=torch.float64, requires_grad=True)
+        opt = torch.optim.RMSprop([Wt], lr=1e-4)
+        t0 = _t.perf_counter()
+        v = torch.zeros(n, dtype=torch.float64)
+        outs = []
+        for step in range(T):
+            outs.append(v)
+            dv = -v / tau_t + 2.0 * (Wt @ torch.tanh(v)) + inp_t[step] + 2.0
+            v = v + dt * dv
+        loss = torch.mean((torch.stack(outs) - tgt_t) ** 2)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_samples.append(_t.perf_counter() - t0)
+    torch_epoch = min(torch_samples)
+    log(f"[rate-bptt torch-cpu] {torch_epoch * 1e3:.1f} ms/epoch (best of 3: "
+        f"{[round(s * 1e3, 1) for s in torch_samples]}) -> "
         f"ours is {torch_epoch / ours_epoch:.1f}x faster")
-    return ours_epoch, torch_epoch
+    return ours_epoch, torch_epoch, torch_samples
 
 
 def bench_spiking_bptt_ours():
@@ -564,9 +572,11 @@ def main():
                 f"{NORTHSTAR_BUDGET_S:.0f}s north-star budget")
         if _elapsed() < BUDGET_S:
             try:
-                rate_ours, rate_torch = bench_rate_bptt()
+                rate_ours, rate_torch, rate_samples = bench_rate_bptt()
                 result["bptt_rate_ms_per_epoch"] = round(rate_ours * 1e3, 1)
                 result["bptt_rate_vs_torch_cpu"] = round(rate_torch / rate_ours, 2)
+                result["rate_torch_samples_ms"] = [round(s * 1e3, 1)
+                                                   for s in rate_samples]
                 print(json.dumps(result), flush=True)
             except Exception as e:
                 log(f"[rate-bptt] secondary benchmark failed: {e}")

@@ -3,12 +3,14 @@ matrix so the learner reproduces the teacher's trajectory -- the workload of
 the reference's documentation/bptt_rate_neurons.py.  Each training epoch is a
 single jitted value_and_grad through the full scan."""
 
+import os
+
 import numpy as np
 
 from rectipy_tpu import Network
 
 node = "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh"
-N = 200
+N = int(os.environ.get("BRN_N", 200))
 k, eta = 2.0, 2.0
 rng = np.random.default_rng(1)
 tau = rng.uniform(10.0, 20.0, size=(N,))
@@ -25,7 +27,7 @@ target_net.add_diffeq_node("tanh", node=node, weights=J0, source_var="tanh_op/r"
                            node_vars=node_vars)
 
 # teacher trajectory under a sinusoidal drive
-T = 100.0
+T = float(os.environ.get("BRN_T", 100.0))
 steps = int(T / dt)
 time = np.linspace(0, T, steps)
 inp = (np.sin(2.0 * np.pi * 0.2 * time) * 10.0)[:, None] * np.ones((1, N))
@@ -40,7 +42,7 @@ learner_net.add_diffeq_node("tanh", node=node, weights=J1, source_var="tanh_op/r
                             output_var="li_op/v", float_precision="float64",
                             train_params=["weights"], node_vars=node_vars)
 
-n_epochs = 100
+n_epochs = int(os.environ.get("BRN_EPOCHS", 100))
 train_obs = learner_net.fit_bptt(np.tile(inp, (n_epochs, 1, 1)),
                                  np.tile(target, (n_epochs, 1, 1)),
                                  optimizer="rmsprop", lr=1e-4)

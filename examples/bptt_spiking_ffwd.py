@@ -2,12 +2,14 @@
 through surrogate spike gradients -- the workload of the reference's
 documentation/bptt_spiking_neurons_ffwd.py."""
 
+import os
+
 import numpy as np
 
 from rectipy_tpu import Network
 
 node = "rectipy_tpu.models.spiking_neurons.lif.lif"
-N, n_in, n_out = 100, 2, 3
+N, n_in, n_out = int(os.environ.get("FFWD_N", 100)), 2, 3
 rng = np.random.default_rng(2)
 tau = rng.uniform(10.0, 15.0, size=(N,))
 node_vars = {"eta": 10.0, "tau": tau, "tau_s": 5.0, "k": 2.0}
@@ -37,7 +39,7 @@ def build(w_in, w_out, train):
 
 
 # teacher targets
-T = 100.0
+T = float(os.environ.get("FFWD_T", 100.0))
 steps = int(T / dt)
 time = np.linspace(0, T, steps)
 inputs = np.stack([np.sin(time * 2.0 * np.pi * w) for w in (0.03, 0.05)], axis=1)
@@ -46,7 +48,7 @@ targets = teacher.run(inputs, sampling_steps=1, verbose=False).to_numpy("out")
 
 # train the learner's input and output weights (Rprop, one update per epoch)
 learner = build(W_in_0, W_out_0, "gd")
-epochs = 100
+epochs = int(os.environ.get("FFWD_EPOCHS", 100))
 obs = learner.fit_bptt([inputs] * epochs, [targets] * epochs, optimizer="rprop",
                        lr=0.05, optimizer_kwargs={"etas": (0.5, 1.1),
                                                   "step_sizes": (1e-6, 0.9)})

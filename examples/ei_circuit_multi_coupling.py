@@ -48,7 +48,7 @@ attach_generic_fused_step(net.get_node("ei"), tile=256,
                           interpret=(jax.devices()[0].platform == "cpu"
                                      or os.environ.get("EI_INTERPRET", "0") == "1"))
 
-T = 2000
+T = int(os.environ.get("EI_T", 2000))
 inp = rng.normal(size=(T, N)).astype(np.float32) * 0.1
 obs = net.run(inp, record_output=True, sampling_steps=20, verbose=False)
 r = obs.to_numpy("out")

@@ -9,12 +9,14 @@ No reference analog: the reference's fit_bptt (epoch mode,
 /root/reference/rectipy/network.py:603-707) trains one trial per update.
 """
 
+import os
+
 import numpy as np
 
 from rectipy_tpu import Network
 
 node = "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh"
-N = 100
+N = int(os.environ.get("EBT_N", 100))
 rng = np.random.default_rng(1)
 J0 = rng.normal(size=(N, N))
 J0 /= np.max(np.abs(np.linalg.eigvals(J0)))
@@ -27,7 +29,7 @@ teacher.add_diffeq_node("tanh", node=node, weights=J0, source_var="tanh_op/r",
                         target_var="li_op/r_in", input_var="li_op/I_ext",
                         output_var="li_op/v", float_precision="float64",
                         node_vars=node_vars)
-B, T = 8, 1000
+B, T = int(os.environ.get("EBT_B", 8)), int(os.environ.get("EBT_T", 1000))
 time = np.arange(T) * dt
 freqs = np.linspace(0.1, 0.4, B)
 inputs = np.stack([(np.sin(2 * np.pi * f * time) * 10.0)[:, None]
@@ -43,7 +45,9 @@ learner.add_diffeq_node("tanh", node=node, weights=J1, source_var="tanh_op/r",
                         target_var="li_op/r_in", input_var="li_op/I_ext",
                         output_var="li_op/v", float_precision="float64",
                         node_vars=node_vars, train_params=["weights"])
-obs = learner.fit_bptt_batch(inputs, targets, n_epochs=40, batch_size=4,
+obs = learner.fit_bptt_batch(inputs, targets,
+                             n_epochs=int(os.environ.get("EBT_EPOCHS", 40)),
+                             batch_size=4,
                              optimizer="adam", lr=5e-3, seed=0, verbose=False)
 losses = np.asarray(obs["epoch_loss"])
 print(f"epoch loss: {losses[0]:.4f} -> {losses[-1]:.4f} over {len(losses)} epochs")

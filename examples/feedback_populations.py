@@ -3,6 +3,8 @@ inhibitory feedback edge -- the workload of the reference's
 documentation/rnn_tryout.py, using FeedbackNetwork's one-step-delayed
 feedback semantics."""
 
+import os
+
 import numpy as np
 
 from rectipy_tpu import FeedbackNetwork
@@ -10,7 +12,7 @@ from rectipy_tpu import FeedbackNetwork
 dt = 1e-2
 net = FeedbackNetwork(dt)
 
-N, k = 100, 10.0
+N, k = int(os.environ.get("FBP_N", 100)), 10.0
 neuron = "rectipy_tpu.models.spiking_neurons.lif.lif"
 rng = np.random.default_rng(5)
 for label in ("p1", "p2"):
@@ -23,7 +25,7 @@ for label in ("p1", "p2"):
 net.add_edge("p1", "p2", weights=k * rng.random((N, N)), train=None)
 net.add_edge("p2", "p1", weights=-10 * k * rng.random((N, N)), feedback=True)
 
-steps = 10_000
+steps = int(os.environ.get("FBP_STEPS", 10_000))
 inp = np.zeros((steps, 1)) + 100.0
 obs = net.run(inputs=inp, sampling_steps=10)
 

@@ -49,7 +49,7 @@ net.compile()
 attach_generic_fused_step(net.get_node("lif"), tile=512,
                           interpret=jax.devices()[0].platform == "cpu")
 
-T = 5000
+T = int(os.environ.get("FUSED_T", 5000))
 obs = net.run(np.zeros((T, N), dtype=np.float32), record_output=False,
               record_vars=[("lif", "s", True)], sampling_steps=100, verbose=False)
 s = obs.to_numpy(("lif", "s"))

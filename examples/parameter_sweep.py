@@ -7,11 +7,16 @@ The reference would loop B separate runs in Python; here B=64 points of an
 N=1000 network sweep cost barely more than one run.
 """
 
+import os
+
 import numpy as np
 
 from rectipy_tpu import Network
 
-N, B, T, dt = 1000, 64, 20_000, 1e-3
+N = int(os.environ.get("PS_N", 1000))
+B = int(os.environ.get("PS_B", 64))
+T = int(os.environ.get("PS_T", 20_000))
+dt = 1e-3
 rng = np.random.default_rng(0)
 W = (rng.random((N, N)) < 0.1) * (1.5 / (0.1 * N))
 

@@ -3,12 +3,14 @@ activity -- the workload of the reference's documentation/qif_example.py,
 expressed in rectipy_tpu.  The whole 400k-step integration is one fused
 lax.scan on device."""
 
+import os
+
 import numpy as np
 
 from rectipy_tpu import Network, random_connectivity
 
 # network parameters
-N = 1000
+N = int(os.environ.get("QR_N", 1000))
 p = 0.1
 rng = np.random.default_rng(0)
 W = random_connectivity(N, N, p, normalize=True, rng=rng)
@@ -16,11 +18,11 @@ eta, Delta, alpha, k = -5.0, 1.0, 0.0, 15.0
 etas = eta + Delta * np.tan((np.pi / 2) * (2.0 * np.arange(1, N + 1) - N - 1) / (N + 1))
 v_theta = 1e3
 
-# extrinsic input: a 20 s step of amplitude 3 in a 40 s run
-T, dt = 40.0, 1e-4
+# extrinsic input: a step of amplitude 3 over the middle half of the run
+T, dt = float(os.environ.get("QR_T", 40.0)), 1e-4
 steps = int(T / dt)
 inp = np.zeros((steps, 1))
-inp[int(10.0 / dt):int(30.0 / dt), 0] = 3.0
+inp[steps // 4: 3 * steps // 4, 0] = 3.0
 
 # build the network
 net = Network(dt)

@@ -2,21 +2,24 @@
 workload of the reference's documentation/ridge_example.py (syllable
 classification from a tanh reservoir)."""
 
+import os
+
 import numpy as np
 
 from rectipy_tpu import Network, input_connections, random_connectivity, wta_score
 
 # reservoir parameters
-N, p, Delta_in, J = 100, 0.1, 2.0, 2.0
+N, p, Delta_in, J = int(os.environ.get("RIDGE_N", 100)), 0.1, 2.0, 2.0
 m = 5  # input channels
 signals = [[0, 2, 1], [4, 2, 3], [3, 2, 0]]
 k = len(signals)
 
 # training protocol
-T_init, T_syll, n_reps = 100.0, 1.0, 50
+T_init = float(os.environ.get("RIDGE_TINIT", 100.0))
+T_syll, n_reps = 1.0, int(os.environ.get("RIDGE_REPS", 50))
 n_syll = len(signals[0])
 dt = 1e-3
-n_epochs = 6
+n_epochs = int(os.environ.get("RIDGE_EPOCHS", 6))
 train_epochs = n_epochs - 1
 
 epoch_steps = int(T_syll * n_syll * n_reps / dt)

@@ -3,11 +3,13 @@ reference's documentation/rls_example.py: a tanh reservoir whose readout
 weights are adapted online to output the product of two input sines.  The
 entire RLS recursion runs as one on-device scan carrying (W, P)."""
 
+import os
+
 import numpy as np
 
 from rectipy_tpu import Network
 
-N, m = 600, 2
+N, m = int(os.environ.get("RLS_N", 600)), 2
 rng = np.random.default_rng(4)
 tau = rng.uniform(10.0, 20.0, size=(N,))
 J0 = rng.normal(size=(N, N))
@@ -27,7 +29,7 @@ net.add_func_node("readout", 1, activation_function="identity")
 net.add_edge("tanh", "readout", train="rls", beta=0.99, alpha=1.0)
 
 # input: two sines; target: their normalized product
-steps = 100_000
+steps = int(os.environ.get("RLS_STEPS", 100_000))
 f1, f2, amp = 0.2, 0.02, 1.5
 time = np.linspace(0, steps * dt, num=steps)
 inp = np.stack([np.sin(2 * np.pi * f1 * time) * amp,
@@ -37,7 +39,7 @@ target = (inp[:, :1] * inp[:, 1:]) / amp
 obs = net.fit_rls(inp, targets=target, update_steps=100, verbose=True,
                   record_output=True, record_loss=True, sampling_steps=1000)
 
-test_steps = 20_000
+test_steps = min(int(os.environ.get("RLS_TEST_STEPS", 20_000)), steps)
 obs2, loss = net.test(inp[:test_steps], target[:test_steps], record_output=True,
                       sampling_steps=10, verbose=False)
 print(f"test loss: {loss}")

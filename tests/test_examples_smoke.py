@@ -75,6 +75,53 @@ def _run(example, env=None, timeout=420):
     # differentiable conduction delays: BPTT recovers a fractional teacher
     # delay matrix (mode='interp', train_delays=True)
     ("delay_fitting.py", {"DF_EPOCHS": "80"}),
+    # --- the three BASELINE.md workload scripts (round-4 VERDICT item 6) ---
+    # rate-neuron teacher/student BPTT (reference bptt_rate_neurons.py)
+    ("bptt_rate_neurons.py", {"BRN_N": "32", "BRN_T": "10", "BRN_EPOCHS": "8"}),
+    # feedforward LIF with trained in/out weights through surrogate spikes
+    ("bptt_spiking_ffwd.py", {"FFWD_N": "32", "FFWD_T": "20",
+                              "FFWD_EPOCHS": "8"}),
+    # recurrent LIF BPTT (reference bptt_spiking_rnn.py); defaults run in
+    # ~6 s on CPU and the in-script loss-halving assertion needs the full
+    # 300 epochs
+    ("bptt_spiking_recurrent.py", {}),
+    # --- remaining gallery scripts ---
+    # the reference qif_example.py workload (400k-step scan at full scale)
+    ("qif_reservoir.py", {"QR_N": "128", "QR_T": "2.0"}),
+    # reservoir + ridge readout + WTA scoring (reference ridge_example.py)
+    ("ridge_readout.py", {"RIDGE_N": "50", "RIDGE_TINIT": "5",
+                          "RIDGE_REPS": "4", "RIDGE_EPOCHS": "3"}),
+    # online FORCE / RLS readout adaptation (reference rls_example.py)
+    ("rls_online.py", {"RLS_N": "128", "RLS_STEPS": "20000",
+                       "RLS_TEST_STEPS": "4000"}),
+    # reward-modulated online learning (reference rl_example.py workload);
+    # N=64/20k fails the frozen-readout margin -- 128/60k passes with room
+    ("rl_online_learning.py", {"RL_N": "128", "RL_STEPS": "60000",
+                               "RL_TEST_STEPS": "10000"}),
+    # two LIF populations with inhibitory feedback (reference rnn_tryout.py)
+    ("feedback_populations.py", {"FBP_N": "32", "FBP_STEPS": "2000"}),
+    # eta bifurcation curve via run_batch(batch_vars=) in one program
+    ("parameter_sweep.py", {"PS_N": "128", "PS_B": "8", "PS_T": "4000"}),
+    # ensemble minibatch BPTT (fit_bptt_batch) + held-out generalization
+    ("ensemble_batch_training.py", {"EBT_N": "32", "EBT_T": "400",
+                                    "EBT_EPOCHS": "40"}),
+    # DSL-built E/I circuit with two couplings on one fused step
+    ("ei_circuit_multi_coupling.py", {"EI_N": "64", "EI_T": "200"}),
+    # generic fused Pallas step kernel (interpret mode on CPU)
+    ("fused_kernels.py", {"FUSED_N": "128", "FUSED_T": "200"}),
 ])
 def test_example_runs(example, env):
     _run(example, env)
+
+
+def test_gallery_fully_covered():
+    """Every script in examples/ must have a smoke entry (round-4 VERDICT
+    weak #2: a third of the gallery sat outside the smoke tier and could rot
+    invisibly)."""
+    covered = {example for example, _ in
+               test_example_runs.pytestmark[0].args[1]}
+    gallery = {f for f in os.listdir(os.path.join(REPO, "examples"))
+               if f.endswith(".py")}
+    assert gallery == covered, (
+        f"uncovered examples: {sorted(gallery - covered)}; "
+        f"stale entries: {sorted(covered - gallery)}")
