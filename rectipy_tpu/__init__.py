@@ -13,7 +13,7 @@ __status__ = "Development"
 __version__ = "0.2.0"
 
 from .dsl import CircuitTemplate, NodeTemplate, OperatorTemplate, clear_frontend_caches, lower
-from .edges import (RLS, STDP, Linear, LinearFilter, LinearMasked, LinearMemory,
+from .edges import (RLS, STDP, BlockSparseSTDP, Linear, LinearFilter, LinearMasked, LinearMemory,
                     LinearMemoryFilter, LinearMemoryMatrix, LinearSTP,
                     BlockSparseLinear)
 from .inputs import Constant, InputSpec, Noise, Poisson, Pulse, Sine, Wiener
@@ -42,6 +42,7 @@ __all__ = [
     "LinearMemoryMatrix",
     "LinearSTP",
     "BlockSparseLinear",
+    "BlockSparseSTDP",
     "MultiSpikeResetNet",
     "Network",
     "NodeTemplate",

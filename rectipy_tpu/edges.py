@@ -823,6 +823,15 @@ class RLS(Linear):
         self.loss = loss
 
 
+def _check_stdp_hparams(tau_plus, tau_minus, a_plus, a_minus, w_min, w_max):
+    if tau_plus <= 0 or tau_minus <= 0:
+        raise ValueError("STDP time constants tau_plus/tau_minus must be positive.")
+    if a_plus < 0 or a_minus < 0:
+        raise ValueError("STDP amplitudes a_plus/a_minus must be non-negative.")
+    if not w_max > w_min:
+        raise ValueError("STDP weight bounds require w_max > w_min.")
+
+
 class STDP(Linear):
     """Spike-timing-dependent plasticity edge: online, unsupervised, local.
 
@@ -860,13 +869,17 @@ class STDP(Linear):
                  tau_plus: float = 20.0, tau_minus: float = 20.0,
                  a_plus: float = 0.005, a_minus: float = 0.00525,
                  w_min: float = 0.0, w_max: float = 1.0, soft_bounds: bool = False,
-                 rng: Optional[np.random.Generator] = None, **kwargs):
-        if tau_plus <= 0 or tau_minus <= 0:
-            raise ValueError("STDP time constants tau_plus/tau_minus must be positive.")
-        if a_plus < 0 or a_minus < 0:
-            raise ValueError("STDP amplitudes a_plus/a_minus must be non-negative.")
-        if not w_max > w_min:
-            raise ValueError("STDP weight bounds require w_max > w_min.")
+                 w_dtype=None, rng: Optional[np.random.Generator] = None, **kwargs):
+        _check_stdp_hparams(tau_plus, tau_minus, a_plus, a_minus, w_min, w_max)
+        if w_dtype is not None:
+            # reduced-precision plastic-W carry (e.g. bfloat16): W and both
+            # traces ride Network.fit_stdp's scan carry at this dtype, which
+            # halves the dominant per-step read+write traffic of the dense
+            # rule (the f32 W carry IS the measured roofline,
+            # benchmarks/stdp_scale.py).  Numerics caveat: increments of
+            # a_plus ~ 5e-3 against weights ~ w_max sit near bf16's relative
+            # eps (~8e-3), so small updates quantize -- A/B before trusting.
+            dtype = w_dtype
         if weights is None:
             # uniform within bounds (zeros would make a_plus the only escape
             # from the w_min boundary; mid-range random is the standard init)
@@ -1165,3 +1178,91 @@ class BlockSparseLinear(Linear):
         if self.delays is not None:
             self._hist, self._t = state
         return y
+
+
+class BlockSparseSTDP(BlockSparseLinear):
+    """Block-sparse STDP: the pair-based trace rule of :class:`STDP` applied
+    to :class:`BlockSparseLinear` fan-in blocks -- online plasticity at
+    population scale, where a dense plastic W cannot exist (40 GB at
+    N=100k; fan-in-1000 f32 blocks are ~0.4 GB).
+
+    Beyond-reference (the reference ships no plasticity at all --
+    /root/reference/rectipy/network.py:858-896 is a stub).  The eligibility
+    traces stay O(N) vectors exactly as in the dense rule; only the LTP/LTD
+    outer products change shape -- they become per-block outer products on
+    the GATHERED pre-synaptic blocks:
+
+        pot[r,c,i,j] = a_plus  * spk_post[r*bs+i] * x_pre[cols[r,c]*bs+j]
+        dep[r,c,i,j] = a_minus * x_post[r*bs+i]   * spk_pre[cols[r,c]*bs+j]
+
+    i.e. entry (i, j) of every stored block follows the dense rule for the
+    synapse it stores, and entries NOT covered by a block are structurally
+    absent (the dense rule would potentiate them).  XLA fuses the broadcast
+    products with the W read-modify-write into one elementwise pass over
+    the ``(n_br, cb, bs, bs)`` block tensor, so the per-step cost is the
+    block-stream traffic (~N*fan_in elements), not O(N^2).
+
+    Use via ``add_edge(src, tgt, weights=<BlockSparseCoupling>,
+    train='stdp')`` and :meth:`Network.fit_stdp`, exactly like the dense
+    edge (reward-modulated mode, homeostatic scaling, trace persistence
+    across chunked calls all compose).  Per-block conduction delays are NOT
+    supported on the plastic edge: the pair rule would need per-synapse
+    delayed pre-spike trains; chain a separate delayed edge if the
+    projection must be delayed.
+    """
+
+    def __init__(self, n_in: int, n_out: int, weights=None, dtype=jnp.float64,
+                 tau_plus: float = 20.0, tau_minus: float = 20.0,
+                 a_plus: float = 0.005, a_minus: float = 0.00525,
+                 w_min: float = 0.0, w_max: float = 1.0,
+                 soft_bounds: bool = False, w_dtype=None, block_dtype=None,
+                 **kwargs):
+        _check_stdp_hparams(tau_plus, tau_minus, a_plus, a_minus, w_min, w_max)
+        if w_dtype is not None:
+            dtype = w_dtype  # reduced-precision plastic-W carry (see STDP)
+        super().__init__(n_in, n_out, weights, delays=None, dtype=dtype,
+                         detach=True, block_dtype=block_dtype)
+        self.params["weights"] = jnp.clip(self.params["weights"], w_min, w_max)
+        self.tau_plus = float(tau_plus)
+        self.tau_minus = float(tau_minus)
+        self.a_plus = float(a_plus)
+        self.a_minus = float(a_minus)
+        self.w_min = float(w_min)
+        self.w_max = float(w_max)
+        self.soft_bounds = bool(soft_bounds)
+        self.params["x_pre"] = jnp.zeros(n_in, dtype=self.dtype)
+        self.params["x_post"] = jnp.zeros(n_out, dtype=self.dtype)
+        self.train_keys = []  # local rule outside autograd, like STDP
+
+    # trace accessors shared with the dense edge
+    x_pre = STDP.x_pre
+    x_post = STDP.x_post
+
+    def pair_fn(self, dt: float) -> Callable:
+        """Raw per-block pair-rule increments (no bounds), same contract as
+        :meth:`STDP.pair_fn` with block-tensor pot/dep: ``(x_pre, x_post,
+        spk_pre, spk_post) -> (pot, dep, x_pre', x_post')``."""
+        d_p = float(np.exp(-dt / self.tau_plus))
+        d_m = float(np.exp(-dt / self.tau_minus))
+        a_p, a_m = self.a_plus, self.a_minus
+        cols, bs, nb_in = self.cols, self.bs, self.nb_in
+        n_br = self.params["weights"].shape[0]
+
+        def increments(x_pre, x_post, spk_pre, spk_post):
+            x_pre = x_pre * d_p
+            x_post = x_post * d_m
+            post_blk = spk_post.reshape(n_br, bs)        # (n_br, bs)
+            xpre_blk = x_pre.reshape(nb_in, bs)[cols]    # (n_br, cb, bs)
+            xpost_blk = x_post.reshape(n_br, bs)
+            pre_blk = spk_pre.reshape(nb_in, bs)[cols]
+            pot = a_p * post_blk[:, None, :, None] * xpre_blk[:, :, None, :]
+            dep = a_m * xpost_blk[:, None, :, None] * pre_blk[:, :, None, :]
+            return pot, dep, x_pre + spk_pre, x_post + spk_post
+
+        return increments
+
+    # the update machinery is rule-shape-agnostic (it only composes pair_fn
+    # with the bounds), so the dense edge's implementations apply verbatim
+    update_fn = STDP.update_fn
+    reward_update_fn = STDP.reward_update_fn
+    update = STDP.update

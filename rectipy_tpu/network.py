@@ -35,7 +35,7 @@ import numpy as np
 import optax
 from networkx import DiGraph
 
-from .edges import (RLS, STDP, Linear, LinearFilter, LinearMasked, LinearMemory,
+from .edges import (RLS, STDP, BlockSparseSTDP, Linear, LinearFilter, LinearMasked, LinearMemory,
                     LinearMemoryFilter, LinearMemoryMatrix, LinearSTP,
                     BlockSparseLinear)
 from .inputs import InputSpec
@@ -582,10 +582,23 @@ class Network:
             # local plasticity outside autograd (like the RLS edge); the
             # pre/post spike trains drive the updates in fit_stdp's scan
             trainable = False
-            edge = STDP(**{k: v for k, v in kwargs.items()
-                           if k in ("n_in", "n_out", "weights", "dtype", "tau_plus",
-                                    "tau_minus", "a_plus", "a_minus", "w_min", "w_max",
-                                    "soft_bounds", "rng")})
+            stdp_keys = ("n_in", "n_out", "weights", "dtype", "tau_plus",
+                         "tau_minus", "a_plus", "a_minus", "w_min", "w_max",
+                         "soft_bounds", "w_dtype", "rng")
+            if hasattr(weights, "blocks"):
+                # population-scale plasticity: the pair rule on fan-in
+                # blocks (dense W is impossible at N >> 10k)
+                if kwargs.get("delays") is not None:
+                    raise ValueError(
+                        "Per-block conduction delays are not supported on a "
+                        "plastic (train='stdp') block edge -- the pair rule "
+                        "would need per-synapse delayed pre-spikes; chain a "
+                        "separate delayed BlockSparseLinear edge instead.")
+                edge = BlockSparseSTDP(**{k: v for k, v in kwargs.items()
+                                          if k in stdp_keys + ("block_dtype",)})
+            else:
+                edge = STDP(**{k: v for k, v in kwargs.items()
+                               if k in stdp_keys})
             self._train_edge = (source, target)
         elif train == "rls":
             kwargs.pop("detach", None)
@@ -2001,6 +2014,11 @@ class Network:
         if remat_steps > 1 and rk == 0 and fused_bptt == "auto":
             fused_bptt = False  # non-divisible T: plain path handles remat
         shuffled = bool(shuffle) and n_mb > 1  # full-batch: order is moot
+        accum = int(kwargs.pop("accum_steps", 1))
+        if accum < 1 or mb % accum:
+            raise ValueError(
+                f"accum_steps={accum} must divide the minibatch size {mb} "
+                f"(micro-batches of mb/accum_steps trials each).")
 
         prog_key = self._train_prog_key(optimizer, loss, optimizer_kwargs,
                                         loss_kwargs)
@@ -2008,13 +2026,13 @@ class Network:
         if prog_key is not None:
             cache_key = ("bptt_batch", prog_key, sampling_steps, rk,
                          str(fused_bptt), remat_steps, self._step_versions(),
-                         n_mb, mb, shuffled)
+                         n_mb, mb, shuffled, accum)
         built = self._step_cache.get(cache_key) if cache_key is not None else None
         if built is None:
             built = self._build_batch_programs(self.make_step(), loss_fn, opt,
                                                fused_bptt, rk, remat_steps,
                                                sampling_steps, n_mb, mb,
-                                               shuffled)
+                                               shuffled, accum=accum)
             if cache_key is not None:
                 self._step_cache[cache_key] = built
 
@@ -2065,6 +2083,18 @@ class Network:
         drives / excitabilities / subjects) in a single vmapped program.
         Swept paths must be frozen (per-start trainable inits are
         :meth:`fit_bptt_multistart`'s job).
+
+        ``accum_steps`` (optional, default 1): micro-batch gradient
+        accumulation -- each update's gradient is accumulated over
+        ``accum_steps`` sequential micro-batches of
+        ``batch_size/accum_steps`` trials inside the epoch program, then
+        ONE optimizer step is taken.  Loss and gradients are EXACTLY the
+        full-minibatch update (equal-size mean-of-means; regression-pinned
+        on CPU), while residual memory is bounded by one micro-batch's
+        trajectories -- the one-chip escape hatch when the trial batch
+        OOMs (round-4 envelope: B=8 at N=100352) and no mesh 'data' axis
+        is available to shard trials over.  Trades time for memory (the
+        micro-batches run sequentially).
 
         Returns an Observer with ``epoch_loss`` (mean over minibatches,
         one per epoch), ``train_loss`` (one per update), and ``epochs``.
@@ -2616,7 +2646,7 @@ class Network:
 
     def _build_batch_programs(self, step, loss_fn, opt, fused_bptt, rk,
                               remat_steps, sampling_steps, n_mb, mb,
-                              shuffled):
+                              shuffled, accum=1):
         """Jitted batched-trial training programs for
         :meth:`fit_bptt_batch`: ``(fit_single, fit_chunk, pack)``.  Each
         update takes the mean loss over ``mb`` trials by vmapping the
@@ -2625,7 +2655,17 @@ class Network:
         ``n_mb`` minibatches of one epoch in one dispatch, ``fit_chunk``
         scans ``_EPOCH_SCAN_CHUNK`` whole epochs (with their trial
         permutations) in one.  ``shuffled``/``n_mb``/``mb`` are baked
-        (covered by the fit_bptt_batch cache key)."""
+        (covered by the fit_bptt_batch cache key).
+
+        ``accum > 1``: micro-batch gradient ACCUMULATION -- each update's
+        gradient is computed as the mean over ``accum`` sequential
+        micro-batches of ``mb/accum`` trials (an inner scan whose carry is
+        one trainables-sized gradient sum), so the per-update residual
+        memory is that of ``mb/accum`` trials while loss and gradients
+        equal the full-minibatch update exactly (mean-of-equal-means;
+        regression-pinned).  This is the one-chip escape hatch when B
+        trials OOM (round-4: B=8 at N=100k) and no 'data' mesh axis is
+        available."""
         epoch_loss, pack, _ = self._build_epoch_loss(
             step, loss_fn, fused_bptt, rk, remat_steps, sampling_steps)
 
@@ -2658,8 +2698,32 @@ class Network:
             def body(carry, it):
                 tr, os_ = carry
                 i_mb, t_mb, f_mb = it
-                lval, grads = jax.value_and_grad(batch_loss)(tr, frozen, f_mb,
-                                                             y0p, i_mb, t_mb)
+                if accum > 1:
+                    # micro-batch accumulation: mean loss/grads over `accum`
+                    # sequential chunks of mb/accum trials == the full-mb
+                    # update exactly (equal-size chunks); residual memory is
+                    # bounded by ONE chunk's trajectories
+                    mba = mb // accum
+                    i_a = i_mb.reshape((accum, mba) + i_mb.shape[1:])
+                    t_a = t_mb.reshape((accum, mba) + t_mb.shape[1:])
+                    f_a = {k: v.reshape((accum, mba) + v.shape[1:])
+                           for k, v in f_mb.items()}
+
+                    def acc_body(g_carry, a_it):
+                        gsum, lsum = g_carry
+                        i_c, t_c, f_c = a_it
+                        lv, g = jax.value_and_grad(batch_loss)(
+                            tr, frozen, f_c, y0p, i_c, t_c)
+                        return (jax.tree.map(jnp.add, gsum, g), lsum + lv), None
+
+                    zero = jax.tree.map(jnp.zeros_like, tr)
+                    (gsum, lsum), _ = jax.lax.scan(
+                        acc_body, (zero, jnp.zeros(())), (i_a, t_a, f_a))
+                    grads = jax.tree.map(lambda g: g / accum, gsum)
+                    lval = lsum / accum
+                else:
+                    lval, grads = jax.value_and_grad(batch_loss)(
+                        tr, frozen, f_mb, y0p, i_mb, t_mb)
                 updates, os_ = opt.update(grads, os_, tr)
                 return (optax.apply_updates(tr, updates), os_), lval
 
@@ -3613,7 +3677,12 @@ class Network:
         pre-update surrogate-forward indicators ``record_spikes`` records).
         The weights and both eligibility traces ride the scan carry (one
         fused on-device program, like fit_rls's (W, P)); traces persist on
-        the edge so chunked calls continue plasticity seamlessly.
+        the edge so chunked calls continue plasticity seamlessly.  With a
+        :class:`~rectipy_tpu.ops.sparse.BlockSparseCoupling` as the edge
+        weights the plastic tensor is the fan-in blocks
+        (:class:`~rectipy_tpu.edges.BlockSparseSTDP`) -- plasticity at
+        N=100k+ where a dense W cannot exist; everything here (reward mode,
+        homeostasis, chunking) composes identically.
 
         ``inputs``: a ``(T, m)`` array or an on-device
         :class:`rectipy_tpu.inputs.InputSpec` (e.g. ``Poisson`` drive --
@@ -3650,11 +3719,14 @@ class Network:
         ~+29% at N=10k dense -- reduce-then-rescale is inherently a second
         pass over W); dynamics are identical, but ``w_mean``/``w_min``/
         ``w_max`` recorded AT a scaling step then show pre-scaling weights.
-        Requires 2-D weights.  Targets refer to the
-        STORED ``(n_out, n_in)`` rows -- mind that a square matrix passed to
-        ``add_edge`` is auto-transposed on construction (reference parity,
-        /root/reference/rectipy/edges.py:22-23), so the default targets are
-        the passed matrix's COLUMN sums.
+        Requires 2-D weights or a block-sparse
+        plastic edge (1-D diagonal edges have no row mass).  Targets refer
+        to the STORED ``(n_out, n_in)`` rows -- mind that a square matrix
+        passed to ``add_edge`` is auto-transposed on construction (reference
+        parity, /root/reference/rectipy/edges.py:22-23), so the default
+        targets are the passed matrix's COLUMN sums.  On a block edge the
+        row of postsynaptic neuron ``r*bs + i`` spans block entries
+        ``[r, :, i, :]`` and targets are ``(n_out,)`` in neuron order.
 
         Records the usual output windows; per-window weight statistics are
         saved under ``"w_mean"`` / ``"w_min"`` / ``"w_max"`` (plus
@@ -3671,11 +3743,12 @@ class Network:
         spike_info = self._resolve_record_spikes(kwargs.pop("record_spikes", None))
         src, tgt_node = self._train_edge
         edge = self.get_edge(src, tgt_node)
-        if not isinstance(edge, STDP):
+        if not isinstance(edge, (STDP, BlockSparseSTDP)):
             raise ValueError(
                 f"fit_stdp: the registered train edge {src!r} -> {tgt_node!r} is a "
                 f"{type(edge).__name__}, not an STDP edge; add it with "
                 "add_edge(..., train='stdp').")
+        blocky = isinstance(edge, BlockSparseSTDP)
         for label, want in ((src, edge.n_in), (tgt_node, edge.n_out)):
             node = self.get_node(label)
             if not hasattr(node, "_make_spike_reader"):
@@ -3731,7 +3804,7 @@ class Network:
             h_steps = int(homeostasis_steps)
             if h_steps <= 0:
                 raise ValueError("homeostasis_steps must be a positive integer.")
-            if edge.params["weights"].ndim != 2:
+            if not blocky and edge.params["weights"].ndim != 2:
                 raise ValueError(
                     "homeostatic synaptic scaling needs 2-D edge weights (rows "
                     "= postsynaptic neurons); 1-D diagonal edges have no row "
@@ -3739,8 +3812,12 @@ class Network:
             if homeostasis_target is None:
                 homeostasis_target = getattr(edge, "_homeo_target", None)
             if homeostasis_target is None:
+                # per-postsynaptic-neuron above-floor mass; for block edges
+                # neuron r*bs+i's row lives at [r, :, i, :] of the blocks
                 homeostasis_target = (
-                    edge.params["weights"] - edge.w_min).sum(axis=1)
+                    (edge.params["weights"] - edge.w_min).sum(axis=(1, 3)).ravel()
+                    if blocky else
+                    (edge.params["weights"] - edge.w_min).sum(axis=1))
             h_target = jnp.asarray(homeostasis_target, dtype=w_dtype)
             if h_target.ndim == 0:
                 h_target = jnp.full(edge.n_out, h_target, dtype=w_dtype)
@@ -3836,6 +3913,13 @@ class Network:
 
             def _scale_rows(Wv):
                 above = Wv - edge.w_min
+                if blocky:
+                    # postsynaptic row (r, i) spans block entries [r, :, i, :]
+                    mass = above.sum(axis=(1, 3))            # (n_br, bs)
+                    scale = h_target.reshape(mass.shape) / (mass + 1e-12)
+                    return jnp.clip(
+                        edge.w_min + above * scale[:, None, :, None],
+                        edge.w_min, edge.w_max)
                 scale = h_target / (above.sum(axis=1) + 1e-12)
                 return jnp.clip(edge.w_min + above * scale[:, None],
                                 edge.w_min, edge.w_max)

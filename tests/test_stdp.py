@@ -671,3 +671,260 @@ def test_fit_stdp_homeostasis_feedback_self_edge_pins_stored_rows():
     W = np.asarray(net.get_edge("qif", "qif").params["weights"])
     np.testing.assert_allclose(W.sum(axis=1), w0.sum(axis=0), rtol=1e-5)
     assert np.max(np.abs(W - w0.T)) > 1e-4  # plasticity reshaped the rows
+
+
+# ------------------------------------------------- block-sparse STDP (N>>10k)
+
+def _toy_coupling(rng, nb=3, cb=2, bs=2, lo=0.2, hi=0.6):
+    """Small BlockSparseCoupling with distinct source blocks per row."""
+    from rectipy_tpu import BlockSparseCoupling
+
+    cols = np.stack([rng.choice(nb, size=cb, replace=False)
+                     for _ in range(nb)]).astype(np.int32)
+    blocks = rng.uniform(lo, hi, size=(nb, cb, bs, bs))
+    return BlockSparseCoupling(blocks, cols)
+
+
+def test_block_stdp_update_fn_matches_dense_rule_on_block_entries():
+    """Every stored block entry follows the dense pair rule for the synapse
+    it stores (per-entry independence: no homeostasis).  Hard + soft bounds,
+    exact in f64."""
+    from rectipy_tpu import BlockSparseSTDP
+
+    rng = np.random.default_rng(21)
+    nb, cb, bs, T, dt = 3, 2, 2, 80, 0.5
+    n = nb * bs
+    cfg = dict(tau_plus=6.0, tau_minus=9.0, a_plus=0.05, a_minus=0.04,
+               w_min=0.1, w_max=0.9)
+    A = _toy_coupling(rng, nb, cb, bs)
+    spk_pre = (rng.random((T, n)) < 0.2).astype(float)
+    spk_post = (rng.random((T, n)) < 0.2).astype(float)
+    for soft in (False, True):
+        edge = BlockSparseSTDP(n, n, weights=A, dtype=jnp.float64,
+                               soft_bounds=soft, **cfg)
+        upd = edge.update_fn(dt)
+        W = edge.params["weights"]
+        xp, xs = edge.params["x_pre"], edge.params["x_post"]
+        for t in range(T):
+            W, xp, xs = upd(W, xp, xs, jnp.asarray(spk_pre[t]),
+                            jnp.asarray(spk_post[t]))
+        # dense oracle on the equivalent full matrix, then gather blocks
+        W_ref, xp_ref, xs_ref = _numpy_stdp(
+            np.clip(A.to_dense(), cfg["w_min"], cfg["w_max"]),
+            spk_pre, spk_post, dt, soft=soft, **cfg)
+        W = np.asarray(W)
+        for r in range(nb):
+            for c in range(cb):
+                j = int(A.cols[r, c]) * bs
+                np.testing.assert_allclose(
+                    W[r, c], W_ref[r * bs:(r + 1) * bs, j:j + bs], rtol=1e-12,
+                    err_msg=f"block ({r},{c}) diverged from the dense rule")
+        np.testing.assert_allclose(np.asarray(xp), xp_ref, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(xs), xs_ref, rtol=1e-12)
+
+
+def test_block_stdp_reward_update_matches_dense_rule():
+    """Reward-modulated (three-factor) mode on blocks == the dense rule per
+    stored entry."""
+    from rectipy_tpu import BlockSparseSTDP
+
+    rng = np.random.default_rng(22)
+    nb, cb, bs, T, dt, tau_e = 2, 2, 3, 60, 0.5, 40.0
+    n = nb * bs
+    cfg = dict(tau_plus=6.0, tau_minus=9.0, a_plus=0.05, a_minus=0.04,
+               w_min=-0.5, w_max=0.9)
+    A = _toy_coupling(rng, nb, cb, bs)
+    spk_pre = (rng.random((T, n)) < 0.2).astype(float)
+    spk_post = (rng.random((T, n)) < 0.2).astype(float)
+    reward = rng.normal(size=T)
+
+    edge = BlockSparseSTDP(n, n, weights=A, dtype=jnp.float64, **cfg)
+    upd = edge.reward_update_fn(dt, tau_e)
+    W = edge.params["weights"]
+    E = jnp.zeros_like(W)
+    xp, xs = edge.params["x_pre"], edge.params["x_post"]
+    for t in range(T):
+        W, E, xp, xs = upd(W, E, xp, xs, jnp.asarray(spk_pre[t]),
+                           jnp.asarray(spk_post[t]), reward[t])
+
+    # the dense edge auto-transposes a square weights matrix on construction
+    # (reference parity); pre-transpose so the stored rows equal to_dense()
+    dense = STDP(n, n, weights=np.clip(A.to_dense(), cfg["w_min"], cfg["w_max"]).T,
+                 dtype=jnp.float64, **cfg)
+    upd_d = dense.reward_update_fn(dt, tau_e)
+    Wd = dense.params["weights"]
+    Ed = jnp.zeros_like(Wd)
+    xpd, xsd = dense.params["x_pre"], dense.params["x_post"]
+    for t in range(T):
+        Wd, Ed, xpd, xsd = upd_d(Wd, Ed, xpd, xsd, jnp.asarray(spk_pre[t]),
+                                 jnp.asarray(spk_post[t]), reward[t])
+    W, Wd = np.asarray(W), np.asarray(Wd)
+    for r in range(nb):
+        for c in range(cb):
+            j = int(A.cols[r, c]) * bs
+            np.testing.assert_allclose(W[r, c], Wd[r * bs:(r + 1) * bs, j:j + bs],
+                                       rtol=1e-12)
+
+
+def _block_net(dt, A, dense=False, n=None, homeo=None, **stdp_kw):
+    """QIF population with a plastic recurrent self-edge: block-sparse or
+    the dense equivalent (same initial synapses)."""
+    n = n or A.shape[0]
+    rng = np.random.default_rng(4)
+    net = FeedbackNetwork(dt, dtype=jnp.float64)
+    net.add_diffeq_node(
+        "qif", QIF, weights=np.zeros((n, n)), source_var="s", target_var="s_in",
+        input_var="I_ext", output_var="s", spike_var="spike", reset_var="v",
+        op="qif_op", spike_threshold=100.0, spike_reset=-100.0,
+        node_vars={"all/qif_op/eta": rng.uniform(300.0, 500.0, n)})
+    kw = dict(tau_plus=20e-3, tau_minus=20e-3, a_plus=5e-3, a_minus=4e-3,
+              w_min=0.0, w_max=1.0)
+    kw.update(stdp_kw)
+    if dense:
+        # the dense STDP edge auto-transposes a square matrix on
+        # construction (reference parity); pre-transpose so the stored
+        # rows equal the block edge's dense equivalent
+        net.add_edge("qif", "qif", feedback=True, train="stdp",
+                     weights=A.to_dense().T, **kw)
+    else:
+        net.add_edge("qif", "qif", feedback=True, train="stdp", weights=A, **kw)
+    return net
+
+
+def test_fit_stdp_block_full_coverage_equals_dense_end_to_end():
+    """With every source block present (cb == nb) the block edge stores the
+    FULL matrix, so the entire fit -- projection, spikes, plasticity, and
+    homeostatic scaling -- must equal the dense-edge network exactly."""
+    from rectipy_tpu import BlockSparseCoupling, BlockSparseSTDP
+
+    rng = np.random.default_rng(31)
+    nb, bs, T, dt = 2, 3, 400, 1e-3
+    n = nb * bs
+    cols = np.stack([np.arange(nb, dtype=np.int32)] * nb)
+    blocks = rng.uniform(0.1, 0.5, size=(nb, nb, bs, bs))
+    A = BlockSparseCoupling(blocks, cols)
+    x = (rng.random((T, n)) < 0.1) * 30.0
+
+    for homeo in (None, 100):
+        net_blk = _block_net(dt, A)
+        net_dns = _block_net(dt, A, dense=True)
+        assert isinstance(net_blk.get_edge("qif", "qif"), BlockSparseSTDP)
+        kw = {"homeostasis_steps": homeo} if homeo else {}
+        obs_b = net_blk.fit_stdp(x, sampling_steps=100, verbose=False, **kw)
+        obs_d = net_dns.fit_stdp(x, sampling_steps=100, verbose=False, **kw)
+        Wb = np.asarray(net_blk.get_edge("qif", "qif").params["weights"])
+        Wd = np.asarray(net_dns.get_edge("qif", "qif").params["weights"])
+        for r in range(nb):
+            for c in range(nb):
+                np.testing.assert_allclose(
+                    Wb[r, c], Wd[r * bs:(r + 1) * bs, c * bs:(c + 1) * bs],
+                    rtol=1e-10, err_msg=f"homeo={homeo} block ({r},{c})")
+        np.testing.assert_allclose(obs_b.to_numpy("out"), obs_d.to_numpy("out"),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(obs_b["w_mean"]),
+                                   np.asarray(obs_d["w_mean"]), rtol=1e-10)
+
+
+def test_fit_stdp_block_chunked_equals_single_call_with_homeostasis():
+    """Chunked block-STDP calls (unaligned to the homeostasis period) ==
+    one long call: W, traces, scaling target AND phase all persist."""
+    rng = np.random.default_rng(32)
+    T, dt, h = 240, 1e-3, 64
+    A = _toy_coupling(rng, nb=3, cb=2, bs=2)
+    x = (rng.random((T, A.shape[0])) < 0.12) * 30.0
+
+    net_a = _block_net(dt, A)
+    net_a.fit_stdp(x, sampling_steps=40, homeostasis_steps=h, verbose=False)
+
+    net_b = _block_net(dt, A)
+    net_b.fit_stdp(x[:90], sampling_steps=40, homeostasis_steps=h, verbose=False)
+    net_b.fit_stdp(x[90:], sampling_steps=40, homeostasis_steps=h, verbose=False)
+    for key in ("weights", "x_pre", "x_post"):
+        np.testing.assert_allclose(
+            np.asarray(net_b.get_edge("qif", "qif").params[key]),
+            np.asarray(net_a.get_edge("qif", "qif").params[key]), rtol=1e-12,
+            err_msg=f"{key} diverged across chunked calls")
+
+
+def test_fit_stdp_block_homeostasis_pins_block_row_mass():
+    """After an aligned scaling step, every postsynaptic neuron's above-floor
+    block-row mass equals its target (the initial mass)."""
+    rng = np.random.default_rng(33)
+    T, dt, h = 200, 1e-3, 200  # one full period -> final W is freshly scaled
+    A = _toy_coupling(rng, nb=3, cb=2, bs=2)
+    net = _block_net(dt, A)
+    edge = net.get_edge("qif", "qif")
+    target0 = np.asarray(edge.params["weights"]).sum(axis=(1, 3)).ravel()
+    x = (rng.random((T, A.shape[0])) < 0.15) * 30.0
+    net.fit_stdp(x, sampling_steps=50, homeostasis_steps=h, verbose=False)
+    W = np.asarray(edge.params["weights"])
+    np.testing.assert_allclose(W.sum(axis=(1, 3)).ravel(), target0, rtol=1e-6)
+    assert np.abs(W - np.asarray(_block_net(dt, A).get_edge(
+        "qif", "qif").params["weights"])).max() > 1e-5  # plasticity moved W
+
+
+def test_fit_stdp_block_reward_mode_end_to_end():
+    """Reward-modulated block STDP through the network scan: eligibility
+    persists on the edge, weights stay bounded and move."""
+    rng = np.random.default_rng(34)
+    T, dt = 300, 1e-3
+    A = _toy_coupling(rng, nb=3, cb=2, bs=2)
+    net = _block_net(dt, A)
+    x = (rng.random((T, A.shape[0])) < 0.15) * 30.0
+    reward = rng.normal(size=T)
+    net.fit_stdp(x, sampling_steps=50, reward=reward, verbose=False)
+    edge = net.get_edge("qif", "qif")
+    assert "elig" in edge.params and edge.params["elig"].shape == \
+        edge.params["weights"].shape
+    W = np.asarray(edge.params["weights"])
+    assert np.all(np.isfinite(W)) and W.min() >= 0.0 and W.max() <= 1.0
+    assert np.abs(W - np.asarray(_block_net(dt, A).get_edge(
+        "qif", "qif").params["weights"])).max() > 1e-6
+
+
+def test_block_stdp_dispatch_and_errors():
+    rng = np.random.default_rng(35)
+    A = _toy_coupling(rng, nb=3, cb=2, bs=2)
+    from rectipy_tpu import BlockSparseSTDP
+
+    net = _block_net(1e-3, A)
+    assert isinstance(net.get_edge("qif", "qif"), BlockSparseSTDP)
+    assert net._train_edge == ("qif", "qif")
+
+    # per-block delays cannot ride the plastic edge
+    net2 = FeedbackNetwork(1e-3, dtype=jnp.float64)
+    net2.add_diffeq_node("qif", QIF, weights=np.zeros((6, 6)), source_var="s",
+                         target_var="s_in", input_var="I_ext", output_var="s",
+                         spike_var="spike", reset_var="v")
+    with pytest.raises(ValueError, match="delays are not supported"):
+        net2.add_edge("qif", "qif", feedback=True, train="stdp", weights=A,
+                      delays=np.zeros((3, 2), dtype=int))
+    # hyperparameter validation applies to the block edge too
+    with pytest.raises(ValueError, match="tau_plus"):
+        BlockSparseSTDP(6, 6, weights=A, tau_plus=0.0)
+
+
+def test_stdp_reduced_precision_w_carry():
+    """w_dtype='bfloat16' halves the plastic-W carry traffic (the measured
+    dense roofline); dynamics stay qualitatively right -- causal pairing
+    still potentiates -- and the carry really is bf16."""
+    T, dt = 400, 0.1
+    pre_steps = np.arange(20, 380, 40)
+    net = Network(dt, dtype=jnp.float64)
+    net.add_func_node("inp", 2, activation_function="identity")
+    for label, sel in (("pre", [[1.0, 0.0]]), ("post", [[0.0, 1.0]])):
+        net.add_diffeq_node(label, LIF, weights=np.zeros((1, 1)), source_var="s",
+                            target_var="s_in", input_var="I_ext", output_var="s",
+                            op="lif_op", spike_var="spike", reset_var="v",
+                            spike_threshold=1.0, spike_reset=0.0)
+        net.add_edge("inp", label, weights=np.array(sel))
+    net.add_edge("pre", "post", train="stdp", weights=np.full((1, 1), 0.25),
+                 tau_plus=2.0, tau_minus=2.0, a_plus=0.05, a_minus=0.05,
+                 w_min=0.0, w_max=1.0, w_dtype=jnp.bfloat16)
+    edge = net.get_edge("pre", "post")
+    assert edge.params["weights"].dtype == jnp.bfloat16
+    x = _pulse_train(T, pre_steps, 0) + _pulse_train(T, pre_steps + 5, 1)
+    net.fit_stdp(x, sampling_steps=50, verbose=False)
+    w = float(np.asarray(edge.params["weights"].astype(jnp.float32))[0, 0])
+    assert edge.params["weights"].dtype == jnp.bfloat16
+    assert w > 0.25 + 1e-3, f"causal pairing should potentiate; got {w}"
