@@ -242,12 +242,18 @@ def _split_args(args):
     return diff, aux
 
 
-def _node_pieces(node):
+def _node_pieces(node, allow_no_coupling: bool = False):
     """Validate a node for deferred-gradient BPTT and build the reusable
     per-population machinery: coupling source readers, the coupling-free
     step function, and the per-coupling contraction triples.  Shared by the
     single-population trajectory below and the multi-population graph
-    trajectory (ops/graph_bptt.py)."""
+    trajectory (ops/graph_bptt.py).
+
+    ``allow_no_coupling``: the GRAPH trajectory admits populations with NO
+    internal coupling matrix (``weights=None`` nodes whose entire coupling
+    rides on edges -- e.g. the block-sparse feedback showcase); the
+    single-population trajectory keeps the requirement (with no couplings
+    there is nothing to defer)."""
     from types import SimpleNamespace
 
     vf = getattr(node, "_vf", None)
@@ -268,7 +274,7 @@ def _node_pieces(node):
     heun = integrator == "heun"  # nodes.py restricts heun to RateNet (no spikes)
 
     wkeys = [wk for _, _, wk in vf.couplings]
-    if not wkeys:
+    if not wkeys and not allow_no_coupling:
         raise ValueError("Deferred-gradient BPTT requires at least one coupling matrix")
     for wk in wkeys:
         if node._args[wk].dtype == jnp.int8:

@@ -241,7 +241,9 @@ def make_graph_traj(net, remat_steps: int = 0) -> Tuple[Callable, SimpleNamespac
         if isinstance(node, InstantNode):
             inst_steps[lbl] = node.make_step()
         else:
-            progs[lbl] = _node_pieces(node)  # Euler or Heun (2-stage) pieces
+            # Euler or Heun (2-stage) pieces; coupling-free populations
+            # (weights=None, all coupling on edges) are admitted here
+            progs[lbl] = _node_pieces(node, allow_no_coupling=True)
     if not progs:
         raise ValueError("Deferred-gradient graph BPTT requires at least one "
                          "DSL-built population.")

@@ -1025,3 +1025,60 @@ def test_graph_traj_block_edge_state_roundtrip():
         np.testing.assert_allclose(np.asarray(hist_t), np.asarray(hist_r),
                                    rtol=1e-6, atol=1e-8)
         assert int(t_t) == int(t_r) == T
+
+
+def test_graph_traj_coupling_free_population_block_delay_fb():
+    """A population with NO internal coupling (weights=None) whose entire
+    recurrent coupling rides a delayed BlockSparseLinear feedback self-edge
+    -- the N=100k showcase topology (benchmarks/block_delay_scale.py).
+    Round-5 regression: _node_pieces refused coupling-free nodes, so
+    fused_bptt='auto' silently fell back to plain autodiff and the fused
+    path was never exercised (measured auto == plain at 2473 ms/epoch on
+    chip).  The graph trajectory must (a) build, (b) match plain autodiff's
+    losses and trained blocks exactly."""
+    from rectipy_tpu import FeedbackNetwork
+    from rectipy_tpu.ops.sparse import block_random_connectivity
+
+    N, BS, dmax, T = 128, 32, 5, 500
+    nb = N // BS
+
+    def build():
+        A = block_random_connectivity(N, N, 16, block_size=BS, seed=0)
+        ring = np.abs(A.cols - np.arange(nb)[:, None])
+        ring = np.minimum(ring, nb - ring).astype(float)
+        d_blk = np.rint(ring / max(ring.max(), 1.0) * dmax).astype(int)
+        rng = np.random.default_rng(1)
+        net = FeedbackNetwork(1e-3, dtype=jnp.float64)
+        net.add_func_node("inp", 1, activation_function="identity")
+        net.add_diffeq_node(
+            "qif", QIF, n=N, input_var="I_ext", output_var="s",
+            spike_var="spike", spike_def="v", op="qif_op",
+            spike_threshold=1e2, spike_reset=-1e2, float_precision="float64",
+            node_vars={"all/qif_op/eta":
+                       1000.0 + 200.0 * rng.standard_normal(N)})
+        net.add_edge("inp", "qif",
+                     weights=np.random.default_rng(7).normal(size=(N, 1)))
+        net.add_edge("qif", "qif", weights=A, delays=d_blk, feedback=True,
+                     train="gd")
+        net.compile()
+        return net
+
+    gtraj, gspec = make_graph_traj(build())  # (a) must not raise
+    assert gspec.pop_labels == ["qif"] and gspec.stateful_edges == ["qif->qif"]
+
+    ins = np.zeros((T, 1))
+    ins[T // 4:, 0] = 3.0
+    tgt = np.asarray(build().run(ins, verbose=False).to_numpy("out"))
+    assert np.abs(tgt).max() > 0, "teacher must spike for a meaningful fit"
+    res = {}
+    for mode, fb in (("auto", "auto"), ("plain", False)):
+        net_t = build()
+        e = net_t.get_edge("qif", "qif")
+        e.weights = e.weights * 1.5
+        obs = net_t.fit_bptt([ins] * 3, [tgt] * 3, optimizer="adam", lr=1e-4,
+                             verbose=False, fused_bptt=fb)
+        res[mode] = ([float(l) for l in obs["epoch_loss"]],
+                     np.asarray(net_t.get_edge("qif", "qif").weights))
+    assert res["auto"][0][0] > 0
+    np.testing.assert_allclose(res["auto"][0], res["plain"][0], rtol=1e-8)
+    np.testing.assert_allclose(res["auto"][1], res["plain"][1], rtol=1e-8)
