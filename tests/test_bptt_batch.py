@@ -338,3 +338,53 @@ def test_batch_block_delay_edge_deferred_matches_plain():
                                rtol=1e-8, atol=1e-11)
     assert res[True][0][-1] < res[True][0][0]
     assert np.abs(res[True][1] - np.asarray(W.blocks) * 1.3).max() > 1e-9
+
+
+@pytest.mark.parametrize("accum", [2, 4])
+def test_batch_accum_steps_equals_full_minibatch(accum):
+    """Micro-batch gradient accumulation (accum_steps=k) == the full-
+    minibatch update exactly: equal-size mean-of-means, pinned at f64
+    against the accum=1 program (losses AND trained weights)."""
+    rng = np.random.default_rng(11)
+    W0 = rng.normal(scale=0.3, size=(6, 6))
+    ins, tgts = _trials(rng, B=8)
+    a = _chain_net(W0)
+    obs_a = a.fit_bptt_batch(ins, tgts, n_epochs=4, batch_size=4, seed=5,
+                             optimizer="adam", lr=1e-2, verbose=False)
+    b = _chain_net(W0)
+    obs_b = b.fit_bptt_batch(ins, tgts, n_epochs=4, batch_size=4, seed=5,
+                             optimizer="adam", lr=1e-2, verbose=False,
+                             accum_steps=accum)
+    np.testing.assert_allclose(np.asarray(obs_b["train_loss"]),
+                               np.asarray(obs_a["train_loss"]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.get_var("p", "weights")),
+                               np.asarray(a.get_var("p", "weights")),
+                               rtol=1e-12)
+
+
+def test_batch_accum_steps_composes_with_batch_vars_and_remat():
+    """accum_steps slices the per-trial frozen overrides (batch_vars) along
+    with the trials, and composes with remat_steps; exactness vs accum=1."""
+    rng = np.random.default_rng(12)
+    W0 = rng.normal(scale=0.3, size=(6, 6))
+    ins, tgts = _trials(rng, B=4, T=30)
+    etas = np.linspace(0.5, 2.0, 4)
+    nets = []
+    for accum in (1, 2):
+        net = _chain_net(W0)
+        net.fit_bptt_batch(ins, tgts, n_epochs=3, seed=2, optimizer="adam",
+                           lr=1e-2, verbose=False, accum_steps=accum,
+                           remat_steps=10, batch_vars={("p", "eta"): etas})
+        nets.append(np.asarray(net.get_var("p", "weights")))
+    np.testing.assert_allclose(nets[1], nets[0], rtol=1e-12)
+
+
+def test_batch_accum_steps_validation():
+    rng = np.random.default_rng(13)
+    W0 = rng.normal(scale=0.3, size=(6, 6))
+    ins, tgts = _trials(rng, B=4)
+    net = _chain_net(W0)
+    with pytest.raises(ValueError, match="accum_steps"):
+        net.fit_bptt_batch(ins, tgts, verbose=False, accum_steps=3)
+    with pytest.raises(ValueError, match="accum_steps"):
+        net.fit_bptt_batch(ins, tgts, verbose=False, accum_steps=0)
