@@ -1484,8 +1484,12 @@ class Network:
         integrates with its own ``values[b]``.  The TPU-native bifurcation
         / parameter-sweep workload: one vmapped program evaluates the whole
         sweep (couplings sweep too -- precision prep runs per trial inside
-        the program).  Composes with ``mesh=``: swept leaves shard over the
-        ``'data'`` axis with their trials.
+        the program).  Keys of the form ``("edge", source, target, param)``
+        sweep EDGE parameters the same way (``"weights"``, a
+        ``mode='interp'`` edge's float ``"delays"`` matrix, masks) --
+        per-trial connectomes in one program, and the surface
+        :meth:`fit_es` evolves gradient-free.  Composes with ``mesh=``:
+        swept leaves shard over the ``'data'`` axis with their trials.
 
         All B trials run in ONE vmapped scan (a single XLA program; batched
         matvecs become matmuls on the MXU).  Falls back to a per-trial loop
@@ -1540,23 +1544,25 @@ class Network:
         if batch_vars:
             p_axes = jax.tree.map(lambda _: None, params)
             swept = []
-            for (nlabel, var), vals in batch_vars.items():
-                node = self.get_node(nlabel)
-                var_r = self._relabel_var(var)
-                try:
-                    key = node._param_map[var_r]
-                except (AttributeError, KeyError):
-                    raise KeyError(f"batch_vars: {var!r} is not a parameter "
-                                   f"of node {nlabel!r}.")
-                cur = jnp.asarray(params["nodes"][nlabel][key])
-                vals = jnp.asarray(np.asarray(vals), dtype=cur.dtype)
+            for k, vals in batch_vars.items():
+                # node params, exact paths, or ("edge", src, tgt, param)
+                # EDGE sweeps (frozen weights / interp delay matrices /
+                # masks) -- the gradient-free connectome-fitting surface
+                sec, label, key = self._sweep_path("batch_vars", k)
+                cur = jnp.asarray(params[sec][label][key])
+                if not isinstance(vals, jnp.ndarray):  # staging pass-through
+                    vals = np.asarray(vals)
+                vals = jnp.asarray(vals, dtype=cur.dtype)
                 if vals.shape[0] != B:
                     raise ValueError(
-                        f"batch_vars[{(nlabel, var)}]: leading dimension "
+                        f"batch_vars[{k}]: leading dimension "
                         f"{vals.shape[0]} != batch size {B}")
-                params["nodes"][nlabel][key] = vals
-                p_axes["nodes"][nlabel][key] = 0
-                swept.append((nlabel, key))
+                # trailing shape is NOT pinned to the current leaf: a scalar
+                # parameter legitimately sweeps with per-neuron (B, n) values
+                # (it broadcasts inside the program)
+                params[sec][label][key] = vals
+                p_axes[sec][label][key] = 0
+                swept.append((sec, label, key))
             swept = tuple(sorted(swept))
         if mesh is not None:
             # dp x mp in one call: trials shard over the mesh's 'data' axis,
@@ -1582,11 +1588,11 @@ class Network:
             if batch_vars:
                 # swept parameter leaves (B, ...) shard over 'data' WITH the
                 # trials they belong to (replicated when B doesn't divide)
-                for nlabel, key in swept:
-                    leaf = params["nodes"][nlabel][key]
+                for sec, label, key in swept:
+                    leaf = params[sec][label][key]
                     spec_p = (PartitionSpec("data", *([None] * (leaf.ndim - 1)))
                               if batch_spec != PartitionSpec() else PartitionSpec())
-                    params["nodes"][nlabel][key] = jax.device_put(
+                    params[sec][label][key] = jax.device_put(
                         leaf, NamedSharding(mesh, spec_p))
             if input_fn is None:
                 in_spec = (PartitionSpec() if in_axes_tree is None  # shared (T, m)
@@ -1612,9 +1618,10 @@ class Network:
                 pb = params
                 if batch_vars:  # per-trial parameter overrides
                     pb = {**params,
-                          "nodes": {n: dict(s) for n, s in params["nodes"].items()}}
-                    for nlabel, key in swept:
-                        pb["nodes"][nlabel][key] = params["nodes"][nlabel][key][b]
+                          "nodes": {n: dict(s) for n, s in params["nodes"].items()},
+                          "edges": {e: dict(s) for e, s in params["edges"].items()}}
+                    for sec, label, key in swept:
+                        pb[sec][label][key] = params[sec][label][key][b]
                 if input_fn is None:
                     in_b = inputs if in_axes_tree is None else inputs[b]
                 else:  # slice per-trial spec leaves; shared leaves pass through
@@ -1645,9 +1652,10 @@ class Network:
         params0 = params
         if batch_vars:
             params0 = {**params,
-                       "nodes": {n: dict(sb) for n, sb in params["nodes"].items()}}
-            for nlabel, key in swept:
-                params0["nodes"][nlabel][key] = params["nodes"][nlabel][key][0]
+                       "nodes": {n: dict(sb) for n, sb in params["nodes"].items()},
+                       "edges": {e: dict(sb) for e, sb in params["edges"].items()}}
+            for sec, label, key in swept:
+                params0[sec][label][key] = params[sec][label][key][0]
         if input_fn is None:
             in_aval = inputs[0] if in_axes_tree is None else inputs[0, 0]
             in_sig, in_fn_only = ("shared" if in_axes_tree is None else None), None
@@ -1924,6 +1932,41 @@ class Network:
 
     _CLASS_LOSSES = ("nll", "ce")  # integer class labels: (B, R) targets
 
+    def _sweep_path(self, name, k):
+        """Resolve a ``batch_vars`` / ``fit_es`` ``fit_vars`` key to a
+        params-pytree path ``("nodes"|"edges", label_or_ekey, param)``.
+        Accepted forms: ``(node, var)``; an exact path 3-tuple; or
+        ``("edge", source, target, param)`` addressing an EDGE parameter
+        (``"weights"``, a ``mode='interp'`` delay matrix ``"delays"``, a
+        ``"mask"``, ...).  Integer-delay edges keep their delays as static
+        gather structure, not a parameter -- sweeping/evolving delays needs
+        the interp read."""
+        k = tuple(k)
+        if len(k) == 4 and k[0] == "edge":
+            _, src, tgt, param = k
+            edge = self.get_edge(src, tgt)  # raises with names if absent
+            if param not in edge.params:
+                extra = ""
+                if param == "delays":
+                    extra = (" -- integer-delay edges hold their delays as "
+                             "static gather structure; build the edge with "
+                             "mode='interp' to expose a sweepable/evolvable "
+                             "float delay matrix")
+                raise KeyError(
+                    f"{name}: {param!r} is not a parameter of edge "
+                    f"{src!r} -> {tgt!r} (available: {sorted(edge.params)})"
+                    f"{extra}.")
+            return ("edges", _ekey(src, tgt), param)
+        if len(k) == 3 and k[0] in ("nodes", "edges"):
+            return k
+        nlabel, var = k
+        node = self.get_node(nlabel)
+        try:
+            return ("nodes", nlabel, node._param_map[self._relabel_var(var)])
+        except (AttributeError, KeyError):
+            raise KeyError(f"{name}: {var!r} is not a parameter of node "
+                           f"{nlabel!r}.")
+
     def _resolve_batch_vars(self, name, batch_vars, B, params):
         """Resolve a ``batch_vars`` mapping for the batched-trial trainers to
         a flat ``{(kind, label, key): (B, ...) device array}`` of per-trial
@@ -1936,16 +1979,7 @@ class Network:
         trainable = set(self.trainable_paths())
         fb = {}
         for k, vals in (batch_vars or {}).items():
-            if len(k) == 3 and k[0] in ("nodes", "edges"):
-                path = tuple(k)
-            else:
-                nlabel, var = k
-                node = self.get_node(nlabel)
-                try:
-                    path = ("nodes", nlabel, node._param_map[self._relabel_var(var)])
-                except (AttributeError, KeyError):
-                    raise KeyError(f"{name}: batch_vars key {var!r} is not a "
-                                   f"parameter of node {nlabel!r}.")
+            path = self._sweep_path(name, k)
             if path in trainable:
                 raise ValueError(
                     f"{name}: batch_vars path {path} is TRAINABLE; per-trial "
@@ -2441,11 +2475,20 @@ class Network:
         perturbations in +/- pairs (variance reduction; requires even
         ``pop_size``).
 
-        ``fit_vars``: list of ``(node, var)`` NODE parameters to evolve
-        (scalar or per-neuron arrays -- the same addressing as
-        ``run_batch(batch_vars=)``).  ``bounds``: optional ``{(node, var):
-        (lo, hi)}`` box constraints (applied to candidates and the search
-        point).  ``inputs``: a ``(T, m)`` array (shared across candidates)
+        ``fit_vars``: list of parameters to evolve -- ``(node, var)`` NODE
+        parameters (scalar or per-neuron arrays) and/or ``("edge", source,
+        target, param)`` EDGE parameters: coupling ``"weights"``, a
+        ``mode='interp'`` edge's float ``"delays"`` matrix, a ``"mask"``
+        (the same addressing ``run_batch(batch_vars=)`` accepts).
+        Gradient-free connectome fitting: evolving a delay matrix or
+        coupling gains where BPTT through long delay buffers or chaotic /
+        spiking dynamics is impractical.  Integer-delay edges hold their
+        delays as static gather structure -- build the edge with
+        ``mode='interp'`` to expose an evolvable delay matrix (the read is
+        exactly the one-hot at integer values).  ``bounds``: optional
+        ``{fit_var_key: (lo, hi)}`` box constraints (applied to candidates
+        and the search point; delays should be bounded to
+        ``[0, max_delay]``).  ``inputs``: a ``(T, m)`` array (shared across candidates)
         or an unbatched on-device InputSpec.  ``targets``: ``(R, n_out)``
         (or broadcastable) against the ``sampling_steps``/``cutoff`` record
         grid.  ``loss``: a registry name (mse/l1/nll/ce/kld/hinge; the whole
@@ -2485,8 +2528,42 @@ class Network:
             raise ValueError("fit_vars must name at least one (node, var) "
                              "parameter to evolve.")
         fit_vars = [tuple(v) for v in fit_vars]
+        for key in fit_vars:
+            self._sweep_path("fit_es", key)  # fail early, with names
         if isinstance(objective_key, (list, tuple)):
             objective_key = tuple(objective_key)
+
+        def get_fit_var(key):
+            if len(key) == 4 and key[0] == "edge":
+                return self.get_edge(key[1], key[2]).params[key[3]]
+            if len(key) == 3:
+                sec, label, pkey = key
+                return (self.get_node(label)._args[pkey] if sec == "nodes"
+                        else self.get_edge(*label.split("->")).params[pkey])
+            return self.get_var(*key)
+
+        def set_fit_var(key, val):
+            if len(key) == 4 and key[0] == "edge":
+                edge = self.get_edge(key[1], key[2])
+                cur = np.asarray(edge.params[key[3]])
+                edge.params[key[3]] = jnp.asarray(
+                    np.asarray(val, dtype=cur.dtype).reshape(cur.shape))
+            elif len(key) == 3:
+                sec, label, pkey = key
+                if sec == "edges":
+                    edge = self.get_edge(*label.split("->"))
+                    cur = np.asarray(edge.params[pkey])
+                    edge.params[pkey] = jnp.asarray(
+                        np.asarray(val, dtype=cur.dtype).reshape(cur.shape))
+                else:
+                    node = self.get_node(label)
+                    cur = np.asarray(node._args[pkey])
+                    node._args[pkey] = jnp.asarray(
+                        np.asarray(val, dtype=cur.dtype).reshape(cur.shape))
+            else:
+                cur = np.asarray(self.get_var(*key))
+                self.set_var(*key, np.asarray(val, dtype=cur.dtype)
+                             .reshape(cur.shape))
         registry_loss = not callable(loss)
         if callable(loss):
             if loss_kwargs:
@@ -2500,7 +2577,7 @@ class Network:
         targets = np.asarray(targets)
         rng = np.random.default_rng(seed)
 
-        theta = {key: np.asarray(self.get_var(*key), dtype=np.float64)
+        theta = {key: np.asarray(get_fit_var(key), dtype=np.float64)
                  for key in fit_vars}
         bounds = {tuple(k): (float(lo), float(hi))
                   for k, (lo, hi) in (bounds or {}).items()}
@@ -2628,8 +2705,7 @@ class Network:
         else:
             fitted, final_loss, returned = theta, search_loss, "search_point"
         for key, val in fitted.items():
-            cur = np.asarray(self.get_var(*key))
-            self.set_var(*key, np.asarray(val, dtype=cur.dtype).reshape(cur.shape))
+            set_fit_var(key, val)
         obs.save("es_returned", returned)
         obs.save("es_search_point_loss", search_loss)
         obs.save("generations", np.arange(len(mean_hist)))
