@@ -16,7 +16,13 @@ a reliable device timing); best-of-several; n_epochs a multiple of the
 (B, T, 1) (the input edge broadcasts -- an (B, T, N) input would re-stage
 hundreds of MB per fit).
 
-Env: BATCHES=1,2,4  N_EP=8  REMAT=0  T=500
+Env: BATCHES=1,2,4  N_EP=8  REMAT=0  T=500  ACCUM=1
+
+ACCUM=k (round 5): micro-batch gradient accumulation -- the one-chip escape
+past the B=4 envelope (B=8 OOMs plain AND remat): each update accumulates
+grads over k sequential micro-batches of B/k trials (exact same update;
+tests/test_bptt_batch.py pins it), so residual memory is one micro-batch's
+while the optimizer still steps on the full-B gradient.
 """
 import os, sys, time
 
@@ -88,6 +94,9 @@ for B in (int(x) for x in os.environ.get("BATCHES", "1,2,4").split(",")):
     jax.block_until_ready((ins, tgt))
     lap(f"[B={B:2d}] staged {tgt.nbytes / 2**20:.0f} MB targets")
     kw = {"remat_steps": REMAT} if REMAT else {}
+    accum = int(os.environ.get("ACCUM", 1))
+    if accum > 1:
+        kw["accum_steps"] = accum
     try:
         t0 = time.perf_counter()
         net.fit_bptt_batch(ins, tgt, n_epochs=N_EP, optimizer="adam",

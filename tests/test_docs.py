@@ -88,3 +88,45 @@ def test_referenced_examples_and_modules_exist():
 def test_makefile_has_html_target():
     mk = (DOCS / "Makefile").read_text()
     assert re.search(r"^html:", mk, re.M)
+
+
+def _heading_slugs(text):
+    """Myst/GitHub-style slugs for every markdown heading (lowercase,
+    punctuation stripped, spaces -> dashes)."""
+    slugs = set()
+    for m in re.finditer(r"^#+\s+(.+)$", re.sub(r"```.*?```", "", text,
+                                                flags=re.S), re.M):
+        t = m.group(1).strip().lower()
+        t = re.sub(r"[^\w\s-]", "", t)
+        slugs.add(re.sub(r"[\s_]+", "-", t).strip("-"))
+    return slugs
+
+
+def test_anchor_links_and_myst_roles_resolve():
+    """What `sphinx -W` (myst) would flag and the link check above misses:
+    in-page / cross-page `#anchor` fragments must match a real heading slug,
+    and any `{ref}`/`{doc}` myst role must resolve.  (The gallery currently
+    uses neither -- this guards future usage from silent breakage.)"""
+    slugs = {p.name: _heading_slugs(p.read_text()) for p in DOCS.glob("*.md")}
+    for page in DOCS.glob("*.md"):
+        text = re.sub(r"```.*?```", "", page.read_text(), flags=re.S)
+        for label, target in re.findall(r"\[([^\]]+)\]\(([^)]+)\)", text):
+            if target.startswith(("http://", "https://", "mailto:")):
+                continue
+            if "#" not in target:
+                continue
+            path, frag = target.split("#", 1)
+            tgt_page = page.name if not path else pathlib.Path(path).name
+            assert tgt_page in slugs, \
+                f"{page.name}: anchor link to unknown page {target!r}"
+            assert frag in slugs[tgt_page], \
+                f"{page.name}: [{label}]({target}) anchor {frag!r} not a " \
+                f"heading of {tgt_page} (have {sorted(slugs[tgt_page])})"
+        for role, target in re.findall(r"\{(ref|doc)\}`([^`]+)`", text):
+            target = target.split("<")[-1].rstrip(">")
+            if role == "doc":
+                assert (DOCS / f"{target}.md").exists(), \
+                    f"{page.name}: {{doc}}`{target}` has no {target}.md"
+            else:
+                found = any(target in s for s in slugs.values())
+                assert found, f"{page.name}: {{ref}}`{target}` resolves nowhere"
