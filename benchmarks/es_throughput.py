@@ -61,25 +61,30 @@ def build():
     return net
 
 
-net = build()
-lap("network built")
+POPS = [int(x) for x in os.environ.get("POPS", "8,16,32").split(",") if x]
+if os.environ.get("ES_NODE", "1") != "1":
+    POPS = []
+if POPS:
+    net = build()
+    lap("network built")
 inp = np.zeros((STEPS, 1), dtype=np.float32)
 
-# single plain-run reference at the same horizon
-t0 = time.perf_counter()
-net.run(inp, sampling_steps=100, record_output=False,
-        record_vars=[("qif", "s", True)], verbose=False)
-lap(f"single run warmup {time.perf_counter()-t0:5.1f}s")
-best_run = float("inf")
-for _ in range(3):
+if POPS:
+    # single plain-run reference at the same horizon
     t0 = time.perf_counter()
     net.run(inp, sampling_steps=100, record_output=False,
             record_vars=[("qif", "s", True)], verbose=False)
-    best_run = min(best_run, time.perf_counter() - t0)
-lap(f"single run best {best_run:6.3f}s ({STEPS*N/best_run:.3e} nu/s)")
+    lap(f"single run warmup {time.perf_counter()-t0:5.1f}s")
+    best_run = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        net.run(inp, sampling_steps=100, record_output=False,
+                record_vars=[("qif", "s", True)], verbose=False)
+        best_run = min(best_run, time.perf_counter() - t0)
+    lap(f"single run best {best_run:6.3f}s ({STEPS*N/best_run:.3e} nu/s)")
 
 targets = np.zeros((STEPS // 100, 1), dtype=np.float32)
-for POP in (int(x) for x in os.environ.get("POPS", "8,16,32").split(",")):
+for POP in POPS:
     gens_t = []
 
     class _Clock:
@@ -110,3 +115,76 @@ for POP in (int(x) for x in os.environ.get("POPS", "8,16,32").split(",")):
     lap(f"[pop={POP:3d}] {n_gens} generations in {total:6.2f}s; best gen "
         f"{best_gen:6.3f}s = {POP*STEPS*N/best_gen:.3e} aggregate nu/s "
         f"({best_gen/best_run:.2f}x a single run for {POP}x candidates)")
+
+# ---------------------------------------------------------------- edge phase
+# Gradient-free CONNECTOME fitting cost (round-5): ES over an interp-mode
+# per-connection delay matrix at the whole-brain M=90 scale -- the workload
+# where BPTT through 1000-step buffers is impractical (chaotic/spiking
+# regimes) and fit_es over ("edge", src, tgt, "delays") is the tool.  Each
+# generation = ONE vmapped run_batch with per-candidate delay matrices (the
+# hat selectors build per trial inside the program).
+if os.environ.get("ES_EDGE", "1") == "1":
+    from rectipy_tpu import FeedbackNetwork
+
+    M_E = int(os.environ.get("ES_M", 90))
+    T_E = int(os.environ.get("ES_T", 2000))
+    DMAX_E = int(os.environ.get("ES_DMAX", 1054))
+    POP_E = int(os.environ.get("ES_EDGE_POP", 16))
+    rng_e = np.random.default_rng(3)
+    d0 = rng_e.integers(0, DMAX_E + 1, size=(M_E, M_E)).astype(float)
+    W_e = (rng_e.standard_normal((M_E, M_E)) / M_E).astype(np.float32)
+
+    def build_wb():
+        net = FeedbackNetwork(1e-3)
+        net.add_diffeq_node(
+            "wb", "rectipy_tpu.models.rate_neurons.leaky_integrator.tanh",
+            weights=np.zeros((M_E, M_E)), source_var="tanh_op/r",
+            target_var="li_op/r_in", input_var="li_op/I_ext",
+            output_var="li_op/v",
+            node_vars={"all/li_op/eta": 1.0, "all/li_op/tau": 10.0,
+                       "all/li_op/k": 1.0})
+        net.add_edge("wb", "wb", weights=W_e, delays=d0, mode="interp",
+                     max_delay=DMAX_E, feedback=True)
+        net.compile()
+        return net
+
+    wb = build_wb()
+    inp_e = rng_e.normal(size=(T_E, M_E)).astype(np.float32) * 0.5
+    t0 = time.perf_counter()
+    wb.run(inp_e, sampling_steps=100, verbose=False)
+    lap(f"[edge] single WB run warmup {time.perf_counter()-t0:5.1f}s")
+    best_wb = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        wb.run(inp_e, sampling_steps=100, verbose=False)
+        best_wb = min(best_wb, time.perf_counter() - t0)
+    lap(f"[edge] single WB run best {best_wb:6.3f}s "
+        f"({T_E/best_wb:,.0f} steps/s, M={M_E}, span {DMAX_E})")
+
+    tgt_e = np.zeros((T_E // 100, M_E), dtype=np.float32)
+
+    class _EClock:
+        def __init__(self, pop):
+            self.pop, self.marks, self.calls = pop, [], 0
+
+        def loss(self, out, tgt):
+            if self.calls % self.pop == 0:
+                self.marks.append(time.perf_counter())
+            self.calls += 1
+            return float(np.mean((np.asarray(out) - np.asarray(tgt)) ** 2))
+
+    clk = _EClock(POP_E)
+    n_gens = 5
+    t0 = time.perf_counter()
+    wb.fit_es(inp_e, tgt_e,
+              fit_vars=[("edge", "wb", "wb", "delays")],
+              bounds={("edge", "wb", "wb", "delays"): (0.0, float(DMAX_E))},
+              loss=clk.loss, n_generations=n_gens, pop_size=POP_E,
+              sigma=20.0, lr=10.0, sampling_steps=100, seed=0, verbose=False)
+    total = time.perf_counter() - t0
+    gaps = np.diff(np.asarray(clk.marks))
+    best_gen = float(np.min(gaps)) if len(gaps) else total / n_gens
+    lap(f"[edge pop={POP_E}] {n_gens} delay-matrix ES generations in "
+        f"{total:6.2f}s; best gen {best_gen:6.3f}s = "
+        f"{best_gen/best_wb:.2f}x a single run for {POP_E}x candidate "
+        f"connectomes ({M_E}x{M_E} delays evolved gradient-free)")
