@@ -84,11 +84,14 @@ def shift(buf, x):
 
 
 def mk(step_fn, B):
-    """Jitted T-step scan of one per-step variant; vmapped over B trials."""
+    """Jitted T-step scan of one per-step variant; vmapped over B trials.
+    The selectors/weights ride as ARGUMENTS (sel) -- 370 MB closure
+    constants are rejected by the tunneled remote compile (HTTP 413,
+    round-4 lesson)."""
 
-    def scan_one(buf, xs):
+    def scan_one(buf, xs, sel):
         def body(buf, x):
-            buf, y = step_fn(buf, x)
+            buf, y = step_fn(buf, x, sel)
             return buf, jnp.sum(y)
 
         buf, ys = jax.lax.scan(body, buf, xs)
@@ -96,49 +99,54 @@ def mk(step_fn, B):
 
     if B == 1:
         return jax.jit(scan_one)
-    return jax.jit(jax.vmap(scan_one))
+    return jax.jit(jax.vmap(scan_one, in_axes=(0, 0, None)))
 
 
-def v_shift(buf, x):
+def v_shift(buf, x, sel):
     buf = shift(buf, x)
     return buf, buf[:, 0]
 
 
-def v_read0(buf, x):
+def v_read0(buf, x, sel):
+    oh_q, oh_r, Wd = sel
     buf = shift(buf, x)
     t1 = jnp.einsum("jia,jab->jib", oh_q, buf.reshape(M, Q, S))
     return buf, t1[:, :, 0].sum(axis=0)
 
 
-def v0(buf, x):  # production factored read
+def v0(buf, x, sel):  # production factored read
+    oh_q, oh_r, Wd = sel
     buf = shift(buf, x)
     t1 = jnp.einsum("jia,jab->jib", oh_q, buf.reshape(M, Q, S))
     vals = jnp.einsum("jib,jib->ji", t1, oh_r)
     return buf, jnp.einsum("ij,ji->i", Wd, vals)
 
 
-def v1(buf, x):  # fine digit first
+def v1(buf, x, sel):  # fine digit first
+    oh_q, oh_r, Wd = sel
     buf = shift(buf, x)
     t2 = jnp.einsum("jib,jab->jia", oh_r, buf.reshape(M, Q, S))
     vals = jnp.einsum("jia,jia->ji", t2, oh_q)
     return buf, jnp.einsum("ij,ji->i", Wd, vals)
 
 
-def v2(buf, x):  # one 3-operand einsum
+def v2(buf, x, sel):  # one 3-operand einsum
+    oh_q, oh_r, Wd = sel
     buf = shift(buf, x)
     vals = jnp.einsum("jia,jab,jib->ji", oh_q, buf.reshape(M, Q, S), oh_r)
     return buf, jnp.einsum("ij,ji->i", Wd, vals)
 
 
-def v3(buf, x):  # W fused in
+def v3(buf, x, sel):  # W fused in
+    oh_q, oh_r, Wd = sel
     buf = shift(buf, x)
     return buf, jnp.einsum("ij,jia,jab,jib->i", Wd, oh_q,
                            buf.reshape(M, Q, S), oh_r)
 
 
-def v_dense(buf, x):
+def v_dense(buf, x, sel):
     buf = shift(buf, x)
-    return buf, Wd @ x
+    return buf, sel[2] @ x
 
 
 VARIANTS = [("shift", v_shift), ("read0", v_read0), ("V0-prod", v0),
@@ -155,7 +163,7 @@ for B in BATCHES:
     for name, fn in VARIANTS:
         fns[name] = mk(fn, B)
         t0 = time.perf_counter()
-        _, s = fns[name](buf0, xs_all[0])
+        _, s = fns[name](buf0, xs_all[0], (oh_q, oh_r, Wd))
         float(np.asarray(s).sum())  # host fetch = sync
         lap(f"[B={B}] {name:>10} warm (incl. compile) "
             f"{time.perf_counter()-t0:6.1f}s")
@@ -163,7 +171,7 @@ for B in BATCHES:
     for r in range(REPS):  # interleaved round-robin, fresh inputs per rep
         for name, _ in VARIANTS:
             t0 = time.perf_counter()
-            _, s = fns[name](buf0, xs_all[r + 1])
+            _, s = fns[name](buf0, xs_all[r + 1], (oh_q, oh_r, Wd))
             float(np.asarray(s).sum())
             best[name] = min(best[name], time.perf_counter() - t0)
     for name, _ in VARIANTS:

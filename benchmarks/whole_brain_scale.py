@@ -120,6 +120,15 @@ for M in MS:
         T_b = int(os.environ.get("WB_BATCH_T", min(T, 2000)))
         rng3 = np.random.default_rng(2)
         binp = rng3.normal(size=(B, T_b, M)).astype(np.float32) * 2.0
+        # pre-stage ONCE: host numpy (B, T, M) re-stages over the tunnel
+        # every call by design (mutable); at B=8/M=998 that is 64 MB/call
+        # of pure transfer inflating the per-call wall clock (round-5
+        # anatomy, benchmarks/ab_wb_ensemble.py)
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        binp = _jax.device_put(_jnp.asarray(binp))
+        _jax.block_until_ready(binp)
         t0 = time.perf_counter()
         res = net.run_batch(binp, sampling_steps=100, verbose=False)
         t_first = time.perf_counter() - t0
