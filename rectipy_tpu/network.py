@@ -1562,6 +1562,20 @@ class Network:
                 # (it broadcasts inside the program)
                 params[sec][label][key] = vals
                 p_axes[sec][label][key] = 0
+                if sec == "edges" and key == "delays":
+                    edge = self.get_edge(*label.split("->"))
+                    if getattr(edge, "_interp_impl", None) == "hat":
+                        import warnings
+
+                        warnings.warn(
+                            "Sweeping per-trial DELAY matrices on a hat-read "
+                            "interp edge streams one (n, m, max_delay+1) hat "
+                            "tensor PER TRIAL -- measured 7x slower per "
+                            "generation than the factored2 read at M=90/"
+                            "pop=16 (single-trial they tie). Set env "
+                            "RECTIPY_DELAY_HAT_LIMIT=1 before building the "
+                            "edge to force the factored2 interp read for "
+                            "delay-sweep ensembles.", stacklevel=2)
                 swept.append((sec, label, key))
             swept = tuple(sorted(swept))
         if mesh is not None:
