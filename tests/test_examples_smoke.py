@@ -109,6 +109,10 @@ def _run(example, env=None, timeout=420):
     ("ei_circuit_multi_coupling.py", {"EI_N": "64", "EI_T": "200"}),
     # generic fused Pallas step kernel (interpret mode on CPU)
     ("fused_kernels.py", {"FUSED_N": "128", "FUSED_T": "200"}),
+    # population-scale block-sparse STDP (round 5) with homeostasis
+    ("stdp_100k_blocks.py", {"STDPB_N": "2048", "STDPB_BS": "256",
+                             "STDPB_FAN": "200", "STDPB_T": "1000",
+                             "STDPB_HOMEO": "250"}),
 ])
 def test_example_runs(example, env):
     _run(example, env)
