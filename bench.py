@@ -270,7 +270,11 @@ def bench_rate_bptt():
                  verbose=False)
     warm = _t.perf_counter() - t0
     ours_epoch = float("inf")
-    for _ in range(2):  # best-of-2: tunneled-chip variance
+    # best-of-4: at ~10 ms/epoch the tunneled-dispatch variance dominates
+    # (round-5 run measured 13.7 ms where history says 7.7-8.8 -- the OURS
+    # side, not the torch baseline, is the noisy term of this ratio; each
+    # extra sample costs ~0.1 s)
+    for _ in range(4):
         t0 = _t.perf_counter()
         net.fit_bptt([inp_d] * n_ep, [tgt_d] * n_ep, optimizer="rmsprop", lr=1e-4,
                      verbose=False)
