@@ -22,6 +22,12 @@ Env: STDPB_N (100352), STDPB_BS (512), STDPB_FAN (1000), STDPB_T (2000),
 """
 
 import os
+import sys
+
+try:  # prefer the installed package (pip install -e .)
+    import rectipy_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
