@@ -143,8 +143,11 @@ if os.environ.get("ES_EDGE", "1") == "1":
             output_var="li_op/v",
             node_vars={"all/li_op/eta": 1.0, "all/li_op/tau": 10.0,
                        "all/li_op/k": 1.0})
+        # factored2: per-candidate delay sweeps stream one selector tensor
+        # per trial, where the hat's nm(D+1) measured 7x slower generations
+        impl = os.environ.get("ES_INTERP_IMPL", "factored2")
         net.add_edge("wb", "wb", weights=W_e, delays=d0, mode="interp",
-                     max_delay=DMAX_E, feedback=True)
+                     max_delay=DMAX_E, feedback=True, interp_impl=impl)
         net.compile()
         return net
 

@@ -332,7 +332,8 @@ class LinearMemoryMatrix(Linear):
     def __init__(self, n_in: int, n_out: int, delays, weights=None, dtype=jnp.float64,
                  detach: bool = True, mode: str = "auto", train_delays: bool = False,
                  max_delay: Optional[int] = None, read_dtype=None,
-                 fine_s: Optional[int] = None, **kwargs):
+                 fine_s: Optional[int] = None, interp_impl: str = "auto",
+                 **kwargs):
         if train_delays:
             if mode not in ("auto", "interp"):
                 raise ValueError("train_delays=True requires the 'interp' read "
@@ -431,10 +432,23 @@ class LinearMemoryMatrix(Linear):
             # the triangular hat is nm(D+1); past the hat limit the read
             # becomes a TWO-POINT blend of factored integer reads (floor and
             # ceil) -- identical values, identical interior gradients, with
-            # nm(2Q+2S+1) selector memory: TVB-scale trainable delays
-            hat_limit = int(os.environ.get("RECTIPY_DELAY_HAT_LIMIT", 2 ** 24))
-            self._interp_impl = "hat" if n_in * n_out * D1 <= hat_limit \
-                else "factored2"
+            # nm(2Q+2S+1) selector memory: TVB-scale trainable delays.
+            # `interp_impl` overrides the size heuristic per edge: the two
+            # reads TIE single-trial (interleaved A/B at M=90, round 5),
+            # but PER-TRIAL delay sweeps (run_batch/fit_es over 'delays')
+            # stream one selector tensor per candidate, where factored2's
+            # ~6x smaller selectors measured 7x faster generations --
+            # build delay-sweep edges with interp_impl='factored2'.
+            if interp_impl not in ("auto", "hat", "factored2"):
+                raise ValueError(
+                    f"interp_impl must be 'auto', 'hat' or 'factored2'; "
+                    f"got {interp_impl!r}")
+            if interp_impl == "auto":
+                hat_limit = int(os.environ.get("RECTIPY_DELAY_HAT_LIMIT",
+                                               2 ** 24))
+                interp_impl = ("hat" if n_in * n_out * D1 <= hat_limit
+                               else "factored2")
+            self._interp_impl = interp_impl
             if self._interp_impl == "factored2":
                 buf_width = Q * S
         self._fQS = (Q, S)
@@ -832,6 +846,18 @@ def _check_stdp_hparams(tau_plus, tau_minus, a_plus, a_minus, w_min, w_max):
         raise ValueError("STDP weight bounds require w_max > w_min.")
 
 
+def _resolve_stdp_w_dtype(w_dtype):
+    """Validate the reduced-precision plastic-W carry dtype: an integer
+    carry would truncate the ~1e-3-scale pair increments to zero and make
+    plasticity a silent no-op."""
+    w_dtype = jnp.dtype(resolve_dtype(w_dtype))
+    if not jnp.issubdtype(w_dtype, jnp.floating):
+        raise ValueError(
+            f"STDP w_dtype must be a floating dtype (the plastic-W scan "
+            f"carry accumulates ~a_plus-scale increments); got {w_dtype}.")
+    return w_dtype
+
+
 class STDP(Linear):
     """Spike-timing-dependent plasticity edge: online, unsupervised, local.
 
@@ -879,7 +905,7 @@ class STDP(Linear):
             # benchmarks/stdp_scale.py).  Numerics caveat: increments of
             # a_plus ~ 5e-3 against weights ~ w_max sit near bf16's relative
             # eps (~8e-3), so small updates quantize -- A/B before trusting.
-            dtype = w_dtype
+            dtype = _resolve_stdp_w_dtype(w_dtype)
         if weights is None:
             # uniform within bounds (zeros would make a_plus the only escape
             # from the w_min boundary; mid-range random is the standard init)
@@ -1219,7 +1245,8 @@ class BlockSparseSTDP(BlockSparseLinear):
                  **kwargs):
         _check_stdp_hparams(tau_plus, tau_minus, a_plus, a_minus, w_min, w_max)
         if w_dtype is not None:
-            dtype = w_dtype  # reduced-precision plastic-W carry (see STDP)
+            # reduced-precision plastic-W carry (see STDP)
+            dtype = _resolve_stdp_w_dtype(w_dtype)
         super().__init__(n_in, n_out, weights, delays=None, dtype=dtype,
                          detach=True, block_dtype=block_dtype)
         self.params["weights"] = jnp.clip(self.params["weights"], w_min, w_max)

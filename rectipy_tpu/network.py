@@ -585,15 +585,21 @@ class Network:
             stdp_keys = ("n_in", "n_out", "weights", "dtype", "tau_plus",
                          "tau_minus", "a_plus", "a_minus", "w_min", "w_max",
                          "soft_bounds", "w_dtype", "rng")
+            structural = sorted({"delays", "mask", "filter_weights",
+                                 "tau_facil", "tau_depress"} & set(kwargs))
+            if structural:
+                # never SILENTLY drop a structural request (dense edges
+                # previously ignored e.g. delays= here): a plastic edge is
+                # a plain projection -- the pair rule would need
+                # per-synapse delayed/masked/filtered pre-spike trains
+                raise ValueError(
+                    f"{'/'.join(structural)} are not supported on a plastic "
+                    "(train='stdp') edge; chain a separate delayed/masked/"
+                    "filtered edge for the transmission structure and keep "
+                    "the STDP edge a plain projection.")
             if hasattr(weights, "blocks"):
                 # population-scale plasticity: the pair rule on fan-in
                 # blocks (dense W is impossible at N >> 10k)
-                if kwargs.get("delays") is not None:
-                    raise ValueError(
-                        "Per-block conduction delays are not supported on a "
-                        "plastic (train='stdp') block edge -- the pair rule "
-                        "would need per-synapse delayed pre-spikes; chain a "
-                        "separate delayed BlockSparseLinear edge instead.")
                 edge = BlockSparseSTDP(**{k: v for k, v in kwargs.items()
                                           if k in stdp_keys + ("block_dtype",)})
             else:
@@ -1572,10 +1578,10 @@ class Network:
                             "interp edge streams one (n, m, max_delay+1) hat "
                             "tensor PER TRIAL -- measured 7x slower per "
                             "generation than the factored2 read at M=90/"
-                            "pop=16 (single-trial they tie). Set env "
-                            "RECTIPY_DELAY_HAT_LIMIT=1 before building the "
-                            "edge to force the factored2 interp read for "
-                            "delay-sweep ensembles.", stacklevel=2)
+                            "pop=16 (single-trial they tie). Build the edge "
+                            "with add_edge(..., mode='interp', "
+                            "interp_impl='factored2') for delay-sweep "
+                            "ensembles.", stacklevel=2)
                 swept.append((sec, label, key))
             swept = tuple(sorted(swept))
         if mesh is not None:
@@ -1972,6 +1978,20 @@ class Network:
                     f"{extra}.")
             return ("edges", _ekey(src, tgt), param)
         if len(k) == 3 and k[0] in ("nodes", "edges"):
+            # exact path form: validate it resolves NOW so callers fail
+            # with names instead of a bare KeyError deep in a program build
+            sec, label, key = k
+            if sec == "nodes":
+                if key not in getattr(self.get_node(label), "_args", {}):
+                    raise KeyError(
+                        f"{name}: {key!r} is not a parameter key of node "
+                        f"{label!r}.")
+            else:
+                edge = self.get_edge(*label.split("->"))
+                if key not in edge.params:
+                    raise KeyError(
+                        f"{name}: {key!r} is not a parameter of edge "
+                        f"{label!r} (available: {sorted(edge.params)}).")
             return k
         nlabel, var = k
         node = self.get_node(nlabel)
@@ -2547,37 +2567,30 @@ class Network:
         if isinstance(objective_key, (list, tuple)):
             objective_key = tuple(objective_key)
 
+        # one canonical getter/setter pair: every fit_vars form resolves
+        # through _sweep_path, so node and edge parameters share one code
+        # path (node writes go through node._args + the fused-kernel
+        # refresh exactly as set_param does)
         def get_fit_var(key):
-            if len(key) == 4 and key[0] == "edge":
-                return self.get_edge(key[1], key[2]).params[key[3]]
-            if len(key) == 3:
-                sec, label, pkey = key
-                return (self.get_node(label)._args[pkey] if sec == "nodes"
-                        else self.get_edge(*label.split("->")).params[pkey])
-            return self.get_var(*key)
+            sec, label, pkey = self._sweep_path("fit_es", key)
+            if sec == "nodes":
+                return self.get_node(label)._args[pkey]
+            return self.get_edge(*label.split("->")).params[pkey]
 
         def set_fit_var(key, val):
-            if len(key) == 4 and key[0] == "edge":
-                edge = self.get_edge(key[1], key[2])
-                cur = np.asarray(edge.params[key[3]])
-                edge.params[key[3]] = jnp.asarray(
+            sec, label, pkey = self._sweep_path("fit_es", key)
+            if sec == "nodes":
+                node = self.get_node(label)
+                cur = np.asarray(node._args[pkey])
+                node._args[pkey] = jnp.asarray(
                     np.asarray(val, dtype=cur.dtype).reshape(cur.shape))
-            elif len(key) == 3:
-                sec, label, pkey = key
-                if sec == "edges":
-                    edge = self.get_edge(*label.split("->"))
-                    cur = np.asarray(edge.params[pkey])
-                    edge.params[pkey] = jnp.asarray(
-                        np.asarray(val, dtype=cur.dtype).reshape(cur.shape))
-                else:
-                    node = self.get_node(label)
-                    cur = np.asarray(node._args[pkey])
-                    node._args[pkey] = jnp.asarray(
-                        np.asarray(val, dtype=cur.dtype).reshape(cur.shape))
+                if getattr(node, "_fused_attached", False):
+                    node._refresh_fused_param(pkey)
             else:
-                cur = np.asarray(self.get_var(*key))
-                self.set_var(*key, np.asarray(val, dtype=cur.dtype)
-                             .reshape(cur.shape))
+                edge = self.get_edge(*label.split("->"))
+                cur = np.asarray(edge.params[pkey])
+                edge.params[pkey] = jnp.asarray(
+                    np.asarray(val, dtype=cur.dtype).reshape(cur.shape))
         registry_loss = not callable(loss)
         if callable(loss):
             if loss_kwargs:

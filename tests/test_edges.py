@@ -671,3 +671,42 @@ def test_block_sparse_linear_block_dtype():
     losses = [float(l) for l in obs["epoch_loss"]]
     assert losses[-1] < losses[0]
     assert net_t.get_edge("pop", "pop").weights.dtype == net_t.dtype
+
+
+def test_interp_impl_override_bit_identical():
+    """interp_impl='hat'/'factored2' (round 5): explicit per-edge override
+    of the interp-read implementation; both are bit-identical reads and the
+    factored2 buffer round-trips through chunked runs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rectipy_tpu.edges import LinearMemoryMatrix
+
+    rng = np.random.default_rng(5)
+    n, m, T = 4, 3, 30
+    d = rng.uniform(0.0, 6.0, size=(n, m))
+    W = rng.standard_normal((n, m))
+    edges = {}
+    for impl in ("hat", "factored2"):
+        e = LinearMemoryMatrix(m, n, delays=d, weights=W, dtype=jnp.float64,
+                               mode="interp", max_delay=8, interp_impl=impl)
+        assert e._interp_impl == impl
+        edges[impl] = e
+    xs = rng.standard_normal((T, m))
+    outs = {}
+    for impl, e in edges.items():
+        state = e.init_state()
+        step = e.make_step()
+        prep = e.prep_params(dict(e.params))
+        ys = []
+        for t in range(T):
+            state, y = step(state, prep, jnp.asarray(xs[t]))
+            ys.append(np.asarray(y))
+        outs[impl] = np.stack(ys)
+    np.testing.assert_allclose(outs["factored2"], outs["hat"],
+                               rtol=1e-12, atol=1e-12)
+    import pytest
+
+    with pytest.raises(ValueError, match="interp_impl"):
+        LinearMemoryMatrix(m, n, delays=d, weights=W, mode="interp",
+                           max_delay=8, interp_impl="nope")

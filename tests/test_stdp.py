@@ -891,14 +891,26 @@ def test_block_stdp_dispatch_and_errors():
     assert isinstance(net.get_edge("qif", "qif"), BlockSparseSTDP)
     assert net._train_edge == ("qif", "qif")
 
-    # per-block delays cannot ride the plastic edge
+    # structural kwargs (delays/masks/filters/STP) cannot ride a plastic
+    # edge -- neither block-sparse NOR dense (the dense form previously
+    # dropped them SILENTLY; round-5 review finding)
     net2 = FeedbackNetwork(1e-3, dtype=jnp.float64)
     net2.add_diffeq_node("qif", QIF, weights=np.zeros((6, 6)), source_var="s",
                          target_var="s_in", input_var="I_ext", output_var="s",
                          spike_var="spike", reset_var="v")
-    with pytest.raises(ValueError, match="delays are not supported"):
+    with pytest.raises(ValueError, match="not supported on a plastic"):
         net2.add_edge("qif", "qif", feedback=True, train="stdp", weights=A,
                       delays=np.zeros((3, 2), dtype=int))
+    with pytest.raises(ValueError, match="not supported on a plastic"):
+        net2.add_edge("qif", "qif", feedback=True, train="stdp",
+                      weights=np.full((6, 6), 0.3), delays=np.arange(6))
+    with pytest.raises(ValueError, match="not supported on a plastic"):
+        net2.add_edge("qif", "qif", feedback=True, train="stdp",
+                      weights=np.full((6, 6), 0.3), mask=np.eye(6))
+    # integer w_dtype would silently truncate the pair increments
+    with pytest.raises(ValueError, match="floating"):
+        net2.add_edge("qif", "qif", feedback=True, train="stdp",
+                      weights=np.full((6, 6), 0.3), w_dtype=jnp.int8)
     # hyperparameter validation applies to the block edge too
     with pytest.raises(ValueError, match="tau_plus"):
         BlockSparseSTDP(6, 6, weights=A, tau_plus=0.0)
