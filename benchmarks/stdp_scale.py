@@ -129,6 +129,12 @@ if os.environ.get("STDP_BLOCK", "1") == "1":
     out["stdp_block_nu_per_s"] = measure("block", N_BLOCK, diagonal=False,
                                          block=True)
     out["N_block"] = N_BLOCK
+if os.environ.get("STDP_BLOCK_BF16", "0") == "1":
+    # reduced-precision plastic-block carry: halves the 12 GB/step block
+    # traffic; numerics caveat as w_dtype (increments near bf16 eps)
+    out["stdp_block_bf16_nu_per_s"] = measure(
+        "block-bf16", N_BLOCK, diagonal=False, block=True,
+        w_dtype=jnp.bfloat16)
 import json
 
 print(json.dumps(out), flush=True)
