@@ -940,3 +940,28 @@ def test_stdp_reduced_precision_w_carry():
     w = float(np.asarray(edge.params["weights"].astype(jnp.float32))[0, 0])
     assert edge.params["weights"].dtype == jnp.bfloat16
     assert w > 0.25 + 1e-3, f"causal pairing should potentiate; got {w}"
+
+
+def test_fit_stdp_block_mesh_matches_single_device():
+    """Block-sparse STDP under run-time population sharding (mesh=) == the
+    single-device fit exactly (weights, traces, records)."""
+    from rectipy_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(44)
+    T, dt = 200, 1e-3
+    A = _toy_coupling(rng, nb=4, cb=2, bs=2)
+    x = (rng.random((T, A.shape[0])) < 0.15) * 30.0
+
+    net_a = _block_net(dt, A)
+    obs_a = net_a.fit_stdp(x, sampling_steps=50, verbose=False,
+                           homeostasis_steps=50)
+    net_b = _block_net(dt, A)
+    obs_b = net_b.fit_stdp(x, sampling_steps=50, verbose=False,
+                           homeostasis_steps=50, mesh=make_mesh(4))
+    for key in ("weights", "x_pre", "x_post"):
+        np.testing.assert_allclose(
+            np.asarray(net_b.get_edge("qif", "qif").params[key]),
+            np.asarray(net_a.get_edge("qif", "qif").params[key]), rtol=1e-12,
+            err_msg=f"{key} diverged under mesh")
+    np.testing.assert_allclose(np.asarray(obs_b["w_mean"]),
+                               np.asarray(obs_a["w_mean"]), rtol=1e-12)
