@@ -1981,17 +1981,18 @@ class Network:
             # exact path form: validate it resolves NOW so callers fail
             # with names instead of a bare KeyError deep in a program build
             sec, label, key = k
-            if sec == "nodes":
-                if key not in getattr(self.get_node(label), "_args", {}):
-                    raise KeyError(
-                        f"{name}: {key!r} is not a parameter key of node "
-                        f"{label!r}.")
-            else:
-                edge = self.get_edge(*label.split("->"))
-                if key not in edge.params:
-                    raise KeyError(
-                        f"{name}: {key!r} is not a parameter of edge "
-                        f"{label!r} (available: {sorted(edge.params)}).")
+            try:
+                if sec == "nodes":
+                    owner = getattr(self.get_node(label), "_args", {})
+                else:
+                    owner = self.get_edge(*label.split("->")).params
+            except KeyError:
+                raise KeyError(f"{name}: path {k} not found "
+                               f"(no such {sec[:-1]} {label!r}).")
+            if key not in owner:
+                raise KeyError(
+                    f"{name}: {key!r} is not a parameter of {sec[:-1]} "
+                    f"{label!r} (path {k} not found).")
             return k
         nlabel, var = k
         node = self.get_node(nlabel)
