@@ -1068,11 +1068,25 @@ class BlockSparseLinear(Linear):
                 "(rectipy_tpu.block_random_connectivity builds one).")
         self.dtype = resolve_dtype(dtype)
         self.block_dtype = None
-        if block_dtype is not None:
+        self._int8_master = False
+        if block_dtype == "int8_master":
+            # quantized block stream (per-output-row int8 weights, dynamic
+            # activation scale, f32 accumulation) with a full-precision
+            # master -- the edge analog of coupling_dtype='int8_master'.
+            # Frozen edges prep-quantize once per call; TRAINABLE edges
+            # skip prep quantization (round() has zero gradient, and
+            # _prep_edge_params runs inside differentiated plain-autodiff
+            # losses) and take an in-step STE apply instead -- the deferred
+            # graph trajectory hoists the quantization into its own
+            # once-per-scan prep with explicit STE contractions and is the
+            # fast training path.
+            self._int8_master = True
+        elif block_dtype is not None:
             self.block_dtype = jnp.dtype(resolve_dtype(block_dtype))
             if not jnp.issubdtype(self.block_dtype, jnp.floating):
                 raise ValueError(
-                    f"block_dtype must be a floating dtype; got {block_dtype!r}")
+                    f"block_dtype must be a floating dtype or 'int8_master'; "
+                    f"got {block_dtype!r}")
             if self.block_dtype == jnp.dtype(self.dtype):
                 self.block_dtype = None  # no-op: stream at master precision
         blocks = np.asarray(weights.blocks)
@@ -1152,7 +1166,16 @@ class BlockSparseLinear(Linear):
         """Once-per-call block-stream cast (see ``block_dtype``): the fast
         paths evaluate this outside the scan, so the scan streams the
         reduced-precision copy; gradients flow THROUGH the cast where prep
-        runs inside a differentiated trajectory (bf16-master semantics)."""
+        runs inside a differentiated trajectory (bf16-master semantics).
+        ``int8_master``: FROZEN edges quantize here (once per call);
+        trainable edges must NOT (zero-gradient round inside differentiated
+        plain-autodiff losses) -- their step takes the in-step STE apply."""
+        if self._int8_master:
+            if self.train_keys or isinstance(sub.get("weights"), tuple):
+                return sub
+            from .ops.quant import quantize_blocks
+
+            return {**sub, "weights": quantize_blocks(sub["weights"])}
         bd = self.block_dtype
         if bd is None or sub["weights"].dtype == bd:
             return sub
@@ -1164,8 +1187,20 @@ class BlockSparseLinear(Linear):
         acc = jnp.result_type(self.dtype, jnp.float32)
         dtype = self.dtype
         bd = self.block_dtype
+        int8m = self._int8_master
+        if int8m:
+            from .ops.quant import (make_block_int8_stack_apply,
+                                    make_block_int8_stack_ops)
+
+            _, int8_mv, _, _ = make_block_int8_stack_ops()
+            int8_ste = make_block_int8_stack_apply()
 
         def contract(w, s_blk):
+            if int8m:
+                if isinstance(w, tuple):  # prep-quantized (frozen fast path)
+                    return int8_mv(w, s_blk).reshape(-1, bs).astype(acc)
+                # raw master: in-step STE apply (plain-autodiff correctness)
+                return int8_ste(w, s_blk).reshape(-1, bs).astype(acc)
             if bd is not None:
                 # no-op when prep already cast w; the unprepped (eager /
                 # plain-autodiff) paths pay the cast in-step for correctness
@@ -1247,6 +1282,12 @@ class BlockSparseSTDP(BlockSparseLinear):
         if w_dtype is not None:
             # reduced-precision plastic-W carry (see STDP)
             dtype = _resolve_stdp_w_dtype(w_dtype)
+        if block_dtype == "int8_master":
+            raise ValueError(
+                "block_dtype='int8_master' is a gradient-training stream "
+                "(STE through a quantized master); the plastic STDP carry "
+                "must stay a float tensor -- use w_dtype='bfloat16' to "
+                "halve the plastic-W traffic instead.")
         super().__init__(n_in, n_out, weights, delays=None, dtype=dtype,
                          detach=True, block_dtype=block_dtype)
         self.params["weights"] = jnp.clip(self.params["weights"], w_min, w_max)

@@ -157,9 +157,26 @@ def _block_edge_ops(e):
     it back into the history buffer / source vector.  ``block_dtype``
     mirrors the edge's in-step cast (bf16-master semantics: the master and
     the saved stage records stay full precision; the contractions run on
-    reduced-precision operands with f32+ accumulation)."""
-    bd = e.block_dtype
+    reduced-precision operands with f32+ accumulation).
+    ``block_dtype='int8_master'``: the stage prep quantizes the master once
+    per scan (per-output-row int8 + scales) and the contractions run int8
+    with dynamic activation scales + f32 master gradients -- exactly the
+    node-level int8_master machinery in gathered-stack form
+    (ops/quant.make_block_int8_stack_ops)."""
     dtype = jnp.dtype(e.dtype)
+    if getattr(e, "_int8_master", False):
+        from .quant import make_block_int8_stack_ops
+
+        qprep, qmv, qmv_t, qgrad_w = make_block_int8_stack_ops()
+
+        def mv8(wp, s_blk):
+            return qmv(wp, s_blk).astype(dtype)
+
+        def mv_t8(wp, delta):
+            return qmv_t(wp, delta).astype(dtype)
+
+        return qprep, mv8, mv_t8, qgrad_w
+    bd = e.block_dtype
     acc = jnp.result_type(dtype, jnp.float32)
 
     def mb(x):

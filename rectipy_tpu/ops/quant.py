@@ -394,3 +394,69 @@ def make_block_int8_master_matvec(cols_np):
 
     f.defvjp(fwd, bwd)
     return f
+
+
+def make_block_int8_stack_ops():
+    """(prep, mv, mv_t, grad_w) for int8_master contractions on an
+    ALREADY-GATHERED ``(n_br, cb, bs)`` source stack -- the
+    :class:`~rectipy_tpu.edges.BlockSparseLinear` EDGE form, where the
+    producer resolves per-block conduction delays from the history buffer
+    BEFORE the contraction (ops/graph_bptt._block_edge_stage).  Same math
+    as :func:`make_block_int8_ops` minus the source gather: per-output-row
+    weight scales, one dynamic activation scale per step (stop-gradiented,
+    so the contraction stays exactly linear in the sources under STE), f32
+    master gradients (never quantized)."""
+
+    def mv(wp, s_blk):
+        bq, scale = wp
+        n_br, cb, bs, _ = bq.shape
+        xq, xs = quant_vec(s_blk)
+        acc = jnp.einsum("rcij,rcj->ri", bq, xq,
+                         preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * scale * xs).reshape(n_br * bs)
+
+    def mv_t(wp, delta):
+        """W^T @ delta in GATHERED form: per-row scales fold into delta
+        before the dynamic quantization; the producer's own VJP scatters
+        the (n_br, cb, bs) result back into the history buffer."""
+        bq, scale = wp
+        n_br, cb, bs, _ = bq.shape
+        d_blk = delta.reshape(n_br, bs)
+        v = scale * d_blk.astype(jnp.float32)
+        vq, vs = quant_vec(v)
+        contrib = jnp.einsum("rcij,ri->rcj", bq, vq,
+                             preferred_element_type=jnp.int32)
+        return contrib.astype(jnp.float32) * vs
+
+    def grad_w(deltas, srcs):
+        """dW[r, c] = sum_t delta_t[row r] (.) src_t[r, c] in f32 (STE)."""
+        T, n_br = deltas.shape[0], srcs.shape[1]
+        d_blk = deltas.reshape(T, n_br, -1).astype(jnp.float32)
+        return jnp.einsum("tri,trcj->rcij", d_blk, srcs.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+
+    return quantize_blocks, mv, mv_t, grad_w
+
+
+def make_block_int8_stack_apply():
+    """STE-wrapped single-step apply for the gathered-stack form: the
+    plain-autodiff edge step quantizes the master IN-STEP (correctness
+    first; the deferred graph trajectory hoists the quantization into its
+    once-per-scan prep and is the fast path)."""
+    prep, mv, mv_t, grad_w = make_block_int8_stack_ops()
+
+    @jax.custom_vjp
+    def f(blocks, s_blk):
+        return mv(prep(blocks), s_blk)
+
+    def fwd(blocks, s_blk):
+        return mv(prep(blocks), s_blk), (blocks, s_blk)
+
+    def bwd(res, g):
+        blocks, s_blk = res
+        wp = prep(blocks)
+        dblocks = grad_w(g[None, :], s_blk[None])
+        return dblocks.astype(blocks.dtype), mv_t(wp, g).astype(s_blk.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -1082,3 +1082,67 @@ def test_graph_traj_coupling_free_population_block_delay_fb():
     assert res["auto"][0][0] > 0
     np.testing.assert_allclose(res["auto"][0], res["plain"][0], rtol=1e-8)
     np.testing.assert_allclose(res["auto"][1], res["plain"][1], rtol=1e-8)
+
+
+def test_block_edge_int8_master_fused_matches_plain():
+    """block_dtype='int8_master' on a delayed BlockSparseLinear edge: the
+    deferred graph trajectory (prep-quantized master + explicit STE
+    contractions) must match plain autodiff (per-step STE apply) -- same
+    losses, same trained blocks -- and the quantized forward must track the
+    f32 forward closely."""
+    from rectipy_tpu import FeedbackNetwork
+    from rectipy_tpu.edges import BlockSparseLinear
+    from rectipy_tpu.ops.sparse import block_random_connectivity
+
+    N, BS, dmax, T = 128, 32, 5, 500
+    nb = N // BS
+
+    def build(bdtype=None):
+        A = block_random_connectivity(N, N, 16, block_size=BS, seed=0)
+        ring = np.abs(A.cols - np.arange(nb)[:, None])
+        ring = np.minimum(ring, nb - ring).astype(float)
+        d_blk = np.rint(ring / max(ring.max(), 1.0) * dmax).astype(int)
+        rng = np.random.default_rng(1)
+        net = FeedbackNetwork(1e-3)
+        net.add_func_node("inp", 1, activation_function="identity")
+        net.add_diffeq_node(
+            "qif", QIF, n=N, input_var="I_ext", output_var="s",
+            spike_var="spike", spike_def="v", op="qif_op",
+            spike_threshold=1e2, spike_reset=-1e2,
+            node_vars={"all/qif_op/eta":
+                       1000.0 + 200.0 * rng.standard_normal(N)})
+        net.add_edge("inp", "qif", weights=np.random.default_rng(7)
+                     .normal(size=(N, 1)).astype(np.float32))
+        kw = {"block_dtype": bdtype} if bdtype else {}
+        net.add_edge("qif", "qif", weights=A, delays=d_blk, feedback=True,
+                     train="gd", **kw)
+        net.compile()
+        return net
+
+    ins = np.zeros((T, 1), dtype=np.float32)
+    ins[T // 4:, 0] = 3.0
+    # quantized forward tracks f32 (trajectory correlation)
+    out_f32 = np.asarray(build().run(ins, verbose=False).to_numpy("out"))
+    out_i8 = np.asarray(build("int8_master").run(ins, verbose=False)
+                        .to_numpy("out"))
+    corr = np.corrcoef(out_f32.ravel(), out_i8.ravel())[0, 1]
+    assert corr > 0.99, f"int8 forward diverged from f32: corr {corr}"
+
+    tgt = out_i8
+    res = {}
+    for mode, fb in (("auto", "auto"), ("plain", False)):
+        net_t = build("int8_master")
+        e = net_t.get_edge("qif", "qif")
+        assert isinstance(e, BlockSparseLinear) and e._int8_master
+        e.weights = e.weights * 1.5
+        obs = net_t.fit_bptt([ins] * 3, [tgt] * 3, optimizer="adam", lr=1e-4,
+                             verbose=False, fused_bptt=fb)
+        res[mode] = ([float(l) for l in obs["epoch_loss"]],
+                     np.asarray(net_t.get_edge("qif", "qif").weights))
+    assert res["auto"][0][0] > 0
+    np.testing.assert_allclose(res["auto"][0], res["plain"][0], rtol=1e-5)
+    np.testing.assert_allclose(res["auto"][1], res["plain"][1],
+                               rtol=1e-4, atol=1e-8)
+    # training must move the blocks (nonzero STE gradients)
+    assert np.abs(res["auto"][1] - np.asarray(
+        build("int8_master").get_edge("qif", "qif").weights) * 1.5).max() > 0

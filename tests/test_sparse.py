@@ -223,3 +223,43 @@ def test_transposed_matvec_modes_match_dense(mode, monkeypatch):
             Bq[r*bs:(r+1)*bs, c*bs:(c+1)*bs] += np.asarray(bq)[r, j].astype(np.float64)
     oracle_q = (Bq.T @ np.asarray(vq).astype(np.float64)) * float(vs)
     np.testing.assert_allclose(got_q, oracle_q, rtol=1e-5, atol=1e-5)
+
+
+def test_block_edge_int8_master_frozen_prep_equals_ste_step():
+    """int8_master block edge: the FROZEN prep-quantized fast path (train=
+    None, quantization hoisted once per call) produces the identical
+    trajectory to the trainable edge's in-step STE apply -- both quantize
+    the same master the same way."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rectipy_tpu import FeedbackNetwork
+    from rectipy_tpu.ops.sparse import block_random_connectivity
+
+    N, BS, T = 64, 16, 300
+    QIF = "neuron_model_templates.spiking_neurons.qif.qif"
+
+    def build(train):
+        A = block_random_connectivity(N, N, 8, block_size=BS, seed=3)
+        rng = np.random.default_rng(1)
+        net = FeedbackNetwork(1e-3)
+        net.add_func_node("inp", 1, activation_function="identity")
+        net.add_diffeq_node(
+            "qif", QIF, n=N, input_var="I_ext", output_var="s",
+            spike_var="spike", spike_def="v", op="qif_op",
+            spike_threshold=1e2, spike_reset=-1e2,
+            node_vars={"all/qif_op/eta":
+                       800.0 + 100.0 * rng.standard_normal(N)})
+        net.add_edge("inp", "qif", weights=np.random.default_rng(7)
+                     .normal(size=(N, 1)).astype(np.float32))
+        net.add_edge("qif", "qif", weights=A, feedback=True, train=train,
+                     block_dtype="int8_master")
+        net.compile()
+        return net
+
+    ins = np.zeros((T, 1), dtype=np.float32)
+    ins[T // 4:, 0] = 3.0
+    out_frozen = build(None).run(ins, verbose=False).to_numpy("out")
+    out_train = build("gd").run(ins, verbose=False).to_numpy("out")
+    np.testing.assert_allclose(out_train, out_frozen, rtol=1e-6, atol=1e-8)
+    assert np.abs(out_frozen).max() > 0
