@@ -123,6 +123,8 @@ if os.environ.get("BD_FWD", "1") == "1":
         ("zero-delay", build(None)),
         ("delay f32", build(d_blk)),
         ("delay bf16", build(d_blk, block_dtype="bfloat16")),
+        # round 5: quantized stream (prep-quantized frozen fast path)
+        ("delay int8", build(d_blk, block_dtype="int8_master")),
     ]
 
     outs = {}
@@ -144,7 +146,7 @@ if os.environ.get("BD_FWD", "1") == "1":
     for label, _ in variants:
         ts = sorted(times[label])
         best = ts[0]
-        bpw = 2 if "bf16" in label else 4
+        bpw = 2 if "bf16" in label else (1 if "int8" in label else 4)
         gbps = N * 1024 * bpw * T / best / 1e9  # cb=4 x bs=512 per-row stream
         lap(f"{label:>12}: best {best:6.2f}s  median {ts[len(ts) // 2]:6.2f}s"
             f"  = {T * N / best:.3e} nu/s  ({gbps:.0f} GB/s block stream)")
